@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Analytics, Flagship, Registry, Relational, TextDocs}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's correctness surface: one entry per implemented
+  * operator from SURVEY.md §2 (names carry the operator IDs), each paired in
+  * `oracleSql` with an equivalent DuckDB statement over the same parquet
+  * tables. Entries without an oracle are non-SQL-expressible ops (rows-only
+  * check).
+  */
 object SparkEntry {
+
+  private val registry: Seq[(String, Registry.Entry)] =
+    Relational.defs ++ Analytics.defs ++ TextDocs.defs ++ Flagship.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("pipe_sales_details")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, e) => n -> e.q }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, Registry.Entry(_, Some(sql))) => n -> sql }.toMap
 }

@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Centralized SparkSession construction for the engine.
+  *
+  * The reference runs single-threaded eager pandas (see SURVEY.md §4); our
+  * engine instead leans on Catalyst + AQE. All entry points (Verify, Bench,
+  * tests) share this config so plans are comparable across runs.
+  *
+  * Scale notes (local[32] here, 1000-executor cluster in production):
+  *  - `spark.sql.shuffle.partitions` is sized to the local core count; on a
+  *    real cluster AQE coalesces post-shuffle partitions anyway.
+  *  - ANSI mode is OFF: the reference's pandas semantics are permissive
+  *    (failed parses -> NaN/None, e.g. /root/reference/dags/CotyData_IPN.py:103-104),
+  *    so null-on-error matches the semantics we must replicate.
+  */
+object Sessions {
+
+  /** Config shared by every session the engine creates. */
+  def tuned(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
+      // natively; read as long and convert in Tables.events (exact div).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session with N executor threads (test/bench harness). */
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+            appName: String = "graft"): SparkSession = {
+    val s = tuned(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

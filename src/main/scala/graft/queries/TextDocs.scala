@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Dedup
+import Registry._
+
+/** Training-data-pipeline text/document operators over `documents.parquet`
+  * and brute-force similarity over `embeddings.parquet` (builder brief:
+  * dedup / text analysis / similarity as first-class components).
+  *
+  * Everything here is expression-only (no UDFs) so it rides whole-stage
+  * codegen; per-document work is embarrassingly parallel — at 100 TB these
+  * are pure scan-shaped jobs.
+  */
+object TextDocs {
+
+  private def toks(text: Column): Column = split(trim(text), "\\s+")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  val defs: Seq[(String, Entry)] = Seq(
+
+    // ---- exact dedup on a key subset, deterministic keep-first
+    "d1_dedup_docs" -> withOracle(
+      (s, d) =>
+        Dedup.keepFirst(Seq("lang", "source"), Seq(col("doc_id")))(Tables.documents(s, d))
+          .select("doc_id", "lang", "source")
+          .orderBy("lang", "source"),
+      """SELECT doc_id, lang, source
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1 ORDER BY lang, source""".stripMargin),
+
+    // ---- token counting (whitespace tokenizer)
+    "t1_token_stats" -> withOracle(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"), col("n_chars"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- quality scoring: length / punctuation / stopword ratios
+    "t2_quality" -> withOracle(
+      (s, d) => {
+        val t = toks(col("text"))
+        val sumLen = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
+        val nStop = size(filter(t, x => x.isin(stopwords: _*)))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(t).as("n_tokens"),
+            round(sumLen.cast("double") / size(t), 3).as("avg_tok_len"),
+            round(nStop.cast("double") / size(t), 3).as("stop_ratio"),
+            round(length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
+                  length(col("text")), 4).as("punct_ratio"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |       CAST(len(t) AS INTEGER) AS n_tokens,
+        |       round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 3) AS avg_tok_len,
+        |       round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(t), 3) AS stop_ratio,
+        |       round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio
+        |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+        |      FROM documents) ORDER BY doc_id""".stripMargin),
+
+    // ---- language-ID: marker-token n-gram heuristic with deterministic
+    //      argmax (synthetic corpus => synthetic marker sets)
+    "t3_lang_guess" -> withOracle(
+      (s, d) => {
+        val t = toks(col("text"))
+        def score(ws: Seq[String]) = size(filter(t, x => x.isin(ws: _*)))
+        Tables.documents(s, d)
+          .withColumn("c_en", score(Seq("the", "a")))
+          .withColumn("c_es", score(Seq("data", "query")))
+          .withColumn("c_zh", score(Seq("spark", "hash")))
+          .select(col("doc_id"), col("lang"),
+            when(col("c_en") >= col("c_es") && col("c_en") >= col("c_zh"), "en")
+              .when(col("c_es") >= col("c_zh"), "es")
+              .otherwise("zh").as("lang_guess"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang,
+        |       CASE WHEN c_en >= c_es AND c_en >= c_zh THEN 'en'
+        |            WHEN c_es >= c_zh THEN 'es' ELSE 'zh' END AS lang_guess
+        |FROM (SELECT doc_id, lang,
+        |             len(list_filter(t, x -> x IN ('the','a')))      AS c_en,
+        |             len(list_filter(t, x -> x IN ('data','query'))) AS c_es,
+        |             len(list_filter(t, x -> x IN ('spark','hash'))) AS c_zh
+        |      FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        |            FROM documents)) ORDER BY doc_id""".stripMargin),
+
+    // ---- document fingerprinting: 31-base polynomial rolling hash mod
+    //      1e9+7 over codepoints (order-sensitive, collision-cheap)
+    "t4_fingerprint" -> withOracle(
+      (s, d) => {
+        val chars = filter(split(col("text"), ""), c => c =!= "")
+        val codes = transform(chars, c => ascii(c).cast("long"))
+        val fp = aggregate(codes, lit(0L), (h, c) => pmod(h * 31 + c, lit(1000000007L)))
+        Tables.documents(s, d)
+          .select(col("doc_id"), fp.as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                   list_transform(string_split(text, ''), x -> CAST(ord(x) AS BIGINT))),
+        |                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- brute-force cosine top-k: the exact baseline for ANN. Queries are
+    //      broadcast; the corpus streams — linear in corpus size, no
+    //      all-pairs shuffle.
+    "e1_knn_brute" -> withOracle(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val dot   = aggregate(zip_with(col("q_emb"), col("embedding"),
+                      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v)
+        val normQ = sqrt(aggregate(transform(col("q_emb"),
+                      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+        val normC = sqrt(aggregate(transform(col("embedding"),
+                      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        emb.join(broadcast(q), col("q_id") =!= col("vec_id"))
+          .withColumn("cos", dot / (normQ * normC))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("q_id", "rk", "vec_id")
+          .orderBy("q_id", "rk")
+      },
+      """SELECT q_id, rk, vec_id
+        |FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY (list_sum(list_transform(range(1, 65),
+        |                       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))) DESC,
+        |           c.vec_id)
+        |           AS rk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
+  )
+}

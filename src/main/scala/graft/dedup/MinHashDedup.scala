@@ -1,0 +1,109 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.functions.minhash_sig
+
+/** MinHash + LSH near-duplicate detection over a document corpus.
+  *
+  * Scale design (the whole point — never all-pairs):
+  *  1. shingle -> minhash signature (one narrow pass, custom codegen'd
+  *     expression [[graft.functions.MinHashSig]]),
+  *  2. banding: signature split into `bands` bands of `rowsPerBand` hashes;
+  *     each band hashes to one shuffle key -> candidate generation is a
+  *     self-equi-join on (band, bandHash), cost ~ sum of bucket^2 instead
+  *     of corpus^2,
+  *  3. oversized buckets (degenerate content, e.g. empty docs) are capped
+  *     and logged out rather than allowed to produce a quadratic blowup,
+  *  4. candidates are verified with exact shingle-set Jaccard before being
+  *     called duplicates,
+  *  5. groups come from iterative min-label propagation over the verified
+  *     pair graph (bounded rounds; converges in O(graph diameter)).
+  *
+  * The reference has only exact dedup (/root/reference/dags/CotyData_IPN.py:166);
+  * this is the brief's scale-path extension.
+  */
+object MinHashDedup {
+
+  /** Word-level k-shingles, distinct, lowercased. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
+        s => s =!= ""))
+  }
+
+  /** doc_id, band, band_hash — the LSH shuffle keys. */
+  def bandKeys(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+               seed: Long = 42L): DataFrame = {
+    val sig = minhash_sig(shingles(col(textCol), k), bands * rowsPerBand, seed)
+    df.select(col(idCol), sig.as("sig"))
+      .select(col(idCol), posexplode(array(
+        (0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
+  /** Candidate pairs (a < b) from shared LSH buckets. Buckets larger than
+    * `maxBucket` are dropped (degenerate keys); callers needing those must
+    * handle them upstream (e.g. exact-dedup empty documents first).
+    */
+  def candidatePairs(keys: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
+    val sized = keys.groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket && col("__n") > 1)
+    val pruned = keys.join(sized.select("band", "band_hash"), Seq("band", "band_hash"))
+    val a = pruned.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val b = pruned.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact shingle-set Jaccard for candidate verification. */
+  def verifiedPairs(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    val withA = pairs.join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+    val withB = withA.join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    withB.withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Assign each doc the min doc-id of its near-dup connected component.
+    * Iterative min-label propagation; `maxIter` bounds the rounds (graph
+    * diameter of dup clusters is tiny in practice).
+    */
+  def groups(docs: DataFrame, pairs: DataFrame, idCol: String, maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = docs.select(col(idCol).as("node"), col(idCol).cast("long").as("label"))
+    var i = 0
+    while (i < maxIter) {
+      val viaNeighbor = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst").as("node2")).agg(min("label").as("nlabel"))
+      labels = labels.join(viaNeighbor, labels("node") === col("node2"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      i += 1
+    }
+    labels.select(col("node").as(idCol), col("label").as("group_id"))
+  }
+
+  /** End-to-end: doc_id, group_id, group_size (1 = unique document). */
+  def nearDupGroups(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+                    threshold: Double = 0.7): DataFrame = {
+    val keys = bandKeys(docs, idCol, textCol, k, bands, rowsPerBand)
+    val cands = candidatePairs(keys, idCol)
+    val dups = verifiedPairs(docs, cands, idCol, textCol, k, threshold)
+    val g = groups(docs, dups, idCol)
+    val sizes = g.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+    g.join(sizes, Seq("group_id"))
+      .select(col(idCol), col("group_id"), col("group_size"))
+  }
+}

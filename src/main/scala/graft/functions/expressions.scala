@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.bit_count
+
+/** Custom Catalyst expressions for the dedup/similarity hot path.
+  *
+  * The reference has no equivalent ops (its dedup is exact
+  * `drop_duplicates`, /root/reference/dags/CotyData_IPN.py:166); these
+  * implement the scale-path primitives (MinHash, SimHash, hyperplane LSH)
+  * the brief requires. They are native expressions WITH codegen — not
+  * UDFs — so they stay inside whole-stage codegen: the generated code
+  * calls the static kernels in [[HashImpls]] directly, no boxing, no
+  * closure serialization, null handling inherited from `defineCodeGen`.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.minhashSig(input.asInstanceOf[ArrayData], numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashImpls.minhashSig($c, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class RhpSig(child: Expression, numPlanes: Int, seed: Long)
+    extends UnaryExpression {
+  require(numPlanes > 0 && numPlanes <= 64, "numPlanes must be in [1,64]")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rhp_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.rhpSig(input.asInstanceOf[ArrayData], numPlanes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashImpls.rhpSig($c, $numPlanes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level API. */
+object functions {
+  private def expr(c: Column): Expression = GraftShims.expression(c)
+  private def toCol(e: Expression): Column = GraftShims.column(e)
+
+  def minhash_sig(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
+    toCol(MinHashSig(expr(tokens), numHashes, seed))
+
+  def simhash64(tokens: Column): Column = toCol(SimHash64(expr(tokens)))
+
+  def rhp_sig(embedding: Column, numPlanes: Int, seed: Long = 42L): Column =
+    toCol(RhpSig(expr(embedding), numPlanes, seed))
+
+  /** Hamming distance between two packed 64-bit signatures — built-ins only
+    * (XOR + bit_count), codegen'd.
+    */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

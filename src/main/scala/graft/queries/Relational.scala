@@ -168,15 +168,19 @@ object Relational {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // ---- J6: anti-join (load-only-new, /root/reference/dags/CotyData_IPN.py:2148-2154)
+    //      keyed on customers lacking 'P'-status orders so the result is
+    //      non-vacuous at every SF
     "j6_anti" -> withOracle(
       (s, d) => {
         val c = Tables.customer(s, d)
-        val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
-        Enrich.antiJoin(c, o, Seq("c_custkey"))
+        val p = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey"))
+        Enrich.antiJoin(c, p, Seq("c_custkey"))
           .select("c_custkey", "c_name").orderBy("c_custkey")
       },
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY 1""".stripMargin),
 
     // ---- J7: semi-join membership (/root/reference/dags/CotyData_IPN.py:79-80,139)

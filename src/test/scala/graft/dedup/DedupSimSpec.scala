@@ -1,0 +1,172 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.HashImpls
+import graft.functions.functions._
+import graft.sim.Ann
+
+class HashImplsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def arr(ss: String*) =
+    new GenericArrayData(ss.map(UTF8String.fromString).toArray[Any])
+
+  test("fnv64 is deterministic and input-sensitive") {
+    val a = HashImpls.fnv64(UTF8String.fromString("abc"))
+    assert(a == HashImpls.fnv64(UTF8String.fromString("abc")))
+    assert(a != HashImpls.fnv64(UTF8String.fromString("abd")))
+  }
+
+  test("minhashSig: adding a shingle can only lower each slot") {
+    val base = HashImpls.minhashSig(arr("a", "b"), 16, 42L).toLongArray()
+    val more = HashImpls.minhashSig(arr("a", "b", "c"), 16, 42L).toLongArray()
+    assert(base.zip(more).forall { case (x, y) => y <= x })
+  }
+
+  test("minhashSig of identical sets is identical; empty set = MaxValue") {
+    assert(HashImpls.minhashSig(arr("x", "y"), 8, 1L).toLongArray().toSeq ==
+           HashImpls.minhashSig(arr("y", "x"), 8, 1L).toLongArray().toSeq)
+    assert(HashImpls.minhashSig(arr(), 4, 1L).toLongArray().forall(_ == Long.MaxValue))
+  }
+
+  test("simhash64: identical docs equal, near docs within small hamming") {
+    val a = HashImpls.simhash64(arr("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8"))
+    val b = HashImpls.simhash64(arr("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8"))
+    val c = HashImpls.simhash64(arr("w1", "w2", "w3", "w4", "w5", "w6", "w7", "zz"))
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) < 32) // near doc ≪ random 64-bit (~32)
+  }
+
+  test("rhpSig packs numPlanes bits") {
+    val emb = new GenericArrayData(Array.tabulate(8)(i => (i + 1).toFloat).toArray[Any])
+    val sig = HashImpls.rhpSig(emb, 16, 42L)
+    assert((sig >>> 16) == 0L)
+    assert(sig == HashImpls.rhpSig(emb, 16, 42L))
+  }
+}
+
+class ExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("minhash_sig column path (codegen) matches the kernel") {
+    val df = Seq(Seq("a", "b", "c")).toDF("toks")
+    val viaCol = df.select(minhash_sig(col("toks"), 8, 7L)).head().getSeq[Long](0)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val direct = HashImpls.minhashSig(
+      new GenericArrayData(Seq("a", "b", "c").map(UTF8String.fromString).toArray[Any]),
+      8, 7L).toLongArray().toSeq
+    assert(viaCol == direct)
+  }
+
+  test("simhash64 column is deterministic across partitionings") {
+    val docs = (1 to 50).map(i => (i, s"tok$i tok${i + 1} tok${i + 2}"))
+    val df1 = docs.toDF("id", "text").repartition(1)
+    val df13 = docs.toDF("id", "text").repartition(13)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), simhash64(split(col("text"), " ")).as("s"))
+        .orderBy("id").as[(Int, Long)].collect().toSeq
+    assert(sigs(df1) == sigs(df13))
+  }
+
+  test("hamming64 of x with itself is 0, of complement is 64") {
+    val df = Seq((0x0f0fL, 0x0f0fL, ~0x0f0fL)).toDF("a", "b", "c")
+    val r = df.select(hamming64(col("a"), col("b")), hamming64(col("a"), col("c"))).head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 64)
+  }
+}
+
+class MinHashDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def corpus = Seq(
+    (1L, base),
+    (2L, base),                                     // exact dup of 1
+    (3L, base + " extra"),                          // near dup of 1
+    (4L, "completely different words about spark engines and shuffles at scale"),
+    (5L, "unrelated content mentioning parquet files and broadcast joins only")
+  ).toDF("doc_id", "text")
+
+  test("shingles are distinct word k-grams") {
+    val sh = corpus.filter(col("doc_id") === 1)
+      .select(MinHashDedup.shingles(col("text"), 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(sh.contains("the quick brown") && sh.distinct.size == sh.size)
+  }
+
+  test("nearDupGroups clusters exact+near dups, isolates distinct docs") {
+    val g = MinHashDedup.nearDupGroups(corpus, "doc_id", "text",
+        bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val byId = g.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) == byId(2L) && byId(2L) == byId(3L), s"dups split: $g")
+    assert(byId(4L) == 4L && byId(5L) == 5L, s"distinct docs merged: $g")
+    assert(g.find(_._1 == 1L).get._3 == 3L) // group size
+  }
+
+  test("verifiedPairs computes exact jaccard and applies the threshold") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val v = MinHashDedup.verifiedPairs(corpus, pairs, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(v.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(v.head._3 == 1.0)
+  }
+
+  test("candidatePairs drops oversized buckets") {
+    val many = (1L to 20L).map(i => (i, base)).toDF("doc_id", "text")
+    val keys = MinHashDedup.bandKeys(many, "doc_id", "text", bands = 4, rowsPerBand = 4)
+    assert(MinHashDedup.candidatePairs(keys, "doc_id", maxBucket = 5).count() == 0)
+    assert(MinHashDedup.candidatePairs(keys, "doc_id", maxBucket = 50).count() == 190)
+  }
+}
+
+class SimHashDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("nearPairs finds near-identical docs and skips unrelated ones") {
+    // long docs: simhash votes need many tokens to be stable; one changed
+    // token out of ~40 flips only the marginal bits
+    val shared = (1 to 40).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " ending1"),
+      (2L, shared + " ending2"),
+      (3L, (100 to 140).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = SimHashDedup.nearPairs(docs, "doc_id", "text", maxHamming = 16)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
+
+class AnnSpec extends SparkTestBase {
+
+  private lazy val emb = graft.core.Tables.embeddings(spark, sf001)
+  private lazy val queries = emb.filter(col("vec_id") < 20)
+
+  test("bruteForceTopK returns k self-free neighbors with valid cosines") {
+    val r = Ann.bruteForceTopK(emb, queries, 5).collect()
+    assert(r.length == 20 * 5)
+    assert(r.forall(row => row.getLong(row.fieldIndex("q_id")) !=
+                           row.getLong(row.fieldIndex("vec_id"))))
+    assert(r.forall(row => math.abs(row.getDouble(row.fieldIndex("cos"))) <= 1.0 + 1e-9))
+  }
+
+  test("lshTopK recall@10 >= 0.9 vs brute force") {
+    val k = 10
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(r.fieldIndex("q_id")),
+                             r.getLong(r.fieldIndex("vec_id"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact  = asMap(Ann.bruteForceTopK(emb, queries, k))
+    val approx = asMap(Ann.lshTopK(emb, queries, k, numPlanes = 32, bands = 16))
+    val recalls = exact.map { case (q, e) =>
+      approx.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"recall@$k = $recall")
+  }
+}

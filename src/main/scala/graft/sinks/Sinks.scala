@@ -1,0 +1,106 @@
+package graft.sinks
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{AuditLog, LoadResult}
+
+/** Sink family (SURVEY.md §2.2), expressed against the file/table layer.
+  *
+  * The reference's loads are JDBC-specific (staging table + stored-proc
+  * sync K2, ON DUPLICATE KEY upsert K3, truncate-reload K4, Excel dead
+  * letter K7, audit-log row K6 — /root/reference/dags/CotyData_IPN.py:207-242,
+  * :941-952, :896-898, :190, :19-61). The engine keeps the same semantics
+  * over parquet paths so they are testable and cluster-portable; the JDBC
+  * transport variant lives in graft.sources.Jdbc.
+  *
+  * Idempotency contract (the reason K2 exists in the reference): staging is
+  * truncated before each write and the merge is keyed, so re-running a load
+  * leaves the final table unchanged.
+  */
+object Sinks {
+
+  /** Key-preferring merge: rows from `delta` win over `existing` on `keys`
+    * (the reference's SINCRONIZACION_* / ON DUPLICATE KEY semantics).
+    */
+  def mergeByKey(existing: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    delta.unionByName(existing.join(delta.select(keys.map(col): _*).distinct(),
+      keys, "left_anti"))
+
+  /** K2: two-phase staged sync. 1) overwrite staging (truncate+append);
+    * 2) merge staging into final by key. Returns rows loaded.
+    */
+  def stagedSync(spark: SparkSession, df: DataFrame, stagingPath: String,
+                 finalPath: String, keys: Seq[String]): LoadResult = {
+    val table = finalPath
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(stagingPath)
+      val staged = spark.read.parquet(stagingPath)
+      val merged =
+        if (pathExists(spark, finalPath))
+          mergeByKey(spark.read.parquet(finalPath), staged, keys)
+        else staged
+      // materialize before overwriting the input path
+      val tmp = finalPath + "__tmp"
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(finalPath)
+      deletePath(spark, tmp)
+      LoadResult(table, staged.count(), ok = true, None)
+    } catch {
+      case e: Throwable => LoadResult(table, 0L, ok = false, Some(e.getMessage))
+    }
+  }
+
+  /** K3: upsert without a visible staging area. */
+  def upsert(spark: SparkSession, df: DataFrame, path: String, keys: Seq[String]): LoadResult =
+    stagedSync(spark, df, path + "__staging", path, keys)
+
+  /** K4: truncate-and-reload. */
+  def truncateReload(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** K1: plain append, writers bounded like the reference bounds its JDBC
+    * batch fan-out (/root/reference/dags/utils.py:40-46).
+    */
+  def append(df: DataFrame, path: String, maxWriters: Int = 32): Unit =
+    df.coalesce(maxWriters).write.mode(SaveMode.Append).parquet(path)
+
+  /** K5: join-based conditional update replacing the reference's row-wise
+    * UPDATE loops (/root/reference/dags/CotyData_IPN.py:713-715): rows in
+    * `target` matching `updates` on `keys` take the update's values.
+    */
+  def applyUpdates(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    mergeByKey(target, updates.select(target.columns.map(col): _*), keys)
+
+  /** K7: run a load; on failure dump the batch to a dead-letter path
+    * (Excel dump analog, /root/reference/dags/CotyData_IPN.py:190).
+    */
+  def withDeadLetter(df: DataFrame, deadLetterPath: String, table: String)
+                    (load: DataFrame => Long): LoadResult =
+    try LoadResult(table, load(df), ok = true, None)
+    catch {
+      case e: Throwable =>
+        df.write.mode(SaveMode.Overwrite).parquet(deadLetterPath)
+        LoadResult(table, 0L, ok = false, Some(e.getMessage))
+    }
+
+  /** K6: audit-log append (/root/reference/dags/CotyData_IPN.py:19-61). */
+  def audit(spark: SparkSession, path: String, log: AuditLog): Unit = {
+    import spark.implicits._
+    Seq(log).toDS().write.mode(SaveMode.Append).parquet(path)
+  }
+
+  def auditFor(result: LoadResult, total: Long, source: String, at: Timestamp): AuditLog =
+    AuditLog(result.table, result.rows, total, result.ok,
+      result.error.getOrElse(""), at, source)
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+}

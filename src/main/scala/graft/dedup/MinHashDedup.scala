@@ -35,12 +35,22 @@ object MinHashDedup {
         s => s =!= ""))
   }
 
+  /** (id, shingle-set) projection — compute once, cache, feed both the
+    * signature and the verify stages.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), shingles(col(textCol), k).as("sh"))
+
   /** doc_id, band, band_hash — the LSH shuffle keys. */
   def bandKeys(df: DataFrame, idCol: String, textCol: String,
                k: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
-               seed: Long = 42L): DataFrame = {
-    val sig = minhash_sig(shingles(col(textCol), k), bands * rowsPerBand, seed)
-    df.select(col(idCol), sig.as("sig"))
+               seed: Long = 42L): DataFrame =
+    bandKeysFromShingles(shingleSets(df, idCol, textCol, k), idCol, bands, rowsPerBand, seed)
+
+  def bandKeysFromShingles(sh: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+                           seed: Long = 42L): DataFrame = {
+    val sig = minhash_sig(col("sh"), bands * rowsPerBand, seed)
+    sh.select(col(idCol), sig.as("sig"))
       .select(col(idCol), posexplode(array(
         (0 until bands).map(b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
@@ -64,8 +74,11 @@ object MinHashDedup {
 
   /** Exact shingle-set Jaccard for candidate verification. */
   def verifiedPairs(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+                    k: Int = 3, threshold: Double = 0.7): DataFrame =
+    verifiedPairsFromShingles(shingleSets(docs, idCol, textCol, k), pairs, idCol, threshold)
+
+  def verifiedPairsFromShingles(sh: DataFrame, pairs: DataFrame, idCol: String,
+                                threshold: Double): DataFrame = {
     val withA = pairs.join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
     val withB = withA.join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     withB.withColumn("jaccard",
@@ -78,32 +91,51 @@ object MinHashDedup {
   /** Assign each doc the min doc-id of its near-dup connected component.
     * Iterative min-label propagation; `maxIter` bounds the rounds (graph
     * diameter of dup clusters is tiny in practice).
+    *
+    * Scale: propagation runs only over nodes that appear in the pair graph
+    * — at real dup rates a small fraction of the corpus — so each round is
+    * a join on the (cached) edge set, never a full-corpus shuffle. Docs
+    * outside the graph keep their own id without touching an iteration.
     */
   def groups(docs: DataFrame, pairs: DataFrame, idCol: String, maxIter: Int = 5): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = docs.select(col(idCol).as("node"), col(idCol).cast("long").as("label"))
+      .cache()
+    val inGraph = edges.select(col("src").as("node")).distinct().cache()
+    var labels = inGraph.withColumn("label", col("node").cast("long"))
     var i = 0
     while (i < maxIter) {
       val viaNeighbor = edges.join(labels, edges("src") === labels("node"))
         .groupBy(col("dst").as("node2")).agg(min("label").as("nlabel"))
       labels = labels.join(viaNeighbor, labels("node") === col("node2"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        // each round references the previous labels twice — truncate the
+        // lineage eagerly or the iterative plan grows exponentially
+        .localCheckpoint(true)
       i += 1
     }
-    labels.select(col("node").as(idCol), col("label").as("group_id"))
+    val loners = docs.select(col(idCol).as("node"))
+      .join(inGraph, Seq("node"), "left_anti")
+      .withColumn("label", col("node").cast("long"))
+    labels.unionByName(loners)
+      .select(col("node").as(idCol), col("label").as("group_id"))
   }
 
-  /** End-to-end: doc_id, group_id, group_size (1 = unique document). */
+  /** End-to-end: doc_id, group_id, group_size (1 = unique document).
+    * Shingle sets are computed once and cached across the signature and
+    * verify stages; label propagation touches only graph nodes.
+    */
   def nearDupGroups(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
                     threshold: Double = 0.7): DataFrame = {
-    val keys = bandKeys(docs, idCol, textCol, k, bands, rowsPerBand)
+    val sh = shingleSets(docs, idCol, textCol, k).cache()
+    val keys = bandKeysFromShingles(sh, idCol, bands, rowsPerBand)
     val cands = candidatePairs(keys, idCol)
-    val dups = verifiedPairs(docs, cands, idCol, textCol, k, threshold)
+    val dups = verifiedPairsFromShingles(sh, cands, idCol, threshold).cache()
     val g = groups(docs, dups, idCol)
-    val sizes = g.groupBy("group_id").agg(count(lit(1)).as("group_size"))
-    g.join(sizes, Seq("group_id"))
+    // group sizes in the same pass (window) — avoids re-evaluating g
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("group_id")
+    g.withColumn("group_size", count(lit(1)).over(w))
       .select(col(idCol), col("group_id"), col("group_size"))
   }
 }

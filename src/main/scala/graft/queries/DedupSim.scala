@@ -75,6 +75,20 @@ object DedupSim {
         Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
           .select("q_id", "rk", "vec_id")
           .orderBy("q_id", "rk")
+      }),
+
+    // ---- multimodal: binary-column feature extraction (stubbed decode,
+    //      real mapPartitions plumbing — graft.multimodal)
+    "mm1_media_features" -> rowsOnly(
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.synthesizeFromDocuments(
+          Tables.documents(s, d))
+        graft.multimodal.Multimodal.extractFeatures(media)
+          .toDF()
+          .select(col("id"), col("modality"), col("n_bytes"),
+            round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+            round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
+          .orderBy("id")
       })
   )
 }

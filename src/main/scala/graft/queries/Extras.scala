@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Registry._
+
+/** Operators the reference never needed but Spark exposes for free
+  * (SURVEY.md §2.6 note: "our engine gets grouping sets/cube/rollup and
+  * approx_count_distinct for free if we expose them") — exposed and
+  * oracle-checked here, plus window/regexp surface the §2.7/§2.9 families
+  * imply.
+  */
+object Extras {
+
+  val defs: Seq[(String, Entry)] = Seq(
+
+    // ---- rollup: hierarchical subtotals (nulls mark rolled-up levels)
+    "a6_rollup" -> withOracle(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
+
+    // ---- cube: all subtotal combinations
+    "a7_cube" -> withOracle(
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("price_sum"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS price_sum
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
+
+    // ---- intersect (completes the U-family alongside u1/u2)
+    "u3_intersect" -> withOracle(
+      (s, d) =>
+        Tables.customer(s, d).select("c_nationkey").distinct()
+          .intersect(Tables.supplier(s, d)
+            .select(col("s_nationkey").as("c_nationkey")).distinct())
+          .orderBy("c_nationkey"),
+      """SELECT c_nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY 1""".stripMargin),
+
+    // ---- first/last value over an explicit full frame
+    "w5_first_last" -> withOracle(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d)
+          .select(col("event_id"),
+            first("event_type").over(w).as("first_type"),
+            last("event_type").over(w).as("last_type"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id,
+        |       first_value(event_type) OVER w AS first_type,
+        |       last_value(event_type)  OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin),
+
+    // ---- ntile bucketing under a total order
+    "w6_ntile" -> withOracle(
+      (s, d) => {
+        val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), ntile(4).over(w).as("price_quartile"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |       ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // ---- regexp extraction (X-family extension)
+    "x17_regexp_extract" -> withOracle(
+      (s, d) =>
+        Tables.part(s, d)
+          .withColumn("first_word", regexp_extract(col("p_name"), "^(\\w+)", 1))
+          .groupBy("first_word").agg(count(lit(1)).as("cnt"))
+          .orderBy("first_word"),
+      """SELECT regexp_extract(p_name, '^(\w+)', 1) AS first_word, count(*) AS cnt
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- HLL approximate distinct: algorithms differ across engines, so
+    //      rows-only; exactness bound pinned in ScalaTest instead
+    "a8_approx_distinct" -> rowsOnly(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+               count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag"))
+  )
+}

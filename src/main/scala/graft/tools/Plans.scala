@@ -1,0 +1,17 @@
+package graft.tools
+object Plans {
+  def main(a: Array[String]): Unit = {
+    val spark = graft.core.Sessions.local("8", "plans")
+    val d = "/root/testdata/sf0.1"
+    def show(name: String): Unit = {
+      val plan = graft.SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      println(s"===== $name =====")
+      println("scans w/ pushdown: " + lines.count(_.contains("PushedFilters: [")))
+      lines.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema")).take(6).foreach(l => println("  " + l.trim.take(160)))
+      println("  broadcasts=" + lines.count(_.contains("BroadcastHashJoin")) + " smj=" + lines.count(_.contains("SortMergeJoin")) + " exchanges=" + lines.count(_.contains("Exchange")) + " wscg=" + lines.count(_.contains("WholeStageCodegen")))
+    }
+    Seq("j3_dim_lookup","j5_dual_dim","f1_isin","a1_group_sum","p6_derived","e1_knn_brute","pipe_sales_details","j1_join_multikey").foreach(show)
+    spark.stop()
+  }
+}

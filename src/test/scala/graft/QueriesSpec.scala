@@ -19,6 +19,19 @@ class QueriesSpec extends SparkTestBase {
       assert(fn(spark, sf001).count() > 0, s"$name returned 0 rows")
     }
   }
+
+  test("approx_count_distinct stays within 5% of exact (a8 exactness bound)") {
+    val rows = SparkEntry.queries("a8_approx_distinct")(spark, sf001).collect()
+    import org.apache.spark.sql.functions._
+    val exact = graft.core.Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (flag, approx) = (r.getString(0), r.getLong(1))
+      val e = exact(flag).toDouble
+      assert(math.abs(approx - e) / e < 0.05, s"$flag: approx=$approx exact=$e")
+    }
+  }
 }
 
 /** ScalaCheck-generated invariants for the ops kernel (SURVEY.md §5.4).

@@ -100,6 +100,46 @@ object Extras {
           .groupBy("l_returnflag")
           .agg(approx_count_distinct("l_partkey").as("approx_parts"),
                count(lit(1)).as("cnt"))
-          .orderBy("l_returnflag"))
+          .orderBy("l_returnflag")),
+
+    // ---- salted two-phase aggregation: spreads a hot grouping key over
+    //      16 reducers; the oracle is the PLAIN group-by — salting must be
+    //      result-invariant
+    "a9_salted_agg" -> withOracle(
+      (s, d) =>
+        graft.ops.Skew.saltedSumCount(Tables.lineitem(s, d),
+            keys = Seq("l_returnflag"), valueCol = "l_quantity",
+            saltCol = col("l_orderkey"))
+          .select(col("l_returnflag"), round(col("sum_value"), 2).as("sum_qty"),
+                  col("cnt"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- pivot: wide conditional aggregation (oracle states it as CASE
+    //      columns — identical semantics)
+    "x18_pivot" -> withOracle(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(round(sum("l_quantity"), 2))
+          .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+        |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- edit distance (text-similarity scalar; same DP definition in
+    //      both engines)
+    "x19_levenshtein" -> withOracle(
+      (s, d) =>
+        Tables.nation(s, d)
+          .select(col("n_nationkey"),
+            levenshtein(col("n_name"), lit("ARGENTINA")).as("dist"))
+          .orderBy("n_nationkey"),
+      """SELECT n_nationkey, CAST(levenshtein(n_name, 'ARGENTINA') AS INTEGER) AS dist
+        |FROM nation ORDER BY 1""".stripMargin)
   )
 }

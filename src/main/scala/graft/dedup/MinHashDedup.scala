@@ -121,18 +121,55 @@ object MinHashDedup {
       .select(col("node").as(idCol), col("label").as("group_id"))
   }
 
+  /** Driver-side union-find over a SMALL pair set. Dup pairs are a tiny
+    * fraction of any real corpus (the pair graph, not the corpus, must fit
+    * on the driver — millions of pairs are fine); the distributed
+    * propagation in [[groups]] is the fallback above `localThreshold`.
+    */
+  def groupsLocal(docs: DataFrame, pairRows: Array[(Long, Long)], idCol: String): DataFrame = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairRows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id wins
+    }
+    val labels = pairRows.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => (n, find(n)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labelDf = labels.toSeq.toDF("__node", "group_of_node")
+    docs.select(col(idCol))
+      .join(broadcast(labelDf), col(idCol) === col("__node"), "left")
+      .select(col(idCol),
+        coalesce(col("group_of_node"), col(idCol).cast("long")).as("group_id"))
+  }
+
   /** End-to-end: doc_id, group_id, group_size (1 = unique document).
     * Shingle sets are computed once and cached across the signature and
-    * verify stages; label propagation touches only graph nodes.
+    * verify stages. Components are computed driver-side (union-find over
+    * the verified pairs) when the pair set is small — the overwhelmingly
+    * common case — and by distributed label propagation otherwise.
     */
   def nearDupGroups(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
-                    threshold: Double = 0.7): DataFrame = {
+                    threshold: Double = 0.7, localThreshold: Long = 1000000L): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol, k).cache()
     val keys = bandKeysFromShingles(sh, idCol, bands, rowsPerBand)
     val cands = candidatePairs(keys, idCol)
     val dups = verifiedPairsFromShingles(sh, cands, idCol, threshold).cache()
-    val g = groups(docs, dups, idCol)
+    val nPairs = dups.count()
+    val g =
+      if (nPairs <= localThreshold)
+        groupsLocal(docs,
+          dups.select(col("id_a").cast("long"), col("id_b").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))), idCol)
+      else groups(docs, dups, idCol)
     // group sizes in the same pass (window) — avoids re-evaluating g
     val w = org.apache.spark.sql.expressions.Window.partitionBy("group_id")
     g.withColumn("group_size", count(lit(1)).over(w))

@@ -131,6 +131,26 @@ object Extras {
         |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- grouping sets through the spark.sql entry point (temp view +
+    //      SQL text — the engine's second query surface besides the
+    //      DataFrame API)
+    "a10_grouping_sets" -> withOracle(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority,
+            |       count(*) AS cnt, round(sum(o_totalprice), 2) AS price_sum
+            |FROM orders_v
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+            |""".stripMargin)
+      },
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS price_sum
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
+
     // ---- edit distance (text-similarity scalar; same DP definition in
     //      both engines)
     "x19_levenshtein" -> withOracle(

@@ -29,6 +29,12 @@ object Sessions {
       // events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
       // natively; read as long and convert in Tables.events (exact div).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // per-process location: managed-table dirs from a previous JVM must
+      // not collide with this session's saveAsTable calls
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          s"/graft-warehouse-${ProcessHandle.current().pid()}")
+      .config("spark.sql.streaming.schemaInference", "false")
       .config("spark.ui.enabled", "false")
 
   /** Local session with N executor threads (test/bench harness). */

@@ -5,6 +5,40 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import Registry._
 
+/** Structured-Streaming twin of w4_window_hourly, surfaced as a batch
+  * query: readStream over the events parquet -> watermarked windowed agg ->
+  * memory sink drained with processAllAvailable. The oracle is the BATCH
+  * statement — streaming and batch must agree on the same data (Spark's
+  * unified semantics, exercised end-to-end).
+  */
+object StreamingQuery {
+  def hourly(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.Tables
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    // file-stream sources require a DIRECTORY; stage the single parquet
+    // file into one (simulates the landing-directory layout of a real feed)
+    val stage = java.nio.file.Files.createTempDirectory("graft-st1")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+      stage.resolve("events.parquet"))
+    val raw = s.readStream.schema(batchSchema).parquet(stage.toString)
+    val events =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val name = "st1_out"
+    val q = graft.streaming.Streams.windowedCounts(events, watermark = "1 minute")
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("cnt"), col("value_sum"))
+      .orderBy("hour", "event_type")
+      // materialize before the memory sink table goes away with the query
+      .localCheckpoint(true)
+  }
+}
+
 /** Operators the reference never needed but Spark exposes for free
   * (SURVEY.md §2.6 note: "our engine gets grouping sets/cube/rollup and
   * approx_count_distinct for free if we expose them") — exposed and
@@ -150,6 +184,14 @@ object Extras {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
+
+    // ---- streaming/batch agreement: the readStream windowed aggregation
+    //      must match the batch oracle on identical data
+    "st1_stream_hourly" -> withOracle(
+      (s, d) => StreamingQuery.hourly(s, d),
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // ---- edit distance (text-similarity scalar; same DP definition in
     //      both engines)

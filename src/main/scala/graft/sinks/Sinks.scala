@@ -65,6 +65,28 @@ object Sinks {
   def append(df: DataFrame, path: String, maxWriters: Int = 32): Unit =
     df.coalesce(maxWriters).write.mode(SaveMode.Append).parquet(path)
 
+  /** Date/key-partitioned append — the warehouse layout for incremental
+    * loads at scale: each daily window lands in its own partition
+    * directories, so replays overwrite only the touched partitions and
+    * readers prune by partition column.
+    */
+  def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                        maxWriters: Int = 32): Unit =
+    df.coalesce(maxWriters).write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed table write: co-locates join keys so repeated large-large
+    * joins on `bucketCols` skip the shuffle entirely (SURVEY.md §4 —
+    * "pre-partitioning for co-located joins").
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int = 16): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K5: join-based conditional update replacing the reference's row-wise
     * UPDATE loops (/root/reference/dags/CotyData_IPN.py:713-715): rows in
     * `target` matching `updates` on `keys` take the update's values.

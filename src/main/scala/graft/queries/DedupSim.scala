@@ -77,6 +77,22 @@ object DedupSim {
           .orderBy("q_id", "rk")
       }),
 
+    // ---- IVF-style ANN (coarse cells + probe + exact re-rank)
+    "e3_ann_ivf" -> rowsOnly(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+            nCells = 16, nProbe = 4)
+          .select("q_id", "rk", "vec_id")
+          .orderBy("q_id", "rk")
+      }),
+
+    // ---- embedding-cosine near-dup groups (LSH-bucketed candidates)
+    "e4_embedding_neardup" -> rowsOnly(
+      (s, d) =>
+        graft.sim.EmbeddingDedup.groups(Tables.embeddings(s, d), threshold = 0.95)
+          .orderBy("vec_id")),
+
     // ---- multimodal: binary-column feature extraction (stubbed decode,
     //      real mapPartitions plumbing — graft.multimodal)
     "mm1_media_features" -> rowsOnly(

@@ -77,4 +77,38 @@ object Ann {
 
   /** Hamming distance between two packed RHP signatures (probing helper). */
   def rhpHamming(a: Column, b: Column): Column = hamming64(a, b)
+
+  /** IVF-style ANN: the corpus is partitioned into `nCells` coarse cells
+    * (centroids = a deterministic sample of the corpus — IVF-flat without
+    * the k-means polish); each vector joins its nearest cell once, queries
+    * probe their `nProbe` nearest cells and re-rank exactly.
+    *
+    * At scale: cell assignment is one broadcast(centroids) pass over the
+    * corpus; a query touches ~nProbe/nCells of the data.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", embCol: String = "embedding",
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(embCol).as("centroid"))
+    def nearestCells(df: DataFrame, n: Int, out: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("cell_cos", cosine(col(embCol), col("centroid")))
+        .withColumn("cell_rk", row_number().over(w))
+        .filter(col("cell_rk") <= n)
+        .select(col(idCol), col(embCol), col("cell_id").as(out))
+    }
+    val cells = nearestCells(corpus, 1, "cell")
+    val probes = nearestCells(queries, nProbe, "cell")
+      .select(col("cell"), col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
+    cells.join(probes, Seq("cell"))
+      .filter(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col("q_emb"), col(idCol), col(embCol)).distinct()
+      .withColumn("cos", cosine(col("q_emb"), col(embCol)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col(idCol), col("cos"))
+  }
 }

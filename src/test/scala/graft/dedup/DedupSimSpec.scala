@@ -155,6 +155,33 @@ class AnnSpec extends SparkTestBase {
     assert(r.forall(row => math.abs(row.getDouble(row.fieldIndex("cos"))) <= 1.0 + 1e-9))
   }
 
+  test("ivfTopK returns k exact-ranked rows from probed cells") {
+    val r = Ann.ivfTopK(emb, queries, 5, nCells = 16, nProbe = 8)
+    val byQ = r.collect().groupBy(_.getLong(0))
+    assert(byQ.size == 20 && byQ.values.forall(_.length == 5))
+    // with nProbe == nCells the search is exhaustive -> equals brute force
+    val all = Ann.ivfTopK(emb, queries, 5, nCells = 8, nProbe = 8)
+      .select("q_id", "rk", "vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Ann.bruteForceTopK(emb, queries, 5)
+      .select("q_id", "rk", "vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(all == exact)
+  }
+
+  test("embedding near-dup groups cluster duplicated vectors") {
+    import spark.implicits._
+    import graft.sim.EmbeddingDedup
+    val base = emb.limit(50)
+    val dupes = base.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 1000) // exact copies, new ids
+    val corpus = base.unionByName(dupes)
+    val g = EmbeddingDedup.groups(corpus, threshold = 0.999)
+    val grouped = g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach { i =>
+      assert(grouped(i.toLong) == grouped(i + 1000L), s"copy $i not grouped")
+    }
+    assert(g.filter(col("group_size") === 1).count() == 47)
+  }
+
   test("lshTopK recall@10 >= 0.9 vs brute force") {
     val k = 10
     def asMap(df: org.apache.spark.sql.DataFrame) =

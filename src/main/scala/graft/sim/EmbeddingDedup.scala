@@ -15,22 +15,33 @@ import graft.dedup.MinHashDedup
   */
 object EmbeddingDedup {
 
-  /** Pairs (id_a < id_b, cosine) with cosine >= threshold. */
+  /** Pairs (id_a < id_b, cosine) with cosine >= threshold.
+    *
+    * Band geometry matters: wide bands (8 hyperplane bits) keep random
+    * pairs out of the buckets (collision ~2^-8 per band) while
+    * high-cosine pairs still collide in >=1 of the 8 bands with ~99%
+    * probability at threshold 0.95. Candidate ids are deduped BEFORE the
+    * embeddings are re-attached, so the wide vectors never pass through
+    * the distinct.
+    */
   def nearPairs(df: DataFrame, threshold: Double,
                 idCol: String = "vec_id", embCol: String = "embedding",
-                numPlanes: Int = 32, bands: Int = 16, seed: Long = 42L,
+                numPlanes: Int = 64, bands: Int = 8, seed: Long = 42L,
                 maxBucket: Int = 10000): DataFrame = {
     val keys = Ann.bandKeys(df, idCol, embCol, numPlanes, bands, seed)
+      .select(col("band"), col("band_value"), col(idCol))
     val sized = keys.groupBy("band", "band_value").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket && col("__n") > 1)
     val pruned = keys.join(sized.select("band", "band_value"), Seq("band", "band_value"))
-    val a = pruned.select(col("band"), col("band_value"),
-      col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = pruned.select(col("band"), col("band_value"),
-      col(idCol).as("id_b"), col(embCol).as("emb_b"))
-    a.join(b, Seq("band", "band_value"))
+    val a = pruned.select(col("band"), col("band_value"), col(idCol).as("id_a"))
+    val b = pruned.select(col("band"), col("band_value"), col(idCol).as("id_b"))
+    val candidateIds = a.join(b, Seq("band", "band_value"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "emb_a", "emb_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val vecs = df.select(col(idCol), col(embCol))
+    candidateIds
+      .join(vecs.select(col(idCol).as("id_a"), col(embCol).as("emb_a")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(embCol).as("emb_b")), Seq("id_b"))
       .withColumn("cosine", Ann.cosine(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

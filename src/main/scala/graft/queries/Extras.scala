@@ -185,6 +185,29 @@ object Extras {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
 
+    // ---- as-of join: each event matched to the user's most recent
+    //      prior-or-equal error event (composed from built-ins; DuckDB
+    //      states it natively with ASOF JOIN)
+    "j8_asof" -> withOracle(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("err_ts"))
+        graft.ops.AsOf.joinAsOf(ev, errors, Seq("user_id"),
+            leftTs = "ts", rightTs = "err_ts", valueCol = "err_ts",
+            outCol = "last_err")
+          .select(col("event_id"),
+            date_format(col("last_err"), "yyyy-MM-dd HH:mm:ss").as("last_error_at"))
+          .orderBy("event_id")
+      },
+      """SELECT l.event_id,
+        |       strftime(r.err_ts, '%Y-%m-%d %H:%M:%S') AS last_error_at
+        |FROM events l
+        |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts FROM events
+        |                WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
+        |ORDER BY l.event_id""".stripMargin),
+
     // ---- streaming/batch agreement: the readStream windowed aggregation
     //      must match the batch oracle on identical data
     "st1_stream_hourly" -> withOracle(

@@ -106,6 +106,22 @@ object Sinks {
         LoadResult(table, 0L, ok = false, Some(e.getMessage))
     }
 
+  /** Small-file compaction: rewrite a parquet path into files sized near
+    * `targetFileMB`. Incremental appends (K1/appendPartitioned) accumulate
+    * small files; at 100 TB unmanaged small files dominate scan planning
+    * time, so compaction is a first-class maintenance op.
+    */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Long = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1L, (bytes / (targetFileMB.toLong << 20)).toLong).toInt
+    val tmp = path + "__compact"
+    df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    deletePath(spark, tmp)
+    files.toLong
+  }
+
   /** K6: audit-log append (/root/reference/dags/CotyData_IPN.py:19-61). */
   def audit(spark: SparkSession, path: String, log: AuditLog): Unit = {
     import spark.implicits._

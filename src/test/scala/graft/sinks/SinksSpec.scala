@@ -68,6 +68,18 @@ class SinksSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/t").as[Int].collect().toSeq == Seq(9))
   }
 
+  test("compact rewrites many small files into few, preserving rows") {
+    val dir = tmp() + "/t"
+    (1 to 20).foreach(i => Seq((i.toLong, s"v$i")).toDF("k", "v")
+      .write.mode("append").parquet(dir))
+    val before = new java.io.File(dir).list().count(_.endsWith(".parquet"))
+    assert(before >= 20)
+    Sinks.compact(spark, dir)
+    val after = new java.io.File(dir).list().count(_.endsWith(".parquet"))
+    assert(after < before)
+    assert(spark.read.parquet(dir).count() == 20)
+  }
+
   test("jdbc batch sizing mirrors the 2100-parameter rule") {
     import graft.sources.Jdbc
     assert(Jdbc.batchSizeFor(2) == 1000)  // capped

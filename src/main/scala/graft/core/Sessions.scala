@@ -37,10 +37,14 @@ object Sessions {
       .config("spark.sql.streaming.schemaInference", "false")
       .config("spark.ui.enabled", "false")
 
-  /** Local session with N executor threads (test/bench harness). */
+  /** Local session with N executor threads (test/bench harness). Custom
+    * expressions (simhash64, minhash_sig, rhp_sig) are SQL-callable via
+    * GraftExtensions.
+    */
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
             appName: String = "graft"): SparkSession = {
-    val s = tuned(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
+    val s = tuned(SparkSession.builder().master(s"local[$cpus]").appName(appName)
+        .withExtensions(new graft.functions.GraftExtensions), cpus)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

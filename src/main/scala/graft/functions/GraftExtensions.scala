@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions wiring: exposes graft's custom expressions to
+  * the SQL surface, so `spark.sql("SELECT simhash64(split(text, ' '))")`
+  * works exactly like the Column API in [[functions]].
+  *
+  * Register via `.withExtensions(new GraftExtensions)` (done by
+  * graft.core.Sessions) or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name must be a long literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, numHashes, seed) - MinHash signature"),
+      (args: Seq[Expression]) => MinHashSig(args.head,
+        intArg(args(1), "numHashes"),
+        if (args.length > 2) longArg(args(2), "seed") else 42L)))
+
+    ext.injectFunction((FunctionIdentifier("rhp_sig"),
+      info("rhp_sig", "rhp_sig(embedding, numPlanes, seed) - hyperplane LSH signature"),
+      (args: Seq[Expression]) => RhpSig(args.head,
+        intArg(args(1), "numPlanes"),
+        if (args.length > 2) longArg(args(2), "seed") else 42L)))
+  }
+}

@@ -185,6 +185,50 @@ object Extras {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
 
+    // ---- batch sessionization (gaps-and-islands): the SQL-expressible
+    //      twin of streaming.Streams.sessionize — new session when the
+    //      inter-event gap exceeds 30 minutes
+    "w7_sessionize" -> withOracle(
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("gap_ms", unix_millis(col("ts")) -
+            unix_millis(lag(col("ts"), 1).over(byUser)))
+          .withColumn("new_sess",
+            when(col("gap_ms").isNull || col("gap_ms") > 1800000L, 1).otherwise(0))
+          .withColumn("session_idx", sum("new_sess").over(running))
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            round(sum("value"), 2).as("value_sum"))
+          .orderBy("user_id", "session_idx")
+      },
+      """SELECT user_id, session_idx, count(*) AS n_events,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       round(sum(value), 2) AS value_sum
+        |FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM (
+        |    SELECT *, CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |    FROM (SELECT *, epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id)) AS gap_ms
+        |          FROM events))
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ---- custom expressions through the SQL surface (GraftExtensions):
+    //      signature determinism is the contract — rows-only here, exact
+    //      parity with the Column API pinned in ScalaTest
+    "x20_sql_simhash" -> rowsOnly(
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("docs_v")
+        s.sql(
+          """SELECT doc_id, simhash64(split(lower(trim(text)), '\\s+')) AS simhash
+            |FROM docs_v ORDER BY doc_id""".stripMargin)
+      }),
+
     // ---- as-of join: each event matched to the user's most recent
     //      prior-or-equal error event (composed from built-ins; DuckDB
     //      states it natively with ASOF JOIN)

@@ -71,6 +71,19 @@ class ExpressionsSpec extends SparkTestBase {
     assert(sigs(df1) == sigs(df13))
   }
 
+  test("SQL surface (GraftExtensions) matches the Column API") {
+    val df = Seq((1L, "a b c"), (2L, "x y z")).toDF("id", "text")
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT id, simhash64(split(text, ' ')) AS s, " +
+      "minhash_sig(split(text, ' '), 8, 7) AS m FROM ext_docs ORDER BY id").collect()
+    val viaCol = df.select(col("id"), simhash64(split(col("text"), " ")).as("s"),
+        minhash_sig(split(col("text"), " "), 8, 7L).as("m"))
+      .orderBy("id").collect()
+    assert(viaSql.map(_.getLong(1)).toSeq == viaCol.map(_.getLong(1)).toSeq)
+    assert(viaSql.map(_.getSeq[Long](2)).toSeq == viaCol.map(_.getSeq[Long](2)).toSeq)
+  }
+
   test("hamming64 of x with itself is 0, of complement is 64") {
     val df = Seq((0x0f0fL, 0x0f0fL, ~0x0f0fL)).toDF("a", "b", "c")
     val r = df.select(hamming64(col("a"), col("b")), hamming64(col("a"), col("c"))).head()

@@ -25,7 +25,7 @@ object Analytics {
           .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
           .orderBy("o_custkey", "rk")
       },
-      """SELECT o_custkey, rk, o_orderkey, o_totalprice
+      """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |                ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |      FROM orders)

@@ -113,7 +113,8 @@ object Extras {
           .orderBy("o_orderkey")
       },
       """SELECT o_orderkey,
-        |       ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+        |       CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+        |         AS price_quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin),
 
     // ---- regexp extraction (X-family extension)

@@ -134,7 +134,7 @@ object TextDocs {
           .select("q_id", "rk", "vec_id")
           .orderBy("q_id", "rk")
       },
-      """SELECT q_id, rk, vec_id
+      """SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id
         |FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
         |         row_number() OVER (PARTITION BY q.vec_id

@@ -44,6 +44,9 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             n_fail += 1
             continue
+        for c in exp.columns:
+            if str(exp[c].dtype) != str(got[c].dtype):
+                print(f"  WARN {name}.{c}: dtype oracle={exp[c].dtype} spark={got[c].dtype}")
         bad = None
         for c in exp.columns:
             ev, gv = exp[c].tolist(), got[c].tolist()

@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{StructField, StructType, StringType, IntegerType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -73,7 +74,8 @@ class RestTable(options: CaseInsensitiveStringMap) extends Table with SupportsRe
     new RestScanBuilder(opts)
 }
 
-class RestScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder with Scan with Batch {
+class RestScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch with SupportsPushDownFilters {
   private val fetcherName = options.get("fetcher")
   private val pageSize = options.getInt("pageSize", 250)
   private val totalPages = options.getInt("totalPages", 1)
@@ -82,15 +84,44 @@ class RestScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder wit
   private val params: Map[String, String] = options.asScala.toMap
     .collect { case (k, v) if k.startsWith("param.") => k.stripPrefix("param.") -> v }
 
+  // predicate pushdown into the source (SURVEY §7.2 step 5): range
+  // predicates on `page` shrink the fetched page window — the DSv2 analog
+  // of the reference pushing date windows into request params. Anything
+  // else stays a post-scan filter.
+  private var minPage = 0
+  private var maxPageExcl = totalPages
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("page", _: Int) | GreaterThan("page", _: Int) |
+           GreaterThanOrEqual("page", _: Int) | LessThan("page", _: Int) |
+           LessThanOrEqual("page", _: Int) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("page", v: Int) =>
+        minPage = math.max(minPage, v); maxPageExcl = math.min(maxPageExcl, v + 1)
+      case GreaterThan("page", v: Int)        => minPage = math.max(minPage, v + 1)
+      case GreaterThanOrEqual("page", v: Int) => minPage = math.max(minPage, v)
+      case LessThan("page", v: Int)           => maxPageExcl = math.min(maxPageExcl, v)
+      case LessThanOrEqual("page", v: Int)    => maxPageExcl = math.min(maxPageExcl, v + 1)
+      case _ => ()
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = this
   override def readSchema(): StructType = RestTable.schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"RestScan(fetcher=$fetcherName, pages=$totalPages, pageSize=$pageSize)"
+    s"RestScan(fetcher=$fetcherName, pages=[$minPage,$maxPageExcl), pageSize=$pageSize)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until totalPages by pagesPerPartition).map { start =>
-      RestInputPartition(start, math.min(start + pagesPerPartition, totalPages))
+    (minPage until maxPageExcl by pagesPerPartition).map { start =>
+      RestInputPartition(start, math.min(start + pagesPerPartition, maxPageExcl))
         .asInstanceOf[InputPartition]
     }.toArray
 

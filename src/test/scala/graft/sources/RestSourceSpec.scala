@@ -68,6 +68,24 @@ class RestSourceSpec extends SparkTestBase {
     assert(df.count() == 12) // 3 pages x 4 rows
   }
 
+  test("page-range predicates push into partition planning") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    FetcherRegistry.register("test-counting",
+      (page: Int, _: Int, _: Map[String, String]) => {
+        counter.incrementAndGet()
+        if (page >= 10) Seq.empty else Seq(s"""{"n": $page}""")
+      })
+    val df = spark.read.format(fmt)
+      .option("fetcher", "test-counting")
+      .option("totalPages", 10).option("pagesPerPartition", 1)
+      .load()
+    counter.set(0)
+    val filtered = df.filter(col("page") >= 3 && col("page") < 6)
+    assert(filtered.count() == 3)
+    assert(counter.get() == 3, s"expected only pages 3..5 fetched, got ${counter.get()}")
+    assert(filtered.rdd.getNumPartitions == 3)
+  }
+
   test("param.* options reach the fetcher (API-side predicates)") {
     val df = spark.read.format(fmt)
       .option("fetcher", "test-params")

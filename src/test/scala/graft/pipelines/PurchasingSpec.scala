@@ -52,6 +52,26 @@ class PurchasingSpec extends SparkTestBase with FixtureLoader {
     assert(vals == Seq(217L, 319L, 322L)) // 218/320/321 excluded
   }
 
+  test("expenses: two-level concat-key dim lookup, null on unmatched keys") {
+    import spark.implicits._
+    val expenses = Seq(
+      ("2025-01-05", "luz enero", "Servicios", "Electricidad", 120.5),
+      ("2025-01-06", "gas enero", "Servicios", "Gas", 80.0),
+      ("2025-01-07", "misc", "Inexistente", "Nada", 5.0) // unmatched type
+    ).toDF("FECHA", "DESCRIPCION_GASTO", "TIPO", "SUB_TIPO", "IMPORTE")
+    val tipos = Seq(("Servicios", 3), ("Impuestos", 4))
+      .toDF("TIPO_GASTO_DESCRIPCION", "ID_TIPO_GASTO")
+    val subTipos = Seq(("Electricidad-3", 31), ("Gas-3", 32))
+      .toDF("SUB_TIPO_KEY", "ID_SUB_TIPO_GASTO")
+    val out = Expenses.transform(expenses, tipos, subTipos)
+      .orderBy("FECHA").collect()
+    assert(out(0).getAs[Int]("ID_TIPO_GASTO") == 3 &&
+           out(0).getAs[Int]("ID_SUB_TIPO_GASTO") == 31)
+    assert(out(1).getAs[Int]("ID_SUB_TIPO_GASTO") == 32)
+    assert(out(2).isNullAt(out(2).fieldIndex("ID_TIPO_GASTO")))
+    assert(out(2).isNullAt(out(2).fieldIndex("ID_SUB_TIPO_GASTO")))
+  }
+
   test("price history: mixed formats parsed, keep-first per item, 23-char render") {
     val docs = fixture("price_log.json", Purchasing.priceLogSchema)
     val hist = Purchasing.priceHistory(docs, priceListId = 4).orderBy("ITEM_ID").collect()

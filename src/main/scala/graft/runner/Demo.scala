@@ -64,6 +64,17 @@ object Demo {
     Sinks.audit(spark, s"$out/CotyDataLogs",
       Sinks.auditFor(r2, finalRows, "demo", new java.sql.Timestamp(1700000000000L)))
     spark.read.parquet(s"$out/CotyDataLogs").show(false)
+
+    // expenses slice: two-level concat-key dim lookup with null-on-miss
+    import spark.implicits._
+    val gastos = Seq(
+      ("2025-01-05", "luz", "Servicios", "Electricidad", 120.5),
+      ("2025-01-07", "misc", "Otro", "Nada", 5.0)
+    ).toDF("FECHA", "DESCRIPCION_GASTO", "TIPO", "SUB_TIPO", "IMPORTE")
+    val tipos = Seq(("Servicios", 3)).toDF("TIPO_GASTO_DESCRIPCION", "ID_TIPO_GASTO")
+    val subTipos = Seq(("Electricidad-3", 31)).toDF("SUB_TIPO_KEY", "ID_SUB_TIPO_GASTO")
+    println("[demo] expenses with dim lookups (nulls = unmatched keys -> dead-letter):")
+    graft.pipelines.Expenses.transform(gastos, tipos, subTipos).show(false)
     spark.stop()
   }
 }

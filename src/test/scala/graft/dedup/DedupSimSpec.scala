@@ -39,6 +39,18 @@ class HashImplsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(java.lang.Long.bitCount(a ^ c) < 32) // near doc ≪ random 64-bit (~32)
   }
 
+  test("minhash signature estimates Jaccard within statistical error") {
+    // sets with known overlap: |A∩B| = 60, |A∪B| = 100+140-60 = 180
+    val a = arr((1 to 100).map(i => s"sh$i"): _*)
+    val b = arr((41 to 180).map(i => s"sh$i"): _*)
+    val sa = HashImpls.minhashSig(a, 128, 42L).toLongArray()
+    val sb = HashImpls.minhashSig(b, 128, 42L).toLongArray()
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    val trueJ = 60.0 / 180.0
+    // stderr = sqrt(j(1-j)/128) ≈ 0.044; 3 sigma ≈ 0.13
+    assert(math.abs(est - trueJ) < 0.13, s"est=$est true=$trueJ")
+  }
+
   test("rhpSig packs numPlanes bits") {
     val emb = new GenericArrayData(Array.tabulate(8)(i => (i + 1).toFloat).toArray[Any])
     val sig = HashImpls.rhpSig(emb, 16, 42L)

@@ -186,6 +186,19 @@ object Extras {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
 
+    // ---- bounded top-k via custom TypedImperativeAggregate: map-side
+    //      partial top-k (ships <= k values per key per task) vs the
+    //      Window+row_number formulation that shuffles every row (w1)
+    "a11_topk_agg" -> withOracle(
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(graft.functions.TopKAgg.top_k(col("o_totalprice"), 3).as("top_prices"))
+          .orderBy("o_custkey"),
+      """SELECT o_custkey,
+        |       (array_agg(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top_prices
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ---- batch sessionization (gaps-and-islands): the SQL-expressible
     //      twin of streaming.Streams.sessionize — new session when the
     //      inter-event gap exceeds 30 minutes

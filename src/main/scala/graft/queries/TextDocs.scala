@@ -111,6 +111,35 @@ object TextDocs {
         |                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- TF-IDF-style relevance score for a fixed query term set. The
+    //      idf factor is kept as the raw N/df ratio (not log) so both
+    //      engines compute bit-identical doubles; the score expression is
+    //      written in the same operation order on both sides.
+    "t6_tfidf" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val t = toks(col("text"))
+        def tf(term: String) = size(filter(t, x => x === term)).cast("double")
+        def containing(term: String) =
+          docs.filter(array_contains(toks(col("text")), term)).count().toDouble
+        val n = docs.count().toDouble
+        val idfData  = n / containing("data")
+        val idfQuery = n / containing("query")
+        docs.select(col("doc_id"),
+            (tf("data") * idfData + tf("query") * idfQuery).as("score"))
+          .orderBy("doc_id")
+      },
+      """WITH stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(count(*) FILTER (WHERE list_contains(regexp_split_to_array(trim(text), '\s+'), 'data')) AS DOUBLE) AS df_data,
+        |         CAST(count(*) FILTER (WHERE list_contains(regexp_split_to_array(trim(text), '\s+'), 'query')) AS DOUBLE) AS df_query
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(t, x -> x = 'data')) AS DOUBLE) * (n / df_data)
+        |     + CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE) * (n / df_query) AS score
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents), stats
+        |ORDER BY doc_id""".stripMargin),
+
     // ---- brute-force cosine top-k: the exact baseline for ANN. Queries are
     //      broadcast; the corpus streams — linear in corpus size, no
     //      all-pairs shuffle.

@@ -51,6 +51,27 @@ object Sinks {
     }
   }
 
+  /** K2 at scale: partition-scoped staged sync. The incremental window
+    * maps to partition values (e.g. FECHA date), so a replayed load
+    * overwrites ONLY the partitions present in the batch — dynamic
+    * partition overwrite — instead of rewriting the whole final table
+    * like [[stagedSync]]. Idempotent per window by construction.
+    */
+  def stagedSyncPartitioned(spark: SparkSession, df: DataFrame, finalPath: String,
+                            partitionCols: Seq[String]): LoadResult =
+    try {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(finalPath)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      LoadResult(finalPath, df.count(), ok = true, None)
+    } catch {
+      case e: Throwable => LoadResult(finalPath, 0L, ok = false, Some(e.getMessage))
+    }
+
   /** K3: upsert without a visible staging area. */
   def upsert(spark: SparkSession, df: DataFrame, path: String, keys: Seq[String]): LoadResult =
     stagedSync(spark, df, path + "__staging", path, keys)

@@ -96,6 +96,22 @@ class ExpressionsSpec extends SparkTestBase {
     assert(viaSql.map(_.getSeq[Long](2)).toSeq == viaCol.map(_.getSeq[Long](2)).toSeq)
   }
 
+  test("top_k aggregate: bounded, sorted desc, partitioning-invariant") {
+    import graft.functions.TopKAgg.top_k
+    val df = (1 to 1000).map(i => (i % 7, (i * 37 % 1000) / 10.0)).toDF("k", "v")
+    def run(parts: Int) =
+      df.repartition(parts).groupBy("k").agg(top_k(col("v"), 5).as("t"))
+        .orderBy("k").collect().map(_.getSeq[Double](1)).toSeq
+    val a = run(1)
+    assert(a.forall(_.length == 5))
+    assert(a.forall(s => s == s.sorted.reverse), "must be sorted descending")
+    assert(a == run(13), "partial/merge path must equal single-partition path")
+    // fewer rows than k -> shorter array
+    val small = Seq((1, 2.0), (1, 1.0)).toDF("k", "v")
+      .groupBy("k").agg(top_k(col("v"), 5).as("t")).head().getSeq[Double](1)
+    assert(small == Seq(2.0, 1.0))
+  }
+
   test("hamming64 of x with itself is 0, of complement is 64") {
     val df = Seq((0x0f0fL, 0x0f0fL, ~0x0f0fL)).toDF("a", "b", "c")
     val r = df.select(hamming64(col("a"), col("b")), hamming64(col("a"), col("c"))).head()

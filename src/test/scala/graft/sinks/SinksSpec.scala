@@ -68,6 +68,22 @@ class SinksSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/t").as[Int].collect().toSeq == Seq(9))
   }
 
+  test("stagedSyncPartitioned overwrites only the touched partitions") {
+    val dir = tmp() + "/t"
+    val day1 = Seq((1L, "2025-01-01", "a"), (2L, "2025-01-01", "b"),
+                   (3L, "2025-01-02", "c")).toDF("k", "d", "v")
+    assert(Sinks.stagedSyncPartitioned(spark, day1, dir, Seq("d")).ok)
+    // replay day 2 with corrected data; day 1 must be untouched
+    val day2fix = Seq((3L, "2025-01-02", "C2"), (4L, "2025-01-02", "d")).toDF("k", "d", "v")
+    assert(Sinks.stagedSyncPartitioned(spark, day2fix, dir, Seq("d")).ok)
+    val out = spark.read.parquet(dir).select("k", "v").orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, "C2"), (4L, "d")))
+    // idempotent replay of the same window
+    assert(Sinks.stagedSyncPartitioned(spark, day2fix, dir, Seq("d")).ok)
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
   test("compact rewrites many small files into few, preserving rows") {
     val dir = tmp() + "/t"
     (1 to 20).foreach(i => Seq((i.toLong, s"v$i")).toDF("k", "v")

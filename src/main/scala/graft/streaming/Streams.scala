@@ -79,6 +79,48 @@ object Streams {
       }
   }
 
+  /** Sessionization with event-time timeout: like [[sessionize]], but open
+    * sessions also FLUSH once the watermark passes lastEvent + gap — no
+    * session waits forever for a next event that never comes. Input must
+    * carry a watermark on `ts`.
+    */
+  def sessionizeWithTimeout(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def flush(uid: Long, st: SessionState): Session =
+      Session(uid, new Timestamp(st.startMs), new Timestamp(st.lastMs), st.n, st.sumValue)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed lastEvent + gap: close the open session
+            val out = state.getOption.map(flush(uid, _)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.lastMs > gapMs) {
+                out += flush(uid, st)
+                st = SessionState(t, t, 1, e.value)
+              } else st = SessionState(st.startMs, math.max(st.lastMs, t), st.n + 1,
+                                       st.sumValue + e.value)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastMs + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming file ingestion: readStream over a parquet directory with the
     * engine's windowed aggregation — the Trigger.AvailableNow shape the
     * reference's daily batch maps onto.

@@ -59,6 +59,28 @@ class StreamsSpec extends SparkTestBase {
     assert(sessions(0).start == ts(0) && sessions(0).end == ts(20))
   }
 
+  test("sessionizeWithTimeout flushes open sessions when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val withWm = mem.toDS()
+      .withWatermark("ts", "0 seconds")
+      .as[Event]
+    val q = Streams.sessionizeWithTimeout(withWm, gapMs = 30000)
+      .writeStream.outputMode("append").format("memory").queryName("sesst").start()
+    mem.addData(Event(9, ts(0), "a", 1.0), Event(9, ts(5), "a", 2.0))
+    q.processAllAvailable()
+    // advance the watermark far past 9's lastEvent+gap via another key
+    mem.addData(Event(8, ts(500), "b", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(8, ts(1000), "b", 1.0)) // one more batch so timeout fires
+    q.processAllAvailable()
+    val sessions = spark.table("sesst").as[Streams.Session].collect()
+      .filter(_.user_id == 9)
+    q.stop()
+    assert(sessions.length == 1, s"open session must flush on timeout: ${sessions.toSeq}")
+    assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+  }
+
   test("batch/stream unification: windowedCounts runs on a plain DataFrame") {
     val batch = Seq(Event(1, ts(0), "click", 2.0), Event(1, ts(10), "click", 3.0)).toDF()
     val out = Streams.windowedCounts(batch).collect()

@@ -17,10 +17,15 @@ object StreamingQuery {
     import graft.core.Tables
     val batchSchema = s.read.parquet(s"$d/events.parquet").schema
     // file-stream sources require a DIRECTORY; stage the single parquet
-    // file into one (simulates the landing-directory layout of a real feed)
-    val stage = java.nio.file.Files.createTempDirectory("graft-st1")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-      stage.resolve("events.parquet"))
+    // file into one (simulates the landing-directory layout of a real
+    // feed). Deterministic per-source path so repeat runs skip the copy.
+    val stage = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-st1-${Integer.toHexString(d.hashCode)}")
+    java.nio.file.Files.createDirectories(stage)
+    val target = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(target))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), target)
     val raw = s.readStream.schema(batchSchema).parquet(stage.toString)
     val events =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -191,6 +191,63 @@ object Extras {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
 
+    // ---- data-quality: FK/unique violation counts over the star schema
+    //      (the reference silently assumes integrity, SURVEY §2.5 J4)
+    "q1_quality_checks" -> withOracle(
+      (s, d) => {
+        import graft.ops.Quality
+        val li = Tables.lineitem(s, d)
+        val o  = Tables.orders(s, d)
+        val c  = Tables.customer(s, d)
+        val checks = Seq(
+          ("lineitem_orderkey_fk",
+            Quality.fkViolations(li, o, "l_orderkey", "o_orderkey").count()),
+          ("orders_custkey_fk",
+            Quality.fkViolations(o, c, "o_custkey", "c_custkey").count()),
+          ("orders_pk_unique",
+            Quality.uniqueViolations(o, Seq("o_orderkey")).count()),
+          ("orders_required_nonnull",
+            Quality.nullViolations(o, Seq("o_orderkey", "o_orderdate")).count()))
+        import s.implicits._
+        checks.toDF("check", "n_violations").orderBy("check")
+      },
+      """SELECT 'lineitem_orderkey_fk' AS check, CAST(count(*) AS BIGINT) AS n_violations
+        |  FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |UNION ALL
+        |SELECT 'orders_pk_unique', CAST(count(*) AS BIGINT)
+        |  FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'orders_required_nonnull', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_orderkey IS NULL OR o_orderdate IS NULL
+        |ORDER BY 1""".stripMargin),
+
+    // ---- per-column profiling (long format; int/string columns so the
+    //      min/max string casts agree across engines)
+    "q2_profile" -> withOracle(
+      (s, d) =>
+        graft.ops.Quality.profile(Tables.orders(s, d),
+            Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+          .orderBy("column"),
+      """SELECT 'o_custkey' AS column, count(*) AS n_rows,
+        |       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |       CAST(min(o_custkey) AS VARCHAR) AS min_value,
+        |       CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |       min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |       CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |       min(o_orderpriority), max(o_orderpriority) FROM orders
+        |ORDER BY 1""".stripMargin),
+
     // ---- bounded top-k via custom TypedImperativeAggregate: map-side
     //      partial top-k (ships <= k values per key per task) vs the
     //      Window+row_number formulation that shuffles every row (w1)

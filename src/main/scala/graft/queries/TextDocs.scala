@@ -140,6 +140,15 @@ object TextDocs {
         |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents), stats
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- BM25 scoring (rows-only: log/float parity across engines is not
+    //      promised; invariants pinned in Bm25Spec)
+    "t7_bm25" -> rowsOnly(
+      (s, d) =>
+        graft.text.Bm25.score(Tables.documents(s, d), "doc_id", "text",
+            terms = Seq("data", "query", "spark"))
+          .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+          .orderBy("doc_id")),
+
     // ---- brute-force cosine top-k: the exact baseline for ANN. Queries are
     //      broadcast; the corpus streams — linear in corpus size, no
     //      all-pairs shuffle.

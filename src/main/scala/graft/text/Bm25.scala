@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance scoring over a document corpus (text-analysis family).
+  *
+  * Standard Okapi BM25: idf(t) * tf(t,d)*(k1+1) / (tf(t,d) + k1*(1 - b +
+  * b*|d|/avgdl)). Corpus statistics (N, avgdl, df per term) are computed
+  * once and folded into the per-document expression as literals — the
+  * scoring pass is a pure projection on the scan, no join, no shuffle.
+  * Cross-engine float parity is NOT promised (log/ordering differ), so
+  * BM25 is pinned by invariant tests rather than a DuckDB oracle.
+  */
+object Bm25 {
+
+  final case class TermStats(term: String, df: Long, idf: Double)
+
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Corpus stats for the query terms (one aggregation pass). */
+  def termStats(docs: DataFrame, textCol: String, terms: Seq[String]): (Long, Double, Seq[TermStats]) = {
+    val t = tokens(col(textCol))
+    val aggs = count(lit(1)).as("n") +: avg(size(t)).as("avgdl") +:
+      terms.zipWithIndex.map { case (term, i) =>
+        sum(when(array_contains(t, term), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    val avgdl = row.getDouble(1)
+    val stats = terms.zipWithIndex.map { case (term, i) =>
+      val df = row.getLong(2 + i)
+      // BM25+ style idf, floored at 0 (never negative for very common terms)
+      val idf = math.max(0.0, math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+      TermStats(term, df, idf)
+    }
+    (n, avgdl, stats)
+  }
+
+  /** doc scores for a bag-of-terms query. */
+  def score(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (_, avgdl, stats) = termStats(docs, textCol, terms)
+    val t = tokens(col(textCol))
+    val dl = size(t).cast("double")
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * dl / lit(avgdl))
+    val termScores: Seq[Column] = stats.map { s =>
+      val tf = size(filter(t, x => x === s.term)).cast("double")
+      lit(s.idf) * tf * lit(k1 + 1) / (tf + norm)
+    }
+    docs.select(col(idCol), termScores.reduce(_ + _).as("bm25"))
+  }
+}

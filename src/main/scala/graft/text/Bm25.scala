@@ -18,8 +18,11 @@ object Bm25 {
 
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Corpus stats for the query terms (one aggregation pass). */
-  def termStats(docs: DataFrame, textCol: String, terms: Seq[String]): (Long, Double, Seq[TermStats]) = {
+  /** Corpus stats for the query terms (one aggregation pass). Terms are
+    * lowercased to match the lowercased tokenizer.
+    */
+  def termStats(docs: DataFrame, textCol: String, terms0: Seq[String]): (Long, Double, Seq[TermStats]) = {
+    val terms = terms0.map(_.toLowerCase)
     val t = tokens(col(textCol))
     val aggs = count(lit(1)).as("n") +: avg(size(t)).as("avgdl") +:
       terms.zipWithIndex.map { case (term, i) =>
@@ -27,9 +30,9 @@ object Bm25 {
       }
     val row = docs.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(0)
-    val avgdl = row.getDouble(1)
+    val avgdl = if (row.isNullAt(1)) 1.0 else row.getDouble(1) // empty corpus
     val stats = terms.zipWithIndex.map { case (term, i) =>
-      val df = row.getLong(2 + i)
+      val df = if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i) // empty corpus
       // BM25+ style idf, floored at 0 (never negative for very common terms)
       val idf = math.max(0.0, math.log((n - df + 0.5) / (df + 0.5) + 1.0))
       TermStats(term, df, idf)
@@ -37,7 +40,7 @@ object Bm25 {
     (n, avgdl, stats)
   }
 
-  /** doc scores for a bag-of-terms query. */
+  /** doc scores for a bag-of-terms query (empty term set scores 0.0). */
   def score(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val (_, avgdl, stats) = termStats(docs, textCol, terms)
@@ -48,6 +51,6 @@ object Bm25 {
       val tf = size(filter(t, x => x === s.term)).cast("double")
       lit(s.idf) * tf * lit(k1 + 1) / (tf + norm)
     }
-    docs.select(col(idCol), termScores.reduce(_ + _).as("bm25"))
+    docs.select(col(idCol), termScores.foldLeft(lit(0.0))(_ + _).as("bm25"))
   }
 }

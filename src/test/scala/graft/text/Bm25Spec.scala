@@ -35,6 +35,15 @@ class Bm25Spec extends SparkTestBase {
     assert(byTerm("pandas").idf > byTerm("spark").idf)
   }
 
+  test("degenerate inputs: case-insensitive terms, empty term set, empty corpus") {
+    val cased = scores(Seq("SPARK"))
+    assert(cased == scores(Seq("spark")), "terms must match the lowercased tokenizer")
+    val empty = scores(Seq.empty)
+    assert(empty.values.forall(_ == 0.0))
+    val none = Bm25.score(corpus.limit(0), "doc_id", "text", Seq("spark"))
+    assert(none.count() == 0)
+  }
+
   test("multi-term query is the sum of per-term contributions") {
     val both = scores(Seq("spark", "pandas"))
     val a = scores(Seq("spark"))

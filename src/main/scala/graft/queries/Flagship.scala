@@ -87,6 +87,29 @@ object Flagship {
         |            THEN -round(l_extendedprice * (1 - l_discount) - l_extendedprice * 0.8, 4)
         |            ELSE round(l_extendedprice * (1 - l_discount) - l_extendedprice * 0.8, 4) END AS UTILIDAD_TOTAL_NETA
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY 1, 2, 3, 4, 6""".stripMargin)
+        |ORDER BY 1, 2, 3, 4, 6""".stripMargin),
+
+    // ---- second oracle-backed pipeline: the ACTUAL DeliveryNotes
+    //      transform (explode + (REFER_ID, ITEM_ID) group-sum,
+    //      /root/reference/dags/CotyData_IPN.py:1235) over delivery-note
+    //      documents synthesized from the star schema
+    "pipe_dn_details" -> withOracle(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val docs = li.groupBy("l_orderkey")
+          .agg(sort_array(collect_list(struct(
+            col("l_partkey").as("ItemID"), col("l_quantity").as("UnitQty")))).as("Items"))
+          .select(col("l_orderkey").as("SaleReferID"),
+            concat(lit("R-"), col("l_orderkey")).as("SaleReferNumber"),
+            col("Items"))
+        graft.pipelines.DeliveryNotes.transformDetails(docs)
+          .select(col("REFER_ID"), col("ITEM_ID"), col("NUMERO_REMITO"),
+            round(col("CANTIDAD_REMITIDA"), 2).as("CANTIDAD_REMITIDA"))
+          .orderBy("REFER_ID", "ITEM_ID")
+      },
+      """SELECT l_orderkey AS REFER_ID, l_partkey AS ITEM_ID,
+        |       'R-' || l_orderkey AS NUMERO_REMITO,
+        |       round(sum(l_quantity), 2) AS CANTIDAD_REMITIDA
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)
   )
 }

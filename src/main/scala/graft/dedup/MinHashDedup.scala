@@ -156,26 +156,34 @@ object MinHashDedup {
         coalesce(col("group_of_node"), col(idCol).cast("long")).as("group_id"))
   }
 
+  /** doc -> connected-component label over a verified pair graph, switching
+    * between driver-side union-find (small pair sets — the overwhelmingly
+    * common case) and distributed label propagation. One
+    * `take(localThreshold + 1)` both fetches the pairs and decides the
+    * path — no separate count job, and the collect is bounded by
+    * construction (never more than localThreshold + 1 rows on the driver).
+    */
+  def componentGroups(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      localThreshold: Int = 1000000): DataFrame = {
+    val head = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .take(localThreshold + 1)
+    if (head.length <= localThreshold)
+      groupsLocal(docs, head.map(r => (r.getLong(0), r.getLong(1))), idCol)
+    else groups(docs, pairs, idCol)
+  }
+
   /** End-to-end: doc_id, group_id, group_size (1 = unique document).
     * Shingle sets are computed once and cached across the signature and
-    * verify stages. Components are computed driver-side (union-find over
-    * the verified pairs) when the pair set is small — the overwhelmingly
-    * common case — and by distributed label propagation otherwise.
+    * verify stages; components via [[componentGroups]].
     */
   def nearDupGroups(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                    threshold: Double = 0.7, localThreshold: Long = 1000000L): DataFrame = {
+                    threshold: Double = 0.7, localThreshold: Int = 1000000): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol, k).cache()
     val keys = bandKeysFromShingles(sh, idCol, bands, rowsPerBand)
     val cands = candidatePairs(keys, idCol)
     val dups = verifiedPairsFromShingles(sh, cands, idCol, threshold).cache()
-    val nPairs = dups.count()
-    val g =
-      if (nPairs <= localThreshold)
-        groupsLocal(docs,
-          dups.select(col("id_a").cast("long"), col("id_b").cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1))), idCol)
-      else groups(docs, dups, idCol)
+    val g = componentGroups(docs, dups, idCol, localThreshold)
     // group sizes in the same pass (window) — avoids re-evaluating g
     val w = org.apache.spark.sql.expressions.Window.partitionBy("group_id")
     g.withColumn("group_size", count(lit(1)).over(w))

@@ -10,8 +10,19 @@ import graft.functions.functions.{hamming64, simhash64}
   * Scale path: split the 64-bit signature into `blocks` bit-blocks. Two
   * signatures within Hamming distance `blocks - 1` must agree exactly on at
   * least one block (pigeonhole), so candidate generation is an equi-join on
-  * (block index, block value) — again no all-pairs compare, and the block
+  * (block index, block value) — never an all-pairs compare, and the block
   * value is a compact long shuffle key.
+  *
+  * The pigeonhole guarantee REQUIRES `blocks >= maxHamming + 1`;
+  * [[nearPairs]] widens the block count automatically so recall at the
+  * requested radius is exact (candidate generation is lossless; the
+  * `maxBucket` cap is the only — logged-by-design — recall cutoff, hit only
+  * by degenerate content). Blocks need not divide 64 evenly: the first
+  * `64 % blocks` blocks are one bit wider. The tradeoff is real and
+  * intentional: a larger radius means narrower blocks, hence denser buckets
+  * — Hamming-16 dedup over 64-bit signatures is inherently near-linear in
+  * bucket density (HmSearch-style multi-block probing would trade shuffle
+  * volume for join count; single-block equi-join keeps one shuffle).
   */
 object SimHashDedup {
 
@@ -20,21 +31,32 @@ object SimHashDedup {
   def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), simhash64(tokens(col(textCol))).as("simhash"))
 
-  /** (id, block, block_value) keys; blocks of 64/blocks bits each. */
+  /** (id, block, block_value) keys; variable-width blocks covering all 64
+    * bits (first `64 % blocks` blocks get the extra bit).
+    */
   def blockKeys(sigs: DataFrame, idCol: String, blocks: Int = 4): DataFrame = {
-    val width = 64 / blocks
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    sigs.select(col(idCol), col("simhash"),
-      posexplode(array((0 until blocks).map(b =>
-        shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)))
+    require(blocks >= 1 && blocks <= 64, s"blocks must be in [1,64], got $blocks")
+    val base = 64 / blocks
+    val extra = 64 % blocks
+    val widths = Seq.tabulate(blocks)(b => if (b < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blockCols = (0 until blocks).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+      shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(lit(mask))
+    }
+    sigs.select(col(idCol), col("simhash"), posexplode(array(blockCols: _*)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "block_value"))
   }
 
-  /** Pairs within `maxHamming`, via block-join candidates + exact verify. */
+  /** Pairs within `maxHamming`, via block-join candidates + exact verify.
+    * `blocks` is widened to `maxHamming + 1` when too small — fewer blocks
+    * than that would silently miss pairs that disagree on every block.
+    */
   def nearPairs(df: DataFrame, idCol: String, textCol: String,
                 blocks: Int = 4, maxHamming: Int = 3,
                 maxBucket: Int = 1000): DataFrame = {
-    val keys = blockKeys(signatures(df, idCol, textCol), idCol, blocks)
+    val effBlocks = math.max(blocks, maxHamming + 1)
+    val keys = blockKeys(signatures(df, idCol, textCol), idCol, effBlocks)
     val sized = keys.groupBy("block", "block_value").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket && col("__n") > 1)
     val pruned = keys.join(sized.select("block", "block_value"), Seq("block", "block_value"))

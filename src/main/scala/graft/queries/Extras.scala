@@ -196,20 +196,25 @@ object Extras {
     "q1_quality_checks" -> withOracle(
       (s, d) => {
         import graft.ops.Quality
+        import org.apache.spark.sql.DataFrame
         val li = Tables.lineitem(s, d)
         val o  = Tables.orders(s, d)
         val c  = Tables.customer(s, d)
-        val checks = Seq(
-          ("lineitem_orderkey_fk",
-            Quality.fkViolations(li, o, "l_orderkey", "o_orderkey").count()),
-          ("orders_custkey_fk",
-            Quality.fkViolations(o, c, "o_custkey", "c_custkey").count()),
-          ("orders_pk_unique",
-            Quality.uniqueViolations(o, Seq("o_orderkey")).count()),
-          ("orders_required_nonnull",
-            Quality.nullViolations(o, Seq("o_orderkey", "o_orderdate")).count()))
-        import s.implicits._
-        checks.toDF("check", "n_violations").orderBy("check")
+        // each check aggregates to one row; UNION them so the whole audit
+        // is ONE job with four independent subtrees, not four sequential
+        // driver-side count() actions
+        def checkRow(name: String, violations: DataFrame) =
+          violations.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check"), col("n_violations"))
+        checkRow("lineitem_orderkey_fk",
+            Quality.fkViolations(li, o, "l_orderkey", "o_orderkey"))
+          .unionByName(checkRow("orders_custkey_fk",
+            Quality.fkViolations(o, c, "o_custkey", "c_custkey")))
+          .unionByName(checkRow("orders_pk_unique",
+            Quality.uniqueViolations(o, Seq("o_orderkey"))))
+          .unionByName(checkRow("orders_required_nonnull",
+            Quality.nullViolations(o, Seq("o_orderkey", "o_orderdate"))))
+          .orderBy("check")
       },
       """SELECT 'lineitem_orderkey_fk' AS check, CAST(count(*) AS BIGINT) AS n_violations
         |  FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
@@ -250,16 +255,25 @@ object Extras {
 
     // ---- bounded top-k via custom TypedImperativeAggregate: map-side
     //      partial top-k (ships <= k values per key per task) vs the
-    //      Window+row_number formulation that shuffles every row (w1)
+    //      Window+row_number formulation that shuffles every row (w1).
+    //      Output exploded to scalar rows (o_custkey, rk, price) — the
+    //      gate hashes scalar columns, and TopKAgg's descending-values
+    //      contract makes rank k identical to row_number DESC on values
+    //      even under ties.
     "a11_topk_agg" -> withOracle(
       (s, d) =>
         Tables.orders(s, d)
           .groupBy("o_custkey")
           .agg(graft.functions.TopKAgg.top_k(col("o_totalprice"), 3).as("top_prices"))
-          .orderBy("o_custkey"),
-      """SELECT o_custkey,
-        |       (array_agg(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top_prices
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+          .select(col("o_custkey"), posexplode(col("top_prices")))
+          .select(col("o_custkey"), (col("pos") + 1).as("rk"), col("col").as("price"))
+          .orderBy("o_custkey", "rk"),
+      """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, price
+        |FROM (SELECT o_custkey, o_totalprice AS price,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin),
 
     // ---- batch sessionization (gaps-and-islands): the SQL-expressible
     //      twin of streaming.Streams.sessionize — new session when the

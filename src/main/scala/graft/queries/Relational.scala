@@ -151,7 +151,7 @@ object Relational {
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
-          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
           .join(broadcast(sn), su("s_nationkey") === col("sn_key"))
           .groupBy("cust_nation", "supp_nation")
           .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("revenue"))

@@ -114,19 +114,23 @@ object TextDocs {
     // ---- TF-IDF-style relevance score for a fixed query term set. The
     //      idf factor is kept as the raw N/df ratio (not log) so both
     //      engines compute bit-identical doubles; the score expression is
-    //      written in the same operation order on both sides.
+    //      written in the same operation order on both sides. Corpus stats
+    //      (N, df) fold in via crossJoin(broadcast(one-row agg)) — a single
+    //      plan, no driver-side counts, so scoring stays one job at any
+    //      corpus size.
     "t6_tfidf" -> withOracle(
       (s, d) => {
         val docs = Tables.documents(s, d)
         val t = toks(col("text"))
         def tf(term: String) = size(filter(t, x => x === term)).cast("double")
-        def containing(term: String) =
-          docs.filter(array_contains(toks(col("text")), term)).count().toDouble
-        val n = docs.count().toDouble
-        val idfData  = n / containing("data")
-        val idfQuery = n / containing("query")
-        docs.select(col("doc_id"),
-            (tf("data") * idfData + tf("query") * idfQuery).as("score"))
+        def df(term: String) =
+          sum(when(array_contains(t, term), 1L).otherwise(0L)).cast("double")
+        val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+          df("data").as("df_data"), df("query").as("df_query"))
+        docs.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (tf("data") * (col("n") / col("df_data")) +
+             tf("query") * (col("n") / col("df_query"))).as("score"))
           .orderBy("doc_id")
       },
       """WITH stats AS (

@@ -47,13 +47,16 @@ object EmbeddingDedup {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** vec_id, group_id, group_size from the near-dup component graph. */
+  /** vec_id, group_id, group_size from the near-dup component graph.
+    * Components via [[MinHashDedup.componentGroups]]: driver union-find for
+    * small pair sets, distributed label propagation above `localThreshold`
+    * — the collect is bounded, never corpus- or pair-count-proportional.
+    */
   def groups(df: DataFrame, threshold: Double,
-             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", embCol: String = "embedding",
+             localThreshold: Int = 1000000): DataFrame = {
     val pairs = nearPairs(df, threshold, idCol, embCol).cache()
-    val pairArr = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val g = MinHashDedup.groupsLocal(df, pairArr, idCol)
+    val g = MinHashDedup.componentGroups(df, pairs, idCol, localThreshold)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("group_id")
     g.withColumn("group_size", count(lit(1)).over(w))
   }

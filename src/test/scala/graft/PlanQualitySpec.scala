@@ -23,6 +23,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
   }
 
+  test("dual-dim star join at bench scale: all three dims broadcast") {
+    // plan-only at sf0.1 (the scale Bench runs at) — both nation roles AND
+    // supplier must be broadcast; fact-fact joins may legitimately SMJ here
+    val p = SparkEntry.queries("j5_dual_dim")(spark, sf01)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+  }
+
   test("filter reaches the parquet scan as a pushed filter") {
     val p = plan("f1_isin")
     assert(p.contains("PushedFilters: [In(l_returnflag"), p)

@@ -12,4 +12,7 @@ object SparkTestBase {
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   val sf001 = "/root/testdata/sf0.001"
+  /** For plan-shape assertions only — large enough that AQE/size-based
+    * planning sees realistic stats; execution-heavy tests stay on sf001. */
+  val sf01 = "/root/testdata/sf0.1"
 }

@@ -156,6 +156,15 @@ class MinHashDedupSpec extends SparkTestBase {
     assert(v.head._3 == 1.0)
   }
 
+  test("distributed label propagation equals the union-find path") {
+    def run(localThreshold: Int) =
+      MinHashDedup.nearDupGroups(corpus, "doc_id", "text",
+          bands = 16, rowsPerBand = 4, threshold = 0.5,
+          localThreshold = localThreshold)
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(run(0) == run(1000000)) // 0 forces the distributed branch
+  }
+
   test("candidatePairs drops oversized buckets") {
     val many = (1L to 20L).map(i => (i, base)).toDF("doc_id", "text")
     val keys = MinHashDedup.bandKeys(many, "doc_id", "text", bands = 4, rowsPerBand = 4)
@@ -180,6 +189,53 @@ class SimHashDedupSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("nearPairs recall is exact at the requested radius (pigeonhole)") {
+    // brute-force all-pairs Hamming over the real corpus vs the banded path
+    // — candidate generation must be lossless for hamming <= maxHamming
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val sigs = SimHashDedup.signatures(docs, "doc_id", "text")
+    val a = sigs.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    def run(maxHamming: Int): Set[(Long, Long)] = {
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .filter(hamming64(col("sim_a"), col("sim_b")) <= maxHamming)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = SimHashDedup.nearPairs(docs, "doc_id", "text",
+          maxHamming = maxHamming, maxBucket = 100000)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute, s"radius $maxHamming: banded != brute")
+      brute
+    }
+    run(3)
+    val at16 = run(16)
+    assert(at16.nonEmpty, "radius-16 test is vacuous on this corpus")
+  }
+
+  test("variable-width blocks cover all 64 signature bits") {
+    import spark.implicits._
+    val sigs = Seq((1L, -1L), (2L, 0x123456789abcdefL)).toDF("doc_id", "simhash")
+    // reconstructing the signature from its block values must be lossless
+    // for counts that don't divide 64 (variable-width blocks)
+    Seq(4, 7, 17).foreach { blocks =>
+      val keys = SimHashDedup.blockKeys(sigs, "doc_id", blocks)
+        .select("doc_id", "block", "block_value")
+        .as[(Long, Int, Long)].collect()
+      assert(keys.length == 2 * blocks)
+      val base = 64 / blocks
+      val extra = 64 % blocks
+      val widths = Seq.tabulate(blocks)(b => if (b < extra) base + 1 else base)
+      val offsets = widths.scanLeft(0)(_ + _)
+      Seq(-1L, 0x123456789abcdefL).zip(Seq(1L, 2L)).foreach { case (sig, id) =>
+        val rebuilt = keys.filter(_._1 == id)
+          .map { case (_, blk, v) => v << offsets(blk) }
+          .reduce(_ | _)
+        assert(rebuilt == sig, s"blocks=$blocks id=$id")
+      }
+    }
   }
 }
 
@@ -221,6 +277,10 @@ class AnnSpec extends SparkTestBase {
       assert(grouped(i.toLong) == grouped(i + 1000L), s"copy $i not grouped")
     }
     assert(g.filter(col("group_size") === 1).count() == 47)
+    // distributed branch (localThreshold = 0) must produce identical groups
+    val gd = EmbeddingDedup.groups(corpus, threshold = 0.999, localThreshold = 0)
+    assert(gd.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+           g.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
   test("lshTopK recall@10 >= 0.9 vs brute force") {

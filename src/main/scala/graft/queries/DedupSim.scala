@@ -16,11 +16,49 @@ object DedupSim {
   val defs: Seq[(String, Entry)] = Seq(
 
     // ---- MinHash+LSH near-dup grouping: every doc gets its component's
-    //      min doc_id; singleton groups = unique docs (rows == corpus size)
-    "m1_minhash_groups" -> rowsOnly(
+    //      min doc_id; singleton groups = unique docs (rows == corpus size).
+    //      Oracle: BRUTE-FORCE exact-Jaccard pairs + recursive-CTE
+    //      transitive closure in DuckDB. Valid because (a) the engine
+    //      verifies candidates with the same exact Jaccard, so its pairs
+    //      are a subset of brute force, and (b) on this corpus every true
+    //      pair has Jaccard >= 0.88, where the 16x4 banding miss
+    //      probability is ~1e-7 — LSH recall is exact here, and the hash
+    //      compare would catch it if it ever weren't. Jaccard itself is
+    //      one double division of exact ints — bit-identical across
+    //      engines, so the 0.7 threshold cannot disagree.
+    "m1_minhash_groups" -> withOracle(
       (s, d) =>
         MinHashDedup.nearDupGroups(Tables.documents(s, d), "doc_id", "text")
-          .orderBy("doc_id")),
+          .orderBy("doc_id"),
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |      i -> array_to_string(t[i:least(i + 2, len(t))], ' ')),
+        |    s -> s <> '')) AS sh
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), labels AS (
+        |  SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(least(l.min_reach, d.doc_id), d.doc_id) AS BIGINT) AS group_id,
+        |       CAST(count(*) OVER (PARTITION BY COALESCE(least(l.min_reach, d.doc_id), d.doc_id)) AS BIGINT) AS group_size
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
 
     // ---- SimHash signatures + per-doc near-neighbor count within
     //      Hamming radius (banded blocking, never all-pairs)
@@ -87,11 +125,42 @@ object DedupSim {
           .orderBy("q_id", "rk")
       }),
 
-    // ---- embedding-cosine near-dup groups (LSH-bucketed candidates)
-    "e4_embedding_neardup" -> rowsOnly(
+    // ---- embedding-cosine near-dup groups (LSH-bucketed candidates).
+    //      Oracle: brute-force cosine pairs + transitive closure, the same
+    //      shape as m1. The testdata corpus has NO pair above 0.95 (max
+    //      observed ~0.51), so the oracle additionally pins that the LSH
+    //      path produces no false positives; the grouped-duplicates case
+    //      is covered by AnnSpec's synthetic-copy test.
+    "e4_embedding_neardup" -> withOracle(
       (s, d) =>
         graft.sim.EmbeddingDedup.groups(Tables.embeddings(s, d), threshold = 0.95)
-          .orderBy("vec_id")),
+          .orderBy("vec_id"),
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, embedding AS e FROM embeddings
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE (list_sum(list_transform(range(1, len(a.e) + 1),
+        |           i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+        |     / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1),
+        |           i -> CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(range(1, len(b.e) + 1),
+        |           i -> CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))))) >= 0.95
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+        |), labels AS (
+        |  SELECT src AS vec_id, min(dst) AS min_reach FROM reach GROUP BY src
+        |)
+        |SELECT d.vec_id,
+        |       CAST(COALESCE(least(l.min_reach, d.vec_id), d.vec_id) AS BIGINT) AS group_id,
+        |       CAST(count(*) OVER (PARTITION BY COALESCE(least(l.min_reach, d.vec_id), d.vec_id)) AS BIGINT) AS group_size
+        |FROM embeddings d LEFT JOIN labels l ON d.vec_id = l.vec_id
+        |ORDER BY d.vec_id""".stripMargin),
 
     // ---- multimodal: binary-column feature extraction (stubbed decode,
     //      real mapPartitions plumbing — graft.multimodal)

@@ -144,14 +144,45 @@ object TextDocs {
         |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents), stats
         |ORDER BY doc_id""".stripMargin),
 
-    // ---- BM25 scoring (rows-only: log/float parity across engines is not
-    //      promised; invariants pinned in Bm25Spec)
-    "t7_bm25" -> rowsOnly(
+    // ---- BM25 scoring. Oracle-checked on RAW doubles: every input to the
+    //      score is exact integer math except idf, which Bm25 quantizes to
+    //      a 1e-7 grid precisely so engine libm differences (Math.log vs
+    //      DuckDB ln: observed 3 ulps apart) cannot reach the output. The
+    //      SQL mirrors Bm25.score's operation order term by term.
+    "t7_bm25" -> withOracle(
       (s, d) =>
         graft.text.Bm25.score(Tables.documents(s, d), "doc_id", "text",
             terms = Seq("data", "query", "spark"))
-          .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
-          .orderBy("doc_id")),
+          .select(col("doc_id"), col("bm25"))
+          .orderBy("doc_id"),
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, avg(len(t)) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(t, 'data')  THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(t, 'query') THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+        |         CAST(sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        |  FROM toks
+        |), idf AS (
+        |  SELECT avgdl,
+        |    floor(greatest(0.0, ln((CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)) * 10000000.0 + 0.5) / 10000000.0 AS idf1,
+        |    floor(greatest(0.0, ln((CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)) * 10000000.0 + 0.5) / 10000000.0 AS idf2,
+        |    floor(greatest(0.0, ln((CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5) + 1.0)) * 10000000.0 + 0.5) / 10000000.0 AS idf3
+        |  FROM stats
+        |), tf AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(t, x -> x = 'data'))  AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE) AS tf2,
+        |         CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf3,
+        |         CAST(len(t) AS DOUBLE) AS dl
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  0.0 + idf1 * tf1 * (1.2 + 1) / (tf1 + 1.2 * ((1 - 0.75) + (0.75 * dl) / avgdl))
+        |      + idf2 * tf2 * (1.2 + 1) / (tf2 + 1.2 * ((1 - 0.75) + (0.75 * dl) / avgdl))
+        |      + idf3 * tf3 * (1.2 + 1) / (tf3 + 1.2 * ((1 - 0.75) + (0.75 * dl) / avgdl)) AS bm25
+        |FROM tf, idf ORDER BY doc_id""".stripMargin),
 
     // ---- brute-force cosine top-k: the exact baseline for ANN. Queries are
     //      broadcast; the corpus streams — linear in corpus size, no

@@ -78,19 +78,62 @@ object Ann {
   /** Hamming distance between two packed RHP signatures (probing helper). */
   def rhpHamming(a: Column, b: Column): Column = hamming64(a, b)
 
+  /** Lloyd-refined IVF centroids: deterministic-sample init, then `iters`
+    * assign/update rounds. Each round is one broadcast(centroids) pass over
+    * the corpus for assignment plus a per-(cell, dim) mean — the update
+    * collects only nCells x dim numbers to the driver (the MLlib-KMeans
+    * shape: model state on the driver, data never collected). Cells that
+    * end a round empty keep their previous centroid.
+    */
+  def lloydCentroids(corpus: DataFrame, nCells: Int, iters: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids: Seq[(Long, Seq[Double])] =
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(col(embCol).cast("array<double>"))
+        .collect().toSeq
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+    var it = 0
+    while (it < iters) {
+      val cDf = centroids.toDF("cell_id", "centroid")
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
+      val means = corpus.crossJoin(broadcast(cDf))
+        .withColumn("cell_cos", cosine(col(embCol), col("centroid")))
+        .withColumn("cell_rk", row_number().over(w))
+        .filter(col("cell_rk") === 1)
+        .select(col("cell_id"), posexplode(col(embCol).cast("array<double>")))
+        .groupBy("cell_id", "pos").agg(avg("col").as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getLong(0))
+      centroids = centroids.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val arr = new Array[Double](old.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            (cid, arr.toSeq)
+          case None => (cid, old) // empty cell: keep previous centroid
+        }
+      }
+      it += 1
+    }
+    centroids.toDF("cell_id", "centroid")
+  }
+
   /** IVF-style ANN: the corpus is partitioned into `nCells` coarse cells
-    * (centroids = a deterministic sample of the corpus — IVF-flat without
-    * the k-means polish); each vector joins its nearest cell once, queries
-    * probe their `nProbe` nearest cells and re-rank exactly.
+    * ([[lloydCentroids]]: sampled init + `lloydIters` k-means rounds, so
+    * cells track the data's cluster structure instead of its id order);
+    * each vector joins its nearest cell once, queries probe their `nProbe`
+    * nearest cells and re-rank exactly.
     *
     * At scale: cell assignment is one broadcast(centroids) pass over the
     * corpus; a query touches ~nProbe/nCells of the data.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", embCol: String = "embedding",
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(embCol).as("centroid"))
+              nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val centroids = lloydCentroids(corpus, nCells, lloydIters, idCol, embCol)
     def nearestCells(df: DataFrame, n: Int, out: String): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
       df.crossJoin(broadcast(centroids))

@@ -33,8 +33,13 @@ object Bm25 {
     val avgdl = if (row.isNullAt(1)) 1.0 else row.getDouble(1) // empty corpus
     val stats = terms.zipWithIndex.map { case (term, i) =>
       val df = if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i) // empty corpus
-      // BM25+ style idf, floored at 0 (never negative for very common terms)
-      val idf = math.max(0.0, math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+      // BM25+ style idf, floored at 0 (never negative for very common terms).
+      // Quantized to a 1e-7 grid: libm log implementations differ by a few
+      // ulps across engines, and idf is the ONLY transcendental input to the
+      // score — snapping it makes BM25 bit-reproducible everywhere while
+      // perturbing the value ~9 orders of magnitude below ranking relevance.
+      val raw = math.max(0.0, math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+      val idf = math.floor(raw * 1e7 + 0.5) / 1e7
       TermStats(term, df, idf)
     }
     (n, avgdl, stats)

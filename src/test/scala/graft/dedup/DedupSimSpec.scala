@@ -283,6 +283,35 @@ class AnnSpec extends SparkTestBase {
            g.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("ivfTopK with Lloyd iterations: recall@10 >= 0.9 on CLUSTERED data") {
+    import spark.implicits._
+    // 8 well-separated cluster directions with deterministic jitter — the
+    // case where sample-init centroids (id-order biased) under-recall and
+    // k-means refinement must recover the cluster structure
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 16)
+    val k = 10
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(r.fieldIndex("q_id")),
+                             r.getLong(r.fieldIndex("vec_id"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = asMap(Ann.bruteForceTopK(corpus, queries, k))
+    val ivf = asMap(Ann.ivfTopK(corpus, queries, k,
+      nCells = 8, nProbe = 4, lloydIters = 3))
+    val recalls = exact.map { case (q, e) =>
+      ivf.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"clustered recall@$k = $recall")
+  }
+
   test("lshTopK recall@10 >= 0.9 vs brute force") {
     val k = 10
     def asMap(df: org.apache.spark.sql.DataFrame) =

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class DocStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshPath() = {
+    val d = java.nio.file.Files.createTempDirectory("graft-docstore").toString
+    // Spark wants to create the directory itself on first write
+    new java.io.File(d).delete()
+    d
+  }
+
+  test("insert heterogeneous batches; find infers the union schema") {
+    val path = freshPath()
+    assert(DocStore.insertMany(
+      Seq((1L, "widget"), (2L, "gadget")).toDF("id", "name"), path) == 2)
+    // second batch has an extra field — schemaless collections allow this
+    DocStore.insertMany(
+      Seq((3L, "gizmo", 9.5)).toDF("id", "name", "price"), path)
+    val all = DocStore.find(spark, path)
+    assert(all.count() == 3)
+    assert(all.columns.toSet == Set("id", "name", "price"))
+    // docs from the first batch read the missing field as null
+    assert(all.filter(col("price").isNull).count() == 2)
+    val q = DocStore.find(spark, path, Some(col("name") === "gadget"))
+    assert(q.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("updateMany applies $set to matching docs only, counts matches") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "grp", "v"), path)
+    val n = DocStore.updateMany(spark, path, col("grp") === "a",
+      Map("v" -> lit(0.0), "flag" -> lit("reset")))
+    assert(n == 2)
+    val after = DocStore.find(spark, path).orderBy("id")
+      .select("id", "v", "flag").collect()
+    assert(after.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 0.0), (2L, 2.0), (3L, 0.0)))
+    assert(after.map(r => Option(r.getString(2))).toSeq ==
+      Seq(Some("reset"), None, Some("reset")))
+  }
+
+  test("deleteMany refuses the empty query unless protection is off") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), path)
+    intercept[DocStore.DeleteProtectionException] {
+      DocStore.deleteMany(spark, path, None)
+    }
+    assert(DocStore.find(spark, path).count() == 2) // untouched
+    assert(DocStore.deleteMany(spark, path, Some(col("name") === "x")) == 1)
+    assert(DocStore.find(spark, path).select("id").as[Long].collect().toSeq == Seq(2L))
+    // explicit opt-out empties the collection
+    assert(DocStore.deleteMany(spark, path, None, deleteProtection = false) == 1)
+    assert(DocStore.find(spark, path).count() == 0)
+  }
+}

@@ -80,6 +80,32 @@ object HashImpls {
     out
   }
 
+  /** IVF cell assignment: argmax of dot(emb, centroid) over a small
+    * centroid matrix (callers pass UNIT centroids, making dot-argmax ==
+    * cosine-argmax). Ties keep the first (lowest) cell id. One tight loop,
+    * no allocation — the per-row kernel that lets cell assignment run as a
+    * projection inside whole-stage codegen instead of a join + window.
+    */
+  def nearestCell(emb: ArrayData, centroids: Array[Array[Double]], isFloat: Boolean): Long = {
+    val d = emb.numElements()
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var cIdx = 0
+    while (cIdx < centroids.length) {
+      val c = centroids(cIdx)
+      val m = math.min(d, c.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) {
+        dot += (if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)) * c(i)
+        i += 1
+      }
+      if (dot > bestDot) { bestDot = dot; best = cIdx }
+      cIdx += 1
+    }
+    best.toLong
+  }
+
   /** Random-hyperplane LSH signature over a float embedding: bit p is the
     * sign of dot(w_p, x) with w_p[i] = ±1 derived from splitmix64(seed,p,i).
     * numPlanes <= 64; the result packs into one long (cheap shuffle key).

@@ -56,6 +56,33 @@ case class RhpSig(child: Expression, numPlanes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** IVF nearest-cell assignment as a single codegen'd kernel. The centroid
+  * matrix rides into generated code via `addReferenceObj` (it is model
+  * state, small by construction: nCells x dim doubles). Pass UNIT
+  * centroids: the kernel maximizes dot product, which equals the cosine
+  * argmax when centroids are normalized. Composed higher-order functions
+  * (zip_with/aggregate) are interpreted and re-evaluate the distance array
+  * per reference — this expression replaced that shape after it benched
+  * ~7x slower.
+  */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cell"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.nearestCell(input.asInstanceOf[ArrayData], centroids, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashImpls.nearestCell($c, $ref, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API. */
 object functions {
   private def expr(c: Column): Expression = GraftShims.expression(c)
@@ -68,6 +95,10 @@ object functions {
 
   def rhp_sig(embedding: Column, numPlanes: Int, seed: Long = 42L): Column =
     toCol(RhpSig(expr(embedding), numPlanes, seed))
+
+  /** Nearest unit-centroid cell id (IVF assignment), codegen'd. */
+  def nearest_cell(embedding: Column, unitCentroids: Seq[Seq[Double]]): Column =
+    toCol(NearestCell(expr(embedding), unitCentroids.map(_.toArray).toArray))
 
   /** Hamming distance between two packed 64-bit signatures — built-ins only
     * (XOR + bit_count), codegen'd.

@@ -78,73 +78,85 @@ object Ann {
   /** Hamming distance between two packed RHP signatures (probing helper). */
   def rhpHamming(a: Column, b: Column): Column = hamming64(a, b)
 
+  /** Nearest-cell id as a PURE PROJECTION: the codegen'd
+    * [[graft.functions.NearestCell]] kernel maximizing dot product against
+    * driver-normalized centroids. Cosine argmax == dot argmax against unit
+    * centroids (the row's own norm is a positive constant across cells),
+    * so cell assignment costs zero shuffles — the property that makes IVF
+    * assignment viable over a 100 TB corpus. Ties resolve to the lowest
+    * cell id, matching a (cos DESC, cell_id ASC) ranking.
+    */
+  private def nearestCellExpr(emb: Column, unitCentroids: Seq[Seq[Double]]): Column =
+    graft.functions.functions.nearest_cell(emb, unitCentroids)
+
+  private def normalized(c: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0.0) c else c.map(_ / n)
+  }
+
   /** Lloyd-refined IVF centroids: deterministic-sample init, then `iters`
-    * assign/update rounds. Each round is one broadcast(centroids) pass over
-    * the corpus for assignment plus a per-(cell, dim) mean — the update
-    * collects only nCells x dim numbers to the driver (the MLlib-KMeans
-    * shape: model state on the driver, data never collected). Cells that
-    * end a round empty keep their previous centroid.
+    * assign/update rounds. Assignment is the shuffle-free
+    * [[nearestCellExpr]] projection; the update is one partial-aggregated
+    * per-(cell, dim) mean, collecting only nCells x dim numbers to the
+    * driver (the MLlib-KMeans shape: model state on the driver, data never
+    * collected). Cells that end a round empty keep their previous centroid.
+    * Returns centroids indexed by cell id.
     */
   def lloydCentroids(corpus: DataFrame, nCells: Int, iters: Int,
-                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    var centroids: Seq[(Long, Seq[Double])] =
+                     idCol: String = "vec_id", embCol: String = "embedding"): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] =
       corpus.orderBy(col(idCol)).limit(nCells)
         .select(col(embCol).cast("array<double>"))
-        .collect().toSeq
-        .zipWithIndex
-        .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+        .collect().toSeq.map(_.getSeq[Double](0))
     var it = 0
     while (it < iters) {
-      val cDf = centroids.toDF("cell_id", "centroid")
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
-      val means = corpus.crossJoin(broadcast(cDf))
-        .withColumn("cell_cos", cosine(col(embCol), col("centroid")))
-        .withColumn("cell_rk", row_number().over(w))
-        .filter(col("cell_rk") === 1)
-        .select(col("cell_id"), posexplode(col(embCol).cast("array<double>")))
+      val means = corpus
+        .select(nearestCellExpr(col(embCol), centroids.map(normalized)).as("cell_id"),
+          posexplode(col(embCol).cast("array<double>")))
         .groupBy("cell_id", "pos").agg(avg("col").as("m"))
         .collect()
       val byCell = means.groupBy(_.getLong(0))
-      centroids = centroids.map { case (cid, old) =>
-        byCell.get(cid) match {
+      centroids = centroids.zipWithIndex.map { case (old, cid) =>
+        byCell.get(cid.toLong) match {
           case Some(rows) =>
             val arr = new Array[Double](old.length)
             rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-            (cid, arr.toSeq)
-          case None => (cid, old) // empty cell: keep previous centroid
+            arr.toSeq
+          case None => old // empty cell: keep previous centroid
         }
       }
       it += 1
     }
-    centroids.toDF("cell_id", "centroid")
+    centroids
   }
 
   /** IVF-style ANN: the corpus is partitioned into `nCells` coarse cells
     * ([[lloydCentroids]]: sampled init + `lloydIters` k-means rounds, so
     * cells track the data's cluster structure instead of its id order);
-    * each vector joins its nearest cell once, queries probe their `nProbe`
-    * nearest cells and re-rank exactly.
+    * each vector gets its cell from a shuffle-free projection, queries
+    * probe their `nProbe` nearest cells and re-rank exactly.
     *
-    * At scale: cell assignment is one broadcast(centroids) pass over the
-    * corpus; a query touches ~nProbe/nCells of the data.
+    * At scale: corpus cell assignment is a projection on the scan (no
+    * join, no window); a query touches ~nProbe/nCells of the data.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", embCol: String = "embedding",
               nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
     val centroids = lloydCentroids(corpus, nCells, lloydIters, idCol, embCol)
-    def nearestCells(df: DataFrame, n: Int, out: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("cell_cos", cosine(col(embCol), col("centroid")))
-        .withColumn("cell_rk", row_number().over(w))
-        .filter(col("cell_rk") <= n)
-        .select(col(idCol), col(embCol), col("cell_id").as(out))
-    }
-    val cells = nearestCells(corpus, 1, "cell")
-    val probes = nearestCells(queries, nProbe, "cell")
-      .select(col("cell"), col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val cells = corpus.select(col(idCol), col(embCol),
+      nearestCellExpr(col(embCol), centroids.map(normalized)).as("cell"))
+    // probe ranking needs top-nProbe per query: the query set is the small
+    // side, so a crossJoin(centroids) + window is cheap here
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cDf = centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("cell_id", "centroid")
+    val pw = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
+    val probes = queries.crossJoin(broadcast(cDf))
+      .withColumn("cell_cos", cosine(col(embCol), col("centroid")))
+      .withColumn("cell_rk", row_number().over(pw))
+      .filter(col("cell_rk") <= nProbe)
+      .select(col("cell_id").as("cell"), col(idCol).as("q_id"), col(embCol).as("q_emb"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
     cells.join(probes, Seq("cell"))
       .filter(col("q_id") =!= col(idCol))

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document-store source/sink (S7 scan, K8 write): the engine counterpart
@@ -20,10 +21,14 @@ import org.apache.spark.sql.functions._
   *    behavior worth porting verbatim; it exists because an empty Mongo
   *    query deletes everything silently.
   *
-  * Mutations rewrite the path via a tmp materialization (same pattern as
-  * Sinks.stagedSync) — on a real cluster this is a table-format job
-  * (Mongo/Delta/Iceberg sink); the semantics and guard are what the engine
-  * promises.
+  * Mutations rewrite the collection in ONE scan: the new contents are
+  * written to a sibling `__new` directory, then swapped in with two
+  * `FileSystem.rename` calls — a crash anywhere before the first rename
+  * leaves the original collection untouched, and each rename is atomic on
+  * HDFS-like filesystems. Matched/deleted counts ride the same pass via
+  * `Dataset.observe`, so there is no separate count() scan. On a real
+  * cluster this is a table-format job (Mongo/Delta/Iceberg sink); the
+  * semantics and guard are what the engine promises.
   */
 object DocStore {
 
@@ -53,19 +58,22 @@ object DocStore {
 
   /** $set-style conditional update; returns matched-document count. Fields
     * in `set` that don't exist yet are added (null for unmatched docs) —
-    * document-store schema evolution.
+    * document-store schema evolution. A new field keeps the $set value's
+    * type: `when(matched, v)` with no `otherwise` makes the else-branch a
+    * null of v's own type (an explicit string-typed null would coerce
+    * numeric values to string under when/otherwise type widening).
     */
   def updateMany(spark: SparkSession, path: String, filter: Column,
                  set: Map[String, Column]): Long = {
     val docs = spark.read.json(path)
     val matched = coalesce(filter, lit(false))
     val updated = set.foldLeft(docs) { case (d, (k, v)) =>
-      val existing = if (d.columns.contains(k)) col(k) else lit(null).cast("string")
-      d.withColumn(k, when(matched, v).otherwise(existing))
+      if (d.columns.contains(k)) d.withColumn(k, when(matched, v).otherwise(col(k)))
+      else d.withColumn(k, when(matched, v))
     }
-    val n = docs.filter(matched).count()
-    rewrite(spark, updated, path)
-    n
+    val obs = Observation()
+    swapIn(spark, updated.observe(obs, count(when(matched, lit(1))).as("matched")), path)
+    obs.get("matched").asInstanceOf[Long]
   }
 
   /** Filtered delete; returns deleted count. `filter = None` (the empty
@@ -75,20 +83,43 @@ object DocStore {
                  deleteProtection: Boolean = true): Long = {
     if (deleteProtection && filter.isEmpty) throw new DeleteProtectionException
     val docs = spark.read.json(path)
-    val hit = coalesce(filter.getOrElse(lit(true)), lit(false))
-    val n = docs.filter(hit).count()
-    rewrite(spark, docs.filter(!hit), path)
-    n
+    filter match {
+      case None =>
+        // Guard-off delete-all: the kept-set is provably empty, so the
+        // optimizer prunes the scan (and any CollectMetrics on it) to an
+        // empty LocalRelation — count directly, then swap in emptiness.
+        val n = docs.count()
+        swapIn(spark, docs.filter(lit(false)), path)
+        n
+      case Some(f) =>
+        val hit = coalesce(f, lit(false))
+        val obs = Observation()
+        swapIn(spark,
+          docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit), path)
+        obs.get("deleted").asInstanceOf[Long]
+    }
   }
 
-  private def rewrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    val tmp = path + "__tmp"
-    df.write.mode(SaveMode.Overwrite).json(tmp)
-    // explicit schema: a delete-to-empty rewrite has zero rows, which JSON
-    // schema inference cannot round-trip
-    spark.read.schema(df.schema).json(tmp).write.mode(SaveMode.Overwrite).json(path)
-    val p = new org.apache.hadoop.fs.Path(tmp)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  /** Single-pass, crash-safe collection rewrite: materialize `df` (which
+    * reads the live `path`) into `path__new`, then swap via rename. Any
+    * failure while computing/writing `__new` leaves the collection intact;
+    * the swap itself is two atomic renames with a rollback on the second.
+    */
+  private def swapIn(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val live = new Path(path)
+    val fresh = new Path(path + "__new")
+    val retired = new Path(path + "__old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fresh, true)
+    df.write.mode(SaveMode.Overwrite).json(fresh.toString)
+    fs.delete(retired, true)
+    if (!fs.rename(live, retired))
+      throw new java.io.IOException(s"docstore swap: cannot retire $live")
+    if (!fs.rename(fresh, live)) {
+      fs.rename(retired, live) // roll back so the collection stays readable
+      throw new java.io.IOException(s"docstore swap: cannot promote $fresh")
+    }
+    fs.delete(retired, true)
     ()
   }
 }

@@ -44,6 +44,32 @@ class DocStoreSpec extends SparkTestBase {
       Seq(Some("reset"), None, Some("reset")))
   }
 
+  test("updateMany $set of a numeric value into a new field keeps its type") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), path)
+    assert(DocStore.updateMany(spark, path, col("grp") === "a",
+      Map("price" -> lit(9.5), "qty" -> lit(3L))) == 1)
+    val after = DocStore.find(spark, path)
+    assert(after.schema("price").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(after.schema("qty").dataType == org.apache.spark.sql.types.LongType)
+    // numeric filters work on the evolved field — the coercion bug broke this
+    assert(after.filter(col("price") > 9.0).select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(after.filter(col("price").isNull).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("a failure while materializing the rewrite leaves the collection intact") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v"), path)
+    // the $set expression throws mid-job — simulates a crash before the swap
+    intercept[Exception] {
+      DocStore.updateMany(spark, path, col("grp") === "a",
+        Map("v" -> raise_error(lit("simulated mid-rewrite crash")).cast("double")))
+    }
+    val after = DocStore.find(spark, path).orderBy("id")
+    assert(after.count() == 2)
+    assert(after.select("v").as[Double].collect().toSeq == Seq(1.0, 2.0))
+  }
+
   test("deleteMany refuses the empty query unless protection is off") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), path)

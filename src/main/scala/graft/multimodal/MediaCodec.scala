@@ -1,0 +1,145 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+import javax.imageio.ImageIO
+
+/** JDK-native media codec for the multimodal pipeline: no external
+  * dependency, real bytes in, real features out.
+  *
+  *  - PNG/JPEG decode via `javax.imageio` → dimensions + per-channel means.
+  *  - WAV via a RIFF chunk walk → channels/rate/bits/duration + PCM16 RMS.
+  *  - Anything else (incl. video — the JDK ships no video codec) falls back
+  *    to a 16-bin byte histogram, the engine's documented opaque-content
+  *    feature.
+  *
+  * The reference treats media as opaque attachments around its tabular flow
+  * (/root/reference/dags/Funciones_CotyData.py:349 ships files whole); the
+  * engine goes further and extracts features scan-side so only small
+  * vectors move through shuffles.
+  */
+object MediaCodec {
+
+  // in-memory streams only — the default disk-backed ImageIO cache would
+  // add a temp-file write per decoded image on every executor
+  ImageIO.setUseCache(false)
+
+  /** Container sniffed from magic bytes: "png" | "jpeg" | "wav" | "opaque". */
+  def sniff(bytes: Array[Byte]): String = {
+    def at(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length >= 8 && at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+    else if (bytes.length >= 3 && at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+    else if (bytes.length >= 12 &&
+      new String(bytes, 0, 4, US_ASCII) == "RIFF" &&
+      new String(bytes, 8, 4, US_ASCII) == "WAVE") "wav"
+    else "opaque"
+  }
+
+  /** Decode: (container kind, feature vector). Image features are
+    * `[width, height, meanR, meanG, meanB]` with means in 0..1; WAV features
+    * are `[channels, sample_rate, bits_per_sample, duration_ms, rms]` with
+    * RMS normalized to 0..1 of full-scale PCM16; opaque content gets the
+    * L1-normalized 16-bin byte histogram. A corrupt header demotes the row
+    * to opaque rather than failing the partition.
+    */
+  def decode(bytes: Array[Byte]): (String, Array[Float]) =
+    sniff(bytes) match {
+      case k @ ("png" | "jpeg") =>
+        imageFeatures(bytes).map((k, _)).getOrElse(("opaque", byteHistogram(bytes)))
+      case "wav" =>
+        wavFeatures(bytes).map(("wav", _)).getOrElse(("opaque", byteHistogram(bytes)))
+      case _ => ("opaque", byteHistogram(bytes))
+    }
+
+  def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    // ImageIO returns null for unreadable images but THROWS on truncated
+    // headers — both demote to the opaque fallback
+    scala.util.Try(Option(ImageIO.read(new ByteArrayInputStream(bytes))))
+      .toOption.flatten.map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (r, g, b) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y)
+          r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; b += px & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h * 255).toFloat
+      Array(w.toFloat, h.toFloat, r / n, g / n, b / n)
+    }
+
+  def wavFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (sniff(bytes) != "wav") return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var (channels, rate, bits) = (0, 0, 0)
+    var byteRate = 0
+    var durationMs = 0f
+    var rms = 0f
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, US_ASCII)
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          channels = bb.getShort(pos + 10)
+          rate = bb.getInt(pos + 12)
+          byteRate = bb.getInt(pos + 16)
+          bits = bb.getShort(pos + 22)
+        case "data" =>
+          if (byteRate > 0) durationMs = size * 1000f / byteRate
+          if (bits == 16) {
+            var sumSq = 0.0
+            var i = pos + 8
+            val end = pos + 8 + (size & ~1)
+            while (i < end) { val s = bb.getShort(i).toDouble; sumSq += s * s; i += 2 }
+            val n = math.max(1, size / 2)
+            rms = (math.sqrt(sumSq / n) / 32768.0).toFloat
+          }
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (channels == 0 || rate == 0) None
+    else Some(Array(channels.toFloat, rate.toFloat, bits.toFloat, durationMs, rms))
+  }
+
+  /** Opaque-content fallback: 16-bin byte histogram, L1-normalized. */
+  def byteHistogram(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+    val total = math.max(1f, bytes.length.toFloat)
+    hist.map(_ / total)
+  }
+
+  /** Deterministic tiny PNG: `w`×`h` solid `rgb` — real ImageIO encode, so
+    * decode round-trips dimensions and exact channel means.
+    */
+  def encodePng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic PCM16 mono WAV from raw samples. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataSize).put("WAVE".getBytes(US_ASCII))
+    bb.put("fmt ".getBytes(US_ASCII)).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes(US_ASCII)).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+}

@@ -7,12 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata (brief requirement).
   *
-  * The Spark-side plumbing — schema, partition-friendly batch iteration,
-  * decode signature, feature shape — is real and tested. The actual media
-  * decode is STUBBED (`fakeDecodeFeatures`): this container ships no
-  * image/audio codecs, so a deterministic stand-in derives features from
-  * the raw bytes. Swapping in a real decoder is a one-function change with
-  * the same `Iterator[Row] => Iterator[Row]`-shaped contract.
+  * Decode is REAL and JDK-native ([[MediaCodec]]): PNG/JPEG through
+  * `javax.imageio` (dimensions, channel means), WAV through a RIFF chunk
+  * walk (channels/rate/bits/duration, PCM16 RMS). Video falls back to the
+  * byte-histogram feature — the JDK ships no video codec, and that boundary
+  * is documented rather than faked.
   *
   * Scale notes: decode runs via mapPartitions (one codec init per
   * partition, not per row); binary payloads never shuffle — features are
@@ -30,23 +29,14 @@ object Multimodal {
     StructField("content", BinaryType),
     StructField("meta", metaSchema)))
 
-  final case class MediaFeatures(id: Long, modality: String, n_bytes: Int,
-                                 features: Array[Float])
+  final case class MediaFeatures(id: Long, modality: String, kind: String,
+                                 n_bytes: Int, features: Array[Float])
 
-  /** STUB decode: real deployments replace this with an actual codec
-    * (??? in spirit — deterministic fake so the plumbing is testable).
-    * Features = 16-bin byte histogram, L1-normalized.
-    */
-  def fakeDecodeFeatures(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](16)
-    var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
-    val total = math.max(1f, bytes.length.toFloat)
-    hist.map(_ / total)
-  }
-
-  /** Feature extraction over media rows: mapPartitions so a real decoder
-    * initializes once per partition and streams its batch.
+  /** Feature extraction over media rows: mapPartitions so a stateful codec
+    * initializes once per partition and streams its batch. `kind` is the
+    * container actually sniffed from the bytes (png/jpeg/wav/opaque) — it
+    * can disagree with the claimed `modality`, which is itself a useful
+    * data-quality signal.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -54,12 +44,13 @@ object Multimodal {
     val modIdx = media.schema.fieldIndex("modality")
     val binIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
-      // per-partition decoder init would go here (codec handles, model, ...)
+      // ImageIO is static/stateless; a handle-based codec would init here
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) Array.empty[Byte]
                     else r.getAs[Array[Byte]](binIdx)
-        MediaFeatures(r.getLong(idIdx), r.getString(modIdx), bytes.length,
-          fakeDecodeFeatures(bytes))
+        val (kind, feats) = MediaCodec.decode(bytes)
+        MediaFeatures(r.getLong(idIdx), r.getString(modIdx), kind,
+          bytes.length, feats)
       }
     }
   }
@@ -88,18 +79,50 @@ object Multimodal {
           i => (col("meta.duration_ms") * i / n).cast("long"))))
       .select(col("id"), col("frame_ms"))
 
-  /** Deterministic synthetic media corpus derived from the documents table
-    * (for tests/demos; binary content = UTF-8 of the text).
+  private final case class MediaMeta(mime: String, width: Option[Int],
+                                     height: Option[Int], duration_ms: Option[Long])
+  private final case class MediaRow(id: Long, modality: String,
+                                    content: Array[Byte], meta: MediaMeta)
+
+  /** Deterministic media corpus derived from the documents table (for
+    * tests/demos). Image rows carry REAL PNG bytes (tiny solid-color tiles,
+    * size/color keyed off doc_id), audio rows carry REAL PCM16 WAV bytes
+    * (square wave, amplitude/length keyed off doc_id), so the decode stage
+    * exercises actual codecs end-to-end. Video rows stay opaque (UTF-8 of
+    * the text) — the JDK has no video encoder either — with plan-level
+    * metadata for resize/frame-sample.
     */
-  def synthesizeFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("modality"),
-      encode(col("text"), "UTF-8").as("content"),
-      struct(
-        lit("application/octet-stream").as("mime"),
-        (col("doc_id") % 1000 + 100).cast("int").as("width"),
-        (col("doc_id") % 800 + 80).cast("int").as("height"),
-        (col("doc_id") * 40 + 1000).cast("long").as("duration_ms")).as("meta"))
+  def synthesizeFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          (id % 3) match {
+            case 0 =>
+              val w = (id % 13 + 3).toInt
+              val h = (id % 7 + 2).toInt
+              val rgb = ((id * 2654435761L) & 0xffffffL).toInt
+              MediaRow(id, "image", MediaCodec.encodePng(w, h, rgb),
+                MediaMeta("image/png", Some(w), Some(h), None))
+            case 1 =>
+              val n = (id % 400 + 160).toInt
+              val amp = ((id % 9 + 1) * 3000).toShort
+              val period = (id % 8 + 2).toInt
+              val samples = Array.tabulate(n) { i =>
+                if ((i / period) % 2 == 0) amp else (-amp).toShort
+              }
+              MediaRow(id, "audio", MediaCodec.encodeWav(8000, samples),
+                MediaMeta("audio/wav", None, None, Some(n * 1000L / 8000)))
+            case _ =>
+              MediaRow(id, "video", text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                MediaMeta("application/octet-stream",
+                  Some((id % 1000 + 100).toInt), Some((id % 800 + 80).toInt),
+                  Some(id * 40 + 1000)))
+          }
+        }
+      }
+      .toDF()
+  }
 }

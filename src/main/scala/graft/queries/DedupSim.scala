@@ -162,15 +162,16 @@ object DedupSim {
         |FROM embeddings d LEFT JOIN labels l ON d.vec_id = l.vec_id
         |ORDER BY d.vec_id""".stripMargin),
 
-    // ---- multimodal: binary-column feature extraction (stubbed decode,
-    //      real mapPartitions plumbing — graft.multimodal)
+    // ---- multimodal: binary-column feature extraction — REAL JDK-native
+    //      decode (ImageIO PNG/JPEG, RIFF/WAV) over real generated bytes;
+    //      video stays opaque-histogram (no JDK video codec)
     "mm1_media_features" -> rowsOnly(
       (s, d) => {
         val media = graft.multimodal.Multimodal.synthesizeFromDocuments(
           Tables.documents(s, d))
         graft.multimodal.Multimodal.extractFeatures(media)
           .toDF()
-          .select(col("id"), col("modality"), col("n_bytes"),
+          .select(col("id"), col("modality"), col("kind"), col("n_bytes"),
             round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
             round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
           .orderBy("id")

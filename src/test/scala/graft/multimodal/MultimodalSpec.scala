@@ -12,22 +12,61 @@ class MultimodalSpec extends SparkTestBase {
   test("synthesized media matches the multimodal schema") {
     assert(media.schema("content").dataType ==
       org.apache.spark.sql.types.BinaryType)
-    assert(media.select("meta.width").head().getInt(0) > 0)
+    assert(media.filter(col("modality") === "image")
+      .select("meta.width").head().getInt(0) > 0)
     assert(media.select(countDistinct("modality")).head().getLong(0) == 3)
+    assert(media.filter(col("modality") === "image")
+      .select("meta.mime").head().getString(0) == "image/png")
   }
 
-  test("extractFeatures: mapPartitions decode produces normalized features") {
+  test("extractFeatures decodes real PNG/WAV bytes; video stays opaque") {
     val feats = Multimodal.extractFeatures(media)
-    val f = feats.filter(col("id") === 0).head()
-    assert(f.features.length == 16)
-    assert(math.abs(f.features.sum - 1.0f) < 1e-3, "histogram must be L1-normalized")
-    assert(f.n_bytes > 0)
+    // id 0 -> image: 3x2 solid PNG with rgb = (0*h) & 0xffffff = black
+    val img = feats.filter(col("id") === 0).head()
+    assert(img.kind == "png")
+    assert(img.features.toSeq == Seq(3f, 2f, 0f, 0f, 0f))
+    // id 1 -> audio: 161-sample square wave at amp 6000, 8 kHz PCM16 mono
+    val wav = feats.filter(col("id") === 1).head()
+    assert(wav.kind == "wav")
+    assert(wav.features(0) == 1f && wav.features(1) == 8000f && wav.features(2) == 16f)
+    assert(math.abs(wav.features(3) - 161 * 2 * 1000f / 16000) < 1e-3) // duration_ms
+    assert(math.abs(wav.features(4) - 6000f / 32768) < 1e-4)           // constant-|amp| RMS
+    // id 2 -> video: opaque histogram fallback, L1-normalized
+    val vid = feats.filter(col("id") === 2).head()
+    assert(vid.kind == "opaque" && vid.features.length == 16)
+    assert(math.abs(vid.features.sum - 1.0f) < 1e-3)
     // deterministic across partitionings
     val a = Multimodal.extractFeatures(media.repartition(1))
       .orderBy("id").collect().map(_.features.toSeq).toSeq
     val b = Multimodal.extractFeatures(media.repartition(7))
       .orderBy("id").collect().map(_.features.toSeq).toSeq
     assert(a == b)
+  }
+
+  test("MediaCodec golden: PNG round-trip is exact, JPEG close, sniff honest") {
+    val (kind, f) = MediaCodec.decode(MediaCodec.encodePng(5, 3, 0x336699))
+    assert(kind == "png")
+    assert(f.toSeq == Seq(5f, 3f, 0x33 / 255f, 0x66 / 255f, 0x99 / 255f))
+    // JPEG through the same ImageIO path: dimensions exact, means lossy-close
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, 0x808080)
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", jout)
+    val (jk, jf) = MediaCodec.decode(jout.toByteArray)
+    assert(jk == "jpeg" && jf(0) == 4f && jf(1) == 4f)
+    assert(math.abs(jf(2) - 0x80 / 255f) < 0.05)
+    // WAV round-trip
+    val samples = Array.tabulate(100)(i => (math.sin(i * 0.3) * 12000).toShort)
+    val (wk, wf) = MediaCodec.decode(MediaCodec.encodeWav(16000, samples))
+    assert(wk == "wav")
+    assert(wf(0) == 1f && wf(1) == 16000f && wf(2) == 16f)
+    assert(math.abs(wf(3) - 100 * 1000f / 16000) < 1e-3)
+    val expectedRms = math.sqrt(samples.map(s => s.toDouble * s).sum / 100) / 32768
+    assert(math.abs(wf(4) - expectedRms) < 1e-4)
+    // not-media bytes are opaque, and a corrupt header demotes, not throws
+    assert(MediaCodec.decode("plain text".getBytes)._1 == "opaque")
+    val corrupt = MediaCodec.encodePng(3, 3, 0xffffff).take(12)
+    assert(MediaCodec.decode(corrupt)._1 == "opaque")
   }
 
   test("resizePlan clamps the long edge preserving aspect") {

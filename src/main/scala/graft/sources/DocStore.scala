@@ -46,15 +46,18 @@ object DocStore {
   /** S7: scan with an optional query filter (None = full collection). An
     * empty collection (nothing inserted, or everything deleted) reads as an
     * empty frame — the empty-cursor behavior — rather than a schema
-    * inference error.
+    * inference error. A collection stranded at `__old` by an interrupted
+    * swap is restored first, so data loss is never masked as emptiness.
     */
-  def find(spark: SparkSession, path: String, filter: Option[Column] = None): DataFrame =
+  def find(spark: SparkSession, path: String, filter: Option[Column] = None): DataFrame = {
+    recover(spark, path)
     try {
       val docs = spark.read.json(path)
       filter.fold(docs)(docs.filter)
     } catch {
       case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
     }
+  }
 
   /** $set-style conditional update; returns matched-document count. Fields
     * in `set` that don't exist yet are added (null for unmatched docs) —
@@ -65,14 +68,20 @@ object DocStore {
     */
   def updateMany(spark: SparkSession, path: String, filter: Column,
                  set: Map[String, Column]): Long = {
+    recover(spark, path)
     val docs = spark.read.json(path)
     val matched = coalesce(filter, lit(false))
-    val updated = set.foldLeft(docs) { case (d, (k, v)) =>
+    // The observation sits BELOW the $set projections: `matched` must be
+    // evaluated on pre-update values, or a $set that writes a column the
+    // filter reads (set status -> 'done' where status === 'pending')
+    // would count the post-update rows and report 0.
+    val obs = Observation()
+    val base = docs.observe(obs, count(when(matched, lit(1))).as("matched"))
+    val updated = set.foldLeft(base) { case (d, (k, v)) =>
       if (d.columns.contains(k)) d.withColumn(k, when(matched, v).otherwise(col(k)))
       else d.withColumn(k, when(matched, v))
     }
-    val obs = Observation()
-    swapIn(spark, updated.observe(obs, count(when(matched, lit(1))).as("matched")), path)
+    swapIn(spark, updated, path)
     obs.get("matched").asInstanceOf[Long]
   }
 
@@ -82,6 +91,7 @@ object DocStore {
   def deleteMany(spark: SparkSession, path: String, filter: Option[Column],
                  deleteProtection: Boolean = true): Long = {
     if (deleteProtection && filter.isEmpty) throw new DeleteProtectionException
+    recover(spark, path)
     val docs = spark.read.json(path)
     filter match {
       case None =>
@@ -105,6 +115,20 @@ object DocStore {
     * failure while computing/writing `__new` leaves the collection intact;
     * the swap itself is two atomic renames with a rollback on the second.
     */
+  /** Crash recovery: a death between swapIn's two renames leaves the
+    * collection only at `path__old` (the fresh data still at `__new`).
+    * Restore `__old` as the live collection — the interrupted mutation
+    * reads as never-happened, not as an empty collection. `__new` is
+    * untrusted (possibly partial) and is reclaimed by the next swap.
+    */
+  private def recover(spark: SparkSession, path: String): Unit = {
+    val live = new Path(path)
+    val retired = new Path(path + "__old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(retired) && !fs.rename(retired, live))
+      throw new java.io.IOException(s"docstore recover: cannot restore $retired")
+  }
+
   private def swapIn(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val live = new Path(path)
     val fresh = new Path(path + "__new")

@@ -51,4 +51,45 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan("j7_semi").contains("LeftSemi"), plan("j7_semi"))
     assert(plan("j6_anti").contains("LeftAnti"), plan("j6_anti"))
   }
+
+  // ---- Pins for the most expensive bench queries (bench-scale plans at
+  // sf0.1): a timing regression with these still green means machine load,
+  // not plan drift.
+
+  private def plan01(q: String): String =
+    SparkEntry.queries(q)(spark, sf01).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    p.linesIterator.count(l => l.contains("Exchange hashpartitioning") ||
+      l.contains("Exchange rangepartitioning") || l.contains("Exchange SinglePartition"))
+
+  test("g2 explode-parent: one nest shuffle + the oracle sort, scan pruned") {
+    val p = plan01("g2_explode_parent")
+    assert(exchanges(p) == 2, p) // hash for the nest, range for the sort
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_collect_list"), p) // map-side combine kept
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("l_quantity") && !rs.contains("l_extendedprice"), rs)
+  }
+
+  test("g8 two-level nest: two nest shuffles, orders broadcast, no SMJ") {
+    val p = plan01("g8_two_level")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
+  }
+
+  test("j1 multikey self-join: aggregate side broadcast, partial combine kept") {
+    val p = plan01("j1_join_multikey")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("pipe_sales_details: orders broadcast, exactly one nest shuffle") {
+    val p = plan01("pipe_sales_details")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
 }

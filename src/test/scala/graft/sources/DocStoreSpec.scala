@@ -57,6 +57,34 @@ class DocStoreSpec extends SparkTestBase {
     assert(after.filter(col("price").isNull).select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("updateMany counts matches on pre-update values when $set writes a filter column") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "pending"), (2L, "pending"), (3L, "done"))
+      .toDF("id", "status"), path)
+    // canonical $set pattern: the set overwrites the very column the
+    // filter reads — matched must reflect the pre-update state (2), not
+    // the post-update one (0)
+    val n = DocStore.updateMany(spark, path, col("status") === "pending",
+      Map("status" -> lit("done")))
+    assert(n == 2)
+    assert(DocStore.find(spark, path).filter(col("status") === "done").count() == 3)
+  }
+
+  test("a collection stranded at __old by an interrupted swap is recovered on read") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), path)
+    // simulate a crash between swapIn's two renames: live retired to
+    // __old, promotion of __new never happened
+    val dir = new java.io.File(path)
+    assert(dir.renameTo(new java.io.File(path + "__old")))
+    new java.io.File(path + "__new").mkdirs() // partial, untrusted output
+    val back = DocStore.find(spark, path)
+    assert(back.count() == 2) // NOT masked as an empty collection
+    // and mutations resume against the recovered data
+    assert(DocStore.deleteMany(spark, path, Some(col("grp") === "a")) == 1)
+    assert(DocStore.find(spark, path).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("a failure while materializing the rewrite leaves the collection intact") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v"), path)

@@ -60,11 +60,16 @@ object MediaCodec {
       .toOption.flatten.map { img =>
       val (w, h) = (img.getWidth, img.getHeight)
       var (r, g, b) = (0L, 0L, 0L)
+      // bulk row reads: per-pixel getRGB(x,y) goes through ImageIO's slow
+      // color-model path per call and dominates decode cost at real image
+      // sizes in the mapPartitions stage
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val px = img.getRGB(x, y)
+          val px = row(x)
           r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; b += px & 0xff
           x += 1
         }
@@ -77,10 +82,12 @@ object MediaCodec {
   def wavFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
     if (sniff(bytes) != "wav") return None
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // One walk locates both chunks, data stats are computed AFTER it — the
+    // RIFF spec doesn't order chunks, so fmt fields (bits/byteRate) must
+    // not be read mid-scan of a data chunk that precedes fmt.
     var (channels, rate, bits) = (0, 0, 0)
     var byteRate = 0
-    var durationMs = 0f
-    var rms = 0f
+    var (dataPos, dataSize) = (-1, 0)
     var pos = 12
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, US_ASCII)
@@ -92,22 +99,26 @@ object MediaCodec {
           rate = bb.getInt(pos + 12)
           byteRate = bb.getInt(pos + 16)
           bits = bb.getShort(pos + 22)
-        case "data" =>
-          if (byteRate > 0) durationMs = size * 1000f / byteRate
-          if (bits == 16) {
-            var sumSq = 0.0
-            var i = pos + 8
-            val end = pos + 8 + (size & ~1)
-            while (i < end) { val s = bb.getShort(i).toDouble; sumSq += s * s; i += 2 }
-            val n = math.max(1, size / 2)
-            rms = (math.sqrt(sumSq / n) / 32768.0).toFloat
-          }
+        case "data" => dataPos = pos + 8; dataSize = size
         case _ => ()
       }
       pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
     }
-    if (channels == 0 || rate == 0) None
-    else Some(Array(channels.toFloat, rate.toFloat, bits.toFloat, durationMs, rms))
+    if (channels == 0 || rate == 0) return None
+    var durationMs = 0f
+    var rms = 0f
+    if (dataPos >= 0) {
+      if (byteRate > 0) durationMs = dataSize * 1000f / byteRate
+      if (bits == 16) {
+        var sumSq = 0.0
+        var i = dataPos
+        val end = dataPos + (dataSize & ~1)
+        while (i < end) { val s = bb.getShort(i).toDouble; sumSq += s * s; i += 2 }
+        val n = math.max(1, dataSize / 2)
+        rms = (math.sqrt(sumSq / n) / 32768.0).toFloat
+      }
+    }
+    Some(Array(channels.toFloat, rate.toFloat, bits.toFloat, durationMs, rms))
   }
 
   /** Opaque-content fallback: 16-bin byte histogram, L1-normalized. */

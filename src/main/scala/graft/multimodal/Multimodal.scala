@@ -79,10 +79,14 @@ object Multimodal {
           i => (col("meta.duration_ms") * i / n).cast("long"))))
       .select(col("id"), col("frame_ms"))
 
-  private final case class MediaMeta(mime: String, width: Option[Int],
-                                     height: Option[Int], duration_ms: Option[Long])
-  private final case class MediaRow(id: Long, modality: String,
-                                    content: Array[Byte], meta: MediaMeta)
+  // NOT private: the Janino-compiled encoder calls these accessors from
+  // generated Java — `private` makes that an illegal access, and Spark
+  // silently falls back to the interpreted (non-codegen) serializer for
+  // every synthesize batch.
+  final case class MediaMeta(mime: String, width: Option[Int],
+                             height: Option[Int], duration_ms: Option[Long])
+  final case class MediaRow(id: Long, modality: String,
+                            content: Array[Byte], meta: MediaMeta)
 
   /** Deterministic media corpus derived from the documents table (for
     * tests/demos). Image rows carry REAL PNG bytes (tiny solid-color tiles,

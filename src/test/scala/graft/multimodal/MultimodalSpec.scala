@@ -69,6 +69,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodec.decode(corrupt)._1 == "opaque")
   }
 
+  test("wavFeatures is chunk-order independent (data before fmt)") {
+    // RIFF doesn't order chunks; rebuild a legal WAV with data FIRST
+    val samples = Array.tabulate(64)(i => (math.cos(i * 0.5) * 9000).toShort)
+    val canonical = MediaCodec.encodeWav(8000, samples)
+    val Some(expected) = MediaCodec.wavFeatures(canonical)
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    val Some(reordered) = MediaCodec.wavFeatures(bb.array())
+    assert(reordered.toSeq == expected.toSeq) // rms/duration survive reorder
+    assert(reordered(4) > 0f)
+  }
+
   test("resizePlan clamps the long edge preserving aspect") {
     val out = Multimodal.resizePlan(media, maxEdge = 64)
     val r = out.select("meta.width", "meta.height", "target_width", "target_height")

@@ -64,11 +64,13 @@ object MinHashDedup {
   }
 
   /** Candidate pairs (a < b) from shared LSH buckets. Buckets larger than
-    * `maxBucket` are dropped (degenerate keys); callers needing those must
-    * handle them upstream (e.g. exact-dedup empty documents first).
+    * `maxBucket` are dropped (degenerate keys) — every drop is counted and
+    * logged via [[BucketDrops]]; callers needing those must handle them
+    * upstream (e.g. exact-dedup empty documents first).
     */
   def candidatePairs(keys: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
-    val sized = keys.groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
+    val counts = keys.groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
+    val sized = BucketDrops.observed(counts, "__n", maxBucket, "minhash")
       .filter(col("__n") <= maxBucket && col("__n") > 1)
     val pruned = keys.join(sized.select("band", "band_hash"), Seq("band", "band_hash"))
     val a = pruned.select(col("band"), col("band_hash"), col(idCol).as("id_a"))

@@ -16,13 +16,18 @@ import graft.functions.functions.{hamming64, simhash64}
   * The pigeonhole guarantee REQUIRES `blocks >= maxHamming + 1`;
   * [[nearPairs]] widens the block count automatically so recall at the
   * requested radius is exact (candidate generation is lossless; the
-  * `maxBucket` cap is the only — logged-by-design — recall cutoff, hit only
-  * by degenerate content). Blocks need not divide 64 evenly: the first
-  * `64 % blocks` blocks are one bit wider. The tradeoff is real and
-  * intentional: a larger radius means narrower blocks, hence denser buckets
-  * — Hamming-16 dedup over 64-bit signatures is inherently near-linear in
-  * bucket density (HmSearch-style multi-block probing would trade shuffle
-  * volume for join count; single-block equi-join keeps one shuffle).
+  * `maxBucket` cap is the only recall cutoff, and every capped bucket is
+  * counted and logged via [[BucketDrops]]). Blocks need not divide 64
+  * evenly: the first `64 % blocks` blocks are one bit wider.
+  *
+  * Supported envelope: radius <= ~8. The tradeoff is structural — a larger
+  * radius means narrower blocks, hence denser buckets: at `maxHamming=16`
+  * the 17 blocks carry 3-4 bits each (<= 16 distinct values per block), so
+  * at corpus scale most buckets exceed ANY cap and recall collapses; the
+  * drop counters make that visible instead of silent. Past the envelope,
+  * use MinHash (band width keeps the key space exponential in rows-per-
+  * band) or HmSearch-style multi-block probing, which trades one shuffle
+  * for several narrower ones.
   */
 object SimHashDedup {
 
@@ -57,7 +62,8 @@ object SimHashDedup {
                 maxBucket: Int = 1000): DataFrame = {
     val effBlocks = math.max(blocks, maxHamming + 1)
     val keys = blockKeys(signatures(df, idCol, textCol), idCol, effBlocks)
-    val sized = keys.groupBy("block", "block_value").agg(count(lit(1)).as("__n"))
+    val counts = keys.groupBy("block", "block_value").agg(count(lit(1)).as("__n"))
+    val sized = BucketDrops.observed(counts, "__n", maxBucket, "simhash")
       .filter(col("__n") <= maxBucket && col("__n") > 1)
     val pruned = keys.join(sized.select("block", "block_value"), Seq("block", "block_value"))
     val a = pruned.select(col("block"), col("block_value"),

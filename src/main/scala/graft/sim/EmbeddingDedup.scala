@@ -30,7 +30,8 @@ object EmbeddingDedup {
                 maxBucket: Int = 10000): DataFrame = {
     val keys = Ann.bandKeys(df, idCol, embCol, numPlanes, bands, seed)
       .select(col("band"), col("band_value"), col(idCol))
-    val sized = keys.groupBy("band", "band_value").agg(count(lit(1)).as("__n"))
+    val counts = keys.groupBy("band", "band_value").agg(count(lit(1)).as("__n"))
+    val sized = graft.dedup.BucketDrops.observed(counts, "__n", maxBucket, "rhp")
       .filter(col("__n") <= maxBucket && col("__n") > 1)
     val pruned = keys.join(sized.select("band", "band_value"), Seq("band", "band_value"))
     val a = pruned.select(col("band"), col("band_value"), col(idCol).as("id_a"))

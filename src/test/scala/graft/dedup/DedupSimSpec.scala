@@ -165,11 +165,18 @@ class MinHashDedupSpec extends SparkTestBase {
     assert(run(0) == run(1000000)) // 0 forces the distributed branch
   }
 
-  test("candidatePairs drops oversized buckets") {
+  test("candidatePairs drops oversized buckets — and the drop is observed, not silent") {
     val many = (1L to 20L).map(i => (i, base)).toDF("doc_id", "text")
     val keys = MinHashDedup.bandKeys(many, "doc_id", "text", bands = 4, rowsPerBand = 4)
+    val (b0, r0) = (BucketDrops.totalDroppedBuckets, BucketDrops.totalDroppedRows)
     assert(MinHashDedup.candidatePairs(keys, "doc_id", maxBucket = 5).count() == 0)
+    // 20 identical docs -> 4 bands x one 20-doc bucket, all over the cap
+    assert(BucketDrops.totalDroppedBuckets - b0 >= 4,
+      s"drop counter did not fire (delta=${BucketDrops.totalDroppedBuckets - b0})")
+    assert(BucketDrops.totalDroppedRows - r0 >= 80)
+    val (b1, _) = (BucketDrops.totalDroppedBuckets, BucketDrops.totalDroppedRows)
     assert(MinHashDedup.candidatePairs(keys, "doc_id", maxBucket = 50).count() == 190)
+    assert(BucketDrops.totalDroppedBuckets == b1) // under-cap run drops nothing
   }
 }
 
@@ -189,6 +196,19 @@ class SimHashDedupSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("nearPairs under a forced bucket cap fires the drop counter") {
+    val shared = (1 to 40).map(i => s"token$i").mkString(" ")
+    // 12 near-identical docs: every block bucket holds ~12 docs, so a cap
+    // of 3 drops them all — the counter must make that visible
+    val docs = (1L to 12L).map(i => (i, shared + s" ending$i")).toDF("doc_id", "text")
+    val before = BucketDrops.totalDroppedBuckets
+    val full = SimHashDedup.nearPairs(docs, "doc_id", "text", maxHamming = 4).count()
+    val capped = SimHashDedup.nearPairs(docs, "doc_id", "text",
+      maxHamming = 4, maxBucket = 3).count()
+    assert(capped < full, s"cap did not bite: $capped vs $full")
+    assert(BucketDrops.totalDroppedBuckets > before, "simhash drop counter silent")
   }
 
   test("nearPairs recall is exact at the requested radius (pigeonhole)") {

@@ -27,9 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * store lists — F8) travel as source options, exactly as they are request
   * parameters in the reference.
   *
-  * Transport is pluggable via [[PageFetcher]]: tests register deterministic
-  * in-memory fetchers; a production HTTP fetcher implements the same trait
-  * (zero-egress environment, so none ships here).
+  * Transport is pluggable via [[PageFetcher]]: [[HttpPageFetcher]] is the
+  * production `java.net.http` implementation (Bearer auth, offset
+  * pagination, typed 400/401/5xx mapping, bounded retry — proven against
+  * an in-process HTTP server in HttpRestSourceSpec); tests also register
+  * deterministic in-memory fetchers.
   */
 trait PageFetcher extends Serializable {
   /** Return the JSON records of one page; empty when past the end. */

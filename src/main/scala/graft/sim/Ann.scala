@@ -104,8 +104,13 @@ object Ann {
     */
   def lloydCentroids(corpus: DataFrame, nCells: Int, iters: Int,
                      idCol: String = "vec_id", embCol: String = "embedding"): Seq[Seq[Double]] = {
+    // Seed by hash order, not id order: the first nCells ids are biased
+    // when ids correlate with clusters (e.g. data written cluster-by-
+    // cluster) — all seeds landing in one cluster makes Lloyd start from
+    // the worst possible state. Hash order is a deterministic spread
+    // sample, and orderBy+limit plans as top-k (no full sort).
     var centroids: Seq[Seq[Double]] =
-      corpus.orderBy(col(idCol)).limit(nCells)
+      corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCells)
         .select(col(embCol).cast("array<double>"))
         .collect().toSeq.map(_.getSeq[Double](0))
     var it = 0

@@ -332,6 +332,35 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.9, s"clustered recall@$k = $recall")
   }
 
+  test("ivfTopK recall holds when ids correlate with clusters (seed-spread)") {
+    import spark.implicits._
+    // adversarial id layout: ids 0-49 are ALL cluster 0, 50-99 cluster 1,
+    // ... — id-order seeding would put every initial centroid in cluster 0
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i / 50)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    // queries drawn across all clusters
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    val k = 10
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(r.fieldIndex("q_id")),
+                             r.getLong(r.fieldIndex("vec_id"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = asMap(Ann.bruteForceTopK(corpus, queries, k))
+    val ivf = asMap(Ann.ivfTopK(corpus, queries, k,
+      nCells = 8, nProbe = 4, lloydIters = 3))
+    val recalls = exact.map { case (q, e) =>
+      ivf.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"id-clustered recall@$k = $recall")
+  }
+
   test("lshTopK recall@10 >= 0.9 vs brute force") {
     val k = 10
     def asMap(df: org.apache.spark.sql.DataFrame) =

@@ -18,14 +18,24 @@ object StreamingQuery {
     val batchSchema = s.read.parquet(s"$d/events.parquet").schema
     // file-stream sources require a DIRECTORY; stage the single parquet
     // file into one (simulates the landing-directory layout of a real
-    // feed). Deterministic per-source path so repeat runs skip the copy.
+    // feed). Deterministic per-source path so repeat runs skip the copy —
+    // but only while size+mtime still match the source: a regenerated
+    // events.parquet must never be shadowed by a stale staged copy (this
+    // is a correctness-gate input).
     val stage = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-st1-${Integer.toHexString(d.hashCode)}")
     java.nio.file.Files.createDirectories(stage)
+    val source = java.nio.file.Paths.get(s"$d/events.parquet")
     val target = stage.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(target))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), target)
+    val fresh = java.nio.file.Files.exists(target) &&
+      java.nio.file.Files.size(target) == java.nio.file.Files.size(source) &&
+      java.nio.file.Files.getLastModifiedTime(target)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(source)) >= 0
+    if (!fresh)
+      java.nio.file.Files.copy(source, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
     val raw = s.readStream.schema(batchSchema).parquet(stage.toString)
     val events =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -7,10 +7,11 @@ import org.apache.spark.sql.types.StructType
   *
   * The reference's one file source is `pd.read_excel(..., usecols=[...])`
   * (/root/reference/dags/Funciones_CotyData.py:349 — which also calls an
-  * undefined helper, a known reference defect). Spark has no Excel reader
-  * without extra deps; the engine's equivalent surface is CSV/JSON with an
-  * explicit schema and column pruning (`usecols` ≙ select, which Catalyst
-  * pushes into the scan).
+  * undefined helper, a known reference defect). Real .xlsx lives in
+  * [[Xlsx]] (JDK-native ZIP+StAX, distributed parse); CSV/JSON here give
+  * the same surface for plain-text feeds, with an explicit schema and
+  * column pruning (`usecols` ≙ select, which Catalyst pushes into the
+  * scan).
   */
 object Files {
 

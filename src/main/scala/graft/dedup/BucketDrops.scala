@@ -1,7 +1,13 @@
 package graft.dedup
 
 import scala.collection.concurrent.TrieMap
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Nondeterministic, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.util.LongAccumulator
 
 /** Observability for LSH bucket-cap drops (SimHash blocks, MinHash bands,
@@ -10,20 +16,25 @@ import org.apache.spark.util.LongAccumulator
   * Oversized buckets are a recall cutoff, not an error — but they must
   * never be silent: at corpus scale with a large Hamming radius the block
   * key space collapses and MOST buckets can blow past the cap, turning
-  * "dedup ran fine" into "dedup matched almost nothing". The bucket-size
-  * frame gets a row-preserving pass that feeds two `LongAccumulator`s
-  * (dropped buckets, rows inside them) and WARN-logs once per partition
-  * that saw drops. Accumulators — not `Dataset.observe` — because the
-  * bucket-count frame is small enough to ride a BroadcastExchange, and
-  * CollectMetrics under a broadcast executes outside the action's
-  * execution context: its metrics silently never arrive (verified against
-  * Spark 4.1). Accumulator updates come from ordinary tasks, broadcast
-  * job or not.
+  * "dedup ran fine" into "dedup matched almost nothing". The cap filter
+  * itself counts what it rejects into two `LongAccumulator`s (dropped
+  * buckets, rows inside them) and WARN-logs per task that saw drops.
   *
-  * The pass sits on the tiny post-aggregate frame (one row per bucket),
-  * far off the hot path. Counts are at-least-once per physical execution
-  * (a re-executed or non-reused subtree re-counts): an observability
-  * signal, not an exact metric.
+  * Why this shape and not the obvious ones:
+  *  - `Dataset.observe`/CollectMetrics: the bucket-count frame is small
+  *    enough to ride a BroadcastExchange, and CollectMetrics under a
+  *    broadcast executes outside the action's execution context — its
+  *    metrics silently never arrive (verified against Spark 4.1).
+  *  - `mapPartitions`: a row-preserving pass costs a full
+  *    serialize/deserialize boundary and breaks whole-stage codegen right
+  *    between the aggregate and the join (~0.5 s per dedup query at
+  *    sf0.1, measured).
+  * The counting predicate is a `CodegenFallback` expression evaluated
+  * once per BUCKET (the tiny post-aggregate frame), so the plan shape,
+  * size statistics, and broadcast decision are untouched. Accumulator
+  * updates come from ordinary tasks, broadcast job or not. Counts are
+  * at-least-once per physical execution (a non-reused duplicate subtree
+  * re-counts): an observability signal, not an exact metric.
   */
 object BucketDrops {
 
@@ -33,44 +44,47 @@ object BucketDrops {
   def totalDroppedBuckets: Long = accs.values.iterator.map(_._1.value.longValue).sum
   def totalDroppedRows: Long = accs.values.iterator.map(_._2.value.longValue).sum
 
-  /** Attach drop counting to a bucket-size frame (`nCol` = per-bucket row
-    * count, a non-null long). Call BEFORE filtering out the oversized
-    * buckets. Row-preserving; safe under broadcast.
+  /** Cap filter over a bucket-size frame (`nCol` = per-bucket row count,
+    * a non-null long): keeps buckets with 1 < n <= maxBucket, counting and
+    * logging every bucket the cap rejects.
     */
-  def observed(counts: DataFrame, nCol: String, maxBucket: Int, what: String): DataFrame = {
+  def keepUnderCap(counts: DataFrame, nCol: String, maxBucket: Int, what: String): DataFrame = {
     val sc = counts.sparkSession.sparkContext
     val (accB, accR) = accs.getOrElseUpdate(s"${sc.applicationId}/$what", (
       sc.longAccumulator(s"graft.drops.$what.buckets"),
       sc.longAccumulator(s"graft.drops.$what.rows")))
-    val idx = counts.schema.fieldIndex(nCol)
-    val cap = maxBucket.toLong
-    val tag = what
-    counts.mapPartitions { it =>
-      var localB = 0L
-      var localR = 0L
-      val mapped = it.map { row =>
-        val n = row.getLong(idx)
-        if (n > cap) {
-          accB.add(1L); accR.add(n)
-          localB += 1; localR += n
-        }
-        row
-      }
-      new Iterator[org.apache.spark.sql.Row] {
-        override def hasNext: Boolean = {
-          val h = mapped.hasNext
-          if (!h && localB > 0) {
-            org.slf4j.LoggerFactory.getLogger(BucketDrops.getClass).warn(
-              s"graft.drops.$tag: dropped $localB over-cap bucket(s) covering $localR " +
-                s"rows in this partition (maxBucket=$cap); near-dup recall is reduced " +
-                "for content in those buckets — raise maxBucket, shrink the radius, " +
-                "or exact-dedup degenerate documents upstream")
-            localB = 0
-          }
-          h
-        }
-        override def next(): org.apache.spark.sql.Row = mapped.next()
-      }
-    }(Encoders.row(counts.schema))
+    val keep = GraftShims.column(
+      CountingCapFilter(GraftShims.expression(col(nCol)), maxBucket.toLong, what, accB, accR))
+    counts.filter(keep && col(nCol) > 1)
   }
+}
+
+/** `n <= cap`, side-counting rejects. Nondeterministic so the optimizer
+  * never deduplicates, reorders past, or constant-folds it; CodegenFallback
+  * because it runs once per bucket, not per row — off the hot path by
+  * construction.
+  */
+case class CountingCapFilter(child: Expression, cap: Long, what: String,
+                             accB: LongAccumulator, accR: LongAccumulator)
+    extends UnaryExpression with Nondeterministic with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override protected def initializeInternal(partitionIndex: Int): Unit = ()
+
+  override protected def evalInternal(input: InternalRow): Any = {
+    val n = child.eval(input).asInstanceOf[Long]
+    val keep = n <= cap
+    if (!keep) {
+      accB.add(1L); accR.add(n)
+      org.slf4j.LoggerFactory.getLogger(classOf[CountingCapFilter]).warn(
+        s"graft.drops.$what: dropping a bucket of $n rows (maxBucket=$cap); " +
+          "near-dup recall is reduced for its content — raise maxBucket, shrink " +
+          "the radius, or exact-dedup degenerate documents upstream")
+    }
+    keep
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountingCapFilter =
+    copy(child = newChild)
 }

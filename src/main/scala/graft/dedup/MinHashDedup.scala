@@ -70,8 +70,7 @@ object MinHashDedup {
     */
   def candidatePairs(keys: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
     val counts = keys.groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
-    val sized = BucketDrops.observed(counts, "__n", maxBucket, "minhash")
-      .filter(col("__n") <= maxBucket && col("__n") > 1)
+    val sized = BucketDrops.keepUnderCap(counts, "__n", maxBucket, "minhash")
     val pruned = keys.join(sized.select("band", "band_hash"), Seq("band", "band_hash"))
     val a = pruned.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
     val b = pruned.select(col("band"), col("band_hash"), col(idCol).as("id_b"))

@@ -63,8 +63,7 @@ object SimHashDedup {
     val effBlocks = math.max(blocks, maxHamming + 1)
     val keys = blockKeys(signatures(df, idCol, textCol), idCol, effBlocks)
     val counts = keys.groupBy("block", "block_value").agg(count(lit(1)).as("__n"))
-    val sized = BucketDrops.observed(counts, "__n", maxBucket, "simhash")
-      .filter(col("__n") <= maxBucket && col("__n") > 1)
+    val sized = BucketDrops.keepUnderCap(counts, "__n", maxBucket, "simhash")
     val pruned = keys.join(sized.select("block", "block_value"), Seq("block", "block_value"))
     val a = pruned.select(col("block"), col("block_value"),
       col(idCol).as("id_a"), col("simhash").as("sim_a"))

@@ -31,8 +31,7 @@ object EmbeddingDedup {
     val keys = Ann.bandKeys(df, idCol, embCol, numPlanes, bands, seed)
       .select(col("band"), col("band_value"), col(idCol))
     val counts = keys.groupBy("band", "band_value").agg(count(lit(1)).as("__n"))
-    val sized = graft.dedup.BucketDrops.observed(counts, "__n", maxBucket, "rhp")
-      .filter(col("__n") <= maxBucket && col("__n") > 1)
+    val sized = graft.dedup.BucketDrops.keepUnderCap(counts, "__n", maxBucket, "rhp")
     val pruned = keys.join(sized.select("band", "band_value"), Seq("band", "band_value"))
     val a = pruned.select(col("band"), col("band_value"), col(idCol).as("id_a"))
     val b = pruned.select(col("band"), col("band_value"), col(idCol).as("id_b"))

@@ -45,17 +45,21 @@ object BucketDrops {
   def totalDroppedRows: Long = accs.values.iterator.map(_._2.value.longValue).sum
 
   /** Cap filter over a bucket-size frame (`nCol` = per-bucket row count,
-    * a non-null long): keeps buckets with 1 < n <= maxBucket, counting and
-    * logging every bucket the cap rejects.
+    * a non-null long): keeps buckets with n <= maxBucket, counting and
+    * logging every bucket the cap rejects. `requirePair` additionally
+    * drops n == 1 buckets (uncounted — they can't produce a pair in an
+    * exact-exact self-join); pass false when the other join side reaches
+    * buckets via probe keys, where a single exact member still pairs.
     */
-  def keepUnderCap(counts: DataFrame, nCol: String, maxBucket: Int, what: String): DataFrame = {
+  def keepUnderCap(counts: DataFrame, nCol: String, maxBucket: Int, what: String,
+                   requirePair: Boolean = true): DataFrame = {
     val sc = counts.sparkSession.sparkContext
     val (accB, accR) = accs.getOrElseUpdate(s"${sc.applicationId}/$what", (
       sc.longAccumulator(s"graft.drops.$what.buckets"),
       sc.longAccumulator(s"graft.drops.$what.rows")))
     val keep = GraftShims.column(
       CountingCapFilter(GraftShims.expression(col(nCol)), maxBucket.toLong, what, accB, accR))
-    counts.filter(keep && col(nCol) > 1)
+    counts.filter(if (requirePair) keep && col(nCol) > 1 else keep)
   }
 }
 

@@ -235,6 +235,28 @@ class SimHashDedupSpec extends SparkTestBase {
     assert(at16.nonEmpty, "radius-16 test is vacuous on this corpus")
   }
 
+  test("probe1 nearPairs is lossless at large radii with half the blocks") {
+    // 1-error-tolerant blocks (9 blocks of 7-8 bits at r=16, vs 17 blocks
+    // of 3-4 bits exact) must return exactly the brute-force pair set
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val sigs = SimHashDedup.signatures(docs, "doc_id", "text")
+    val a = sigs.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    for (r <- Seq(10, 16)) {
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .filter(hamming64(col("sim_a"), col("sim_b")) <= r)
+        .select("id_a", "id_b")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val probed = SimHashDedup.nearPairs(docs, "doc_id", "text",
+          maxHamming = r, maxBucket = 100000, probe1 = true)
+        .select("id_a", "id_b")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(probed == brute, s"radius $r: probed != brute " +
+        s"(missing=${(brute -- probed).size}, extra=${(probed -- brute).size})")
+      assert(brute.nonEmpty, s"radius-$r probe test is vacuous")
+    }
+  }
+
   test("variable-width blocks cover all 64 signature bits") {
     import spark.implicits._
     val sigs = Seq((1L, -1L), (2L, 0x123456789abcdefL)).toDF("doc_id", "simhash")

@@ -135,26 +135,37 @@ object Ann {
     centroids
   }
 
-  /** IVF-style ANN: the corpus is partitioned into `nCells` coarse cells
-    * ([[lloydCentroids]]: sampled init + `lloydIters` k-means rounds, so
-    * cells track the data's cluster structure instead of its id order);
-    * each vector gets its cell from a shuffle-free projection, queries
-    * probe their `nProbe` nearest cells and re-rank exactly.
-    *
-    * At scale: corpus cell assignment is a projection on the scan (no
-    * join, no window); a query touches ~nProbe/nCells of the data.
+  /** Fitted IVF index: centroids on the driver (nCells x dim doubles —
+    * the MLlib model shape; data never collected). Real ANN usage is
+    * fit-rarely / query-often: fit once with [[fitIvf]], [[IvfModel.assign]]
+    * the corpus once (a shuffle-free projection — persist or write it with
+    * the table), then serve any number of query batches with [[ivfSearch]]
+    * without paying Lloyd again.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              idCol: String = "vec_id", embCol: String = "embedding",
-              nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
-    val centroids = lloydCentroids(corpus, nCells, lloydIters, idCol, embCol)
-    val cells = corpus.select(col(idCol), col(embCol),
-      nearestCellExpr(col(embCol), centroids.map(normalized)).as("cell"))
+  final case class IvfModel(centroids: Seq[Seq[Double]]) {
+    private[sim] def unit: Seq[Seq[Double]] = centroids.map(normalized)
+    /** Cell id for an embedding column — a pure projection, usable on any
+      * frame with a compatible embedding column.
+      */
+    def assign(emb: Column): Column = nearestCellExpr(emb, unit)
+  }
+
+  def fitIvf(corpus: DataFrame, nCells: Int = 16, lloydIters: Int = 2,
+             idCol: String = "vec_id", embCol: String = "embedding"): IvfModel =
+    IvfModel(lloydCentroids(corpus, nCells, lloydIters, idCol, embCol))
+
+  /** Serve one query batch against a pre-assigned corpus (`cells` =
+    * corpus + a `cell` column from [[IvfModel.assign]]): queries probe
+    * their `nProbe` nearest cells and re-rank exactly.
+    */
+  def ivfSearch(model: IvfModel, cells: DataFrame, queries: DataFrame, k: Int,
+                nProbe: Int = 4, idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
     // probe ranking needs top-nProbe per query: the query set is the small
     // side, so a crossJoin(centroids) + window is cheap here
-    val spark = corpus.sparkSession
+    val spark = cells.sparkSession
     import spark.implicits._
-    val cDf = centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val cDf = model.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }
       .toDF("cell_id", "centroid")
     val pw = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
     val probes = queries.crossJoin(broadcast(cDf))
@@ -170,5 +181,25 @@ object Ann {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col(idCol), col("cos"))
+  }
+
+  /** IVF-style ANN, self-contained (fit + assign + search in one call —
+    * the bench/gate shape): the corpus is partitioned into `nCells` coarse
+    * cells ([[lloydCentroids]]: hash-spread init + `lloydIters` k-means
+    * rounds, so cells track the data's cluster structure instead of its id
+    * order); each vector gets its cell from a shuffle-free projection,
+    * queries probe their `nProbe` nearest cells and re-rank exactly.
+    *
+    * At scale: corpus cell assignment is a projection on the scan (no
+    * join, no window); a query touches ~nProbe/nCells of the data. For
+    * serving, prefer [[fitIvf]] + [[ivfSearch]] so Lloyd runs once, not
+    * per batch.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", embCol: String = "embedding",
+              nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val model = fitIvf(corpus, nCells, lloydIters, idCol, embCol)
+    val cells = corpus.select(col(idCol), col(embCol), model.assign(col(embCol)).as("cell"))
+    ivfSearch(model, cells, queries, k, nProbe, idCol, embCol)
   }
 }

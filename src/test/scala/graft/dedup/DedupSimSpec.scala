@@ -383,6 +383,27 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.9, s"id-clustered recall@$k = $recall")
   }
 
+  test("fitIvf + ivfSearch serve batches identically to the one-shot path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextGaussian()).toFloat)))
+    val corpus = vecs.toDF("vec_id", "embedding").cache()
+    val model = Ann.fitIvf(corpus, nCells = 4, lloydIters = 2)
+    val cells = corpus.select(col("vec_id"), col("embedding"),
+      model.assign(col("embedding")).as("cell")).cache()
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // two different query batches served off the SAME fitted model/cells
+    val q1 = corpus.filter(col("vec_id") < 10)
+    val q2 = corpus.filter(col("vec_id") >= 190)
+    assert(asSet(Ann.ivfSearch(model, cells, q1, k = 5)) ==
+           asSet(Ann.ivfTopK(corpus, q1, k = 5, nCells = 4, lloydIters = 2)))
+    assert(asSet(Ann.ivfSearch(model, cells, q2, k = 5)) ==
+           asSet(Ann.ivfTopK(corpus, q2, k = 5, nCells = 4, lloydIters = 2)))
+    cells.unpersist(); corpus.unpersist()
+  }
+
   test("lshTopK recall@10 >= 0.9 vs brute force") {
     val k = 10
     def asMap(df: org.apache.spark.sql.DataFrame) =

@@ -36,12 +36,15 @@ object Bench {
         .take(3).takeWhile(_ >= 0).toSeq
       (name, if (runs.size < 3) -1.0 else runs.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal values: full double precision bloated the line past the
+    // harvester's tail window, truncating the alphabetically-first entries
+    def fmt(v: Double) = if (v < 0) "-1.0" else f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

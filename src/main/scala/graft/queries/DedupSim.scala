@@ -76,6 +76,26 @@ object DedupSim {
           .orderBy("doc_id")
       }),
 
+    // ---- m2's large-radius scale path: HmSearch-style 1-bit probing
+    //      (9 wide blocks instead of 17 narrow ones at r=16). Same output
+    //      shape as m2 and a lossless candidate set, so the per-doc degree
+    //      counts must be IDENTICAL to m2's — pinned by the probed==brute
+    //      DedupSimSpec test and comparable row-for-row in the gate dump.
+    "m3_simhash_probed" -> rowsOnly(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sigs = SimHashDedup.signatures(docs, "doc_id", "text")
+        val pairs = SimHashDedup.nearPairs(docs, "doc_id", "text",
+          maxHamming = 16, probe1 = true)
+        val deg = pairs.select(col("id_a").as("doc_id"))
+          .unionByName(pairs.select(col("id_b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+        sigs.join(deg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("simhash"),
+                  coalesce(col("n_near"), lit(0L)).as("n_near"))
+          .orderBy("doc_id")
+      }),
+
     // ---- n-gram (bigram) Jaccard similarity between consecutive docs —
     //      the exact-verify kernel of the near-dup path, oracle-checkable
     "t5_bigram_jaccard" -> withOracle(

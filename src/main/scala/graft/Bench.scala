@@ -38,7 +38,8 @@ object Bench {
     }
     // 4-decimal values: full double precision bloated the line past the
     // harvester's tail window, truncating the alphabetically-first entries
-    def fmt(v: Double) = if (v < 0) "-1.0" else f"$v%.4f"
+    def fmt(v: Double) = if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

@@ -66,25 +66,33 @@ object BucketDrops {
 /** `n <= cap`, side-counting rejects. Nondeterministic so the optimizer
   * never deduplicates, reorders past, or constant-folds it; CodegenFallback
   * because it runs once per bucket, not per row — off the hot path by
-  * construction.
+  * construction. Logging is rate-limited per task copy (first drop, then
+  * every 1000th): at the corpus scale this feature targets, MOST buckets
+  * can be over cap, and a WARN per bucket would bury the signal it exists
+  * to surface — the accumulators carry the exact totals either way.
   */
 case class CountingCapFilter(child: Expression, cap: Long, what: String,
                              accB: LongAccumulator, accR: LongAccumulator)
     extends UnaryExpression with Nondeterministic with CodegenFallback {
 
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[CountingCapFilter])
+  @transient private var localDrops = 0L
+
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
-  override protected def initializeInternal(partitionIndex: Int): Unit = ()
+  override protected def initializeInternal(partitionIndex: Int): Unit = { localDrops = 0L }
 
   override protected def evalInternal(input: InternalRow): Any = {
     val n = child.eval(input).asInstanceOf[Long]
     val keep = n <= cap
     if (!keep) {
       accB.add(1L); accR.add(n)
-      org.slf4j.LoggerFactory.getLogger(classOf[CountingCapFilter]).warn(
-        s"graft.drops.$what: dropping a bucket of $n rows (maxBucket=$cap); " +
-          "near-dup recall is reduced for its content — raise maxBucket, shrink " +
-          "the radius, or exact-dedup degenerate documents upstream")
+      localDrops += 1
+      if (localDrops == 1 || localDrops % 1000 == 0)
+        log.warn(s"graft.drops.$what: dropped $localDrops over-cap bucket(s) so far " +
+          s"in this task (latest: $n rows, maxBucket=$cap); near-dup recall is " +
+          "reduced for their content — raise maxBucket, shrink the radius, or " +
+          "exact-dedup degenerate documents upstream")
     }
     keep
   }

@@ -28,10 +28,13 @@ object StreamingQuery {
     java.nio.file.Files.createDirectories(stage)
     val source = java.nio.file.Paths.get(s"$d/events.parquet")
     val target = stage.resolve("events.parquet")
+    // COPY_ATTRIBUTES preserves the source mtime, so a fresh copy matches
+    // EXACTLY; >= would keep serving a stale copy when the source was
+    // restored from an archive with an older-or-equal mtime
     val fresh = java.nio.file.Files.exists(target) &&
       java.nio.file.Files.size(target) == java.nio.file.Files.size(source) &&
       java.nio.file.Files.getLastModifiedTime(target)
-        .compareTo(java.nio.file.Files.getLastModifiedTime(source)) >= 0
+        .compareTo(java.nio.file.Files.getLastModifiedTime(source)) == 0
     if (!fresh)
       java.nio.file.Files.copy(source, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,

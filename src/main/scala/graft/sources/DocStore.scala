@@ -36,8 +36,13 @@ object DocStore {
     "deleteMany without a filter would delete every document; " +
       "pass deleteProtection = false to allow it")
 
-  /** K8: append documents; returns rows written. */
+  /** K8: append documents; returns rows written. Recovery runs first:
+    * appending into a collection stranded at `__old` would otherwise
+    * recreate the live path and permanently orphan the stranded data (the
+    * next swap deletes `__old`).
+    */
   def insertMany(df: DataFrame, path: String): Long = {
+    recover(df.sparkSession, path)
     val n = df.count()
     df.write.mode(SaveMode.Append).json(path)
     n

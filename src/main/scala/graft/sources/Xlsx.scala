@@ -5,6 +5,7 @@ import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Real .xlsx source/sink (S6), JDK-native: an xlsx is a ZIP of ECMA-376
@@ -48,8 +49,12 @@ object Xlsx {
            useCols: Seq[String] = Nil): DataFrame = {
     val bin = spark.read.format("binaryFile").load(path)
       .select("path", "content")
-    val firstBytes = bin.orderBy("path").select("content")
-      .head().getAs[Array[Byte]](0)
+    // header peek: resolve the first path from the (pruned, content-free)
+    // listing, then read just that file — ordering (path, content) rows
+    // would drag every workbook's bytes through the sort
+    val firstPath = bin.select("path").orderBy("path").head().getString(0)
+    val firstBytes = bin.filter(col("path") === firstPath)
+      .select("content").head().getAs[Array[Byte]](0)
     val header = parseRows(firstBytes, sheet).headOption.getOrElse(
       throw new IllegalArgumentException(s"xlsx: empty sheet in $path"))
     val n = header.length
@@ -223,12 +228,18 @@ object Xlsx {
     val out = Vector.newBuilder[String]
     withReader(bytes) { r =>
       var inSi = false
+      var phonetic = false // <rPh> furigana guides are NOT cell content
       var cur: StringBuilder = null
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
             inSi = true; cur = new StringBuilder
-          case XMLStreamConstants.START_ELEMENT if inSi && r.getLocalName == "t" =>
+          case XMLStreamConstants.START_ELEMENT if inSi && r.getLocalName == "rPh" =>
+            phonetic = true
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "rPh" =>
+            phonetic = false
+          case XMLStreamConstants.START_ELEMENT
+              if inSi && !phonetic && r.getLocalName == "t" =>
             cur.append(r.getElementText) // rich-text runs concatenate
           case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
             inSi = false; out += cur.toString
@@ -248,6 +259,8 @@ object Xlsx {
       var cellCol = 0
       var cellType = ""
       var pendingInline = false
+      var phonetic = false
+      var inline: StringBuilder = null
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
@@ -258,6 +271,7 @@ object Xlsx {
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
               nextCol = cellCol + 1
               pendingInline = cellType == "inlineStr"
+              inline = if (pendingInline) new StringBuilder else null
             case "v" if row != null =>
               val raw = r.getElementText
               val value = cellType match {
@@ -266,15 +280,21 @@ object Xlsx {
                 case _   => raw // number, "str" formula cache, plain
               }
               setCell(row, cellCol, value)
-            case "t" if pendingInline =>
-              setCell(row, cellCol, r.getElementText)
+            case "rPh" => phonetic = true
+            case "t" if pendingInline && !phonetic =>
+              inline.append(r.getElementText) // rich-text runs concatenate
             case _ => ()
           }
           case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
             case "row" =>
               width = math.max(width, row.length)
               rows += row; row = null
-            case "c" => pendingInline = false
+            case "rPh" => phonetic = false
+            case "c" =>
+              // a present inlineStr cell is "" when its runs are empty —
+              // only absent cells read as null
+              if (pendingInline && row != null) setCell(row, cellCol, inline.toString)
+              pendingInline = false; inline = null
             case _ => ()
           }
           case _ => ()

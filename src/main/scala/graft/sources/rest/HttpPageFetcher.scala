@@ -64,6 +64,9 @@ class HttpPageFetcher(baseUrl: String, apiKey: String = "",
             case 401 => throw new ApiAuthenticationException(
               "API key authentication was not successful")
             case s if s >= 500 => Left(s"server error $s")
+            // rate-limit / request-timeout are transient by definition —
+            // the parallel page fan-out is exactly what provokes 429s
+            case s @ (408 | 429) => Left(s"transient status $s")
             case s => throw new ApiServerException(s"unexpected status $s for page $page")
           }
         } catch {

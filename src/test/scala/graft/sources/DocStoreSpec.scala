@@ -85,6 +85,17 @@ class DocStoreSpec extends SparkTestBase {
     assert(DocStore.find(spark, path).select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("insertMany into a stranded collection restores it before appending") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a")).toDF("id", "grp"), path)
+    // mid-swap crash state; the next operation is an APPEND — it must not
+    // recreate the live path and orphan the stranded docs
+    assert(new java.io.File(path).renameTo(new java.io.File(path + "__old")))
+    DocStore.insertMany(Seq((2L, "b")).toDF("id", "grp"), path)
+    assert(DocStore.find(spark, path).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(!new java.io.File(path + "__old").exists())
+  }
+
   test("a failure while materializing the rewrite leaves the collection intact") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v"), path)

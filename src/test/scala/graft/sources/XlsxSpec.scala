@@ -53,7 +53,9 @@ class XlsxSpec extends SparkTestBase {
     entry("xl/sharedStrings.xml",
       """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">""" +
       """<si><t>CODIGO_GASTO</t></si><si><t>Sucursal</t></si>""" +
-      """<si><r><t>rich </t></r><r><t>text</t></r></si><si><t>S9</t></si></sst>""")
+      """<si><r><t>rich </t></r><r><t>text</t></r></si>""" +
+      // phonetic furigana guide — must NOT leak into the cell value
+      """<si><t>S9</t><rPh sb="0" eb="1"><t>ignored</t></rPh></si></sst>""")
     entry("xl/worksheets/sheet1.xml",
       """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
       """<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>wrong sheet</t></is></c></row>""" +
@@ -62,7 +64,9 @@ class XlsxSpec extends SparkTestBase {
       """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
       """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>Extra</t></is></c></row>""" +
       """<row r="2"><c r="A2"><v>101</v></c><c r="B2" t="s"><v>3</v></c><c r="C2" t="s"><v>2</v></c></row>""" +
-      """<row r="3"><c r="C3" t="b"><v>1</v></c></row>""" + // A3/B3 absent -> null
+      // C3: multi-run INLINE rich text (runs must concatenate, not
+      // last-run-wins); A3/B3 absent -> null
+      """<row r="3"><c r="C3" t="inlineStr"><is><r><t>in</t></r><r><t>line</t></r></is></c></row>""" +
       """</sheetData></worksheet>""")
     zip.close()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/gastos.xlsx"), bos.toByteArray)
@@ -73,10 +77,11 @@ class XlsxSpec extends SparkTestBase {
     val rows = df.orderBy(col("CODIGO_GASTO").asc_nulls_last).collect()
     assert(rows.map(r => Option(r.getString(0))).toSeq == Seq(Some("101"), None))
     assert(rows.map(r => Option(r.getString(1))).toSeq == Seq(Some("S9"), None))
-    // full read sees the rich-text shared string and the boolean
+    // full read sees the rich-text shared string AND the multi-run inline
+    // string (concatenated, phonetic guides excluded)
     val full = Xlsx.read(spark, s"$dir/gastos.xlsx", sheet = Some("Gastos"))
     val byExtra = full.select("Extra").collect().map(r => Option(r.getString(0))).toSet
-    assert(byExtra == Set(Some("rich text"), Some("true")))
+    assert(byExtra == Set(Some("rich text"), Some("inline")))
     // missing sheet fails loudly with the available names
     val e = intercept[IllegalArgumentException] {
       Xlsx.read(spark, s"$dir/gastos.xlsx", sheet = Some("Nope"))

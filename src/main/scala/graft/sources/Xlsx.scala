@@ -58,7 +58,15 @@ object Xlsx {
     val header = parseRows(firstBytes, sheet).headOption.getOrElse(
       throw new IllegalArgumentException(s"xlsx: empty sheet in $path"))
     val n = header.length
-    val schema = StructType(header.map(c => StructField(Option(c).getOrElse(""), StringType)))
+    // messy workbooks repeat header names; disambiguate like pandas'
+    // mangle_dupe_cols (a, a -> a, a_2) so the schema stays addressable
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val names = header.map { c =>
+      val base = Option(c).getOrElse("")
+      val k = seen.updateWith(base)(o => Some(o.getOrElse(0) + 1)).get
+      if (k == 1) base else s"${base}_$k"
+    }
+    val schema = StructType(names.map(StructField(_, StringType)))
     val sheetName = sheet // stable reference for task serialization
     val parsed = bin.select("content").mapPartitions { it =>
       it.flatMap { fileRow =>
@@ -326,12 +334,19 @@ object Xlsx {
     try f(reader) finally reader.close()
   }
 
+  /** XML-escape, dropping characters that are ILLEGAL in XML 1.0 even when
+    * escaped (C0 controls except tab/newline/CR, and lone surrogates) —
+    * Excel itself refuses such files; values carrying them belong in
+    * parquet, not a spreadsheet.
+    */
   private def escape(s: String): String =
     s.flatMap {
       case '<' => "&lt;"
       case '>' => "&gt;"
       case '&' => "&amp;"
       case '"' => "&quot;"
+      case c if c == '\t' || c == '\n' || c == '\r' => c.toString
+      case c if c < 0x20 || (c >= 0xd800 && c <= 0xdfff) || c == 0xfffe || c == 0xffff => ""
       case c => c.toString
     }
 }

@@ -98,6 +98,51 @@ class XlsxSpec extends SparkTestBase {
     assert(all.select("k").collect().map(_.getString(0)).toSet == Set("1", "2", "3"))
   }
 
+  test("round-trip property: arbitrary text/nulls survive write -> read") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // XML-legal text (the writer documents dropping chars illegal in XML
+    // 1.0 even escaped); exercises quoting, unicode, whitespace edges.
+    // Generators sampled directly — no scalatest bridge in the offline
+    // cache (same pattern as PropertiesSpec).
+    val cell: Gen[Option[String]] = Gen.option(Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('<', '>', '&', '"', '\'', ' ', '=', '/', 'ß', 'é', '中', '\t'),
+      1 -> Gen.choose(0x20.toChar, 0x7e.toChar)
+    )).map(_.mkString))
+    val table: Gen[List[(Option[String], Option[String])]] =
+      Gen.listOfN(8, Gen.zip(cell, cell))
+    val dir = tmpDir()
+    (1 to 15).foreach { i =>
+      val rows = table.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val f = s"$dir/prop$i.xlsx"
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1.orNull, r._2.orNull)), 2),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType))))
+      Xlsx.write(df, f)
+      val back = Xlsx.read(spark, f).collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toList
+      // order is not part of the contract; compare as multisets
+      assert(back.groupBy(identity).view.mapValues(_.size).toMap ==
+        rows.groupBy(identity).view.mapValues(_.size).toMap,
+        s"seed $i: ${rows.take(3)}...")
+    }
+  }
+
+  test("duplicate header names are mangled like pandas") {
+    val dir = tmpDir()
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("1", "2", "3"))),
+      org.apache.spark.sql.types.StructType(Seq("k", "k", "v").map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
+    Xlsx.write(df, s"$dir/dup.xlsx")
+    val back = Xlsx.read(spark, s"$dir/dup.xlsx")
+    assert(back.columns.toSeq == Seq("k", "k_2", "v"))
+    assert(back.select("k_2").head().getString(0) == "2")
+  }
+
   test("write is a bounded dead-letter sink") {
     val dir = tmpDir()
     val big = spark.range(100).selectExpr("id", "cast(id as string) s")

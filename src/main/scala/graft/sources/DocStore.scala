@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,14 +22,21 @@ import org.apache.spark.sql.functions._
   *    behavior worth porting verbatim; it exists because an empty Mongo
   *    query deletes everything silently.
   *
-  * Mutations rewrite the collection in ONE scan: the new contents are
-  * written to a sibling `__new` directory, then swapped in with two
-  * `FileSystem.rename` calls — a crash anywhere before the first rename
-  * leaves the original collection untouched, and each rename is atomic on
-  * HDFS-like filesystems. Matched/deleted counts ride the same pass via
-  * `Dataset.observe`, so there is no separate count() scan. On a real
-  * cluster this is a table-format job (Mongo/Delta/Iceberg sink); the
-  * semantics and guard are what the engine promises.
+  * Storage is GENERATIONAL, the one-pointer core of a table format
+  * (Delta/Iceberg shape): data lives in immutable `gen-NNNNNN/` dirs and a
+  * tiny `_MANIFEST` names the live one. A mutation rewrites the collection
+  * in ONE scan into the next generation, then commits by swinging the
+  * manifest — so
+  *  - a crash while writing leaves the manifest (and the collection)
+  *    untouched;
+  *  - a crash mid-commit recovers to the newest COMPLETE generation
+  *    (`_SUCCESS`-marked), never an empty or partial one;
+  *  - concurrent readers keep their planned file list valid: the previous
+  *    generation is retained for one more mutation before cleanup
+  *    (snapshot isolation with a one-generation grace window).
+  * Matched/deleted counts ride the rewrite pass via `Dataset.observe`; no
+  * separate count() scan. Pre-manifest (legacy flat-directory) collections
+  * read as-is and migrate to generations on their first rewrite.
   */
 object DocStore {
 
@@ -36,33 +44,35 @@ object DocStore {
     "deleteMany without a filter would delete every document; " +
       "pass deleteProtection = false to allow it")
 
-  /** K8: append documents; returns rows written. Recovery runs first:
-    * appending into a collection stranded at `__old` would otherwise
-    * recreate the live path and permanently orphan the stranded data (the
-    * next swap deletes `__old`).
+  private val Manifest = "_MANIFEST"
+  private val GenName = "gen-(\\d{6})".r
+
+  /** K8: append documents; returns rows written. Appending adds files to
+    * the live generation — readers that already planned their scan see a
+    * stable file list; new reads see the new docs.
     */
   def insertMany(df: DataFrame, path: String): Long = {
-    recover(df.sparkSession, path)
+    val spark = df.sparkSession
+    val fs = fileSystem(spark, path)
     val n = df.count()
-    df.write.mode(SaveMode.Append).json(path)
+    df.write.mode(SaveMode.Append).json(liveDir(fs, spark, path, createIfMissing = true))
     n
   }
 
   /** S7: scan with an optional query filter (None = full collection). An
     * empty collection (nothing inserted, or everything deleted) reads as an
     * empty frame — the empty-cursor behavior — rather than a schema
-    * inference error. A collection stranded at `__old` by an interrupted
-    * swap is restored first, so data loss is never masked as emptiness.
+    * inference error. An interrupted manifest commit resolves to the
+    * newest complete generation, so data loss is never masked as
+    * emptiness.
     */
-  def find(spark: SparkSession, path: String, filter: Option[Column] = None): DataFrame = {
-    recover(spark, path)
+  def find(spark: SparkSession, path: String, filter: Option[Column] = None): DataFrame =
     try {
-      val docs = spark.read.json(path)
+      val docs = spark.read.json(liveDir(fileSystem(spark, path), spark, path))
       filter.fold(docs)(docs.filter)
     } catch {
       case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
     }
-  }
 
   /** $set-style conditional update; returns matched-document count. Fields
     * in `set` that don't exist yet are added (null for unmatched docs) —
@@ -73,8 +83,8 @@ object DocStore {
     */
   def updateMany(spark: SparkSession, path: String, filter: Column,
                  set: Map[String, Column]): Long = {
-    recover(spark, path)
-    val docs = spark.read.json(path)
+    val fs = fileSystem(spark, path)
+    val docs = spark.read.json(liveDir(fs, spark, path))
     val matched = coalesce(filter, lit(false))
     // The observation sits BELOW the $set projections: `matched` must be
     // evaluated on pre-update values, or a $set that writes a column the
@@ -86,7 +96,7 @@ object DocStore {
       if (d.columns.contains(k)) d.withColumn(k, when(matched, v).otherwise(col(k)))
       else d.withColumn(k, when(matched, v))
     }
-    swapIn(spark, updated, path)
+    commitRewrite(fs, spark, updated, path)
     obs.get("matched").asInstanceOf[Long]
   }
 
@@ -96,59 +106,128 @@ object DocStore {
   def deleteMany(spark: SparkSession, path: String, filter: Option[Column],
                  deleteProtection: Boolean = true): Long = {
     if (deleteProtection && filter.isEmpty) throw new DeleteProtectionException
-    recover(spark, path)
-    val docs = spark.read.json(path)
+    val fs = fileSystem(spark, path)
+    val docs = spark.read.json(liveDir(fs, spark, path))
     filter match {
       case None =>
         // Guard-off delete-all: the kept-set is provably empty, so the
         // optimizer prunes the scan (and any CollectMetrics on it) to an
-        // empty LocalRelation — count directly, then swap in emptiness.
+        // empty LocalRelation — count directly, then commit emptiness.
         val n = docs.count()
-        swapIn(spark, docs.filter(lit(false)), path)
+        commitRewrite(fs, spark, docs.filter(lit(false)), path)
         n
       case Some(f) =>
         val hit = coalesce(f, lit(false))
         val obs = Observation()
-        swapIn(spark,
+        commitRewrite(fs, spark,
           docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit), path)
         obs.get("deleted").asInstanceOf[Long]
     }
   }
 
-  /** Single-pass, crash-safe collection rewrite: materialize `df` (which
-    * reads the live `path`) into `path__new`, then swap via rename. Any
-    * failure while computing/writing `__new` leaves the collection intact;
-    * the swap itself is two atomic renames with a rollback on the second.
-    */
-  /** Crash recovery: a death between swapIn's two renames leaves the
-    * collection only at `path__old` (the fresh data still at `__new`).
-    * Restore `__old` as the live collection — the interrupted mutation
-    * reads as never-happened, not as an empty collection. `__new` is
-    * untrusted (possibly partial) and is reclaimed by the next swap.
-    */
-  private def recover(spark: SparkSession, path: String): Unit = {
-    val live = new Path(path)
-    val retired = new Path(path + "__old")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(retired) && !fs.rename(retired, live))
-      throw new java.io.IOException(s"docstore recover: cannot restore $retired")
+  // ---- generation machinery ---------------------------------------------
+
+  private def fileSystem(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genPath(path: String, id: Int): String =
+    f"$path/gen-$id%06d"
+
+  private def completeGens(fs: FileSystem, path: String): Seq[Int] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case GenName(id) if fs.exists(new Path(st.getPath, "_SUCCESS")) => Some(id.toInt)
+          case _ => None
+        }
+    }.flatten.sorted
   }
 
-  private def swapIn(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    val live = new Path(path)
-    val fresh = new Path(path + "__new")
-    val retired = new Path(path + "__old")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(fresh, true)
-    df.write.mode(SaveMode.Overwrite).json(fresh.toString)
-    fs.delete(retired, true)
-    if (!fs.rename(live, retired))
-      throw new java.io.IOException(s"docstore swap: cannot retire $live")
-    if (!fs.rename(fresh, live)) {
-      fs.rename(retired, live) // roll back so the collection stays readable
-      throw new java.io.IOException(s"docstore swap: cannot promote $fresh")
+  /** Resolve the live data directory.
+    *  - Manifest present -> the generation it names.
+    *  - Manifest missing but complete generations exist (crash landed
+    *    between manifest delete and rename) -> newest complete generation,
+    *    manifest rewritten.
+    *  - Neither -> the flat path itself: a legacy collection, or (with
+    *    `createIfMissing`) a brand-new one initialized at gen 1.
+    */
+  private def liveDir(fs: FileSystem, spark: SparkSession, path: String,
+                      createIfMissing: Boolean = false): String = {
+    readManifest(fs, path) match {
+      case Some(gen) => s"$path/$gen"
+      case None =>
+        val gens = completeGens(fs, path)
+        if (gens.nonEmpty) {
+          val live = genPath(path, gens.last)
+          writeManifest(fs, path, new Path(live).getName)
+          live
+        } else if (fs.exists(new Path(path)) || !createIfMissing) {
+          path // legacy flat layout (or a read of a nonexistent collection)
+        } else {
+          val first = genPath(path, 1)
+          fs.mkdirs(new Path(first))
+          fs.create(new Path(first, "_SUCCESS"), true).close()
+          writeManifest(fs, path, new Path(first).getName)
+          first
+        }
     }
-    fs.delete(retired, true)
-    ()
+  }
+
+  private def readManifest(fs: FileSystem, path: String): Option[String] = {
+    val m = new Path(path, Manifest)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val name = new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8).trim
+        if (name.nonEmpty) Some(name) else None
+      } finally in.close()
+    }
+  }
+
+  private def writeManifest(fs: FileSystem, path: String, gen: String): Unit = {
+    val tmp = new Path(path, Manifest + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes(UTF_8)) finally out.close()
+    val m = new Path(path, Manifest)
+    // HDFS-like rename refuses existing targets: delete-then-rename. A
+    // crash in the gap leaves NO manifest + complete generations, which
+    // liveDir resolves to the newest complete generation — never a loss.
+    fs.delete(m, false)
+    if (!fs.rename(tmp, m))
+      throw new java.io.IOException(s"docstore: cannot commit manifest for $path")
+  }
+
+  /** One-scan rewrite into the next generation, manifest commit, then
+    * cleanup. The PREVIOUS live generation survives one more mutation so
+    * concurrent readers' planned file lists stay valid; older generations
+    * and (post-migration) legacy flat files are reclaimed.
+    */
+  private def commitRewrite(fs: FileSystem, spark: SparkSession, df: DataFrame,
+                            path: String): Unit = {
+    val previous = readManifest(fs, path)
+    val gens = completeGens(fs, path)
+    val nextId = (gens.lastOption.getOrElse(0)) + 1
+    val next = genPath(path, nextId)
+    fs.delete(new Path(next), true)
+    df.write.mode(SaveMode.Overwrite).json(next)
+    writeManifest(fs, path, new Path(next).getName)
+    // reclaim: every complete generation older than the previous live one,
+    // plus legacy flat files once their content is generational
+    val keep = Set(Some(new Path(next).getName), previous).flatten
+    completeGens(fs, path).map(id => genPath(path, id))
+      .filterNot(p => keep.contains(new Path(p).getName))
+      .foreach(p => fs.delete(new Path(p), true))
+    if (previous.isEmpty || !previous.exists(_.startsWith("gen-"))) {
+      // migration from the flat layout: drop the old part files (dirs named
+      // gen-* and the manifest stay)
+      val root = new Path(path)
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        if (st.isFile && st.getPath.getName != Manifest)
+          fs.delete(st.getPath, false)
+      }
+    }
   }
 }

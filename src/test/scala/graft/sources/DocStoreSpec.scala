@@ -70,30 +70,53 @@ class DocStoreSpec extends SparkTestBase {
     assert(DocStore.find(spark, path).filter(col("status") === "done").count() == 3)
   }
 
-  test("a collection stranded at __old by an interrupted swap is recovered on read") {
+  test("legacy flat-directory collections read as-is and migrate on first rewrite") {
     val path = freshPath()
-    DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), path)
-    // simulate a crash between swapIn's two renames: live retired to
-    // __old, promotion of __new never happened
-    val dir = new java.io.File(path)
-    assert(dir.renameTo(new java.io.File(path + "__old")))
-    new java.io.File(path + "__new").mkdirs() // partial, untrusted output
-    val back = DocStore.find(spark, path)
-    assert(back.count() == 2) // NOT masked as an empty collection
-    // and mutations resume against the recovered data
+    // pre-manifest layout: JSON part files directly under the path
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "part-0.json"),
+      "{\"id\": 1, \"grp\": \"a\"}\n{\"id\": 2, \"grp\": \"b\"}".getBytes)
+    assert(DocStore.find(spark, path).count() == 2)
+    // first rewrite migrates to generations; data and semantics carry over
     assert(DocStore.deleteMany(spark, path, Some(col("grp") === "a")) == 1)
+    assert(new java.io.File(s"$path/_MANIFEST").exists())
+    assert(!new java.io.File(s"$path/part-0.json").exists()) // legacy reclaimed
     assert(DocStore.find(spark, path).select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
-  test("insertMany into a stranded collection restores it before appending") {
+  test("an interrupted manifest commit recovers to the newest complete generation") {
     val path = freshPath()
-    DocStore.insertMany(Seq((1L, "a")).toDF("id", "grp"), path)
-    // mid-swap crash state; the next operation is an APPEND — it must not
-    // recreate the live path and orphan the stranded docs
-    assert(new java.io.File(path).renameTo(new java.io.File(path + "__old")))
-    DocStore.insertMany(Seq((2L, "b")).toDF("id", "grp"), path)
-    assert(DocStore.find(spark, path).select("id").as[Long].collect().toSet == Set(1L, 2L))
-    assert(!new java.io.File(path + "__old").exists())
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), path)
+    DocStore.updateMany(spark, path, col("grp") === "a", Map("grp" -> lit("z")))
+    // crash window: manifest deleted, generations on disk — reads and
+    // mutations must resolve to the newest COMPLETE generation
+    assert(new java.io.File(s"$path/_MANIFEST").delete())
+    assert(DocStore.find(spark, path).filter(col("grp") === "z").count() == 1)
+    // an incomplete (no _SUCCESS) generation is never trusted
+    val partial = new java.io.File(s"$path/gen-000099")
+    partial.mkdirs()
+    java.nio.file.Files.write(partial.toPath.resolve("part-zzz.json"),
+      """{"id": 666, "grp": "junk"}""".getBytes)
+    assert(new java.io.File(s"$path/_MANIFEST").delete())
+    assert(DocStore.find(spark, path).filter(col("id") === 666).count() == 0)
+    // and appends keep working against the recovered generation
+    DocStore.insertMany(Seq((3L, "c")).toDF("id", "grp"), path)
+    assert(DocStore.find(spark, path).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+  }
+
+  test("concurrent readers keep a valid snapshot across one mutation") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), path)
+    // reader plans its scan (file list fixed at read time)...
+    val snapshot = DocStore.find(spark, path)
+    snapshot.count() // force planning against the pre-mutation generation
+    // ...a mutation commits a new generation...
+    assert(DocStore.deleteMany(spark, path, Some(col("grp") === "a")) == 1)
+    // ...and the reader's snapshot still collects (previous generation is
+    // retained for one mutation), while new reads see the new state
+    assert(snapshot.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(DocStore.find(spark, path).select("id").as[Long].collect().toSet == Set(2L))
   }
 
   test("a failure while materializing the rewrite leaves the collection intact") {

@@ -74,6 +74,31 @@ object DocStore {
       case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
     }
 
+  /** Complete (committed) generation ids still on disk, oldest first —
+    * the time-travel surface. How many survive is the mutations' `retain`.
+    */
+  def generations(spark: SparkSession, path: String): Seq[Int] =
+    completeGens(fileSystem(spark, path), path)
+
+  /** Time travel: read the collection as of a retained generation id
+    * (from [[generations]]). Fails loudly on a pruned or never-committed
+    * generation rather than returning wrong data.
+    */
+  def findAsOf(spark: SparkSession, path: String, generation: Int,
+               filter: Option[Column] = None): DataFrame = {
+    val fs = fileSystem(spark, path)
+    if (!completeGens(fs, path).contains(generation))
+      throw new IllegalArgumentException(
+        s"docstore: generation $generation of $path is not retained " +
+          s"(have: ${completeGens(fs, path).mkString(", ")})")
+    try {
+      val docs = spark.read.json(genPath(path, generation))
+      filter.fold(docs)(docs.filter)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
+    }
+  }
+
   /** $set-style conditional update; returns matched-document count. Fields
     * in `set` that don't exist yet are added (null for unmatched docs) —
     * document-store schema evolution. A new field keeps the $set value's
@@ -82,7 +107,7 @@ object DocStore {
     * numeric values to string under when/otherwise type widening).
     */
   def updateMany(spark: SparkSession, path: String, filter: Column,
-                 set: Map[String, Column]): Long = {
+                 set: Map[String, Column], retain: Int = 2): Long = {
     val fs = fileSystem(spark, path)
     val docs = spark.read.json(liveDir(fs, spark, path))
     val matched = coalesce(filter, lit(false))
@@ -96,7 +121,7 @@ object DocStore {
       if (d.columns.contains(k)) d.withColumn(k, when(matched, v).otherwise(col(k)))
       else d.withColumn(k, when(matched, v))
     }
-    commitRewrite(fs, spark, updated, path)
+    commitRewrite(fs, spark, updated, path, retain)
     obs.get("matched").asInstanceOf[Long]
   }
 
@@ -104,7 +129,7 @@ object DocStore {
     * Mongo query) is REFUSED while `deleteProtection` is on.
     */
   def deleteMany(spark: SparkSession, path: String, filter: Option[Column],
-                 deleteProtection: Boolean = true): Long = {
+                 deleteProtection: Boolean = true, retain: Int = 2): Long = {
     if (deleteProtection && filter.isEmpty) throw new DeleteProtectionException
     val fs = fileSystem(spark, path)
     val docs = spark.read.json(liveDir(fs, spark, path))
@@ -114,13 +139,14 @@ object DocStore {
         // optimizer prunes the scan (and any CollectMetrics on it) to an
         // empty LocalRelation — count directly, then commit emptiness.
         val n = docs.count()
-        commitRewrite(fs, spark, docs.filter(lit(false)), path)
+        commitRewrite(fs, spark, docs.filter(lit(false)), path, retain)
         n
       case Some(f) =>
         val hit = coalesce(f, lit(false))
         val obs = Observation()
         commitRewrite(fs, spark,
-          docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit), path)
+          docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit),
+          path, retain)
         obs.get("deleted").asInstanceOf[Long]
     }
   }
@@ -201,12 +227,14 @@ object DocStore {
   }
 
   /** One-scan rewrite into the next generation, manifest commit, then
-    * cleanup. The PREVIOUS live generation survives one more mutation so
-    * concurrent readers' planned file lists stay valid; older generations
-    * and (post-migration) legacy flat files are reclaimed.
+    * cleanup. The newest `retain` generations survive (the previous live
+    * one always does, so concurrent readers' planned file lists stay
+    * valid; retain > 2 buys [[findAsOf]] time travel further back); older
+    * generations and (post-migration) legacy flat files are reclaimed.
     */
   private def commitRewrite(fs: FileSystem, spark: SparkSession, df: DataFrame,
-                            path: String): Unit = {
+                            path: String, retain: Int = 2): Unit = {
+    require(retain >= 2, s"retain must keep the live + previous generation, got $retain")
     val previous = readManifest(fs, path)
     val gens = completeGens(fs, path)
     val nextId = (gens.lastOption.getOrElse(0)) + 1
@@ -214,10 +242,9 @@ object DocStore {
     fs.delete(new Path(next), true)
     df.write.mode(SaveMode.Overwrite).json(next)
     writeManifest(fs, path, new Path(next).getName)
-    // reclaim: every complete generation older than the previous live one,
-    // plus legacy flat files once their content is generational
-    val keep = Set(Some(new Path(next).getName), previous).flatten
-    completeGens(fs, path).map(id => genPath(path, id))
+    val all = completeGens(fs, path)
+    val keep = all.takeRight(retain).map(id => f"gen-$id%06d").toSet ++ previous
+    all.map(id => genPath(path, id))
       .filterNot(p => keep.contains(new Path(p).getName))
       .foreach(p => fs.delete(new Path(p), true))
     if (previous.isEmpty || !previous.exists(_.startsWith("gen-"))) {

@@ -132,6 +132,26 @@ class DocStoreSpec extends SparkTestBase {
     assert(after.select("v").as[Double].collect().toSeq == Seq(1.0, 2.0))
   }
 
+  test("time travel: retained generations read as-of, pruned ones fail loudly") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "v0"), (2L, "v0")).toDF("id", "state"), path)
+    DocStore.updateMany(spark, path, col("id") === 1, Map("state" -> lit("v1")), retain = 3)
+    DocStore.updateMany(spark, path, col("id") === 2, Map("state" -> lit("v2")), retain = 3)
+    val gens = DocStore.generations(spark, path)
+    assert(gens.size == 3) // insert gen + two retained rewrites
+    // oldest retained generation still shows the pre-update world
+    assert(DocStore.findAsOf(spark, path, gens.head)
+      .filter(col("state") === "v0").count() == 2)
+    assert(DocStore.findAsOf(spark, path, gens(1))
+      .filter(col("state") === "v1").count() == 1)
+    // default retention (2) prunes history on the next mutation
+    DocStore.updateMany(spark, path, col("id") === 1, Map("state" -> lit("v3")))
+    assert(DocStore.generations(spark, path).size == 2)
+    intercept[IllegalArgumentException] { DocStore.findAsOf(spark, path, gens.head) }
+    // live view unaffected throughout
+    assert(DocStore.find(spark, path).filter(col("state") === "v3").count() == 1)
+  }
+
   test("deleteMany refuses the empty query unless protection is off") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), path)

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Redact
+import Registry._
+
+/** Corpus-preparation operators a training-data pipeline needs beyond
+  * dedup/similarity: repetition metrics, PII redaction, deterministic
+  * sampling, sequence packing, benchmark decontamination, plus exact
+  * percentiles and a range join on the relational side.
+  *
+  * Everything is expression-only and scan-shaped except where a shuffle is
+  * semantically required (stratified window, packing window, decontam join);
+  * the decontamination join broadcasts the benchmark side — at 100 TB the
+  * corpus streams once, the benchmark n-gram set rides with the executors.
+  */
+object Corpus {
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    split(lower(trim(c)), "\\s+")
+
+  val defs: Seq[(String, Entry)] = Seq(
+
+    // ---- Gopher-style repetition metrics: duplicate-bigram fraction and
+    //      most-frequent-token share. Ratios are integer/integer double
+    //      divisions (bit-exact cross-engine), never rounded.
+    "t8_repetition" -> withOracle(
+      (s, d) => {
+        val t = toks(col("text"))
+        val bg = transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+        val topTok = array_max(transform(array_distinct(t),
+          x => size(filter(t, y => y === x))))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(t).as("n_tokens"),
+            (lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg))
+              .as("dup_bigram_ratio"),
+            (topTok.cast("double") / size(t)).as("top_token_ratio"))
+          .orderBy("doc_id")
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t,
+        |         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+        |  FROM tk)
+        |SELECT doc_id,
+        |       CAST(len(t) AS INTEGER) AS n_tokens,
+        |       1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_ratio,
+        |       CAST(list_max(list_transform(list_distinct(t),
+        |              x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t)
+        |         AS top_token_ratio
+        |FROM bg ORDER BY doc_id""".stripMargin),
+
+    // ---- PII redaction. The synthetic corpus carries no PII, so the query
+    //      plants a deterministic email/IP/phone per doc (same construction
+    //      in the oracle) and the redaction rules must scrub all three.
+    "pii1_redact" -> withOracle(
+      (s, d) => {
+        val planted = concat(col("text"),
+          lit(" contact "), col("source"), lit("@example.com ip 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 tel 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), Redact.pii(planted).as("clean"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact ' || source || '@example.com ip 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-01' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- deterministic hash sampling: md5 of the key, keep 3/16 of the
+    //      space. Reproducible on any engine, no RNG state, scan-shaped —
+    //      the canonical way to cut a stable subsample from 100 TB.
+    "smp1_hash_sample" -> withOracle(
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+            .isin("0", "1", "2"))
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id"),
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- stratified sampling: fixed quota per language, ranked by key
+    //      hash so the pick is deterministic and uniform within stratum.
+    "smp2_stratified" -> withOracle(
+      (s, d) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select("lang", "rk", "doc_id")
+          .orderBy("lang", "rk")
+      },
+      """SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id
+        |FROM (SELECT lang, doc_id,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin),
+
+    // ---- sequence packing: greedy contiguous fill of 4096-char bins per
+    //      language stratum (docs in key order; a doc lands in the bin its
+    //      preceding chars have filled). One window per stratum — packing
+    //      parallelizes across strata, and within a stratum the running sum
+    //      is the only sequential state. Bins may overflow by at most the
+    //      last doc (pinned in CorpusSpec).
+    "pk1_pack" -> withOracle(
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .withColumn("cum", sum("n_chars").over(w))
+          .withColumn("bin", expr("(cum - n_chars) div 4096"))
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+          .orderBy("lang", "bin")
+      },
+      """WITH c AS (
+        |  SELECT lang, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT lang, CAST((cum - n_chars) // 4096 AS BIGINT) AS bin,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
+
+    // ---- benchmark decontamination: drop corpus docs sharing any trigram
+    //      with the held-out set (doc_id % 97 == 0 plays the benchmark).
+    //      The benchmark trigram set is broadcast; the corpus streams once.
+    "dc1_decontam" -> withOracle(
+      (s, d) => {
+        val t = toks(col("text"))
+        val tri = when(size(t) >= 3,
+          array_distinct(transform(sequence(lit(1), size(t) - 2),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+              element_at(t, i + 2)))))
+          .otherwise(array().cast("array<string>"))
+        val withTri = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), tri.as("tri"))
+        val bench = withTri.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("tri")).as("g")).distinct()
+        val corpus = withTri.filter(col("doc_id") % 97 =!= 0)
+        val contaminated = corpus.select(col("doc_id"), explode(col("tri")).as("g"))
+          .join(broadcast(bench), Seq("g"))
+          .select("doc_id").distinct()
+        corpus.join(contaminated, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      """WITH tri AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tri
+        |  FROM (SELECT doc_id, lang,
+        |               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |        FROM documents)),
+        |bench AS (
+        |  SELECT DISTINCT g
+        |  FROM (SELECT unnest(tri) AS g FROM tri WHERE doc_id % 97 = 0)),
+        |bad AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(tri) AS g FROM tri WHERE doc_id % 97 <> 0) c
+        |  JOIN bench USING (g))
+        |SELECT doc_id, lang FROM tri
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- exact percentiles per group. l_quantity is integral and the
+    //      quarter-grid fractions are exact in binary, so linear
+    //      interpolation is bit-identical whatever the engine's formula
+    //      order — no rounding needed or allowed.
+    "a12_percentile" -> withOracle(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+               percentile(col("l_quantity"), lit(0.5)).as("p50"),
+               percentile(col("l_quantity"), lit(0.75)).as("p75"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5)  AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- range join: non-equi banding of a fact column against a tiny
+    //      boundary table. The bucket side is broadcast (nested-loop join
+    //      against 3 rows — the only sane plan for a non-equi join at
+    //      100 TB: fact streams, bounds ride along). Double sums stay exact
+    //      because quantities are small integers.
+    "j9_range_bucket" -> withOracle(
+      (s, d) => {
+        import s.implicits._
+        val buckets = Seq((1L, 10L, "low"), (11L, 25L, "mid"), (26L, 50L, "high"))
+          .toDF("lo", "hi", "label")
+        Tables.lineitem(s, d)
+          .join(broadcast(buckets),
+            col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+          .orderBy("label")
+      },
+      """SELECT label, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem l
+        |JOIN (VALUES (1, 10, 'low'), (11, 25, 'mid'), (26, 50, 'high'))
+        |  b(lo, hi, label)
+        |ON l.l_quantity >= lo AND l.l_quantity <= hi
+        |GROUP BY label ORDER BY label""".stripMargin)
+  )
+}

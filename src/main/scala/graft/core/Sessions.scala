@@ -35,6 +35,15 @@ object Sessions {
         sys.props.getOrElse("java.io.tmpdir", "/tmp") +
           s"/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.sql.streaming.schemaInference", "false")
+      // InferFiltersFromGenerate turns explode(expr) into a size(expr)>0
+      // filter that predicate pushdown then re-substitutes below every
+      // projection — for a computed n-gram array this re-inlines the
+      // tokenizer into an interpreted higher-order filter at the scan
+      // (measured 9 s single-threaded vs 0.3 s without, sf0.1 dc1). The
+      // inferred filter is semantically redundant for outer=false explode
+      // (empty arrays yield no rows either way), so drop the rule.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   /** Local session with N executor threads (test/bench harness). Custom

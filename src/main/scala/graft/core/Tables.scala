@@ -31,4 +31,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Rebalance a scan whose split count is below the cluster's parallelism
+    * before CPU-heavy per-row work (interpreted higher-order lambdas,
+    * generators). A small parquet file is one row-group = one partition =
+    * one thread no matter how many cores exist; at real scale the scan has
+    * thousands of splits and this is a no-op — the condition makes the
+    * shuffle pay only when the input is pathologically under-split.
+    * (`.rdd.getNumPartitions` plans the scan but runs no job.)
+    */
+  def spreadForCpu(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -25,21 +25,27 @@ import graft.functions.functions.minhash_sig
   */
 object MinHashDedup {
 
-  /** Word-level k-shingles, distinct, lowercased. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+  /** Word-level k-shingles over an already-materialized token array.
+    * The lambda body reads the array per element (`slice(toks, i+1, k)`),
+    * and higher-order functions evaluate interpreted with no subexpression
+    * elimination — so the tokenizer MUST be staged in its own projection
+    * first or it re-runs per shingle (O(n^2) in document length). Use
+    * `shingleSets` for the staged two-projection form.
+    */
+  def shingles(toks: Column, k: Int): Column =
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
           i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
         s => s =!= ""))
-  }
 
-  /** (id, shingle-set) projection — compute once, cache, feed both the
+  /** (id, shingle-set) projection — tokenize in one projection, shingle in
+    * the next (see `shingles`), compute once, cache, feed both the
     * signature and the verify stages.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .select(col(idCol), shingles(col("__toks"), k).as("sh"))
 
   /** doc_id, band, band_hash — the LSH shuffle keys.
     *

@@ -92,4 +92,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
+
+  test("dc1 decontam: no inferred generate-filter re-inlines the tokenizer at the scan") {
+    // InferFiltersFromGenerate is excluded in Sessions: with it, explode of
+    // a computed n-gram array grows a size(transform(...split...))>0 filter
+    // below the projections — interpreted, O(n^2), at the scan (9 s vs
+    // 0.3 s at sf0.1). Pin both the exclusion and the broadcast bench side.
+    val p = plan01("dc1_decontam")
+    val filterLines = p.linesIterator.filter(_.contains("Filter ")).toSeq
+    assert(!filterLines.exists(l => l.contains("transform(") && l.contains("split(")),
+      s"tokenizer re-inlined into a filter:\n${filterLines.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -133,7 +133,8 @@ class MinHashDedupSpec extends SparkTestBase {
 
   test("shingles are distinct word k-grams") {
     val sh = corpus.filter(col("doc_id") === 1)
-      .select(MinHashDedup.shingles(col("text"), 3).as("sh"))
+      .select(split(lower(trim(col("text"))), "\\s+").as("t"))
+      .select(MinHashDedup.shingles(col("t"), 3).as("sh"))
       .head().getSeq[String](0)
     assert(sh.contains("the quick brown") && sh.distinct.size == sh.size)
   }

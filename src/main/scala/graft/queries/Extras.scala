@@ -12,9 +12,11 @@ import Registry._
   * unified semantics, exercised end-to-end).
   */
 object StreamingQuery {
-  def hourly(s: org.apache.spark.sql.SparkSession, d: String)
+  /** Stage events.parquet into a per-source landing directory and open it
+    * as a file stream (shared by every st* query).
+    */
+  private def streamEvents(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    import graft.core.Tables
     val batchSchema = s.read.parquet(s"$d/events.parquet").schema
     // file-stream sources require a DIRECTORY; stage the single parquet
     // file into one (simulates the landing-directory layout of a real
@@ -40,10 +42,14 @@ object StreamingQuery {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
     val raw = s.readStream.schema(batchSchema).parquet(stage.toString)
-    val events =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  def hourly(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val events = streamEvents(s, d)
     val name = "st1_out"
     val q = graft.streaming.Streams.windowedCounts(events, watermark = "1 minute")
       .writeStream.outputMode("complete").format("memory").queryName(name).start()
@@ -53,6 +59,25 @@ object StreamingQuery {
         col("event_type"), col("cnt"), col("value_sum"))
       .orderBy("hour", "event_type")
       // materialize before the memory sink table goes away with the query
+      .localCheckpoint(true)
+  }
+
+  /** Streaming cross-batch dedup (dropDuplicatesWithinWatermark) drained to
+    * completion: the retained row per key is arrival-order-dependent, so
+    * only the KEY columns are emitted — making the result exactly the batch
+    * DISTINCT of the key pair, which the oracle states.
+    */
+  def dedupPairs(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val events = streamEvents(s, d)
+    val name = "st2_out"
+    val q = graft.streaming.Streams
+      .dedupStream(events, Seq("user_id", "event_type"), watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select("user_id", "event_type")
+      .orderBy("user_id", "event_type")
       .localCheckpoint(true)
   }
 }
@@ -362,6 +387,14 @@ object Extras {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ---- streaming cross-batch dedup must equal the batch DISTINCT of the
+    //      dedup key on identical data (keys only: the retained row per key
+    //      is arrival-order-dependent by contract)
+    "st2_stream_dedup" -> withOracle(
+      (s, d) => StreamingQuery.dedupPairs(s, d),
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin),
 
     // ---- edit distance (text-similarity scalar; same DP definition in
     //      both engines)

@@ -108,6 +108,24 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Training-data shard export: range-partition by `orderCol` into
+    * `shards` sorted shards, each file capped at `maxRecordsPerFile` rows.
+    * Range partitioning makes shard boundaries globally ordered (every key
+    * in shard i precedes shard i+1), so a training loader can stream the
+    * directory in filename order and see one global order — and the
+    * per-file cap keeps individual files loader-friendly no matter how
+    * skewed the range sampling lands. At 100 TB this is one shuffle
+    * (range exchange with sampled bounds), then parallel sorted writes.
+    */
+  def writeSharded(df: DataFrame, path: String, orderCol: String, shards: Int,
+                   maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.repartitionByRange(shards, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(path)
+  }
+
   /** K5: join-based conditional update replacing the reference's row-wise
     * UPDATE loops (/root/reference/dags/CotyData_IPN.py:713-715): rows in
     * `target` matching `updates` on `keys` take the update's values.

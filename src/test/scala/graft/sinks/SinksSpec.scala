@@ -96,6 +96,30 @@ class SinksSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 20)
   }
 
+  test("writeSharded: ordered non-overlapping shards, per-file row cap, rows preserved") {
+    val dir = tmp() + "/shards"
+    val df = graft.core.Tables.documents(spark, sf001).select("doc_id", "text")
+    val total = df.count()
+    Sinks.writeSharded(df, dir, "doc_id", shards = 4, maxRecordsPerFile = 10L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 4, s"expected >=4 shard files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+      assert(r.getLong(2) <= 10L, s"$f exceeds maxRecordsPerFile: ${r.getLong(2)}")
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(spark.read.parquet(dir).count() == total)
+    // part files sort into global key order: every file's min exceeds the
+    // previous file's max (range partitioning + sortWithinPartitions + cap
+    // splitting preserve order within and across files)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: $hi >= $lo")
+      case _ =>
+    }
+  }
+
   test("jdbc batch sizing mirrors the 2100-parameter rule") {
     import graft.sources.Jdbc
     assert(Jdbc.batchSizeFor(2) == 1000)  // capped

@@ -46,5 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => RhpSig(args.head,
         intArg(args(1), "numPlanes"),
         if (args.length > 2) longArg(args(2), "seed") else 42L)))
+
+    ext.injectFunction((FunctionIdentifier("ngrams"),
+      info("ngrams", "ngrams(tokens, n[, distinct]) - space-joined word n-grams"),
+      (args: Seq[Expression]) => Ngrams(args.head,
+        intArg(args(1), "n"),
+        if (args.length > 2) args(2) match {
+          case Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"distinct must be a boolean literal, got $other")
+        } else false)))
   }
 }

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static text kernels invoked from generated code (see expressions.scala).
+  *
+  * Word n-gram generation lived as composed higher-order functions
+  * (`transform(sequence(...), i -> concat_ws(element_at...))`) first; those
+  * evaluate interpreted, re-evaluate per-element children, and sit outside
+  * whole-stage codegen. This kernel is one tight loop per row.
+  */
+object TextImpls {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Space-joined word n-grams of a token array. Null tokens are skipped
+    * inside a gram (concat_ws semantics); arrays shorter than `n` yield an
+    * empty result; `distinct` keeps first occurrences in order
+    * (array_distinct semantics).
+    */
+  def ngrams(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val words = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      words(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](cnt - n + 1)
+    val gram = new Array[UTF8String](n)
+    var k = 0
+    while (k <= cnt - n) {
+      var j = 0
+      while (j < n) { gram(j) = words(k + j); j += 1 }
+      out(k) = UTF8String.concatWs(Space, gram: _*)
+      k += 1
+    }
+    if (!distinct) new GenericArrayData(out)
+    else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var m = 0
+      while (m < out.length) { seen.add(out(m).asInstanceOf[UTF8String]); m += 1 }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    }
+  }
+}

@@ -83,6 +83,28 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Word n-grams of a token array as one codegen'd kernel. The composed
+  * higher-order form (`transform(sequence(1, size-n+1), i ->
+  * concat_ws(" ", element_at(t, i), ...))`) evaluates interpreted, and a
+  * lambda body referencing the array per element re-evaluates the child
+  * expression each time — this expression replaces that shape in the
+  * n-gram dedup/decontamination paths (null-token skipping matches
+  * concat_ws; `distinct` matches array_distinct's keep-first).
+  */
+case class Ngrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpls.ngrams(input.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextImpls.ngrams($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API. */
 object functions {
   private def expr(c: Column): Expression = GraftShims.expression(c)
@@ -104,4 +126,8 @@ object functions {
     * (XOR + bit_count), codegen'd.
     */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Space-joined word n-grams of a token array, codegen'd. */
+  def ngrams(tokens: Column, n: Int, distinct: Boolean = false): Column =
+    toCol(Ngrams(expr(tokens), n, distinct))
 }

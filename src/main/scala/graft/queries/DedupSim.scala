@@ -100,13 +100,12 @@ object DedupSim {
     //      the exact-verify kernel of the near-dup path, oracle-checkable
     "t5_bigram_jaccard" -> withOracle(
       (s, d) => {
-        // token array staged in its own projection: a lambda body reading
-        // the array via element_at re-evaluates its child per element in
-        // interpreted higher-order eval — inlining the split is O(n^2)
+        // codegen'd n-gram kernel (graft.functions.Ngrams) — the composed
+        // higher-order form was interpreted and re-evaluated the tokenizer
+        // per element
         val docs = Tables.documents(s, d)
-          .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
-        val bigrams = array_distinct(transform(sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        val bigrams = graft.functions.functions.ngrams(
+          split(lower(trim(col("text"))), "\\s+"), 2, distinct = true)
         val a = docs.select(col("doc_id"), bigrams.as("bg_a"))
         val b = docs.select((col("doc_id") - 1).as("doc_id"), bigrams.as("bg_b"))
         a.join(b, Seq("doc_id"))

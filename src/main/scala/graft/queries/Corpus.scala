@@ -184,6 +184,51 @@ object Corpus {
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- corpus vocabulary: token frequency top-50 with deterministic
+    //      tie-break — the classic shuffle-heavy word count. Partial
+    //      (map-side) aggregation means executors ship one partial count
+    //      per distinct token per partition, not one row per token
+    //      occurrence; at 100 TB the shuffle carries the vocabulary, not
+    //      the corpus.
+    "t9_vocab" -> withOracle(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(50),
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin),
+
+    // ---- document-length histogram (50-char bins): the profiling shape a
+    //      corpus dashboard needs; integer bucketing, no rounding anywhere
+    "q3_histogram" -> withOracle(
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(expr("n_chars div 50").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+               min("n_chars").as("lo"), max("n_chars").as("hi"))
+          .orderBy("bucket"),
+      """SELECT n_chars // 50 AS bucket, count(*) AS n_docs,
+        |       min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- approximate percentile (t-digest style sketch): the scale path
+    //      for quantiles when exact percentile's full sort-per-group is too
+    //      expensive. Sketch internals are engine-specific by design —
+    //      rows-only in the gate; CorpusSpec bounds it against the exact
+    //      quarter-grid values of a12.
+    "a13_approx_quantile" -> rowsOnly(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"))
+          .orderBy("l_returnflag")),
+
     // ---- exact percentiles per group. l_quantity is integral and the
     //      quarter-grid fractions are exact in binary, so linear
     //      interpolation is bit-identical whatever the engine's formula

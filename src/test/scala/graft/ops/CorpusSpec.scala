@@ -126,6 +126,17 @@ class CorpusSpec extends SparkTestBase {
            rows.head.getDouble(3) == q(0.75))
   }
 
+  test("a13_approx_quantile stays within 2% of the exact p50 (a12)") {
+    val exact = graft.SparkEntry.queries("a12_percentile")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    graft.SparkEntry.queries("a13_approx_quantile")(spark, sf001)
+      .collect().foreach { r =>
+        val (flag, approx) = (r.getString(0), r.getDouble(1))
+        val e = exact(flag)
+        assert(math.abs(approx - e) / e <= 0.02, s"$flag: approx=$approx exact=$e")
+      }
+  }
+
   test("j9_range_bucket partitions every lineitem row exactly once") {
     val rows = graft.SparkEntry.queries("j9_range_bucket")(spark, sf001).collect()
     val banded = rows.map(_.getLong(1)).sum

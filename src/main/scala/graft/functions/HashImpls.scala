@@ -106,6 +106,114 @@ object HashImpls {
     best.toLong
   }
 
+  /** Copy an embedding into a unit-normalized double[] (zero vectors pass
+    * through unscaled). PQ kernels normalize INSIDE the kernel so corpus
+    * encoding and query LUTs can never disagree about scaling.
+    */
+  def toUnit(emb: ArrayData, isFloat: Boolean): Array[Double] = {
+    val d = emb.numElements()
+    val v = new Array[Double](d)
+    var ss = 0.0
+    var i = 0
+    while (i < d) {
+      val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      v(i) = x; ss += x * x; i += 1
+    }
+    val n = math.sqrt(ss)
+    if (n > 0.0) { i = 0; while (i < d) { v(i) /= n; i += 1 } }
+    v
+  }
+
+  /** Product-quantization encode: per-subspace nearest codebook centroid
+    * (squared L2 on the unit-normalized vector; ties keep the lowest code).
+    * codebooks(s)(c) is the subdim-length centroid c of subspace s; the
+    * result is one byte per subspace — the compressed representation a
+    * 100 TB embedding store scans instead of raw floats.
+    */
+  def pqEncode(emb: ArrayData, codebooks: Array[Array[Array[Double]]],
+               isFloat: Boolean): ArrayData = {
+    val v = toUnit(emb, isFloat)
+    val m = codebooks.length
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val sub = codebooks(s)
+      val subdim = sub(0).length
+      val off = s * subdim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < sub.length) {
+        val cent = sub(c)
+        var dist = 0.0
+        var j = 0
+        while (j < subdim) {
+          val x = if (off + j < v.length) v(off + j) else 0.0
+          val diff = x - cent(j)
+          dist += diff * diff
+          j += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance lookup table for one query: m*k squared L2
+    * distances from each query subvector to each codebook centroid, laid
+    * out [s*k + c]. Computed ONCE per query (O(k*dim)); scoring a candidate
+    * is then m array reads ([[pqAdc]]).
+    */
+  def pqLut(emb: ArrayData, codebooks: Array[Array[Array[Double]]],
+            isFloat: Boolean): ArrayData = {
+    val v = toUnit(emb, isFloat)
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val lut = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val sub = codebooks(s)
+      val subdim = sub(0).length
+      val off = s * subdim
+      var c = 0
+      while (c < k) {
+        val cent = sub(c)
+        var dist = 0.0
+        var j = 0
+        while (j < subdim) {
+          val x = if (off + j < v.length) v(off + j) else 0.0
+          val diff = x - cent(j)
+          dist += diff * diff
+          j += 1
+        }
+        lut(s * k + c) = dist
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  /** Asymmetric distance: sum of per-subspace LUT entries selected by the
+    * candidate's codes. k is implied by the layout (lut.length / codes
+    * .length). The per-candidate cost is m reads — the reason PQ scans
+    * sustain billions of comparisons.
+    */
+  def pqAdc(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    val k = lut.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getDouble(s * k + (codes.getByte(s) & 0xff))
+      s += 1
+    }
+    acc
+  }
+
   /** Random-hyperplane LSH signature over a float embedding: bit p is the
     * sign of dot(w_p, x) with w_p[i] = ±1 derived from splitmix64(seed,p,i).
     * numPlanes <= 64; the result packs into one long (cheap shuffle key).

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShims
@@ -83,6 +83,69 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Product-quantization encode: array<float|double> embedding → one byte
+  * per subspace (nearest codebook centroid by squared L2 on the
+  * unit-normalized vector). The codebook matrix is model state
+  * (m x k x subdim doubles, small by construction) riding into generated
+  * code via `addReferenceObj`, like [[NearestCell]]'s centroids.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty, "codebooks must be non-empty")
+  require(codebooks.head.length <= 256, "at most 256 codes per subspace (one byte)")
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.pqEncode(input.asInstanceOf[ArrayData], codebooks, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashImpls.pqEncode($c, $ref, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: m*k squared L2 distances from the query's
+  * unit-normalized subvectors to every codebook centroid, laid out
+  * [s*k + c]. Evaluated once per query row; candidates then score in m
+  * array reads via [[PqAdc]].
+  */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty, "codebooks must be non-empty")
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.pqLut(input.asInstanceOf[ArrayData], codebooks, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashImpls.pqLut($c, $ref, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric PQ distance between a code array and a query LUT — the
+  * codegen'd inner loop of the compressed ANN scan.
+  */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    HashImpls.pqAdc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.functions.HashImpls.pqAdc($c, $l)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Word n-grams of a token array as one codegen'd kernel. The composed
   * higher-order form (`transform(sequence(1, size-n+1), i ->
   * concat_ws(" ", element_at(t, i), ...))`) evaluates interpreted, and a
@@ -130,4 +193,16 @@ object functions {
   /** Space-joined word n-grams of a token array, codegen'd. */
   def ngrams(tokens: Column, n: Int, distinct: Boolean = false): Column =
     toCol(Ngrams(expr(tokens), n, distinct))
+
+  /** PQ codes (one byte per subspace) for an embedding, codegen'd. */
+  def pq_encode(embedding: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    toCol(PqEncode(expr(embedding), codebooks))
+
+  /** PQ asymmetric-distance lookup table for a query embedding, codegen'd. */
+  def pq_lut(embedding: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    toCol(PqLut(expr(embedding), codebooks))
+
+  /** Asymmetric PQ distance of a code array against a query LUT, codegen'd. */
+  def pq_adc(codes: Column, lut: Column): Column =
+    toCol(PqAdc(expr(codes), expr(lut)))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.dedup.{MinHashDedup, SimHashDedup}
-import graft.sim.Ann
+import graft.sim.{Ann, Pq}
 import Registry._
 
 /** Near-dup dedup / similarity-search coverage (brief: training-data
@@ -141,6 +141,16 @@ object DedupSim {
         val emb = Tables.embeddings(s, d)
         Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
             nCells = 16, nProbe = 4)
+          .select("q_id", "rk", "vec_id")
+          .orderBy("q_id", "rk")
+      }),
+
+    // ---- product-quantization ANN: 8-byte codes + ADC scan + exact
+    //      refine (recall vs e1_knn_brute pinned in PqSpec)
+    "e5_ann_pq" -> rowsOnly(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
           .select("q_id", "rk", "vec_id")
           .orderBy("q_id", "rk")
       }),

@@ -1,0 +1,88 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class PqSpec extends SparkTestBase {
+
+  private lazy val emb = graft.core.Tables.embeddings(spark, sf001)
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  private def unit(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n > 0.0) v.map(_ / n) else v
+  }
+
+  test("codes are m bytes, in [0,k), and invariant to partitioning") {
+    val model = Pq.fitPq(emb, m = 16, k = 32, iters = 1)
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      Pq.encodeCorpus(model, df).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val a = codesOf(emb.repartition(7))
+    val b = codesOf(emb.repartition(2, col("vec_id")))
+    assert(a == b)
+    assert(a.values.forall(c => c.length == 16 && c.forall(x => x >= 0 && x < 32)))
+  }
+
+  test("ADC distance matches a driver-side recomputation from the codebooks") {
+    val model = Pq.fitPq(emb, m = 16, k = 32, iters = 2)
+    val q = unit(emb.filter(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0))
+    val lutRow = emb.filter(col("vec_id") === 3L)
+      .select(graft.functions.functions.pq_lut(col("embedding"), model.codebooks).as("lut"))
+    val viaSpark = Pq.encodeCorpus(model, emb.filter(col("vec_id") < 30))
+      .crossJoin(broadcast(lutRow))
+      .select(col("vec_id"),
+        graft.functions.functions.pq_adc(col("codes"), col("lut")).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val codes = Pq.encodeCorpus(model, emb.filter(col("vec_id") < 30))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val subdim = model.subdim
+    codes.foreach { case (id, cs) =>
+      val expected = cs.zipWithIndex.map { case (c, s) =>
+        val cent = model.codebooks(s)(c & 0xff)
+        (0 until subdim).map { j =>
+          val x = q(s * subdim + j) - cent(j); x * x
+        }.sum
+      }.sum
+      assert(math.abs(viaSpark(id) - expected) < 1e-9, s"vec $id")
+    }
+  }
+
+  test("pqTopK recall@10 >= 0.85 vs brute force on the labeled corpus") {
+    val k = 10
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(r.fieldIndex("q_id")),
+                             r.getLong(r.fieldIndex("vec_id"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = asMap(Ann.bruteForceTopK(emb, queries, k))
+    val pq = asMap(Pq.pqTopK(emb, queries, k, candPool = 50))
+    val recalls = exact.map { case (q, e) =>
+      pq.get(q).map(p => (p & e).size.toDouble / e.size).getOrElse(0.0)
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.85, s"recall@$k = $recall")
+  }
+
+  test("refined results carry exact cosines (top rank agrees with brute force)") {
+    val pq = Pq.pqTopK(emb, queries, k = 1, candPool = 100)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val exact = Ann.bruteForceTopK(emb, queries, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // with a candidate pool 1/5 of the corpus the true nearest neighbor
+    // should survive ADC for nearly every query; require >= 8/10 and exact
+    // cosine equality whenever it does
+    val agree = exact.count { case (q, (id, cos)) =>
+      pq.get(q).exists { case (pid, pcos) => pid == id && math.abs(pcos - cos) < 1e-12 }
+    }
+    assert(agree >= 8, s"top-1 agreement $agree/10")
+  }
+
+  test("compression: 64-dim float32 (256 B) -> 16-byte codes") {
+    val model = Pq.fitPq(emb, m = 16, k = 32, iters = 1)
+    assert(model.m == 16 && model.k == 32 && model.subdim == 4)
+    val c = Pq.encodeCorpus(model, emb).head().getSeq[Byte](1)
+    assert(c.length * 16 == 64 * 4)
+  }
+}

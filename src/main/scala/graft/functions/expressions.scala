@@ -146,6 +146,29 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = newLeft, right = newRight)
 }
 
+/** Bloom-filter membership probe against a pre-built
+  * `org.apache.spark.util.sketch.BloomFilter` (Spark's public sketch API;
+  * `DataFrameStatFunctions.bloomFilter` builds it distributed). The filter
+  * rides into generated code via `addReferenceObj` like the PQ codebooks;
+  * false positives are possible by contract, false negatives are not —
+  * callers MUST re-verify with an exact join. Long keys only (join keys).
+  */
+case class BloomMightContain(child: Expression,
+                             filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Word n-grams of a token array as one codegen'd kernel. The composed
   * higher-order form (`transform(sequence(1, size-n+1), i ->
   * concat_ws(" ", element_at(t, i), ...))`) evaluates interpreted, and a
@@ -205,4 +228,9 @@ object functions {
   /** Asymmetric PQ distance of a code array against a query LUT, codegen'd. */
   def pq_adc(codes: Column, lut: Column): Column =
     toCol(PqAdc(expr(codes), expr(lut)))
+
+  /** Bloom-filter membership probe (long keys), codegen'd. */
+  def bloom_might_contain(key: Column,
+                          filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    toCol(BloomMightContain(expr(key), filter))
 }

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.functions.bloom_might_contain
+
+/** Bloom-pruned semi-join — the shuffle-volume pattern for the key-set
+  * size band where a broadcast hash join stops fitting but a bit-sketch
+  * still does (100M dim keys ≈ gigabytes as a hash table, ~120 MB as a
+  * 1%-FPP Bloom filter). The fact side drops non-matching rows AT THE
+  * SCAN, before the shuffle, so the exchange carries the matching
+  * fraction plus the false-positive rate instead of the whole table; the
+  * exact join afterwards removes the false positives, so the RESULT is
+  * exact (gate-oracled against a plain IN-subquery).
+  *
+  * This generalizes the reference's filter-then-join habit
+  * (/root/reference/dags/Funciones_CotyData.py:200-231 filters pandas
+  * frames before merging) to a size regime pandas never reaches.
+  *
+  * The filter builds distributed via Spark's public sketch aggregate
+  * (`DataFrameStatFunctions.bloomFilter`), and the probe is the codegen'd
+  * [[graft.functions.BloomMightContain]] expression, so the prune stays
+  * inside whole-stage codegen on the scan.
+  */
+object BloomJoin {
+
+  /** Exact semi-join of `fact` against `keys`, Bloom-pruned before the
+    * shuffle. `expectedKeys`/`fpp` size the sketch; an undersized
+    * `expectedKeys` only degrades pruning (more false positives survive
+    * to the exact join), never correctness.
+    */
+  def bloomSemiJoin(fact: DataFrame, keys: DataFrame,
+                    factKey: String, keyCol: String,
+                    expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    fact.filter(bloom_might_contain(col(factKey), bf))
+      .join(keys.select(col(keyCol).as(factKey)).distinct(), Seq(factKey), "left_semi")
+  }
+
+  /** The pruned-but-unverified frame (false positives included) — exposed
+    * so tests can assert the prune actually dropped rows at the scan.
+    */
+  def bloomPruned(fact: DataFrame, keys: DataFrame,
+                  factKey: String, keyCol: String,
+                  expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    fact.filter(bloom_might_contain(col(factKey), bf))
+  }
+}

@@ -184,6 +184,31 @@ object Corpus {
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- duplicated-substring spans (Lee et al. suffix-array dedup
+    //      signal, shingle-approximated): per-doc fraction of 5-token
+    //      spans that recur anywhere in the corpus. The gate runs the
+    //      PRODUCTION path (xxhash64 shingle keys — 8-byte shuffle
+    //      payload); the oracle groups by the gram string, so a 64-bit
+    //      collision would surface as a hash mismatch here.
+    "sd1_dup_spans" -> withOracle(
+      (s, d) =>
+        graft.dedup.SpanDedup.dupSpanStats(Tables.documents(s, d), n = 5)
+          .orderBy("doc_id"),
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i ->
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+        |  FROM tk WHERE len(t) >= 5),
+        |occ AS (SELECT gram, count(*) AS n FROM g GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
+        |FROM g JOIN occ USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // ---- corpus vocabulary: token frequency top-50 with deterministic
     //      tie-break — the classic shuffle-heavy word count. Partial
     //      (map-side) aggregation means executors ship one partial count
@@ -203,6 +228,54 @@ object Corpus {
         |      FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin),
+
+    // ---- token co-occurrence with lift (= PMI without the log — same
+    //      ranking, but an exact integer-ratio double instead of libm
+    //      log drift). Pairs are restricted to the top-100 vocabulary:
+    //      the standard bound that keeps the per-doc pair fan-out at
+    //      choose(100,2) however long the document, so the self-join's
+    //      shuffle is corpus-bounded at 100 TB. Vocabulary and pair
+    //      ranking both carry total tie-breaks.
+    "t10_cooc_lift" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs
+          .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("token"))
+          .filter(col("token") =!= "")
+        val vocab = tok.groupBy("token").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("token")).limit(100)
+        val vt = tok.join(broadcast(vocab), Seq("token"))
+        val n = docs.select(count(lit(1)).as("n_docs"))
+        vt.select(col("doc_id"), col("token").as("t1"), col("df").as("df1"))
+          .join(vt.select(col("doc_id"), col("token").as("t2"), col("df").as("df2")),
+            Seq("doc_id"))
+          .filter(col("t1") < col("t2"))
+          .groupBy("t1", "df1", "t2", "df2").agg(count(lit(1)).as("n_both"))
+          .crossJoin(broadcast(n))
+          .select(col("t1"), col("t2"), col("n_both"),
+            ((col("n_both") * col("n_docs")).cast("double") / (col("df1") * col("df2")))
+              .as("lift"))
+          .orderBy(col("n_both").desc, col("t1"), col("t2"))
+          .limit(30)
+      },
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM tok2 GROUP BY 1
+        |  ORDER BY df DESC, token LIMIT 100),
+        |vt AS (SELECT t.doc_id, t.token, v.df FROM tok2 t JOIN vocab v USING (token)),
+        |pairs AS (
+        |  SELECT a.token AS t1, a.df AS df1, b.token AS t2, b.df AS df2,
+        |         count(*) AS n_both
+        |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2, 3, 4),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT t1, t2, CAST(n_both AS BIGINT) AS n_both,
+        |       CAST(n_both * n_docs AS DOUBLE) / (df1 * df2) AS lift
+        |FROM pairs, n
+        |ORDER BY n_both DESC, t1, t2 LIMIT 30""".stripMargin),
 
     // ---- document-length histogram (50-char bins): the profiling shape a
     //      corpus dashboard needs; integer bucketing, no rounding anywhere
@@ -269,6 +342,28 @@ object Corpus {
         |JOIN (VALUES (1, 10, 'low'), (11, 25, 'mid'), (26, 50, 'high'))
         |  b(lo, hi, label)
         |ON l.l_quantity >= lo AND l.l_quantity <= hi
-        |GROUP BY label ORDER BY label""".stripMargin)
+        |GROUP BY label ORDER BY label""".stripMargin),
+
+    // ---- Bloom-pruned semi-join: the fact scan drops non-matching rows
+    //      BEFORE the shuffle via a broadcast bit-sketch of the key set
+    //      (the regime where the dim no longer fits a broadcast hash
+    //      table); the exact semi-join after removes false positives, so
+    //      the result — and this oracle — are exact. Quantity sums stay
+    //      bit-exact (small integers in doubles).
+    "j10_bloom_semi" -> withOracle(
+      (s, d) => {
+        val hot = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 150000).select("o_orderkey")
+        graft.ops.BloomJoin
+          .bloomSemiJoin(Tables.lineitem(s, d), hot, "l_orderkey", "o_orderkey",
+            expectedKeys = 100000L)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 }

@@ -37,6 +37,25 @@ object BloomJoin {
       .join(keys.select(col(keyCol).as(factKey)).distinct(), Seq(factKey), "left_semi")
   }
 
+  /** Exact ANTI-join with a Bloom fast path — the incremental-ingest dedup
+    * shape (drop rows whose key a previous load already saw): a
+    * bloom-NEGATIVE row is DEFINITELY new and passes through with no join
+    * at all; only the bloom-positive fraction (true matches + FPP) pays
+    * the exact anti-join shuffle. With a mostly-new batch, almost nothing
+    * shuffles. Null fact keys route to the pass-through branch, matching
+    * plain anti-join semantics (null never equals a seen key).
+    */
+  def bloomAntiJoin(fact: DataFrame, keys: DataFrame,
+                    factKey: String, keyCol: String,
+                    expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    val probe = coalesce(bloom_might_contain(col(factKey), bf), lit(false))
+    val definitelyNew = fact.filter(!probe)
+    val maybeSeen = fact.filter(probe)
+      .join(keys.select(col(keyCol).as(factKey)).distinct(), Seq(factKey), "left_anti")
+    definitelyNew.unionByName(maybeSeen)
+  }
+
   /** The pruned-but-unverified frame (false positives included) — exposed
     * so tests can assert the prune actually dropped rows at the scan.
     */

@@ -364,6 +364,50 @@ object Corpus {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- Bloom-fast-path anti-join (incremental-ingest dedup: keep only
+    //      rows a previous load has NOT seen). Bloom-negative rows skip
+    //      the join entirely; only the bloom-positive fraction pays the
+    //      exact anti-join shuffle. Result is exact — the complement of
+    //      j10 — and the two oracles partition lineitem between them.
+    "j11_bloom_anti" -> withOracle(
+      (s, d) => {
+        val seen = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 150000).select("o_orderkey")
+        graft.ops.BloomJoin
+          .bloomAntiJoin(Tables.lineitem(s, d), seen, "l_orderkey", "o_orderkey",
+            expectedKeys = 100000L)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- inverted-index build: top-100 terms by document frequency with
+    //      a bounded posting sample (sorted doc ids, first 10, joined to a
+    //      string so both engines compare byte-identically). collect_list
+    //      + sort_array is deterministic whatever the shuffle order.
+    "t11_postings" -> withOracle(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token")
+          .agg(count(lit(1)).as("df"),
+            concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, 10))
+              .as("sample_docs"))
+          .orderBy(col("df").desc, col("token"))
+          .limit(100),
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS df,
+        |       array_to_string(list_sort(list(doc_id))[1:10], ',') AS sample_docs
+        |FROM tok WHERE token <> ''
+        |GROUP BY token ORDER BY df DESC, token LIMIT 100""".stripMargin)
   )
 }

@@ -80,6 +80,27 @@ object StreamingQuery {
       .orderBy("user_id", "event_type")
       .localCheckpoint(true)
   }
+
+  /** Stream-static dimension enrichment drained to completion: per-segment
+    * event counts after joining the stream to the static customer dim.
+    * Counts only — deterministic whatever the micro-batch arrival order.
+    */
+  def enrichedSegments(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val events = streamEvents(s, d)
+    val dim = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val name = "st3_out"
+    val q = graft.streaming.Streams
+      .enrichWithDim(events, dim, "user_id", "c_custkey")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select("c_mktsegment", "n_events")
+      .orderBy("c_mktsegment")
+      .localCheckpoint(true)
+  }
 }
 
 /** Operators the reference never needed but Spark exposes for free
@@ -395,6 +416,14 @@ object Extras {
       (s, d) => StreamingQuery.dedupPairs(s, d),
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin),
+
+    // ---- stream-static dimension join (state-free enrichment) must match
+    //      the batch join on identical data
+    "st3_stream_enrich" -> withOracle(
+      (s, d) => StreamingQuery.enrichedSegments(s, d),
+      """SELECT c_mktsegment, count(*) AS n_events
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ---- edit distance (text-similarity scalar; same DP definition in
     //      both engines)

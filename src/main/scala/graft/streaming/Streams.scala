@@ -47,6 +47,17 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment (the streaming twin of the J3/J5 dimension
+    * lookup): joining a stream against a static dim is STATE-FREE — Spark
+    * re-plans the static side per micro-batch and broadcasts it when
+    * small, so there is no watermark, no state store, and the dim can be
+    * swapped on disk between batches (slowly-changing dimension pickup
+    * for free). Contrast with stream-stream joins, which buffer state.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** Gap-based sessionization with custom state
     * (KeyValueGroupedDataset.flatMapGroupsWithState). Sessions close when
     * `gapMs` passes without an event for the user (emitted as soon as a

@@ -37,6 +37,33 @@ class BloomJoinSpec extends SparkTestBase {
     assert(surviving < total, "prune removed nothing")
   }
 
+  test("bloomAntiJoin == plain anti-join, including null fact keys") {
+    import spark.implicits._
+    val fact = Seq((Some(1L), "a"), (Some(2L), "b"), (Some(3L), "c"),
+                   (None, "null-key"), (Some(2L), "b2"))
+      .toDF("k", "v")
+    val seen = Seq(2L, 9L).toDF("sk")
+    val viaBloom = BloomJoin.bloomAntiJoin(fact, seen, "k", "sk", expectedKeys = 16L)
+      .collect().map(_.toSeq).toSet
+    val exact = fact.join(seen.withColumnRenamed("sk", "k").distinct(),
+        Seq("k"), "left_anti")
+      .collect().map(_.toSeq).toSet
+    assert(viaBloom == exact)
+    assert(viaBloom.exists(_.contains("null-key")), "null keys must survive")
+    assert(!viaBloom.exists(_.contains("b")))
+  }
+
+  test("bloomAntiJoin on the real tables == NOT IN semantics") {
+    val seen = orders.filter(col("o_totalprice") > 150000).select("o_orderkey")
+    val viaBloom = BloomJoin.bloomAntiJoin(li, seen, "l_orderkey", "o_orderkey",
+        expectedKeys = 10000L)
+      .agg(count(lit(1)), sum("l_quantity")).head()
+    val exact = li.join(seen.withColumnRenamed("o_orderkey", "l_orderkey").distinct(),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)), sum("l_quantity")).head()
+    assert(viaBloom == exact)
+  }
+
   test("an undersized sketch degrades pruning but never correctness") {
     val hot = orders.filter(col("o_totalprice") > 200000).select("o_orderkey")
     val a = BloomJoin.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey",

@@ -41,6 +41,24 @@ class StreamsSpec extends SparkTestBase {
     assert(n == 2) // (1,click) deduped
   }
 
+  test("enrichWithDim joins each micro-batch against the static dim, state-free") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "bronze")).toDF("cust_id", "tier")
+    val q = Streams.enrichWithDim(mem.toDF(), dim, "user_id", "cust_id")
+      .writeStream.outputMode("append").format("memory").queryName("en").start()
+    mem.addData(Event(1, ts(0), "click", 2.0), Event(3, ts(1), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, ts(5), "view", 4.0))
+    q.processAllAvailable()
+    val out = spark.table("en").select("user_id", "tier").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    q.stop()
+    // user 3 has no dim row -> dropped by the inner join; both batches joined
+    assert(out == Seq((1L, "gold"), (2L, "bronze")))
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -93,6 +93,34 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("j10/j11 bloom joins: the sketch probe filters the fact scan before the join") {
+    for (q <- Seq("j10_bloom_semi", "j11_bloom_anti")) {
+      val p = plan01(q)
+      assert(p.contains("bloom_might_contain"), s"$q lost the bloom prune:\n$p")
+      assert(p.contains("LeftSemi") || p.contains("LeftAnti"), p)
+      assert(p.contains("partial_count"), p) // final agg keeps map-side combine
+    }
+  }
+
+  test("t10 co-occurrence: vocabulary joins broadcast on both pair sides") {
+    val p = plan01("t10_cooc_lift")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sd1 span dedup: hashed shingle keys in the shuffle, combine kept, semi-join verify") {
+    val p = plan01("sd1_dup_spans")
+    assert(p.contains("xxhash64"), p) // 8-byte keys, not gram strings
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("e5 PQ search: ADC scoring runs against broadcast query LUTs") {
+    val p = plan("e5_ann_pq")
+    assert(p.contains("pq_adc"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dc1 decontam: no inferred generate-filter re-inlines the tokenizer at the scan") {
     // InferFiltersFromGenerate is excluded in Sessions: with it, explode of
     // a computed n-gram array grows a size(transform(...split...))>0 filter

@@ -40,4 +40,22 @@ object Skew {
     saltedAggregate(df, keys, saltCol, saltBuckets,
       partials = Seq(sum(valueCol) -> "sum_value", count(lit(1)) -> "cnt"),
       finals = Seq("sum_value" -> (c => sum(c)), "cnt" -> (c => sum(c))))
+
+  /** Salted equi-join for a hot fact key against a dim that is too big to
+    * broadcast but modest enough to replicate `saltBuckets` times: each
+    * fact row gets a deterministic salt from its own identity column
+    * (NOT the join key — rows sharing the hot key must spread), the dim
+    * explodes one copy per salt value, and the join runs on
+    * (key, salt) — so the hot key's rows land on `saltBuckets` reducers
+    * instead of one. Exactly equal to the plain inner join: every fact
+    * row matches precisely the one dim copy carrying its salt.
+    * Deterministic salt (hash, not rand()) keeps replays identical.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 identityCol: Column, saltBuckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", pmod(hash(identityCol), lit(saltBuckets)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    saltedFact.join(saltedDim, keys :+ "__salt").drop("__salt")
+  }
 }

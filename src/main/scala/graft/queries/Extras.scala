@@ -215,6 +215,23 @@ object Extras {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- salted JOIN under a hot key: dim replicates once per salt,
+    //      fact salts by row identity, join runs on (key, salt) so the
+    //      hot key spreads over 16 reducers. Result — and the oracle —
+    //      are exactly the plain inner join.
+    "j12_salted_join" -> withOracle(
+      (s, d) =>
+        graft.ops.Skew.saltedJoin(
+            Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "o_orderkey"),
+            Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+            keys = Seq("o_orderkey"), identityCol = col("l_partkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ---- pivot: wide conditional aggregation (oracle states it as CASE
     //      columns — identical semantics)
     "x18_pivot" -> withOracle(

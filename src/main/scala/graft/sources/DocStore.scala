@@ -151,6 +151,24 @@ object DocStore {
     }
   }
 
+  /** Compact the live generation's files into `targetFiles` — the
+    * small-files remedy after many [[insertMany]] appends (each append
+    * adds files; a scan of thousands of tiny JSON files is planner- and
+    * NameNode-hostile at scale). One scan, written as the next
+    * generation, committed by the same manifest swing as any mutation —
+    * identical crash safety. Returns the document count (counted on the
+    * same single pass via `observe`).
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
+              retain: Int = 2): Long = {
+    val fs = fileSystem(spark, path)
+    val docs = spark.read.json(liveDir(fs, spark, path))
+    val obs = Observation()
+    commitRewrite(fs, spark,
+      docs.observe(obs, count(lit(1)).as("n")).coalesce(targetFiles), path, retain)
+    obs.get("n").asInstanceOf[Long]
+  }
+
   // ---- generation machinery ---------------------------------------------
 
   private def fileSystem(spark: SparkSession, path: String): FileSystem =

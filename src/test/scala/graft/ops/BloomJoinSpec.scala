@@ -64,6 +64,19 @@ class BloomJoinSpec extends SparkTestBase {
     assert(viaBloom == exact)
   }
 
+  test("saltedJoin == plain inner join (row multiset)") {
+    val dim = orders.select("o_orderkey", "o_orderpriority")
+    val fact = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    val salted = Skew.saltedJoin(fact, dim, Seq("o_orderkey"), col("l_partkey"),
+        saltBuckets = 4)
+      .groupBy("o_orderpriority").agg(count(lit(1)), sum("l_quantity")).collect()
+      .map(_.toSeq).toSet
+    val plain = fact.join(dim, Seq("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)), sum("l_quantity")).collect()
+      .map(_.toSeq).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
   test("an undersized sketch degrades pruning but never correctness") {
     val hot = orders.filter(col("o_totalprice") > 200000).select("o_orderkey")
     val a = BloomJoin.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey",

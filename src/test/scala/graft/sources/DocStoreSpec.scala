@@ -152,6 +152,25 @@ class DocStoreSpec extends SparkTestBase {
     assert(DocStore.find(spark, path).filter(col("state") === "v3").count() == 1)
   }
 
+  test("compact merges append-accumulated small files into one, losslessly") {
+    val path = freshPath()
+    (1 to 5).foreach { b =>
+      DocStore.insertMany(
+        Seq((b.toLong, s"batch$b")).toDF("id", "tag").repartition(2), path)
+    }
+    def dataFiles(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .count(f => f.isFile && f.getName.startsWith("part-"))
+    val before = DocStore.find(spark, path).collect().map(_.toSeq).toSet
+    val liveBefore = DocStore.generations(spark, path).last
+    assert(dataFiles(s"$path/gen-00000$liveBefore") >= 5)
+    assert(DocStore.compact(spark, path) == 5L)
+    val liveAfter = DocStore.generations(spark, path).last
+    assert(liveAfter == liveBefore + 1)
+    assert(dataFiles(f"$path/gen-$liveAfter%06d") == 1)
+    assert(DocStore.find(spark, path).collect().map(_.toSeq).toSet == before)
+  }
+
   test("deleteMany refuses the empty query unless protection is off") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), path)

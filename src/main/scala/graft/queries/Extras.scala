@@ -232,6 +232,72 @@ object Extras {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- snapshot diff (CDC): added/removed/changed keys between two
+    //      deterministic derivations of customer. +10 on a double and the
+    //      inequality compare are exact binary ops in both engines.
+    "d3_snapshot_diff" -> withOracle(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val old = cust.filter(col("c_custkey") % 13 =!= 0)
+        val neu = cust.filter(col("c_custkey") % 11 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 10)
+              .otherwise(col("c_acctbal")))
+        graft.ops.Diff.snapshotDiff(old, neu, Seq("c_custkey"), Seq("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      """WITH old AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 13 <> 0),
+        |new AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 11 <> 0)
+        |SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |       CASE WHEN o.c_custkey IS NULL THEN 'added'
+        |            WHEN n.c_custkey IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change_type
+        |FROM old o FULL JOIN new n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.c_acctbal <> n.c_acctbal
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- incremental aggregate maintenance: merging a delta's partial
+    //      aggregate into a stored aggregate must equal re-aggregating
+    //      everything (the oracle states the full aggregation)
+    "inc1_merge_agg" -> withOracle(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def aggOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("l_returnflag")
+            .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+        graft.ops.Incremental.mergeAggregate(
+            aggOf(li.filter(col("l_orderkey") % 2 === 0)),
+            aggOf(li.filter(col("l_orderkey") % 2 === 1)),
+            keys = Seq("l_returnflag"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- SCD2 interval building: each event is valid until the user's
+    //      next event (open-ended null for the latest). (user_id, ts) is
+    //      unique in the data and event_id breaks any future tie, so the
+    //      lead window is fully deterministic; ms formatting truncates
+    //      identically in both engines (the x8 pattern).
+    "scd1_intervals" -> withOracle(
+      (s, d) =>
+        graft.ops.Scd.intervals(Tables.events(s, d), keys = Seq("user_id"),
+            orderCols = Seq(col("ts"), col("event_id")), validFromCol = "ts")
+          .select(col("user_id"), col("event_id"),
+            graft.ops.Dates.formatMs23(col("valid_from")).as("valid_from"),
+            graft.ops.Dates.formatMs23(col("valid_to")).as("valid_to"))
+          .orderBy("user_id", "event_id"),
+      """SELECT user_id, event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS valid_from,
+        |       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |                '%Y-%m-%d %H:%M:%S.%g') AS valid_to
+        |FROM events ORDER BY user_id, event_id""".stripMargin),
+
     // ---- pivot: wide conditional aggregation (oracle states it as CASE
     //      columns — identical semantics)
     "x18_pivot" -> withOracle(

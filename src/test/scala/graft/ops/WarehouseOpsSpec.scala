@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Unit pins for the warehouse-maintenance ops (Diff, Incremental, Scd)
+  * beyond their gate oracles.
+  */
+class WarehouseOpsSpec extends SparkTestBase {
+
+  test("snapshotDiff classifies added/removed/changed, null-safely") {
+    import spark.implicits._
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+                  (4L, Some("d")))
+      .toDF("k", "v")
+    val neu = Seq((1L, Some("a")),            // unchanged -> filtered out
+                  (2L, Some("B")),            // changed
+                  (3L, Some("now")),          // null -> value: changed
+                  (5L, Some("e")))            // added; 4 removed
+      .toDF("k", "v")
+    val r = Diff.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .collect().map(row => row.getLong(0) -> row.getString(1)).toMap
+    assert(r == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("mergeAggregate supports non-sum combines (min/max)") {
+    import spark.implicits._
+    val stored = Seq(("x", 5L, 2.0), ("y", 1L, 9.0)).toDF("k", "cnt", "mn")
+    val delta = Seq(("x", 3L, 1.0), ("z", 2L, 4.0)).toDF("k", "cnt", "mn")
+    val r = Incremental.mergeAggregate(stored, delta, Seq("k"),
+        combines = Map("mn" -> (c => min(c))))
+      .collect().map(row => (row.getString(0), row.getLong(1), row.getDouble(2))).toSet
+    assert(r == Set(("x", 8L, 1.0), ("y", 1L, 9.0), ("z", 2L, 4.0)))
+  }
+
+  test("scd intervals chain: each valid_to equals the key's next valid_from; last is open") {
+    val iv = Scd.intervals(graft.core.Tables.events(spark, sf001),
+        keys = Seq("user_id"), orderCols = Seq(col("ts"), col("event_id")),
+        validFromCol = "ts")
+      .select("user_id", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2))))
+      .groupBy(_._1)
+    iv.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from, _)) => assert(to == from)
+        case _ => ()
+      }
+      assert(sorted.last._3.isEmpty, "latest record must be open-ended")
+      assert(sorted.init.forall(_._3.nonEmpty))
+    }
+    assert(iv.nonEmpty)
+  }
+}

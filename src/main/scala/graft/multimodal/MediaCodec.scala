@@ -121,6 +121,72 @@ object MediaCodec {
     Some(Array(channels.toFloat, rate.toFloat, bits.toFloat, durationMs, rms))
   }
 
+  /** Deterministic nearest-neighbor resize, re-encoded as PNG. Manual NN
+    * over bulk row buffers — not Graphics2D scaling, whose interpolation
+    * may vary across JVMs; pixel mapping here is pure integer math, so
+    * the same bytes resize identically on every executor.
+    */
+  def resizeNearest(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    scala.util.Try(Option(ImageIO.read(new ByteArrayInputStream(bytes))))
+      .toOption.flatten.map { img =>
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+        val srcRow = new Array[Int](sw)
+        val dstRow = new Array[Int](targetW)
+        var y = 0
+        while (y < targetH) {
+          img.getRGB(0, ((y.toLong * sh) / targetH).toInt, sw, 1, srcRow, 0, sw)
+          var x = 0
+          while (x < targetW) {
+            dstRow(x) = srcRow((x.toLong * sw / targetW).toInt)
+            x += 1
+          }
+          out.setRGB(0, y, targetW, 1, dstRow, 0, targetW)
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+
+  /** Per-segment RMS over a PCM16 WAV: the data chunk splits into
+    * `nSegments` even spans (frame sampling for audio — the temporal
+    * feature a single global RMS flattens away). Same two-phase chunk
+    * walk as [[wavFeatures]], so chunk order doesn't matter.
+    */
+  def wavSegmentRms(bytes: Array[Byte], nSegments: Int): Option[Array[Float]] = {
+    if (sniff(bytes) != "wav" || nSegments <= 0) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var bits = 0
+    var (dataPos, dataSize) = (-1, 0)
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, US_ASCII)
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " if size >= 16 => bits = bb.getShort(pos + 22)
+        case "data" => dataPos = pos + 8; dataSize = size
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (bits != 16 || dataPos < 0) return None
+    val nSamples = dataSize / 2
+    if (nSamples == 0) return Some(Array.fill(nSegments)(0f))
+    Some(Array.tabulate(nSegments) { seg =>
+      val from = (seg.toLong * nSamples / nSegments).toInt
+      val until = ((seg + 1).toLong * nSamples / nSegments).toInt
+      if (until <= from) 0f
+      else {
+        var sumSq = 0.0
+        var i = from
+        while (i < until) { val v = bb.getShort(dataPos + 2 * i).toDouble; sumSq += v * v; i += 1 }
+        (math.sqrt(sumSq / (until - from)) / 32768.0).toFloat
+      }
+    })
+  }
+
   /** Opaque-content fallback: 16-bin byte histogram, L1-normalized. */
   def byteHistogram(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)

@@ -67,6 +67,57 @@ object Multimodal {
          .withColumn("target_height", ceil(h * scale).cast("int"))
   }
 
+  final case class ResizedImage(id: Long, src_width: Int, src_height: Int,
+                                target_width: Int, target_height: Int,
+                                n_bytes: Int, content: Array[Byte])
+
+  /** REAL image resize (not just the plan): image rows decode, resize
+    * nearest-neighbor to the aspect-preserving clamp of [[resizePlan]],
+    * and re-encode as PNG — all inside mapPartitions, binary never
+    * shuffles. Rows whose bytes don't decode are dropped (they carry no
+    * pixels to resize); upscaling never happens (scale clamps at 1).
+    */
+  def resizeImages(media: DataFrame, maxEdge: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    val idIdx = media.schema.fieldIndex("id")
+    val binIdx = media.schema.fieldIndex("content")
+    media.filter(col("modality") === "image").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) Array.empty[Byte]
+                    else r.getAs[Array[Byte]](binIdx)
+        MediaCodec.imageFeatures(bytes).flatMap { f =>
+          val (sw, sh) = (f(0).toInt, f(1).toInt)
+          val scale = math.min(1.0, maxEdge.toDouble / math.max(sw, sh))
+          val (tw, th) = (math.max(1, math.ceil(sw * scale).toInt),
+                          math.max(1, math.ceil(sh * scale).toInt))
+          MediaCodec.resizeNearest(bytes, tw, th)
+            .map(out => ResizedImage(r.getLong(idIdx), sw, sh, tw, th,
+              out.length, out))
+        }.iterator
+      }
+    }
+  }
+
+  final case class AudioSegments(id: Long, n_segments: Int, segment_rms: Array[Float])
+
+  /** REAL audio frame sampling: per-segment RMS over the PCM16 data chunk
+    * (`nSegments` even spans) — the temporal profile a single global RMS
+    * flattens. Non-WAV or non-PCM16 rows are dropped.
+    */
+  def audioSegments(media: DataFrame, nSegments: Int): Dataset[AudioSegments] = {
+    import media.sparkSession.implicits._
+    val idIdx = media.schema.fieldIndex("id")
+    val binIdx = media.schema.fieldIndex("content")
+    media.filter(col("modality") === "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) Array.empty[Byte]
+                    else r.getAs[Array[Byte]](binIdx)
+        MediaCodec.wavSegmentRms(bytes, nSegments)
+          .map(seg => AudioSegments(r.getLong(idIdx), nSegments, seg)).iterator
+      }
+    }
+  }
+
   /** Frame-sampling plan for video rows: evenly spaced sample timestamps
     * from the duration metadata (`n` frames), exploded to one row per
     * planned frame. Decode of the frame itself happens in the (stubbed)

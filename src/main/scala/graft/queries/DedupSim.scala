@@ -205,6 +205,33 @@ object DedupSim {
             round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
             round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
           .orderBy("id")
+      }),
+
+    // ---- real image resize (decode -> nearest-neighbor -> PNG re-encode
+    //      in mapPartitions; binary never shuffles). MultimodalSpec pins
+    //      pixel-exact dims and colors.
+    "mm2_media_resize" -> rowsOnly(
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.synthesizeFromDocuments(
+          Tables.documents(s, d))
+        graft.multimodal.Multimodal.resizeImages(media, maxEdge = 8)
+          .toDF()
+          .select("id", "src_width", "src_height",
+            "target_width", "target_height", "n_bytes")
+          .orderBy("id")
+      }),
+
+    // ---- real audio frame sampling (per-segment PCM16 RMS)
+    "mm3_audio_segments" -> rowsOnly(
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.synthesizeFromDocuments(
+          Tables.documents(s, d))
+        graft.multimodal.Multimodal.audioSegments(media, nSegments = 4)
+          .toDF()
+          .select(col("id"), col("n_segments"),
+            round(element_at(col("segment_rms"), 1).cast("double"), 4).as("rms0"),
+            round(element_at(col("segment_rms"), 4).cast("double"), 4).as("rms3"))
+          .orderBy("id")
       })
   )
 }

@@ -108,4 +108,53 @@ class MultimodalSpec extends SparkTestBase {
     val dur = media.filter(col("id") === 2).select("meta.duration_ms").head().getLong(0)
     assert(frames == Seq(0L, dur / 4, dur / 2, dur * 3 / 4))
   }
+
+  test("resizeNearest golden: solid tile keeps exact color at exact target dims") {
+    val bytes = MediaCodec.encodePng(8, 4, 0x3366cc)
+    val out = MediaCodec.resizeNearest(bytes, 4, 2).get
+    val Some(f) = MediaCodec.imageFeatures(out)
+    assert(f(0) == 4f && f(1) == 2f)
+    // solid color survives NN resampling bit-exactly
+    assert(math.abs(f(2) - 0x33 / 255f) < 1e-6)
+    assert(math.abs(f(3) - 0x66 / 255f) < 1e-6)
+    assert(math.abs(f(4) - 0xcc / 255f) < 1e-6)
+  }
+
+  test("resizeImages clamps the long edge, never upscales, drops undecodable rows") {
+    val r = Multimodal.resizeImages(media, maxEdge = 8).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(math.max(row.target_width, row.target_height) <= 8)
+      assert(row.target_width <= row.src_width && row.target_height <= row.src_height)
+      // the re-encoded PNG really decodes to the target dims
+      val Some(f) = MediaCodec.imageFeatures(row.content)
+      assert(f(0).toInt == row.target_width && f(1).toInt == row.target_height)
+    }
+    // small images pass through at original size (scale clamps at 1)
+    assert(r.filter(row => math.max(row.src_width, row.src_height) <= 8)
+      .forall(row => row.target_width == row.src_width &&
+                     row.target_height == row.src_height))
+  }
+
+  test("wavSegmentRms: constant-amplitude square wave has equal segment RMS") {
+    val amp: Short = 6000
+    val samples = Array.tabulate(800)(i => if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+    val bytes = MediaCodec.encodeWav(8000, samples)
+    val Some(seg) = MediaCodec.wavSegmentRms(bytes, 4)
+    assert(seg.length == 4)
+    val expected = amp / 32768.0f
+    seg.foreach(s => assert(math.abs(s - expected) < 1e-4, s.toString))
+    // segments agree with the global RMS for a stationary signal
+    val Some(global) = MediaCodec.wavFeatures(bytes)
+    assert(math.abs(seg(0) - global(4)) < 1e-4)
+  }
+
+  test("audioSegments drops non-PCM16/non-WAV rows and keeps ids aligned") {
+    val out = Multimodal.audioSegments(media, nSegments = 3).collect()
+    val audioIds = media.filter(col("modality") === "audio")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.id).toSet == audioIds) // synthesized audio is all PCM16
+    assert(out.forall(_.segment_rms.length == 3))
+    assert(out.forall(_.segment_rms.forall(v => v >= 0f && v <= 1f)))
+  }
 }

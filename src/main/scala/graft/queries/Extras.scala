@@ -181,6 +181,41 @@ object Extras {
         |         AS price_quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin),
 
+    // ---- RANGE-interval frame: trailing-1-hour event count per user.
+    //      Both engines order by the SAME truncated epoch seconds (Spark's
+    //      timestamp->long cast floors; DuckDB's epoch()::BIGINT floors),
+    //      so frame membership is identical; count-only keeps the result
+    //      independent of within-frame accumulation order.
+    "w8_range_frame" -> withOracle(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").cast("long")).rangeBetween(-3599, 0)
+        Tables.events(s, d)
+          .select(col("event_id"), count(lit(1)).over(w).as("n_trailing"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_trailing
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // ---- rank distributions: percent_rank ((rank-1)/(n-1)) and cume_dist
+    //      (rows<=current / n) are exact small-integer ratios — bit-equal
+    //      doubles in both engines under the same total order
+    "w9_rank_dist" -> withOracle(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"),
+            percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id,
+        |       percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin),
+
     // ---- regexp extraction (X-family extension)
     "x17_regexp_extract" -> withOracle(
       (s, d) =>

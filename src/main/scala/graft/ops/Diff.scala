@@ -32,4 +32,27 @@ object Diff {
           .when(changed, "changed").otherwise("unchanged").as("change_type"): _*)
       .filter(col("change_type") =!= "unchanged")
   }
+
+  final case class SchemaChange(column: String, change: String,
+                                oldType: Option[String], newType: Option[String])
+
+  /** Schema-level CDC: columns added, removed, or type-changed between two
+    * batch schemas — the guard a schemaless feed (REST JSON, the document
+    * store's union-schema reads) needs before a load widens or breaks a
+    * warehouse table. Purely structural (driver-side; no data scan).
+    * Nested struct fields compare by their full type signature.
+    */
+  def schemaDrift(oldSchema: org.apache.spark.sql.types.StructType,
+                  newSchema: org.apache.spark.sql.types.StructType): Seq[SchemaChange] = {
+    val o = oldSchema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val n = newSchema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val added = (n.keySet -- o.keySet).toSeq.sorted
+      .map(c => SchemaChange(c, "added", None, Some(n(c))))
+    val removed = (o.keySet -- n.keySet).toSeq.sorted
+      .map(c => SchemaChange(c, "removed", Some(o(c)), None))
+    val retyped = (o.keySet & n.keySet).toSeq.sorted
+      .filter(c => o(c) != n(c))
+      .map(c => SchemaChange(c, "retyped", Some(o(c)), Some(n(c))))
+    added ++ removed ++ retyped
+  }
 }

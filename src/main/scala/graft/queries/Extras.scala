@@ -252,14 +252,15 @@ object Extras {
 
     // ---- salted JOIN under a hot key: dim replicates once per salt,
     //      fact salts by row identity, join runs on (key, salt) so the
-    //      hot key spreads over 16 reducers. Result — and the oracle —
+    //      hot key spreads over 8 reducers. Result — and the oracle —
     //      are exactly the plain inner join.
     "j12_salted_join" -> withOracle(
       (s, d) =>
         graft.ops.Skew.saltedJoin(
             Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "o_orderkey"),
             Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
-            keys = Seq("o_orderkey"), identityCol = col("l_partkey"))
+            keys = Seq("o_orderkey"), identityCol = col("l_partkey"),
+            saltBuckets = 8)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
           .orderBy("o_orderpriority"),

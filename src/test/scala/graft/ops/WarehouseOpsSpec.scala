@@ -33,6 +33,50 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(r == Set(("x", 8L, 1.0), ("y", 1L, 9.0), ("z", 2L, 4.0)))
   }
 
+  test("snapshotDiff property: classification matches per-key brute force") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val mapGen: Gen[Map[Long, Option[Int]]] =
+      Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.option(Gen.choose(0, 5))))
+    val cases = (0 until 12).flatMap { i =>
+      for {
+        a <- mapGen(Gen.Parameters.default, org.scalacheck.rng.Seed(7L + i))
+        b <- mapGen(Gen.Parameters.default, org.scalacheck.rng.Seed(99L + i))
+      } yield (a, b)
+    }
+    assert(cases.nonEmpty)
+    for ((oldM, newM) <- cases) {
+      val old = oldM.toSeq.toDF("k", "v")
+      val neu = newM.toSeq.toDF("k", "v")
+      val got = Diff.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = (oldM.keySet ++ newM.keySet).flatMap { k =>
+        (oldM.get(k), newM.get(k)) match {
+          case (None, Some(_))              => Some(k -> "added")
+          case (Some(_), None)              => Some(k -> "removed")
+          case (Some(a), Some(b)) if a != b => Some(k -> "changed")
+          case _                            => None
+        }
+      }.toMap
+      assert(got == expected, s"old=$oldM new=$newM")
+    }
+  }
+
+  test("schemaDrift reports added/removed/retyped columns, nested types by signature") {
+    import org.apache.spark.sql.types._
+    val old = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType),
+      StructField("meta", StructType(Seq(StructField("w", IntegerType))))))
+    val neu = StructType(Seq(
+      StructField("id", LongType), StructField("price", StringType),
+      StructField("meta", StructType(Seq(StructField("w", LongType)))),
+      StructField("tag", StringType)))
+    val drift = Diff.schemaDrift(old, neu)
+    assert(drift.map(c => (c.column, c.change)).toSet ==
+      Set(("tag", "added"), ("price", "retyped"), ("meta", "retyped")))
+    assert(Diff.schemaDrift(old, old).isEmpty)
+  }
+
   test("scd intervals chain: each valid_to equals the key's next valid_from; last is open") {
     val iv = Scd.intervals(graft.core.Tables.events(spark, sf001),
         keys = Seq("user_id"), orderCols = Seq(col("ts"), col("event_id")),

@@ -214,6 +214,84 @@ object HashImpls {
     acc
   }
 
+  // ---- PassJoin segment blocking (edit-distance join) -------------------
+  //
+  // Lossless theorem (Li, Deng, Feng: PassJoin, VLDB 2012 — public
+  // algorithm): if lev(s, r) <= tau and s is partitioned into tau+1
+  // segments, r contains at least one segment EXACTLY, starting within
+  // +-tau of its position in s. Index side emits one key per segment;
+  // probe side emits keys for every candidate length/segment/shift. Keys
+  // pack as "n|i|substring" strings so both sides equi-join on one column.
+  //
+  // Segment scheme for length n: base = n/(tau+1), rem = n%(tau+1); the
+  // first tau+1-rem segments have length base, the rest base+1. Strings
+  // with n <= 2*tau can have empty/degenerate segments where the theorem's
+  // containment is vacuous — they block into a per-length "small" bucket
+  // instead (candidate sets stay tiny: only strings within tau of that
+  // length land there).
+
+  private def segBounds(n: Int, tau: Int): Array[(Int, Int)] = {
+    val parts = tau + 1
+    val base = n / parts
+    val rem = n % parts
+    val out = new Array[(Int, Int)](parts)
+    var start = 0
+    var i = 0
+    while (i < parts) {
+      val len = if (i < parts - rem) base else base + 1
+      out(i) = (start, len)
+      start += len
+      i += 1
+    }
+    out
+  }
+
+  def passJoinIndexKeys(s: UTF8String, tau: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n <= 2 * tau) {
+      return new GenericArrayData(Array[Any](UTF8String.fromString(s"small|$n")))
+    }
+    val keys = segBounds(n, tau).zipWithIndex.map { case ((start, len), i) =>
+      UTF8String.fromString(s"$n|$i|${str.substring(start, start + len)}")
+    }
+    new GenericArrayData(keys.asInstanceOf[Array[Any]])
+  }
+
+  def passJoinProbeKeys(r: UTF8String, tau: Int): ArrayData = {
+    val str = r.toString
+    val m = str.length
+    val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+    var n = math.max(0, m - tau)
+    while (n <= m + tau) {
+      if (n <= 2 * tau) keys += s"small|$n"
+      else {
+        val delta = m - n
+        val bounds = segBounds(n, tau)
+        var i = 0
+        while (i < bounds.length) {
+          val (start, len) = bounds(i)
+          // multi-match-aware window (PassJoin §4): take segment i as the
+          // FIRST matching one — each earlier segment then holds >= 1
+          // error, so <= tau - i errors remain after it, pinning the
+          // match position from the right: |p - (start+delta)| <= tau - i;
+          // the left side always allows |p - start| <= tau. For the last
+          // segment this pins p to exactly start+delta (suffix-aligned).
+          var p = math.max(0, math.max(start - tau, start + delta - (tau - i)))
+          val pMax = math.min(m - len, math.min(start + tau, start + delta + (tau - i)))
+          while (p <= pMax) {
+            keys += s"$n|$i|${str.substring(p, p + len)}"
+            p += 1
+          }
+          i += 1
+        }
+      }
+      n += 1
+    }
+    new GenericArrayData(keys.toArray.map(k =>
+      UTF8String.fromString(k)).asInstanceOf[Array[Any]])
+  }
+
   /** Random-hyperplane LSH signature over a float embedding: bit p is the
     * sign of dot(w_p, x) with w_p[i] = ±1 derived from splitmix64(seed,p,i).
     * numPlanes <= 64; the result packs into one long (cheap shuffle key).

@@ -146,6 +146,39 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = newLeft, right = newRight)
 }
 
+/** PassJoin segment keys for the index side of an edit-distance join:
+  * one packed "n|i|segment" key per segment (tau+1 of them), or a
+  * per-length "small" bucket for degenerate lengths. See
+  * [[HashImpls.passJoinIndexKeys]] for the losslessness argument.
+  */
+case class PassJoinIndexKeys(child: Expression, tau: Int) extends UnaryExpression {
+  require(tau >= 1, "tau must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "passjoin_index_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.passJoinIndexKeys(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], tau)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.passJoinIndexKeys($c, $tau)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PassJoin candidate keys for the probe side: every (candidate length,
+  * segment, +-tau shift) substring the theorem allows — a bounded
+  * (2tau+1)(tau+1)(2tau+1) keys per probe, deduplicated.
+  */
+case class PassJoinProbeKeys(child: Expression, tau: Int) extends UnaryExpression {
+  require(tau >= 1, "tau must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "passjoin_probe_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.passJoinProbeKeys(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], tau)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.passJoinProbeKeys($c, $tau)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Bloom-filter membership probe against a pre-built
   * `org.apache.spark.util.sketch.BloomFilter` (Spark's public sketch API;
   * `DataFrameStatFunctions.bloomFilter` builds it distributed). The filter
@@ -233,4 +266,10 @@ object functions {
   def bloom_might_contain(key: Column,
                           filter: org.apache.spark.util.sketch.BloomFilter): Column =
     toCol(BloomMightContain(expr(key), filter))
+
+  /** PassJoin blocking keys (index / probe sides), codegen'd. */
+  def passjoin_index_keys(s: Column, tau: Int): Column =
+    toCol(PassJoinIndexKeys(expr(s), tau))
+  def passjoin_probe_keys(s: Column, tau: Int): Column =
+    toCol(PassJoinProbeKeys(expr(s), tau))
 }

@@ -334,6 +334,32 @@ object Extras {
         |                '%Y-%m-%d %H:%M:%S.%g') AS valid_to
         |FROM events ORDER BY user_id, event_id""".stripMargin),
 
+    // ---- fuzzy join (lossless PassJoin segment blocking + threshold
+    //      levenshtein verify): probes are deterministic one-char-dropped
+    //      part names (every 10th part — TPC-H names are an adversarial
+    //      half-segment-collision worst case, see FuzzyJoin's Scaladoc),
+    //      so every probe matches its origin at distance 1 and possibly
+    //      near-identical siblings. The oracle states the brute-force
+    //      cross form; the engine never materializes the cross product.
+    "j13_fuzzy_match" -> withOracle(
+      (s, d) => {
+        val part = Tables.part(s, d)
+        val probes = part.filter(col("p_partkey") % 10 === 0)
+          .select(col("p_partkey").as("probe_key"),
+            expr("substr(p_name, 2)").as("probe"))
+        graft.ops.FuzzyJoin.levenshteinJoin(
+            part.select("p_partkey", "p_name"), probes,
+            leftCol = "p_name", rightCol = "probe", maxDist = 1)
+          .groupBy("probe_key").agg(count(lit(1)).as("n_matches"))
+          .orderBy("probe_key")
+      },
+      """WITH probes AS (
+        |  SELECT p_partkey AS probe_key, substr(p_name, 2) AS probe
+        |  FROM part WHERE p_partkey % 10 = 0)
+        |SELECT probe_key, count(*) AS n_matches
+        |FROM probes JOIN part ON levenshtein(probe, p_name) <= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ---- pivot: wide conditional aggregation (oracle states it as CASE
     //      columns — identical semantics)
     "x18_pivot" -> withOracle(

@@ -77,6 +77,62 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(Diff.schemaDrift(old, old).isEmpty)
   }
 
+  test("levenshteinJoin is lossless vs brute force on real names") {
+    import spark.implicits._
+    val part = graft.core.Tables.part(spark, sf001).select("p_partkey", "p_name")
+    val probes = part.select(col("p_partkey").as("probe_key"),
+      expr("substr(p_name, 2)").as("probe"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_partkey", "probe_key").as[(Long, Long)].collect().toSet
+    val banded = pairs(FuzzyJoin.levenshteinJoin(part, probes, "p_name", "probe", 1))
+    val brute = pairs(part.crossJoin(probes)
+      .filter(levenshtein(col("p_name"), col("probe")) <= 1))
+    assert(banded == brute && brute.nonEmpty)
+    // every probe finds at least its own origin (one char dropped = dist 1)
+    assert(brute.count { case (pk, qk) => pk == qk } ==
+      part.count())
+  }
+
+  test("levenshteinJoin covers every edit type and position, incl. tiny strings") {
+    import spark.implicits._
+    val l = Seq((1L, "abcdefgh"), (2L, "ab"), (3L, "a"), (4L, "zzzzzzzz"))
+      .toDF("lid", "lname")
+    val r = Seq(
+      (10L, "abcdefgh"),  // exact
+      (11L, "Xbcdefgh"),  // substitution at head
+      (12L, "abcdefgX"),  // substitution at tail
+      (13L, "abcdefghX"), // insertion at tail
+      (14L, "Xabcdefgh"), // insertion at head
+      (15L, "bcdefgh"),   // deletion at head
+      (16L, "abcdefg"),   // deletion at tail
+      (17L, "abcdXfgh"),  // substitution mid (straddles the segment cut)
+      (18L, "b"),         // tiny: dist 1 from "a" and "ab"
+      (19L, "")           // tiny: dist 1 from "a"
+    ).toDF("rid", "rname")
+    val got = FuzzyJoin.levenshteinJoin(l, r, "lname", "rname", maxDist = 1)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = l.crossJoin(r)
+      .filter(levenshtein(col("lname"), col("rname")) <= 1)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(brute.contains((1L, 17L)) && brute.contains((3L, 18L)) &&
+      brute.contains((3L, 19L)) && brute.contains((2L, 18L)))
+  }
+
+  test("levenshteinJoin lossless at maxDist=2 vs brute force") {
+    import spark.implicits._
+    val part = graft.core.Tables.part(spark, sf001)
+      .select("p_partkey", "p_name").limit(60)
+    val probes = part.select(col("p_partkey").as("probe_key"),
+      expr("substr(p_name, 3)").as("probe")) // two chars dropped -> dist 2
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_partkey", "probe_key").as[(Long, Long)].collect().toSet
+    val blocked = pairs(FuzzyJoin.levenshteinJoin(part, probes, "p_name", "probe", 2))
+    val brute = pairs(part.crossJoin(probes)
+      .filter(levenshtein(col("p_name"), col("probe")) <= 2))
+    assert(blocked == brute && brute.nonEmpty)
+  }
+
   test("scd intervals chain: each valid_to equals the key's next valid_from; last is open") {
     val iv = Scd.intervals(graft.core.Tables.events(spark, sf001),
         keys = Seq("user_id"), orderCols = Seq(col("ts"), col("event_id")),

@@ -121,32 +121,53 @@ object MediaCodec {
     Some(Array(channels.toFloat, rate.toFloat, bits.toFloat, durationMs, rms))
   }
 
-  /** Deterministic nearest-neighbor resize, re-encoded as PNG. Manual NN
-    * over bulk row buffers — not Graphics2D scaling, whose interpolation
-    * may vary across JVMs; pixel mapping here is pure integer math, so
-    * the same bytes resize identically on every executor.
+  /** Deterministic nearest-neighbor resample of one decoded image,
+    * re-encoded as PNG. Manual NN over bulk row buffers — not Graphics2D
+    * scaling, whose interpolation may vary across JVMs; pixel mapping is
+    * pure integer math, so the same bytes resize identically on every
+    * executor.
     */
+  private def resamplePng(img: BufferedImage, targetW: Int, targetH: Int): Array[Byte] = {
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+    val srcRow = new Array[Int](sw)
+    val dstRow = new Array[Int](targetW)
+    var y = 0
+    while (y < targetH) {
+      img.getRGB(0, ((y.toLong * sh) / targetH).toInt, sw, 1, srcRow, 0, sw)
+      var x = 0
+      while (x < targetW) {
+        dstRow(x) = srcRow((x.toLong * sw / targetW).toInt)
+        x += 1
+      }
+      out.setRGB(0, y, targetW, 1, dstRow, 0, targetW)
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
   def resizeNearest(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    scala.util.Try(Option(ImageIO.read(new ByteArrayInputStream(bytes))))
+      .toOption.flatten.map(resamplePng(_, targetW, targetH))
+
+  final case class Resized(srcW: Int, srcH: Int, targetW: Int, targetH: Int,
+                           png: Array[Byte])
+
+  /** Decode ONCE, clamp the long edge to `maxEdge` preserving aspect
+    * (never upscaling), resample, re-encode. The single decode matters:
+    * decode dominates per-row cost at real image sizes in the
+    * mapPartitions stage.
+    */
+  def resizeToMaxEdge(bytes: Array[Byte], maxEdge: Int): Option[Resized] =
     scala.util.Try(Option(ImageIO.read(new ByteArrayInputStream(bytes))))
       .toOption.flatten.map { img =>
         val (sw, sh) = (img.getWidth, img.getHeight)
-        val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
-        val srcRow = new Array[Int](sw)
-        val dstRow = new Array[Int](targetW)
-        var y = 0
-        while (y < targetH) {
-          img.getRGB(0, ((y.toLong * sh) / targetH).toInt, sw, 1, srcRow, 0, sw)
-          var x = 0
-          while (x < targetW) {
-            dstRow(x) = srcRow((x.toLong * sw / targetW).toInt)
-            x += 1
-          }
-          out.setRGB(0, y, targetW, 1, dstRow, 0, targetW)
-          y += 1
-        }
-        val bos = new ByteArrayOutputStream()
-        ImageIO.write(out, "png", bos)
-        bos.toByteArray
+        val scale = math.min(1.0, maxEdge.toDouble / math.max(sw, sh))
+        val tw = math.max(1, math.ceil(sw * scale).toInt)
+        val th = math.max(1, math.ceil(sh * scale).toInt)
+        Resized(sw, sh, tw, th, resamplePng(img, tw, th))
       }
 
   /** Per-segment RMS over a PCM16 WAV: the data chunk splits into

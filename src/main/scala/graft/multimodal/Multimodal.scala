@@ -85,15 +85,10 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = if (r.isNullAt(binIdx)) Array.empty[Byte]
                     else r.getAs[Array[Byte]](binIdx)
-        MediaCodec.imageFeatures(bytes).flatMap { f =>
-          val (sw, sh) = (f(0).toInt, f(1).toInt)
-          val scale = math.min(1.0, maxEdge.toDouble / math.max(sw, sh))
-          val (tw, th) = (math.max(1, math.ceil(sw * scale).toInt),
-                          math.max(1, math.ceil(sh * scale).toInt))
-          MediaCodec.resizeNearest(bytes, tw, th)
-            .map(out => ResizedImage(r.getLong(idIdx), sw, sh, tw, th,
-              out.length, out))
-        }.iterator
+        MediaCodec.resizeToMaxEdge(bytes, maxEdge)
+          .map(o => ResizedImage(r.getLong(idIdx), o.srcW, o.srcH,
+            o.targetW, o.targetH, o.png.length, o.png))
+          .iterator
       }
     }
   }

@@ -24,18 +24,24 @@ import graft.functions.functions.bloom_might_contain
   */
 object BloomJoin {
 
+  /** One shared prune: build the sketch distributed, filter the fact scan. */
+  private def pruned(fact: DataFrame, keys: DataFrame, factKey: String,
+                     keyCol: String, expectedKeys: Long, fpp: Double): DataFrame = {
+    val bf = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    fact.filter(bloom_might_contain(col(factKey), bf))
+  }
+
   /** Exact semi-join of `fact` against `keys`, Bloom-pruned before the
     * shuffle. `expectedKeys`/`fpp` size the sketch; an undersized
     * `expectedKeys` only degrades pruning (more false positives survive
-    * to the exact join), never correctness.
+    * to the exact join), never correctness. No distinct on the key side —
+    * semi-joins ignore right-side multiplicity.
     */
   def bloomSemiJoin(fact: DataFrame, keys: DataFrame,
                     factKey: String, keyCol: String,
-                    expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
-    fact.filter(bloom_might_contain(col(factKey), bf))
-      .join(keys.select(col(keyCol).as(factKey)).distinct(), Seq(factKey), "left_semi")
-  }
+                    expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    pruned(fact, keys, factKey, keyCol, expectedKeys, fpp)
+      .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_semi")
 
   /** Exact ANTI-join with a Bloom fast path — the incremental-ingest dedup
     * shape (drop rows whose key a previous load already saw): a
@@ -52,7 +58,7 @@ object BloomJoin {
     val probe = coalesce(bloom_might_contain(col(factKey), bf), lit(false))
     val definitelyNew = fact.filter(!probe)
     val maybeSeen = fact.filter(probe)
-      .join(keys.select(col(keyCol).as(factKey)).distinct(), Seq(factKey), "left_anti")
+      .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_anti")
     definitelyNew.unionByName(maybeSeen)
   }
 
@@ -61,8 +67,6 @@ object BloomJoin {
     */
   def bloomPruned(fact: DataFrame, keys: DataFrame,
                   factKey: String, keyCol: String,
-                  expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
-    fact.filter(bloom_might_contain(col(factKey), bf))
-  }
+                  expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    pruned(fact, keys, factKey, keyCol, expectedKeys, fpp)
 }

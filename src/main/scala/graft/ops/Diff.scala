@@ -18,6 +18,9 @@ object Diff {
 
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
+    require(keys.intersect(compareCols).isEmpty,
+      s"snapshotDiff: key columns cannot also be compare columns " +
+        s"(${keys.intersect(compareCols).mkString(", ")})")
     val o = oldDf.select((keys ++ compareCols).map(c => col(c).as(s"__o_$c")): _*)
     val n = newDf.select((keys ++ compareCols).map(c => col(c).as(s"__n_$c")): _*)
     val cond = keys.map(k => col(s"__o_$k") === col(s"__n_$k")).reduce(_ && _)

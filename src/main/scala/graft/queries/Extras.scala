@@ -182,9 +182,11 @@ object Extras {
         |FROM orders ORDER BY o_orderkey""".stripMargin),
 
     // ---- RANGE-interval frame: trailing-1-hour event count per user.
-    //      Both engines order by the SAME truncated epoch seconds (Spark's
-    //      timestamp->long cast floors; DuckDB's epoch()::BIGINT floors),
-    //      so frame membership is identical; count-only keeps the result
+    //      Both engines order by the SAME floored epoch seconds — Spark's
+    //      timestamp->long cast truncates, but DuckDB's CAST(epoch(ts) AS
+    //      BIGINT) ROUNDS (1.7s -> 2), so the oracle must floor(epoch(ts))
+    //      explicitly or fractional-second events near a frame boundary
+    //      would disagree on membership. Count-only keeps the result
     //      independent of within-frame accumulation order.
     "w8_range_frame" -> withOracle(
       (s, d) => {
@@ -195,7 +197,7 @@ object Extras {
           .orderBy("event_id")
       },
       """SELECT event_id,
-        |       count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |       count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_trailing
         |FROM events ORDER BY event_id""".stripMargin),
 

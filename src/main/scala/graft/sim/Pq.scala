@@ -89,8 +89,10 @@ object Pq {
         .withColumn("v", transform(col(embCol),
           x => x.cast("double") / when(col("nrm") > 0, col("nrm")).otherwise(lit(1.0))))
         .select(model.encode(col(embCol)).as("codes"), posexplode(col("v")))
+        // codes are SIGNED bytes on the wire — pmod recovers the unsigned
+        // code index for k > 128 (the same & 0xff pqAdc applies)
         .select(s.as("s"),
-          element_at(col("codes"), s + 1).cast("int").as("c"),
+          pmod(element_at(col("codes"), s + 1).cast("int"), lit(256)).as("c"),
           (col("pos") % subdim).cast("int").as("j"),
           col("col").as("x"))
         .groupBy("s", "c", "j").agg(avg("x").as("mu"))

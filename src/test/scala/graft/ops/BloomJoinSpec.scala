@@ -77,6 +77,16 @@ class BloomJoinSpec extends SparkTestBase {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("non-bigint keys fail at analysis, not with a runtime ClassCastException") {
+    import spark.implicits._
+    val fact = Seq(("a", 1), ("b", 2)).toDF("name", "v")
+    val keys = Seq("a").toDF("name")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      BloomJoin.bloomSemiJoin(fact, keys, "name", "name", expectedKeys = 16L).collect()
+    }
+    assert(e.getMessage.contains("bloom_might_contain"))
+  }
+
   test("an undersized sketch degrades pruning but never correctness") {
     val hot = orders.filter(col("o_totalprice") > 200000).select("o_orderkey")
     val a = BloomJoin.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey",

@@ -23,6 +23,15 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(r == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 5L -> "added"))
   }
 
+  test("snapshotDiff refuses a key that is also a compare column") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(df, df, Seq("k"), Seq("k", "v"))
+    }
+    assert(e.getMessage.contains("key columns"))
+  }
+
   test("mergeAggregate supports non-sum combines (min/max)") {
     import spark.implicits._
     val stored = Seq(("x", 5L, 2.0), ("y", 1L, 9.0)).toDF("k", "cnt", "mn")

@@ -79,6 +79,14 @@ class PqSpec extends SparkTestBase {
     assert(agree >= 8, s"top-1 agreement $agree/10")
   }
 
+  test("fitPq survives k > 128 (signed-byte code indices recovered unsigned)") {
+    val model = Pq.fitPq(emb, m = 8, k = 200, iters = 1)
+    assert(model.k == 200)
+    val r = Pq.pqSearch(model, Pq.encodeCorpus(model, emb), emb, queries,
+      k = 5, candPool = 50)
+    assert(r.count() == 50)
+  }
+
   test("compression: 64-dim float32 (256 B) -> 16-byte codes") {
     val model = Pq.fitPq(emb, m = 16, k = 32, iters = 1)
     assert(model.m == 16 && model.k == 32 && model.subdim == 4)

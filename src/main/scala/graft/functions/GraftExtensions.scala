@@ -56,5 +56,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"distinct must be a boolean literal, got $other")
         } else false)))
+
+    ext.injectFunction((FunctionIdentifier("passjoin_index_keys"),
+      info("passjoin_index_keys",
+        "passjoin_index_keys(s, tau) - PassJoin segment keys (index side)"),
+      (args: Seq[Expression]) => PassJoinIndexKeys(args.head, intArg(args(1), "tau"))))
+
+    ext.injectFunction((FunctionIdentifier("passjoin_probe_keys"),
+      info("passjoin_probe_keys",
+        "passjoin_probe_keys(s, tau) - PassJoin candidate keys (probe side)"),
+      (args: Seq[Expression]) => PassJoinProbeKeys(args.head, intArg(args(1), "tau"))))
   }
 }

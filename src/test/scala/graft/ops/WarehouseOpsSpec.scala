@@ -142,6 +142,21 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(blocked == brute && brute.nonEmpty)
   }
 
+  test("passjoin keys through the SQL surface match the Column API exactly") {
+    import spark.implicits._
+    val df = Seq("almond antique blue", "dial toner", "x").toDF("s")
+    df.createOrReplaceTempView("pj_v")
+    for ((sqlFn, colFn) <- Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      "passjoin_index_keys" -> (c => graft.functions.functions.passjoin_index_keys(c, 1)),
+      "passjoin_probe_keys" -> (c => graft.functions.functions.passjoin_probe_keys(c, 1)))) {
+      val viaSql = spark.sql(s"SELECT $sqlFn(s, 1) FROM pj_v ORDER BY s")
+        .collect().map(_.getSeq[String](0))
+      val viaCol = df.select(colFn(col("s"))).orderBy("s")
+        .collect().map(_.getSeq[String](0))
+      assert(viaSql.toSeq == viaCol.toSeq, sqlFn)
+    }
+  }
+
   test("scd intervals chain: each valid_to equals the key's next valid_from; last is open") {
     val iv = Scd.intervals(graft.core.Tables.events(spark, sf001),
         keys = Seq("user_id"), orderCols = Seq(col("ts"), col("event_id")),

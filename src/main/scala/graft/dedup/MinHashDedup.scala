@@ -17,8 +17,10 @@ import graft.functions.functions.minhash_sig
   *     and logged out rather than allowed to produce a quadratic blowup,
   *  4. candidates are verified with exact shingle-set Jaccard before being
   *     called duplicates,
-  *  5. groups come from iterative min-label propagation over the verified
-  *     pair graph (bounded rounds; converges in O(graph diameter)).
+  *  5. groups come from connected components over the verified pair graph —
+  *     driver union-find when the pair set is small (the common case),
+  *     large-star/small-star contraction ([[Components]], O(log n) rounds
+  *     independent of diameter) when it is not.
   *
   * The reference has only exact dedup (/root/reference/dags/CotyData_IPN.py:166);
   * this is the brief's scale-path extension.
@@ -101,37 +103,19 @@ object MinHashDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Assign each doc the min doc-id of its near-dup connected component.
-    * Iterative min-label propagation; `maxIter` bounds the rounds (graph
-    * diameter of dup clusters is tiny in practice).
-    *
-    * Scale: propagation runs only over nodes that appear in the pair graph
-    * — at real dup rates a small fraction of the corpus — so each round is
-    * a join on the (cached) edge set, never a full-corpus shuffle. Docs
-    * outside the graph keep their own id without touching an iteration.
+  /** Assign each doc the min doc-id of its near-dup connected component,
+    * fully distributed: large-star/small-star contraction over the pair
+    * graph ([[Components.labels]] — O(log n) rounds regardless of component
+    * diameter, each round two shuffles bounded by the edge set, never the
+    * corpus). Docs outside the pair graph keep their own id without
+    * touching an iteration.
     */
-  def groups(docs: DataFrame, pairs: DataFrame, idCol: String, maxIter: Int = 5): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    val inGraph = edges.select(col("src").as("node")).distinct().cache()
-    var labels = inGraph.withColumn("label", col("node").cast("long"))
-    var i = 0
-    while (i < maxIter) {
-      val viaNeighbor = edges.join(labels, edges("src") === labels("node"))
-        .groupBy(col("dst").as("node2")).agg(min("label").as("nlabel"))
-      labels = labels.join(viaNeighbor, labels("node") === col("node2"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        // each round references the previous labels twice — truncate the
-        // lineage eagerly or the iterative plan grows exponentially
-        .localCheckpoint(true)
-      i += 1
-    }
-    val loners = docs.select(col(idCol).as("node"))
-      .join(inGraph, Seq("node"), "left_anti")
-      .withColumn("label", col("node").cast("long"))
-    labels.unionByName(loners)
-      .select(col("node").as(idCol), col("label").as("group_id"))
+  def groups(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val lbl = Components.labels(pairs)
+    docs.select(col(idCol))
+      .join(lbl, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol).cast("long")).as("group_id"))
   }
 
   /** Driver-side union-find over a SMALL pair set. Dup pairs are a tiny
@@ -165,7 +149,7 @@ object MinHashDedup {
 
   /** doc -> connected-component label over a verified pair graph, switching
     * between driver-side union-find (small pair sets — the overwhelmingly
-    * common case) and distributed label propagation. One
+    * common case) and distributed star contraction ([[Components]]). One
     * `take(localThreshold + 1)` both fetches the pairs and decides the
     * path — no separate count job, and the collect is bounded by
     * construction (never more than localThreshold + 1 rows on the driver).

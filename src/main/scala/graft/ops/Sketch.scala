@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch, realized relationally (Cormode & Muthukrishnan 2005).
+  *
+  * Spark-first formulation: instead of a blob-typed aggregation buffer, the
+  * sketch IS a tiny DataFrame of (row, bucket, cnt) cells — `groupBy` gives
+  * the counter array, map-side partial aggregation gives the mergeability
+  * that makes CMS distributed-friendly, and every stage stays inside
+  * whole-stage codegen (the bucket projection is built-ins only:
+  * xxhash64 + pmod). At 100 TB the corpus streams once and the shuffle is
+  * bounded by depth x width cells, not by the number of distinct keys —
+  * the regime where an exact groupBy count's shuffle (one partial row per
+  * distinct key per task) stops fitting.
+  *
+  * Estimates are the classic min over depth rows; they can only
+  * OVER-estimate (pinned in SketchSpec), and are exact when no colliding
+  * key pair shares all rows — deterministic for a fixed key set, which is
+  * what lets the gate pin the estimate path against exact counts.
+  *
+  * The reference engine has no sketch surface at all; this is part of the
+  * brief's scale extensions (alongside a8's HLL and a13's quantile sketch).
+  */
+object Sketch {
+
+  /** depth bucket indices for a key: row r uses xxhash64(key, r) mod width.
+    * Same projection on the build and probe sides by construction.
+    */
+  private def buckets(key: Column, depth: Int, width: Int): Column =
+    transform(sequence(lit(0), lit(depth - 1)),
+      r => pmod(xxhash64(key, r), lit(width)))
+
+  /** Build the sketch: one row per touched (row, bucket) cell, cnt = number
+    * of input rows hashing there. Never materializes more than depth x width
+    * rows, and partial (map-side) combine means each task ships at most
+    * that many cells whatever its input size.
+    */
+  def cmsBuild(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
+    df.select(posexplode(buckets(key, depth, width)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Estimated count for each candidate key: min over the depth cells the
+    * key hashes to (a cell absent from the sketch is 0 — the key was never
+    * seen). The sketch side is depth x width rows at most, so the join
+    * broadcasts; the candidate side streams.
+    */
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame, keyName: String,
+                  depth: Int, width: Int, outCol: String = "est_count"): DataFrame =
+    candidates
+      .select(col(keyName),
+        posexplode(buckets(col(keyName), depth, width)).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(keyName)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as(outCol))
+}

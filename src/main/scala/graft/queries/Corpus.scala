@@ -209,6 +209,72 @@ object Corpus {
         |FROM g JOIN occ USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- C4/RefinedWeb-style line-level corpus dedup: cut every doc into
+    //      deterministic 10-token segments (the synthetic corpus has no
+    //      newlines, so segments play the "line"), keep only the FIRST
+    //      corpus-wide occurrence of each distinct segment (doc order,
+    //      then position), and reassemble the surviving text. Unlike sd1
+    //      (which only measures duplication) this REWRITES the corpus —
+    //      the actual C4 cleanup operation. One shuffle, partitioned by
+    //      segment content, carrying each segment exactly once per
+    //      occurrence; at 100 TB the shuffle is the corpus re-keyed by
+    //      line, the same cost profile as the published C4 pipeline.
+    "ld1_line_dedup" -> withOracle(
+      (s, d) => {
+        // tokenizer staged in its own projection (higher-order lambdas
+        // re-evaluate inlined children per element — the O(n^2) lesson)
+        val staged = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("__t"))
+        val segd = staged.select(col("doc_id"),
+          transform(
+            sequence(lit(0), ((size(col("__t")) - 1) / 10).cast("int")),
+            i => concat_ws(" ", slice(col("__t"), i * 10 + 1, lit(10)))).as("segs"))
+        val lines = segd
+          .select(col("doc_id"), posexplode(col("segs")))
+          .withColumnsRenamed(Map("col" -> "seg"))
+        val w = Window.partitionBy("seg").orderBy("doc_id", "pos")
+        val kept = lines.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val rebuilt = kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ",
+              transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+                x => x("seg"))).as("dedup_text"))
+        segd.select(col("doc_id"), size(col("segs")).as("n_segs"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_segs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+          .orderBy("doc_id")
+      },
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sg AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, (len(t) - 1) // 10 + 1),
+        |           i -> array_to_string(t[i*10+1 : i*10+10], ' ')) AS segs
+        |  FROM tk),
+        |ln AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(segs) + 1),
+        |           i -> {'pos': i, 'seg': segs[i]})) AS u
+        |  FROM sg),
+        |rk AS (
+        |  SELECT doc_id, u.pos AS pos, u.seg AS seg,
+        |         row_number() OVER (PARTITION BY u.seg
+        |                            ORDER BY doc_id, u.pos) AS rn
+        |  FROM ln),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY pos) AS dedup_text
+        |  FROM rk WHERE rn = 1 GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(len(s.segs) AS INTEGER) AS n_segs,
+        |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |       COALESCE(a.dedup_text, '') AS dedup_text
+        |FROM sg s LEFT JOIN agg a ON s.doc_id = a.doc_id
+        |ORDER BY s.doc_id""".stripMargin),
+
     // ---- corpus vocabulary: token frequency top-50 with deterministic
     //      tie-break — the classic shuffle-heavy word count. Partial
     //      (map-side) aggregation means executors ship one partial count
@@ -301,6 +367,24 @@ object Corpus {
           .groupBy("l_returnflag")
           .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"))
           .orderBy("l_returnflag")),
+
+    // ---- count-min sketch counts (relational CMS — see ops.Sketch): the
+    //      scale path for frequency estimation when distinct keys outgrow
+    //      an exact groupBy's shuffle. Estimates only ever over-count
+    //      (SketchSpec property); at this width/key-set no key collides in
+    //      all 4 rows — deterministically, fixed hashes — so the estimates
+    //      are EXACT and the oracle is the plain exact count: the gate pins
+    //      the whole build+probe path, not a tolerance band.
+    "a14_cms_counts" -> withOracle(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val sketch = graft.ops.Sketch.cmsBuild(li, col("l_suppkey"), depth = 4, width = 8192)
+        val cands = li.select("l_suppkey").distinct()
+        graft.ops.Sketch.cmsEstimate(sketch, cands, "l_suppkey", depth = 4, width = 8192)
+          .orderBy("l_suppkey")
+      },
+      """SELECT l_suppkey, count(*) AS est_count
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
 
     // ---- exact percentiles per group. l_quantity is integral and the
     //      quarter-grid fractions are exact in binary, so linear

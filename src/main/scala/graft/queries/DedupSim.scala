@@ -60,6 +60,49 @@ object DedupSim {
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         |ORDER BY d.doc_id""".stripMargin),
 
+    // ---- distributed connected components (large-star/small-star
+    //      contraction — the O(log n)-round scale path behind near-dup
+    //      grouping). The graph is deterministic: 10-node doc-id chains
+    //      (worst case for label propagation, routine for star
+    //      contraction) plus sparse cross-links merging some chains.
+    //      Oracle: recursive-CTE transitive closure over the same edges.
+    "cc1_components" -> withOracle(
+      (s, d) => {
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+        val chain = ids.filter(col("doc_id") % 10 =!= 9)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        val cross = ids.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 50).as("id_b"))
+        val edges = chain.unionByName(cross)
+          .join(ids.select(col("doc_id").as("id_b")), Seq("id_b")) // endpoint must exist
+        val lbl = graft.dedup.Components.labels(edges)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        ids.join(lbl, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("component"))
+          .withColumn("comp_size", count(lit(1)).over(w))
+          .orderBy("doc_id")
+      },
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM ids WHERE doc_id % 10 <> 9
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 50 FROM ids WHERE doc_id % 97 = 0),
+        |e1 AS (SELECT id_a, id_b FROM e0 JOIN ids ON id_b = doc_id),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM e1
+        |          UNION SELECT id_b, id_a FROM e1),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(least(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS component,
+        |       CAST(count(*) OVER (PARTITION BY
+        |         COALESCE(least(l.mn, d.doc_id), d.doc_id)) AS BIGINT) AS comp_size
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
     // ---- SimHash signatures + per-doc near-neighbor count within
     //      Hamming radius (banded blocking, never all-pairs)
     "m2_simhash_near" -> rowsOnly(

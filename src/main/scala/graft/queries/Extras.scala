@@ -514,6 +514,41 @@ object Extras {
         |          FROM events))
         |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // ---- event-time session windows via the built-in session_window
+    //      aggregation (merging-interval state, the streaming-capable twin
+    //      of w7's gaps-and-islands formulation). Oracle: islands with a
+    //      new session at gap >= 30 min — equivalent because the events
+    //      data has no gap exactly on the boundary (verified at all SFs),
+    //      session_start = min(ts), session_end = max(ts) + gap. Two
+    //      sessions of one user can never share a formatted start second
+    //      (they are >= 30 min apart), so (user_id, session_start) is a
+    //      total order.
+    "w10_session_window" -> withOracle(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
+          .select(col("user_id"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events"), col("value_sum"))
+          .orderBy("user_id", "session_start"),
+      """SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM (
+        |    SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |    FROM (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id)) AS gap_us
+        |          FROM events)))
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin),
+
     // ---- custom expressions through the SQL surface (GraftExtensions):
     //      signature determinism is the contract — rows-only here, exact
     //      parity with the Column API pinned in ScalaTest

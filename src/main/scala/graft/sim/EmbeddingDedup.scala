@@ -49,7 +49,7 @@ object EmbeddingDedup {
 
   /** vec_id, group_id, group_size from the near-dup component graph.
     * Components via [[MinHashDedup.componentGroups]]: driver union-find for
-    * small pair sets, distributed label propagation above `localThreshold`
+    * small pair sets, distributed star contraction above `localThreshold`
     * — the collect is bounded, never corpus- or pair-count-proportional.
     */
   def groups(df: DataFrame, threshold: Double,

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // skewed key stream: key k appears k times, keys 1..30
+  private lazy val stream = (1 to 30).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+  private lazy val exact: Map[Long, Long] =
+    (1 to 30).map(k => k.toLong -> k.toLong).toMap
+
+  private def estimates(depth: Int, width: Int): Map[Long, Long] = {
+    val sketch = Sketch.cmsBuild(stream, col("k"), depth, width)
+    Sketch.cmsEstimate(sketch, stream.distinct(), "k", depth, width)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("estimates never under-count, even with forced collisions") {
+    val est = estimates(depth = 2, width = 4) // 30 keys into 4 buckets
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"key $k") }
+    // with 30 keys in 4 buckets, SOME key must be inflated
+    assert(exact.exists { case (k, n) => est(k) > n })
+  }
+
+  test("deeper sketch can only tighten the estimate") {
+    val shallow = estimates(depth = 1, width = 16)
+    val deep = estimates(depth = 4, width = 16)
+    exact.keys.foreach(k => assert(deep(k) <= shallow(k), s"key $k"))
+  }
+
+  test("generous width makes estimates exact") {
+    assert(estimates(depth = 4, width = 4096) == exact)
+  }
+
+  test("sketch of a union equals the cell-wise sum of the part sketches (mergeable)") {
+    val (a, b) = (stream.filter(col("k") <= 15), stream.filter(col("k") > 15))
+    val merged = Sketch.cmsBuild(a, col("k"), 3, 8)
+      .unionByName(Sketch.cmsBuild(b, col("k"), 3, 8))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketch.cmsBuild(stream, col("k"), 3, 8)
+    assert(merged.select("r", "bucket", "cnt").collect().toSet ==
+           whole.select("r", "bucket", "cnt").collect().toSet)
+  }
+
+  test("unseen candidate keys estimate to zero") {
+    val sketch = Sketch.cmsBuild(stream, col("k"), 4, 4096)
+    val est = Sketch.cmsEstimate(sketch, Seq(999L).toDF("k"), "k", 4, 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est == Map(999L -> 0L))
+  }
+}

@@ -24,6 +24,22 @@ object HashImpls {
     h
   }
 
+  /** Morton/Z-order interleave of the low `bits` bits of x (even output
+    * positions) and y (odd positions). Total order on the result is the
+    * Z-curve walk of the (x, y) grid — nearby points in either dimension
+    * stay nearby in the key, which is what makes min/max file stats
+    * selective on BOTH columns after range-partitioning by the key.
+    */
+  def zorder2(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >>> i) & 1L) << (2 * i) | ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -31,6 +31,27 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Z-order (Morton) key of two long columns, codegen'd — the clustering
+  * key behind [[graft.ops.Zorder]]: range-partitioning by this key gives
+  * every output file a tight min/max envelope on BOTH inputs, so parquet
+  * stats prune scans on either predicate (the reference engine has no
+  * layout control at all; this is the 100 TB data-skipping path).
+  */
+case class ZorderKey(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 32, "bits must be in [1,32]")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_key"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    HashImpls.zorder2(l.asInstanceOf[Long], r.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashImpls.zorder2($a, $b, $bits)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -239,6 +260,10 @@ object functions {
     toCol(MinHashSig(expr(tokens), numHashes, seed))
 
   def simhash64(tokens: Column): Column = toCol(SimHash64(expr(tokens)))
+
+  /** Z-order (Morton) key over the low `bits` bits of two columns, codegen'd. */
+  def zorder_key(x: Column, y: Column, bits: Int = 16): Column =
+    toCol(ZorderKey(expr(x.cast("long")), expr(y.cast("long")), bits))
 
   def rhp_sig(embedding: Column, numPlanes: Int, seed: Long = 42L): Column =
     toCol(RhpSig(expr(embedding), numPlanes, seed))

@@ -368,6 +368,27 @@ object Corpus {
           .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"))
           .orderBy("l_returnflag")),
 
+    // ---- Z-order clustering key (ops.Zorder): the bit-interleave kernel
+    //      the layout op range-partitions by. Pure integer bit math, so
+    //      the oracle can restate it exactly; the layout/skipping effect
+    //      itself (per-file min/max envelopes on both columns) is pinned
+    //      in ZorderSpec where file stats are observable.
+    "z1_zorder_key" -> withOracle(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select((col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("py"))
+          .distinct()
+          .select(col("px"), col("py"),
+            graft.ops.Zorder.zkey(col("px"), col("py"), bits = 8).as("zkey"))
+          .orderBy("zkey", "px", "py"),
+      """SELECT px, py,
+        |       CAST(list_sum(list_transform(range(0, 8), i ->
+        |         ((px >> i) & 1) * (1::BIGINT << (2*i)) +
+        |         ((py >> i) & 1) * (1::BIGINT << (2*i + 1)))) AS BIGINT) AS zkey
+        |FROM (SELECT DISTINCT l_partkey % 256 AS px, l_suppkey % 256 AS py
+        |      FROM lineitem)
+        |ORDER BY zkey, px, py""".stripMargin),
+
     // ---- count-min sketch counts (relational CMS — see ops.Sketch): the
     //      scale path for frequency estimation when distinct keys outgrow
     //      an exact groupBy's shuffle. Estimates only ever over-count

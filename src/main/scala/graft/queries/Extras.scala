@@ -101,6 +101,30 @@ object StreamingQuery {
       .orderBy("c_mktsegment")
       .localCheckpoint(true)
   }
+
+  /** Streaming session windows drained to completion: the streaming twin of
+    * w10 — identical projection, so on identical data the memory-sink table
+    * must equal the batch statement (= w10's oracle). Complete output mode:
+    * session state is never dropped, so the final trigger emits every
+    * session whatever the micro-batch cut points.
+    */
+  def sessions(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val events = streamEvents(s, d)
+    val name = "st4_out"
+    val q = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("value_sum"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .orderBy("user_id", "session_start")
+      .localCheckpoint(true)
+  }
 }
 
 /** Operators the reference never needed but Spark exposes for free
@@ -533,6 +557,26 @@ object Extras {
             date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
             col("n_events"), col("value_sum"))
           .orderBy("user_id", "session_start"),
+      """SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM (
+        |    SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |    FROM (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id)) AS gap_us
+        |          FROM events)))
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin),
+
+    // ---- streaming session windows must equal the batch session_window
+    //      statement (= w10's oracle) on identical data
+    "st4_stream_session" -> withOracle(
+      (s, d) => StreamingQuery.sessions(s, d),
       """SELECT user_id,
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,

@@ -87,6 +87,35 @@ object Corpus {
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- HTML boilerplate strip (ops.Html): the synthetic corpus carries
+    //      no markup, so the query PLANTS deterministic tags + entities per
+    //      doc (same construction in the oracle — the pii1 pattern) and the
+    //      strip must remove every tag, decode entities exactly one level,
+    //      and collapse whitespace.
+    "t13_html_strip" -> withOracle(
+      (s, d) => {
+        val planted = concat(
+          lit("<html><body class=\""), col("lang"), lit("\"><h1>"), col("source"),
+          lit("</h1><!-- boilerplate --><p>"), substring(col("text"), 1, 80),
+          lit(" &amp;co &lt;3&gt; &quot;q&quot; &nbsp;tail</p></body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), graft.ops.Html.stripTags(planted).as("clean"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(
+        |        '<html><body class="' || lang || '"><h1>' || source ||
+        |        '</h1><!-- boilerplate --><p>' || substr(text, 1, 80) ||
+        |        ' &amp;co &lt;3&gt; &quot;q&quot; &nbsp;tail</p></body></html>',
+        |        '<!--[^>]*-->', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |  '\s+', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ---- deterministic hash sampling: md5 of the key, keep 3/16 of the
     //      space. Reproducible on any engine, no RNG state, scan-shaped —
     //      the canonical way to cut a stable subsample from 100 TB.
@@ -100,6 +129,52 @@ object Corpus {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
         |ORDER BY doc_id""".stripMargin),
+
+    // ---- quality-weighted sampling (DSIR-shaped): each doc kept with
+    //      probability proportional to a quality weight (here length-based,
+    //      capped at 1), decided by comparing a 6-hex-digit md5 prefix
+    //      against the weight mapped onto the same 16^6 grid — deterministic
+    //      on any engine, no RNG state, scan-shaped. Equal-length hex
+    //      strings compare lexicographically = numerically, which is what
+    //      makes the string comparison exact.
+    "smp3_weighted" -> withOracle(
+      (s, d) => {
+        val w = least(lit(1.0), col("n_chars") / lit(400.0))
+        val thr = lpad(lower(hex(
+          least(floor(w * 16777216).cast("long"), lit(16777215L)))), 6, "0")
+        Tables.documents(s, d)
+          .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6) < thr)
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+        |      lpad(lower(to_hex(CAST(least(floor(least(1.0, n_chars/400.0)
+        |        * 16777216), 16777215) AS BIGINT))), 6, '0')
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- key-skew profile: the diagnostic a shuffle-heavy job needs
+    //      BEFORE it runs at 100 TB (is a salted join warranted?). All
+    //      outputs exact: integer aggregates, a .5-grid median, and a
+    //      top-key share that is one int/int double division.
+    "q4_skew_profile" -> withOracle(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_keys"), sum("cnt").as("total_rows"),
+            max("cnt").as("max_cnt"), min("cnt").as("min_cnt"),
+            percentile(col("cnt"), lit(0.5)).as("med_cnt"))
+          .withColumn("top_share",
+            col("max_cnt").cast("double") / col("total_rows"))
+          .orderBy("n_keys"),
+      """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |       CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |       CAST(min(cnt) AS BIGINT) AS min_cnt,
+        |       quantile_cont(cnt, 0.5) AS med_cnt,
+        |       CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_share
+        |FROM c ORDER BY n_keys""".stripMargin),
 
     // ---- stratified sampling: fixed quota per language, ranked by key
     //      hash so the pick is deterministic and uniform within stratum.

@@ -125,6 +125,32 @@ object StreamingQuery {
       .orderBy("user_id", "session_start")
       .localCheckpoint(true)
   }
+
+  /** Stream-stream interval join drained to completion: every event paired
+    * with the same user's error events from the preceding 5 minutes. Two
+    * independent readers over the same staged directory play the two
+    * streams; inner-join matches are emitted exactly once regardless of
+    * micro-batch boundaries, so the result equals the batch range join the
+    * oracle states.
+    */
+  def errorPairs(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val events = streamEvents(s, d)
+    val errors = streamEvents(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_event_id"))
+    val name = "st5_out"
+    val q = graft.streaming.Streams
+      .intervalJoin(events, errors, "user_id", "err_user", "ts", "err_ts",
+        windowSpec = "5 minutes")
+      .select(col("event_id"), col("err_event_id"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .orderBy("event_id", "err_event_id")
+      .localCheckpoint(true)
+  }
 }
 
 /** Operators the reference never needed but Spark exposes for free
@@ -572,6 +598,17 @@ object Extras {
         |          FROM events)))
         |GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start""".stripMargin),
+
+    // ---- stream-stream interval join must equal the batch range join on
+    //      identical data (inner join: matches emitted exactly once,
+    //      arrival-order-independent)
+    "st5_stream_interval" -> withOracle(
+      (s, d) => StreamingQuery.errorPairs(s, d),
+      """SELECT e.event_id, r.event_id AS err_event_id
+        |FROM events e JOIN events r
+        |  ON e.user_id = r.user_id AND r.event_type = 'error'
+        | AND r.ts < e.ts AND r.ts >= e.ts - INTERVAL 5 MINUTE
+        |ORDER BY e.event_id, err_event_id""".stripMargin),
 
     // ---- streaming session windows must equal the batch session_window
     //      statement (= w10's oracle) on identical data

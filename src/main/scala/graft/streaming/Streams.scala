@@ -58,6 +58,27 @@ object Streams {
                     streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey))
 
+  /** Stream-stream interval join: left rows matched to right rows with the
+    * same key whose timestamp falls in [leftTs - window, leftTs). Unlike
+    * [[enrichWithDim]] both sides buffer state; the time-range condition
+    * plus the two watermarks are what let Spark EVICT that state — without
+    * them an inner stream-stream join holds both streams forever. Matches
+    * are emitted as soon as both sides have arrived, so the result set is
+    * independent of micro-batch cut points (pinned by the st5 gate query
+    * against the batch oracle). Column names must not collide across the
+    * two sides.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   windowSpec: String = "5 minutes",
+                   watermark: String = "10 minutes"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) < col(leftTs) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowSpec"))
+
   /** Gap-based sessionization with custom state
     * (KeyValueGroupedDataset.flatMapGroupsWithState). Sessions close when
     * `gapMs` passes without an event for the user (emitted as soon as a

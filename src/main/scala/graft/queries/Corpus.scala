@@ -130,6 +130,51 @@ object Corpus {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- corpus mixture sampling (DataComp-shaped): hit target source
+    //      proportions while keeping as much data as possible. Weights
+    //      w_s come from the source id (1..4 cycling); the binding source
+    //      sets the total T = min(n_s * sumW div w_s), each source keeps
+    //      its top k_s = w_s * T div sumW docs by md5 rank. ALL integer
+    //      arithmetic — no float proportion ever computed, so the oracle
+    //      match is exact by construction. Per-source stats are two tiny
+    //      broadcast aggregates; the only corpus-sized work is the
+    //      rank-within-source window.
+    "mix1_mixture" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stats = docs.groupBy("source").agg(count(lit(1)).as("n"))
+          .withColumn("w",
+            regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4 + 1)
+        val withSw = stats.crossJoin(broadcast(stats.agg(sum("w").as("sw"))))
+        val withCap = withSw.withColumn("cap", expr("n * sw div w"))
+        val ks = withCap
+          .crossJoin(broadcast(withCap.agg(min("cap").as("t"))))
+          .withColumn("k", expr("w * t div sw"))
+          .select("source", "k")
+        val rnk = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+        docs.join(broadcast(ks), Seq("source"))
+          .withColumn("rk", row_number().over(rnk))
+          .filter(col("rk") <= col("k"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      """WITH stats AS (
+        |  SELECT source, count(*) AS n,
+        |         CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4 + 1 AS w
+        |  FROM documents GROUP BY source),
+        |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM stats),
+        |caps AS (SELECT source, n, w, sw, n * sw // w AS cap FROM stats, sw),
+        |t AS (SELECT min(cap) AS t FROM caps),
+        |ks AS (SELECT source, w * t // sw AS k FROM caps, t),
+        |rk AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source FROM rk r JOIN ks USING (source)
+        |WHERE r.rk <= k ORDER BY r.doc_id""".stripMargin),
+
     // ---- quality-weighted sampling (DSIR-shaped): each doc kept with
     //      probability proportional to a quality weight (here length-based,
     //      capped at 1), decided by comparing a 6-hex-digit md5 prefix

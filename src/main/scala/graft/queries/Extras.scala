@@ -599,6 +599,32 @@ object Extras {
         |GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start""".stripMargin),
 
+    // ---- unpivot/melt (the inverse of x18's pivot): wide measure columns
+    //      to long (measure, val) rows via the first-class Dataset.unpivot.
+    //      Values stay raw doubles (bit-identical IEEE, never rounded);
+    //      the 5-column id tuple is the proven-unique lineitem key, so the
+    //      ORDER BY is total.
+    "x21_unpivot" -> withOracle(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_suppkey"), col("l_quantity")),
+            Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+            "measure", "val")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "measure"),
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |       'l_extendedprice' AS measure, l_extendedprice AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |       'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |       'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |         measure""".stripMargin),
+
     // ---- stream-stream interval join must equal the batch range join on
     //      identical data (inner join: matches emitted exactly once,
     //      arrival-order-independent)

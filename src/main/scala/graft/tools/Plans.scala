@@ -12,7 +12,8 @@ object Plans {
       println("  broadcasts=" + lines.count(_.contains("BroadcastHashJoin")) + " smj=" + lines.count(_.contains("SortMergeJoin")) + " exchanges=" + lines.count(_.contains("Exchange")) + " wscg=" + lines.count(_.contains("WholeStageCodegen")))
     }
     Seq("j3_dim_lookup","j5_dual_dim","f1_isin","a1_group_sum","p6_derived","e1_knn_brute","pipe_sales_details","j1_join_multikey",
-        "j10_bloom_semi","j11_bloom_anti","j12_salted_join","sd1_dup_spans","t10_cooc_lift","d3_snapshot_diff","e5_ann_pq").foreach(show)
+        "j10_bloom_semi","j11_bloom_anti","j12_salted_join","sd1_dup_spans","t10_cooc_lift","d3_snapshot_diff","e5_ann_pq",
+        "ld1_line_dedup","a14_cms_counts","z1_zorder_key","w10_session_window","t13_html_strip","smp3_weighted").foreach(show)
     spark.stop()
   }
 }

@@ -51,7 +51,9 @@ object Components {
     }
 
     // large-star: group the SYMMETRIC edge view by u, attach v > u to m(u).
-    // v > u >= m(u) keeps the output canonically oriented for free.
+    // v > u >= m(u) keeps the output canonically oriented for free. NOT
+    // deduped — the duplicates feed straight into small-star's groupBy/
+    // canon, so a distinct here would only add a shuffle per round.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = sym.groupBy(col("src").as("u"))
@@ -61,7 +63,6 @@ object Components {
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
     }
 
     // small-star: edges are already oriented src > dst, so grouping by src

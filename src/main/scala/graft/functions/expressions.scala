@@ -39,7 +39,9 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
   */
 case class ZorderKey(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
-  require(bits >= 1 && bits <= 32, "bits must be in [1,32]")
+  // 31 max: y's top bit at bits=32 would land in the sign bit, turning the
+  // second half of the curve negative and breaking the total-order contract
+  require(bits >= 1 && bits <= 31, "bits must be in [1,31]")
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder_key"
   override protected def nullSafeEval(l: Any, r: Any): Any =

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
+  /** A built sketch carries its own geometry: probing with a different
+    * depth/width than the build silently UNDER-counts (missing cells read
+    * as 0 through the min), so the API makes that mismatch unrepresentable
+    * rather than documented.
+    */
+  final case class CmsSketch(cells: DataFrame, depth: Int, width: Int)
+
   /** depth bucket indices for a key: row r uses xxhash64(key, r) mod width.
     * Same projection on the build and probe sides by construction.
     */
@@ -37,21 +44,36 @@ object Sketch {
     * rows, and partial (map-side) combine means each task ships at most
     * that many cells whatever its input size.
     */
-  def cmsBuild(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
-    df.select(posexplode(buckets(key, depth, width)).as(Seq("r", "bucket")))
-      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  def cmsBuild(df: DataFrame, key: Column, depth: Int, width: Int): CmsSketch =
+    CmsSketch(
+      df.select(posexplode(buckets(key, depth, width)).as(Seq("r", "bucket")))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cnt")),
+      depth, width)
 
   /** Estimated count for each candidate key: min over the depth cells the
     * key hashes to (a cell absent from the sketch is 0 — the key was never
     * seen). The sketch side is depth x width rows at most, so the join
     * broadcasts; the candidate side streams.
     */
-  def cmsEstimate(sketch: DataFrame, candidates: DataFrame, keyName: String,
-                  depth: Int, width: Int, outCol: String = "est_count"): DataFrame =
+  def cmsEstimate(sketch: CmsSketch, candidates: DataFrame, keyName: String,
+                  outCol: String = "est_count"): DataFrame =
     candidates
       .select(col(keyName),
-        posexplode(buckets(col(keyName), depth, width)).as(Seq("r", "bucket")))
-      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+        posexplode(buckets(col(keyName), sketch.depth, sketch.width))
+          .as(Seq("r", "bucket")))
+      .join(broadcast(sketch.cells), Seq("r", "bucket"), "left")
       .groupBy(keyName)
       .agg(min(coalesce(col("cnt"), lit(0L))).as(outCol))
+
+  /** Cell-wise merge of two sketches built with the same geometry (the
+    * mergeability that makes CMS distributed/incremental-friendly).
+    */
+  def cmsMerge(a: CmsSketch, b: CmsSketch): CmsSketch = {
+    require(a.depth == b.depth && a.width == b.width,
+      "sketch geometries differ")
+    CmsSketch(
+      a.cells.unionByName(b.cells)
+        .groupBy("r", "bucket").agg(sum("cnt").as("cnt")),
+      a.depth, a.width)
+  }
 }

@@ -96,7 +96,8 @@ object Corpus {
       (s, d) => {
         val planted = concat(
           lit("<html><body class=\""), col("lang"), lit("\"><h1>"), col("source"),
-          lit("</h1><!-- boilerplate --><p>"), substring(col("text"), 1, 80),
+          lit("</h1><!-- if x > 3 --><img alt=\"x > y\"><p>"),
+          substring(col("text"), 1, 80),
           lit(" &amp;co &lt;3&gt; &quot;q&quot; &nbsp;tail</p></body></html>"))
         Tables.documents(s, d)
           .select(col("doc_id"), graft.ops.Html.stripTags(planted).as("clean"))
@@ -107,10 +108,10 @@ object Corpus {
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |      regexp_replace(
         |        '<html><body class="' || lang || '"><h1>' || source ||
-        |        '</h1><!-- boilerplate --><p>' || substr(text, 1, 80) ||
+        |        '</h1><!-- if x > 3 --><img alt="x > y"><p>' || substr(text, 1, 80) ||
         |        ' &amp;co &lt;3&gt; &quot;q&quot; &nbsp;tail</p></body></html>',
-        |        '<!--[^>]*-->', ' ', 'g'),
-        |      '<[^>]*>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<(?:[^>"'']|"[^"]*"|''[^'']*'')*>', ' ', 'g'),
         |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
         |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
         |  '\s+', ' ', 'g')) AS clean
@@ -521,7 +522,7 @@ object Corpus {
         val li = Tables.lineitem(s, d)
         val sketch = graft.ops.Sketch.cmsBuild(li, col("l_suppkey"), depth = 4, width = 8192)
         val cands = li.select("l_suppkey").distinct()
-        graft.ops.Sketch.cmsEstimate(sketch, cands, "l_suppkey", depth = 4, width = 8192)
+        graft.ops.Sketch.cmsEstimate(sketch, cands, "l_suppkey")
           .orderBy("l_suppkey")
       },
       """SELECT l_suppkey, count(*) AS est_count

@@ -102,23 +102,55 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
-  /** Streaming session windows drained to completion: the streaming twin of
-    * w10 — identical projection, so on identical data the memory-sink table
-    * must equal the batch statement (= w10's oracle). Complete output mode:
-    * session state is never dropped, so the final trigger emits every
-    * session whatever the micro-batch cut points.
+  /** THE session-window statement — used verbatim by the batch query (w10)
+    * and the streaming drain (st4), so the batch/streaming-equivalence
+    * contract is enforced by construction, not by keeping two copies in
+    * sync. Works unchanged on a batch or streaming frame (Spark's unified
+    * model).
     */
-  def sessions(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    val events = streamEvents(s, d)
-    val name = "st4_out"
-    val q = events
+  def sessionAgg(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
       .select(col("user_id"),
         date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("value_sum"))
+
+  /** The one DuckDB oracle both w10 and st4 compare against: islands with a
+    * new session at gap >= 30 min — equivalent to session_window because
+    * the events data has no gap exactly on the boundary (verified at all
+    * SFs); session_start = min(ts), session_end = max(ts) + gap. Two
+    * sessions of one user can never share a formatted start second (they
+    * are >= 30 min apart), so (user_id, session_start) is a total order.
+    */
+  val sessionOracleSql: String =
+    """SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       count(*) AS n_events, round(sum(value), 2) AS value_sum
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM (
+      |    SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |    FROM (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |                    ORDER BY ts, event_id)) AS gap_us
+      |          FROM events)))
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Streaming session windows drained to completion: [[sessionAgg]] over
+    * the file stream. Complete output mode: session state is never
+    * dropped, so the final trigger emits every session whatever the
+    * micro-batch cut points.
+    */
+  def sessions(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "st4_out"
+    val q = sessionAgg(streamEvents(s, d))
       .writeStream.outputMode("complete").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     s.table(name)
@@ -566,38 +598,14 @@ object Extras {
 
     // ---- event-time session windows via the built-in session_window
     //      aggregation (merging-interval state, the streaming-capable twin
-    //      of w7's gaps-and-islands formulation). Oracle: islands with a
-    //      new session at gap >= 30 min — equivalent because the events
-    //      data has no gap exactly on the boundary (verified at all SFs),
-    //      session_start = min(ts), session_end = max(ts) + gap. Two
-    //      sessions of one user can never share a formatted start second
-    //      (they are >= 30 min apart), so (user_id, session_start) is a
-    //      total order.
+    //      of w7's gaps-and-islands formulation). Statement and oracle are
+    //      StreamingQuery.sessionAgg/sessionOracleSql, shared verbatim with
+    //      the streaming drain st4 (see there for the boundary analysis).
     "w10_session_window" -> withOracle(
       (s, d) =>
-        Tables.events(s, d)
-          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
-          .select(col("user_id"),
-            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-            date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
-            col("n_events"), col("value_sum"))
+        StreamingQuery.sessionAgg(Tables.events(s, d))
           .orderBy("user_id", "session_start"),
-      """SELECT user_id,
-        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-        |       count(*) AS n_events, round(sum(value), 2) AS value_sum
-        |FROM (
-        |  SELECT user_id, ts, value,
-        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-        |  FROM (
-        |    SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |    FROM (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
-        |                    ORDER BY ts, event_id)) AS gap_us
-        |          FROM events)))
-        |GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_start""".stripMargin),
+      StreamingQuery.sessionOracleSql),
 
     // ---- unpivot/melt (the inverse of x18's pivot): wide measure columns
     //      to long (measure, val) rows via the first-class Dataset.unpivot.
@@ -636,25 +644,12 @@ object Extras {
         | AND r.ts < e.ts AND r.ts >= e.ts - INTERVAL 5 MINUTE
         |ORDER BY e.event_id, err_event_id""".stripMargin),
 
-    // ---- streaming session windows must equal the batch session_window
-    //      statement (= w10's oracle) on identical data
+    // ---- streaming session windows: the SAME sessionAgg statement and the
+    //      SAME oracle as w10, shared by reference — the equivalence
+    //      contract cannot drift
     "st4_stream_session" -> withOracle(
       (s, d) => StreamingQuery.sessions(s, d),
-      """SELECT user_id,
-        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-        |       count(*) AS n_events, round(sum(value), 2) AS value_sum
-        |FROM (
-        |  SELECT user_id, ts, value,
-        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-        |  FROM (
-        |    SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |    FROM (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
-        |                    ORDER BY ts, event_id)) AS gap_us
-        |          FROM events)))
-        |GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_start""".stripMargin),
+      StreamingQuery.sessionOracleSql),
 
     // ---- custom expressions through the SQL surface (GraftExtensions):
     //      signature determinism is the contract — rows-only here, exact

@@ -13,7 +13,7 @@ class SketchSpec extends SparkTestBase {
 
   private def estimates(depth: Int, width: Int): Map[Long, Long] = {
     val sketch = Sketch.cmsBuild(stream, col("k"), depth, width)
-    Sketch.cmsEstimate(sketch, stream.distinct(), "k", depth, width)
+    Sketch.cmsEstimate(sketch, stream.distinct(), "k")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -35,19 +35,21 @@ class SketchSpec extends SparkTestBase {
     assert(estimates(depth = 4, width = 4096) == exact)
   }
 
-  test("sketch of a union equals the cell-wise sum of the part sketches (mergeable)") {
+  test("cmsMerge of split streams equals the sketch of the whole; geometry mismatch refused") {
     val (a, b) = (stream.filter(col("k") <= 15), stream.filter(col("k") > 15))
-    val merged = Sketch.cmsBuild(a, col("k"), 3, 8)
-      .unionByName(Sketch.cmsBuild(b, col("k"), 3, 8))
-      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    val merged = Sketch.cmsMerge(
+      Sketch.cmsBuild(a, col("k"), 3, 8), Sketch.cmsBuild(b, col("k"), 3, 8))
     val whole = Sketch.cmsBuild(stream, col("k"), 3, 8)
-    assert(merged.select("r", "bucket", "cnt").collect().toSet ==
-           whole.select("r", "bucket", "cnt").collect().toSet)
+    assert(merged.cells.select("r", "bucket", "cnt").collect().toSet ==
+           whole.cells.select("r", "bucket", "cnt").collect().toSet)
+    intercept[IllegalArgumentException] {
+      Sketch.cmsMerge(whole, Sketch.cmsBuild(a, col("k"), 3, 16))
+    }
   }
 
   test("unseen candidate keys estimate to zero") {
     val sketch = Sketch.cmsBuild(stream, col("k"), 4, 4096)
-    val est = Sketch.cmsEstimate(sketch, Seq(999L).toDF("k"), "k", 4, 4096)
+    val est = Sketch.cmsEstimate(sketch, Seq(999L).toDF("k"), "k")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(est == Map(999L -> 0L))
   }

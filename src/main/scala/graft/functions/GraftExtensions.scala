@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.LongType
 
 /** SparkSessionExtensions wiring: exposes graft's custom expressions to
   * the SQL surface, so `spark.sql("SELECT simhash64(split(text, ' '))")`
@@ -66,5 +67,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("passjoin_probe_keys",
         "passjoin_probe_keys(s, tau) - PassJoin candidate keys (probe side)"),
       (args: Seq[Expression]) => PassJoinProbeKeys(args.head, intArg(args(1), "tau"))))
+
+    ext.injectFunction((FunctionIdentifier("zorder_key"),
+      info("zorder_key",
+        "zorder_key(x, y[, bits]) - Morton/Z-order interleave of two longs"),
+      // cast like the Column wrapper does, so int columns work from SQL too
+      (args: Seq[Expression]) => ZorderKey(Cast(args.head, LongType), Cast(args(1), LongType),
+        if (args.length > 2) intArg(args(2), "bits") else 16)))
   }
 }

@@ -79,6 +79,32 @@ object Streams {
           col(rightTs) < col(leftTs) &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowSpec"))
 
+  /** Streaming ingestion into a document collection (S7/K8 store) with
+    * dedup-before-insert: each micro-batch keeps only keys the collection
+    * has not seen — the Bloom fast-path anti-join, so the bloom-negative
+    * bulk of every batch skips the exact join entirely — and appends them
+    * as one manifest-committed generation. Replayed or overlapping batches
+    * are idempotent by construction: the reference's staged-sync contract
+    * (K2, /root/reference/dags/CotyData_IPN.py:166 dedup-before-load)
+    * carried into streaming.
+    */
+  def ingestToDocStore(stream: DataFrame, path: String, key: String,
+                       expectedKeys: Long = 1000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing = graft.sources.DocStore.find(spark, path)
+        val fresh =
+          if (existing.columns.contains(key))
+            graft.ops.BloomJoin.bloomAntiJoin(
+              batch, existing.select(key), key, key, expectedKeys)
+          else batch // first batch into an empty collection
+        if (!fresh.isEmpty) graft.sources.DocStore.insertMany(fresh, path)
+        ()
+      }
+      .start()
+
   /** Gap-based sessionization with custom state
     * (KeyValueGroupedDataset.flatMapGroupsWithState). Sessions close when
     * `gapMs` passes without an event for the user (emitted as soon as a

@@ -23,6 +23,18 @@ class ZorderSpec extends SparkTestBase {
     assert(HashImpls.zorder2(0L, 0L, 32) == 0L)
   }
 
+  test("zorder_key through the SQL surface matches the Column API, incl. int inputs") {
+    val df = spark.range(100)
+      .select((col("id") % 16).cast("int").as("x"), (col("id") / 16).cast("int").as("y"))
+    df.createOrReplaceTempView("zv")
+    val viaSql = spark.sql("SELECT zorder_key(x, y, 4) AS z FROM zv ORDER BY x, y")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = df.orderBy("x", "y")
+      .select(graft.functions.functions.zorder_key(col("x"), col("y"), 4).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("quantize is monotone and clamps to the grid") {
     val df = Seq(-5.0, 0.0, 50.0, 100.0, 200.0).toDF("v")
       .select(Zorder.quantize(col("v"), 0.0, 100.0, bits = 8).as("q"))

@@ -99,6 +99,28 @@ class StreamsSpec extends SparkTestBase {
     assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
   }
 
+  test("ingestToDocStore: replayed micro-batches are idempotent (dedup-before-insert)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("st6").toString + "/coll"
+
+    def run(events: Seq[Event]*): Unit = {
+      val mem = MemoryStream[Event]
+      val q = Streams.ingestToDocStore(
+        mem.toDF().withColumn("k", col("user_id") * 1000 + unix_timestamp(col("ts"))),
+        dir, "k", expectedKeys = 1000L)
+      events.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+      q.stop()
+    }
+
+    val b1 = Seq(Event(1, ts(0), "click", 1.0), Event(2, ts(1), "view", 2.0))
+    val b2 = Seq(Event(2, ts(1), "view", 2.0), Event(3, ts(2), "click", 3.0)) // overlaps b1
+    run(b1, b2)
+    run(b1 ++ b2) // full replay in one batch
+    val docs = graft.sources.DocStore.find(spark, dir)
+    assert(docs.count() == 3, "three distinct keys, whatever the replay/overlap")
+    assert(docs.select("k").distinct().count() == 3)
+  }
+
   test("batch/stream unification: windowedCounts runs on a plain DataFrame") {
     val batch = Seq(Event(1, ts(0), "click", 2.0), Event(1, ts(10), "click", 3.0)).toDF()
     val out = Streams.windowedCounts(batch).collect()

@@ -607,6 +607,37 @@ object Extras {
           .orderBy("user_id", "session_start"),
       StreamingQuery.sessionOracleSql),
 
+    // ---- null-safe equality join (<=>): NULL keys match each other — the
+    //      dimension-join semantics for facts with unknown keys routed to
+    //      an UNKNOWN dim member, which plain = silently drops. The corpus
+    //      has no null keys, so they are planted deterministically (the
+    //      pii1 pattern); oracle = IS NOT DISTINCT FROM.
+    "x22_nullsafe_join" -> withOracle(
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, lit(null))
+              .otherwise(col("c_nationkey")).cast("int").as("nk"))
+        val dim = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("int").as("nk"), col("n_name"))
+          .unionByName(Seq("UNKNOWN").toDF("n_name")
+            .select(lit(null).cast("int").as("nk"), col("n_name")))
+        cust.join(broadcast(dim), cust("nk") <=> dim("nk"))
+          .groupBy("n_name").agg(count(lit(1)).as("n"))
+          .orderBy("n_name")
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+        |  FROM customer),
+        |dim AS (
+        |  SELECT CAST(n_nationkey AS INTEGER) AS nk, n_name FROM nation
+        |  UNION ALL SELECT NULL, 'UNKNOWN')
+        |SELECT n_name, count(*) AS n
+        |FROM cust JOIN dim ON cust.nk IS NOT DISTINCT FROM dim.nk
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
     // ---- unpivot/melt (the inverse of x18's pivot): wide measure columns
     //      to long (measure, val) rows via the first-class Dataset.unpivot.
     //      Values stay raw doubles (bit-identical IEEE, never rounded);

@@ -76,4 +76,22 @@ object Sketch {
         .groupBy("r", "bucket").agg(sum("cnt").as("cnt")),
       a.depth, a.width)
   }
+
+  /** Equi-join cardinality estimate from two sketches over the join key:
+    * the count-min inner product, min over rows of sum(cnt_a * cnt_b)
+    * per shared cell (Cormode & Muthukrishnan §4.2). Never under-estimates
+    * (every true pair lands in a shared cell; collisions only add), and is
+    * exact when no two keys share a cell in some row. This is the
+    * optimizer-style pre-flight for a join at 100 TB — both sides reduce
+    * to depth x width cells, so the estimate costs two scan-shaped sketch
+    * builds and a cell-sized join instead of the join itself.
+    */
+  def cmsJoinSize(a: CmsSketch, b: CmsSketch): DataFrame = {
+    require(a.depth == b.depth && a.width == b.width,
+      "sketch geometries differ")
+    a.cells.withColumnRenamed("cnt", "cnt_a")
+      .join(b.cells.withColumnRenamed("cnt", "cnt_b"), Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+      .agg(min("dot").as("est_join_rows"))
+  }
 }

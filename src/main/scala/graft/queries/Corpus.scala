@@ -528,6 +528,22 @@ object Corpus {
       """SELECT l_suppkey, count(*) AS est_count
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
 
+    // ---- CMS join-cardinality estimate (sketch inner product): the
+    //      pre-flight "how big is this join" answer from two cell tables
+    //      instead of running the join. Self-join of lineitem on suppkey —
+    //      the estimate must equal sum over keys of n(s)^2 exactly at this
+    //      width (no two keys share a cell in every row, deterministically),
+    //      so the oracle states the exact quantity.
+    "a15_cms_joinsize" -> withOracle(
+      (s, d) => {
+        val sk = graft.ops.Sketch.cmsBuild(
+          Tables.lineitem(s, d), col("l_suppkey"), depth = 4, width = 8192)
+        graft.ops.Sketch.cmsJoinSize(sk, sk).orderBy("est_join_rows")
+      },
+      """SELECT CAST(sum(n * n) AS BIGINT) AS est_join_rows
+        |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_suppkey)
+        |ORDER BY est_join_rows""".stripMargin),
+
     // ---- exact percentiles per group. l_quantity is integral and the
     //      quarter-grid fractions are exact in binary, so linear
     //      interpolation is bit-identical whatever the engine's formula

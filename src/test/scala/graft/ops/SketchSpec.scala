@@ -47,6 +47,19 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("cmsJoinSize never under-estimates; exact at generous width") {
+    val other = (1 to 30).flatMap(k => Seq.fill(31 - k)(k.toLong)).toDF("k")
+    // true join size = sum over k of k * (31 - k)
+    val exactJoin = (1 to 30).map(k => k.toLong * (31 - k)).sum
+    def est(depth: Int, width: Int): Long = {
+      val a = Sketch.cmsBuild(stream, col("k"), depth, width)
+      val b = Sketch.cmsBuild(other, col("k"), depth, width)
+      Sketch.cmsJoinSize(a, b).head().getLong(0)
+    }
+    assert(est(2, 4) >= exactJoin, "collisions may only inflate")
+    assert(est(4, 4096) == exactJoin)
+  }
+
   test("unseen candidate keys estimate to zero") {
     val sketch = Sketch.cmsBuild(stream, col("k"), 4, 4096)
     val est = Sketch.cmsEstimate(sketch, Seq(999L).toDF("k"), "k")

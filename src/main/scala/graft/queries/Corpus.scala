@@ -21,6 +21,12 @@ object Corpus {
   private def toks(c: org.apache.spark.sql.Column) =
     split(lower(trim(c)), "\\s+")
 
+  /** Deterministic rank key for hash sampling: md5 of the id's decimal
+    * string (mirrors DuckDB's md5(CAST(id AS VARCHAR)) byte for byte).
+    */
+  private def md5Key(c: org.apache.spark.sql.Column) =
+    md5(c.cast("string").cast("binary"))
+
   /** Codegen'd n-gram kernel (graft.functions.Ngrams). The composed
     * higher-order form was both interpreted and O(n^2) when the tokenizer
     * inlined into the lambda (measured 12 s vs 0.55 s on 5k docs); the
@@ -123,7 +129,7 @@ object Corpus {
     "smp1_hash_sample" -> withOracle(
       (s, d) =>
         Tables.documents(s, d)
-          .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .filter(substring(md5Key(col("doc_id")), 1, 1)
             .isin("0", "1", "2"))
           .select("doc_id", "lang", "source")
           .orderBy("doc_id"),
@@ -153,7 +159,7 @@ object Corpus {
           .withColumn("k", expr("w * t div sw"))
           .select("source", "k")
         val rnk = Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+          .orderBy(md5Key(col("doc_id")), col("doc_id"))
         docs.join(broadcast(ks), Seq("source"))
           .withColumn("rk", row_number().over(rnk))
           .filter(col("rk") <= col("k"))
@@ -189,7 +195,7 @@ object Corpus {
         val thr = lpad(lower(hex(
           least(floor(w * 16777216).cast("long"), lit(16777215L)))), 6, "0")
         Tables.documents(s, d)
-          .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6) < thr)
+          .filter(substring(md5Key(col("doc_id")), 1, 6) < thr)
           .select("doc_id", "lang", "n_chars")
           .orderBy("doc_id")
       },
@@ -227,7 +233,7 @@ object Corpus {
     "smp2_stratified" -> withOracle(
       (s, d) => {
         val w = Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+          .orderBy(md5Key(col("doc_id")), col("doc_id"))
         Tables.documents(s, d)
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 20)

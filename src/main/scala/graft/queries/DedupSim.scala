@@ -75,11 +75,9 @@ object DedupSim {
           .select(col("doc_id").as("id_a"), (col("doc_id") + 50).as("id_b"))
         val edges = chain.unionByName(cross)
           .join(ids.select(col("doc_id").as("id_b")), Seq("id_b")) // endpoint must exist
-        val lbl = graft.dedup.Components.labels(edges)
         val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
-        ids.join(lbl, col("doc_id") === col("node"), "left")
-          .select(col("doc_id"),
-            coalesce(col("label"), col("doc_id")).as("component"))
+        MinHashDedup.groups(ids, edges, "doc_id") // star contraction inside
+          .withColumnRenamed("group_id", "component")
           .withColumn("comp_size", count(lit(1)).over(w))
           .orderBy("doc_id")
       },

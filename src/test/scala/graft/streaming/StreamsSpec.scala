@@ -99,6 +99,33 @@ class StreamsSpec extends SparkTestBase {
     assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
   }
 
+  test("intervalJoin matches across micro-batch boundaries (left arrives before right)") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[Event]
+    val right = MemoryStream[Event]
+    val joined = Streams.intervalJoin(
+      left.toDF(),
+      right.toDF().select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value")),
+      "user_id", "r_user", "ts", "r_ts", windowSpec = "1 minute")
+      .select(col("user_id"), col("value"), col("r_value"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ij").start()
+    // left event first; its matching right event only arrives two batches later
+    left.addData(Event(1, ts(100), "click", 10.0))
+    q.processAllAvailable()
+    right.addData(Event(1, ts(70), "error", 1.0))   // 30 s before -> in window
+    q.processAllAvailable()
+    right.addData(Event(1, ts(30), "error", 2.0))   // 70 s before -> outside
+    right.addData(Event(2, ts(95), "error", 3.0))   // other user
+    q.processAllAvailable()
+    val out = spark.table("ij").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(out == Set((1L, 10.0, 1.0)),
+      s"exactly the in-window same-user pair, whatever the batch cuts: $out")
+  }
+
   test("ingestToDocStore: replayed micro-batches are idempotent (dedup-before-insert)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("st6").toString + "/coll"

@@ -123,6 +123,57 @@ object Corpus {
         |  '\s+', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- unigram LM perplexity scoring (CCNet-style quality filter):
+    //      add-one-smoothed LM over the top-100 vocabulary with the
+    //      remaining mass pooled into one UNK class; each doc scored by
+    //      mean negative log-likelihood per token. Cross-engine exactness
+    //      via the BM25 trick, pushed further: per-token -ln(p) is
+    //      quantized to INTEGER micro-nats (floor(x*1e7+0.5) as long), so
+    //      the per-doc aggregation is exact integer arithmetic — immune to
+    //      summation order — and the final mean is two exactly-rounded
+    //      double divisions. ln() ulp drift could only flip a floor
+    //      boundary with probability ~1e-9 per distinct vocab entry.
+    //      Scale: vocab/totals are broadcast one-row/100-row frames; the
+    //      corpus streams once through the join.
+    "t14_perplexity" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
+        val top = cnt.orderBy(col("c").desc, col("token")).limit(100)
+        val tot = cnt.agg(sum("c").as("n"))
+        val ts = top.agg(sum("c").as("tsum"))
+        val p = when(col("c").isNotNull,
+            (col("c") + lit(1.0)) / (col("n") + lit(101)))
+          .otherwise((col("n") - col("tsum") + lit(1.0)) / (col("n") + lit(101)))
+        tok.join(broadcast(top), Seq("token"), "left")
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(ts))
+          .select(col("doc_id"),
+            floor(-log(p) * lit(1e7) + lit(0.5)).cast("long").as("q"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("q").as("micro_nats"))
+          .withColumn("mean_nats",
+            col("micro_nats").cast("double") / col("n_tokens") / lit(1e7))
+          .orderBy("doc_id")
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |top AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 100),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |ts AS (SELECT CAST(sum(c) AS BIGINT) AS tsum FROM top),
+        |q AS (
+        |  SELECT t.doc_id,
+        |         CAST(floor(-ln(CASE WHEN tp.c IS NOT NULL
+        |                             THEN (tp.c + 1.0) / (n + 101)
+        |                             ELSE (n - tsum + 1.0) / (n + 101) END)
+        |                    * 10000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM tok t LEFT JOIN top tp USING (token), tot, ts)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(q) AS BIGINT) AS micro_nats,
+        |       CAST(sum(q) AS DOUBLE) / count(*) / 10000000.0 AS mean_nats
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // ---- deterministic hash sampling: md5 of the key, keep 3/16 of the
     //      space. Reproducible on any engine, no RNG state, scan-shaped —
     //      the canonical way to cut a stable subsample from 100 TB.

@@ -121,6 +121,36 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ld1 line dedup: one content-keyed window shuffle, rebuild join broadcasts") {
+    val p = plan01("ld1_line_dedup")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // window-by-segment + groupBy-doc are the only hash exchanges
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2, p)
+  }
+
+  test("t14 perplexity: vocab/totals broadcast, corpus streams once, combine kept") {
+    val p = plan01("t14_perplexity")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 3, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("mix1 mixture: stat aggregates broadcast; one rank window over the corpus") {
+    val p = plan01("mix1_mixture")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2, p)
+  }
+
+  test("a14/a15 CMS: sketch probe joins broadcast the cell table") {
+    for (q <- Seq("a14_cms_counts", "a15_cms_joinsize")) {
+      val p = plan01(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+  }
+
   test("dc1 decontam: no inferred generate-filter re-inlines the tokenizer at the scan") {
     // InferFiltersFromGenerate is excluded in Sessions: with it, explode of
     // a computed n-gram array grows a size(transform(...split...))>0 filter

@@ -166,4 +166,17 @@ class CorpusSpec extends SparkTestBase {
       (topTok.cast("double") / size(t)).as("top")).collect().head
     assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 0.6)
   }
+
+  test("Html.stripTags: multiline comments, quoted '>', one-level entity decode") {
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(Html.stripTags(col("t")).as("c"))
+        .collect().head.getString(0)
+    assert(strip("a<!-- line1\nline2 > tricky -->b") == "a b",
+      "comment spanning lines with '>' inside")
+    assert(strip("""x<img alt="a > b" src='c>d'>y""") == "x y",
+      "'>' inside double- and single-quoted attributes")
+    assert(strip("&amp;lt; &amp;amp;") == "&lt; &amp;",
+      "exactly one unescape level (html.unescape-once contract)")
+    assert(strip("  a   \t b  ") == "a b", "whitespace collapse + trim")
+  }
 }

@@ -40,6 +40,21 @@ object HashImpls {
     z
   }
 
+  /** 3-way Morton interleave: x stride-3 offset 0, y offset 1, z offset 2.
+    * bits <= 21 keeps 3*bits inside the positive long range.
+    */
+  def zorder3(x: Long, y: Long, z: Long, bits: Int): Long = {
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      out |= ((x >>> i) & 1L) << (3 * i) |
+             ((y >>> i) & 1L) << (3 * i + 1) |
+             ((z >>> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    out
+  }
+
   def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -54,6 +54,26 @@ case class ZorderKey(left: Expression, right: Expression, bits: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** 3-column Z-order key (see [[ZorderKey]]); bits <= 21 so the 3*bits
+  * result stays clear of the sign bit.
+  */
+case class ZorderKey3(first: Expression, second: Expression, third: Expression,
+                      bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(bits >= 1 && bits <= 21, "bits must be in [1,21]")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_key3"
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    HashImpls.zorder3(x.asInstanceOf[Long], y.asInstanceOf[Long],
+      z.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.HashImpls.zorder3($a, $b, $c, $bits)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -266,6 +286,11 @@ object functions {
   /** Z-order (Morton) key over the low `bits` bits of two columns, codegen'd. */
   def zorder_key(x: Column, y: Column, bits: Int = 16): Column =
     toCol(ZorderKey(expr(x.cast("long")), expr(y.cast("long")), bits))
+
+  /** 3-column Z-order key (bits <= 21), codegen'd. */
+  def zorder_key3(x: Column, y: Column, z: Column, bits: Int = 16): Column =
+    toCol(ZorderKey3(expr(x.cast("long")), expr(y.cast("long")),
+      expr(z.cast("long")), bits))
 
   def rhp_sig(embedding: Column, numPlanes: Int, seed: Long = 42L): Column =
     toCol(RhpSig(expr(embedding), numPlanes, seed))

@@ -39,13 +39,25 @@ object Zorder {
         floor((c.cast("double") - lit(lo)) / lit(hi - lo) * cells).cast("long")))
   }
 
+  /** 3-column curve key (bits <= 21): same contract as [[zkey]] with a
+    * stride-3 interleave — each output file covers a compact (x, y, z) box.
+    */
+  def zkey3(x: Column, y: Column, z: Column, bits: Int = 16): Column =
+    graft.functions.functions.zorder_key3(x, y, z, bits)
+
   /** Cluster `df` into `numFiles` Z-ordered output partitions on two
     * already-quantized columns. Write the result with any file sink; each
     * file's min/max stats then cover a compact (x, y) rectangle.
     */
   def cluster(df: DataFrame, x: Column, y: Column,
               numFiles: Int, bits: Int = 16): DataFrame =
-    df.withColumn("__zkey", zkey(x, y, bits))
+    clusterByKey(df, zkey(x, y, bits), numFiles)
+
+  /** Layout core shared by the 2- and 3-column forms: range-partition on a
+    * precomputed curve key, sort within partitions, drop the key.
+    */
+  def clusterByKey(df: DataFrame, key: Column, numFiles: Int): DataFrame =
+    df.withColumn("__zkey", key)
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")

@@ -567,6 +567,28 @@ object Corpus {
         |      FROM lineitem)
         |ORDER BY zkey, px, py""".stripMargin),
 
+    // ---- 3-column Z-order key (stride-3 interleave): the same layout
+    //      contract as z1 extended to (x, y, z) boxes — e.g. clustering a
+    //      fact table on (customer, part, supplier) at once.
+    "z2_zorder3" -> withOracle(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select((col("l_partkey") % 64).as("px"), (col("l_suppkey") % 64).as("py"),
+            (col("l_orderkey") % 64).as("pz"))
+          .distinct()
+          .select(col("px"), col("py"), col("pz"),
+            graft.ops.Zorder.zkey3(col("px"), col("py"), col("pz"), bits = 6).as("zkey"))
+          .orderBy("zkey", "px", "py", "pz"),
+      """SELECT px, py, pz,
+        |       CAST(list_sum(list_transform(range(0, 6), i ->
+        |         ((px >> i) & 1) * (1::BIGINT << (3*i)) +
+        |         ((py >> i) & 1) * (1::BIGINT << (3*i + 1)) +
+        |         ((pz >> i) & 1) * (1::BIGINT << (3*i + 2)))) AS BIGINT) AS zkey
+        |FROM (SELECT DISTINCT l_partkey % 64 AS px, l_suppkey % 64 AS py,
+        |             l_orderkey % 64 AS pz
+        |      FROM lineitem)
+        |ORDER BY zkey, px, py, pz""".stripMargin),
+
     // ---- count-min sketch counts (relational CMS — see ops.Sketch): the
     //      scale path for frequency estimation when distinct keys outgrow
     //      an exact groupBy's shuffle. Estimates only ever over-count

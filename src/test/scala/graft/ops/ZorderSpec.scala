@@ -23,6 +23,22 @@ class ZorderSpec extends SparkTestBase {
     assert(HashImpls.zorder2(0L, 0L, 32) == 0L)
   }
 
+  test("zorder3 kernel matches the bit-by-bit definition; axes land on strides") {
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val (x, y, z) = (rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong,
+        rnd.nextInt(1 << 21).toLong)
+      val expect = (0 until 21).map { i =>
+        (((x >> i) & 1L) << (3 * i)) | (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))
+      }.reduce(_ | _)
+      assert(HashImpls.zorder3(x, y, z, 21) == expect, s"($x,$y,$z)")
+    }
+    assert(HashImpls.zorder3(0b111L, 0L, 0L, 3) == 0b001001001L)
+    assert(HashImpls.zorder3(0L, 0b111L, 0L, 3) == 0b010010010L)
+    assert(HashImpls.zorder3(0L, 0L, 0b111L, 3) == 0b100100100L)
+  }
+
   test("zorder_key through the SQL surface matches the Column API, incl. int inputs") {
     val df = spark.range(100)
       .select((col("id") % 16).cast("int").as("x"), (col("id") / 16).cast("int").as("y"))

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * contraction (Kiveris et al., "Connected Components in MapReduce and
   * Beyond", SoCC'14).
   *
-  * Why not plain min-label propagation ([[MinHashDedup.groups]])? Propagation
+  * Why not plain min-label propagation (the pre-r6 `groups` algorithm,
+  * since replaced by delegation to this object)? Propagation
   * needs O(graph diameter) rounds — a 10k-node chain of near-dup documents
   * (boilerplate drift across a crawl) needs 10k rounds. Star contraction
   * halves component heights every alternation and converges in O(log n)
@@ -35,8 +36,15 @@ object Components {
     * label = min node id of the connected component. Nodes outside the pair
     * graph are the caller's concern (they label themselves — see
     * [[MinHashDedup.componentGroups]]).
+    *
+    * Throws if the contraction has not reached its fixed point within
+    * `maxIter` rounds (unreachable in practice: rounds are O(log n)), since
+    * a partial labeling is silently-wrong output — downstream near-dup
+    * grouping would under-merge with no way to detect it. Callers that
+    * prefer partial labels can opt out via `failOnNonConvergence = false`.
     */
-  def labels(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def labels(pairs: DataFrame, maxIter: Int = 30,
+             failOnNonConvergence: Boolean = true): DataFrame = {
     // canonical orientation src > dst, self-loops out, exact dedup
     def canon(df: DataFrame): DataFrame =
       df.filter(col("src") =!= col("dst"))
@@ -90,9 +98,15 @@ object Components {
       prev = cur
       i += 1
     }
-    if (!converged)
+    if (!converged) {
+      if (failOnNonConvergence)
+        throw new IllegalStateException(
+          s"components: not converged after $maxIter rounds — partial labels " +
+            "would silently under-merge; raise maxIter or pass " +
+            "failOnNonConvergence = false to accept partial output")
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"components: not converged after $maxIter rounds; labels may be partial")
+    }
     // fixed point is a star per component: every non-center node appears as
     // src exactly once with dst = component min; centers label themselves
     val centers = edges.select(col("dst").as("node")).distinct()

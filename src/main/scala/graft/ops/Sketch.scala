@@ -25,12 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  /** A built sketch carries its own geometry: probing with a different
-    * depth/width than the build silently UNDER-counts (missing cells read
-    * as 0 through the min), so the API makes that mismatch unrepresentable
-    * rather than documented.
+  /** A built sketch carries its own geometry AND its build key's data type:
+    * probing with a different depth/width than the build silently
+    * UNDER-counts (missing cells read as 0 through the min), and so does
+    * probing with a differently-typed key (xxhash64(int 5) != xxhash64(
+    * long 5) — different cells, estimate collapses to 0). The API makes
+    * both mismatches unrepresentable rather than documented: geometry via
+    * require, type via a cast on the probe side.
     */
-  final case class CmsSketch(cells: DataFrame, depth: Int, width: Int)
+  final case class CmsSketch(cells: DataFrame, depth: Int, width: Int,
+                             keyType: org.apache.spark.sql.types.DataType)
 
   /** depth bucket indices for a key: row r uses xxhash64(key, r) mod width.
     * Same projection on the build and probe sides by construction.
@@ -48,7 +52,8 @@ object Sketch {
     CmsSketch(
       df.select(posexplode(buckets(key, depth, width)).as(Seq("r", "bucket")))
         .groupBy("r", "bucket").agg(count(lit(1)).as("cnt")),
-      depth, width)
+      depth, width,
+      df.select(key).schema.head.dataType)
 
   /** Estimated count for each candidate key: min over the depth cells the
     * key hashes to (a cell absent from the sketch is 0 — the key was never
@@ -59,7 +64,10 @@ object Sketch {
                   outCol: String = "est_count"): DataFrame =
     candidates
       .select(col(keyName),
-        posexplode(buckets(col(keyName), sketch.depth, sketch.width))
+        // cast to the BUILD key's type before hashing: an int probe against
+        // a long-built sketch would hash to different cells and read 0
+        posexplode(buckets(col(keyName).cast(sketch.keyType),
+            sketch.depth, sketch.width))
           .as(Seq("r", "bucket")))
       .join(broadcast(sketch.cells), Seq("r", "bucket"), "left")
       .groupBy(keyName)
@@ -71,10 +79,12 @@ object Sketch {
   def cmsMerge(a: CmsSketch, b: CmsSketch): CmsSketch = {
     require(a.depth == b.depth && a.width == b.width,
       "sketch geometries differ")
+    require(a.keyType == b.keyType,
+      s"sketch key types differ: ${a.keyType} vs ${b.keyType}")
     CmsSketch(
       a.cells.unionByName(b.cells)
         .groupBy("r", "bucket").agg(sum("cnt").as("cnt")),
-      a.depth, a.width)
+      a.depth, a.width, a.keyType)
   }
 
   /** Equi-join cardinality estimate from two sketches over the join key:
@@ -92,6 +102,8 @@ object Sketch {
     a.cells.withColumnRenamed("cnt", "cnt_a")
       .join(b.cells.withColumnRenamed("cnt", "cnt_b"), Seq("r", "bucket"))
       .groupBy("r").agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
-      .agg(min("dot").as("est_join_rows"))
+      // disjoint key sets can share NO cell at generous width: the join is
+      // empty and min-over-nothing would be NULL — but 0 is the exact answer
+      .agg(coalesce(min("dot"), lit(0L)).as("est_join_rows"))
   }
 }

@@ -94,12 +94,17 @@ object Streams {
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // dedup WITHIN the batch first: the anti-join only filters against
+        // keys already in the store, so a batch carrying the same key twice
+        // (or the very first batch, which sees an empty store) would insert
+        // duplicates without this
+        val unique = batch.dropDuplicates(key)
         val existing = graft.sources.DocStore.find(spark, path)
         val fresh =
           if (existing.columns.contains(key))
             graft.ops.BloomJoin.bloomAntiJoin(
-              batch, existing.select(key), key, key, expectedKeys)
-          else batch // first batch into an empty collection
+              unique, existing.select(key), key, key, expectedKeys)
+          else unique // first batch into an empty collection
         if (!fresh.isEmpty) graft.sources.DocStore.insertMany(fresh, path)
         ()
       }

@@ -69,6 +69,16 @@ class ComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("non-convergence throws by default, returns partial labels on opt-out") {
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Components.labels(edges, maxIter = 0)
+    }
+    // opt-out keeps the old warn-and-return behavior for callers that want it
+    val partial = Components.labels(edges, maxIter = 0, failOnNonConvergence = false)
+    assert(partial.count() > 0)
+  }
+
   test("componentGroups distributed path (threshold 0) routes through star contraction") {
     val docs = (0L until 12L).toDF("id")
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (10L, 11L), (6L, 7L))

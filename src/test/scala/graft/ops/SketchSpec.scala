@@ -60,6 +60,27 @@ class SketchSpec extends SparkTestBase {
     assert(est(4, 4096) == exactJoin)
   }
 
+  test("cmsJoinSize of disjoint key sets is exactly 0, not NULL") {
+    // at generous width disjoint keys share NO cell: the cell join is empty
+    // and the estimate must coalesce to the exact answer, 0
+    val a = Sketch.cmsBuild((1 to 10).map(_.toLong).toDF("k"), col("k"), 4, 4096)
+    val b = Sketch.cmsBuild((100 to 110).map(_.toLong).toDF("k"), col("k"), 4, 4096)
+    val row = Sketch.cmsJoinSize(a, b).head()
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L)
+  }
+
+  test("probe with a differently-typed key is cast to the build type, not zeroed") {
+    // int probe against a long-built sketch: without the recorded keyType the
+    // hash inputs differ, every cell reads 0, and the estimate under-counts
+    val sketch = Sketch.cmsBuild(stream, col("k"), 4, 4096)
+    val est = Sketch.cmsEstimate(sketch, (1 to 30).toDF("k"), "k")
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(est == exact)
+    intercept[IllegalArgumentException] {
+      Sketch.cmsMerge(sketch, Sketch.cmsBuild((1 to 5).toDF("k"), col("k"), 4, 4096))
+    }
+  }
+
   test("unseen candidate keys estimate to zero") {
     val sketch = Sketch.cmsBuild(stream, col("k"), 4, 4096)
     val est = Sketch.cmsEstimate(sketch, Seq(999L).toDF("k"), "k")

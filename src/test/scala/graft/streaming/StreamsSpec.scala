@@ -148,6 +148,26 @@ class StreamsSpec extends SparkTestBase {
     assert(docs.select("k").distinct().count() == 3)
   }
 
+  test("ingestToDocStore: duplicate keys WITHIN one micro-batch insert once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("st7").toString + "/coll"
+    val mem = MemoryStream[Event]
+    val q = Streams.ingestToDocStore(
+      mem.toDF().withColumn("k", col("user_id") * 1000 + unix_timestamp(col("ts"))),
+      dir, "k", expectedKeys = 1000L)
+    // FIRST batch (empty store — the branch with no anti-join) carries the
+    // same key twice, plus a later batch that also repeats a key internally
+    mem.addData(Seq(Event(1, ts(0), "click", 1.0), Event(1, ts(0), "view", 9.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(Event(2, ts(1), "view", 2.0), Event(2, ts(1), "view", 2.0),
+                    Event(3, ts(2), "click", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val docs = graft.sources.DocStore.find(spark, dir)
+    assert(docs.count() == 3, "one row per key even when a batch repeats keys")
+    assert(docs.select("k").distinct().count() == 3)
+  }
+
   test("batch/stream unification: windowedCounts runs on a plain DataFrame") {
     val batch = Seq(Event(1, ts(0), "click", 2.0), Event(1, ts(10), "click", 3.0)).toDF()
     val out = Streams.windowedCounts(batch).collect()

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed total-order ranking — the two-pass range-partitioned rank
+  * that replaces `Window.orderBy(...)` with no `partitionBy`, the one
+  * pattern that funnels an entire table through a single task. At 100 TB a
+  * single-partition window is THE scale-killer: one executor sorts
+  * everything while the rest idle.
+  *
+  * Plan shape instead:
+  *  - pass 1: `repartitionByRange` on the order keys splits the total
+  *    order into contiguous balanced ranges; a per-partition probe collects
+  *    each range's row count and its maximum key tuple — ONE row per
+  *    partition, the same bounded driver-side state class as an IVF
+  *    codebook. Crucially the ranges are then frozen as key VALUES, not as
+  *    partition ids: Spark's range sampler seeds on the RDD id, so the
+  *    physical boundaries differ between jobs and `spark_partition_id` is
+  *    only meaningful inside the job that produced it (a lesson this op
+  *    learned the hard way — pid-keyed counts joined to a second job's pids
+  *    mis-ranked rows).
+  *  - pass 2: each row recomputes its range from its own key (count of
+  *    frozen boundaries strictly below it — a codegen'd when-chain, no
+  *    shuffle), ranks locally per range with an ordinary partitioned
+  *    window, and lifts to a global rank via a broadcast prefix-offset
+  *    join.
+  * Two scans of the input, zero single-partition stages (pinned in
+  * PlanQualitySpec); per-range work is parallel across the cluster.
+  *
+  * Order keys must form a TOTAL order (include a tie-break key) and be
+  * non-null, orderable scalars — ties at a range boundary would otherwise
+  * make membership placement-dependent.
+  *
+  * The reference engine sorts in-memory with pandas (e.g. the rank/sort
+  * idioms in /root/reference/dags/dag_maestros.py), the same single-node
+  * funnel; this is the distributed restatement.
+  */
+object Ranks {
+
+  /** A possibly-`.desc` sort column decomposed into (value column, desc?). */
+  private def sortParts(c: Column): (Column, Boolean) = GraftShims.sortParts(c)
+
+  /** Driver-side comparator matching the column order: does `a` sort
+    * strictly after `b`? Fields arrive as external JVM types (Long, Double,
+    * String, Timestamp, ...), all Comparable.
+    */
+  private def rowAfter(dirs: Seq[Boolean])(a: Row, b: Row): Boolean = {
+    var i = 0
+    while (i < dirs.length) {
+      val c = a.get(i).asInstanceOf[Comparable[Any]].compareTo(b.get(i))
+      if (c != 0) return if (dirs(i)) c < 0 else c > 0
+      i += 1
+    }
+    false
+  }
+
+  /** Codegen'd lexicographic "row's key sorts strictly after boundary `b`"
+    * predicate over the same field order.
+    */
+  private def afterBoundary(parts: Seq[(Column, Boolean)], b: Row): Column =
+    parts.zipWithIndex.foldRight(lit(false)) { case (((c, desc), i), rest) =>
+      val bv = lit(b.get(i))
+      val strict = if (desc) c < bv else c > bv
+      strict || (c === bv && rest)
+    }
+
+  /** `df` plus a 1-based global row number `out` under the total order
+    * `order`. Returns the total row count alongside — the boundary pass
+    * computes it for free and ntile needs it.
+    */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column], out: String,
+                          numPartitions: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val parts = order.map(sortParts)
+    val keyCols = parts.map(_._1)
+    val dirs = parts.map(_._2)
+
+    // pass 1: balanced contiguous ranges, then freeze (count, max key) per
+    // range — a single streaming probe per partition, one output row each
+    val keyed = df.repartitionByRange(p, order: _*)
+      .select(keyCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }: _*)
+    val after = rowAfter(dirs) _
+    val stats = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      var hi: Row = null
+      while (it.hasNext) {
+        val r = it.next(); n += 1
+        if (hi == null || after(r, hi)) hi = r
+      }
+      if (n == 0) Iterator.empty else Iterator.single((pid, n, hi))
+    }.collect().sortBy(_._1)
+
+    val total = stats.iterator.map(_._2).sum
+    val boundaries = stats.map(_._3) // range maxes, ascending range order
+    // range id of a row = number of non-final boundaries strictly below it
+    val rangeId = boundaries.dropRight(1).foldLeft(lit(0)) { (acc, b) =>
+      acc + when(afterBoundary(parts, b), 1).otherwise(0)
+    }
+    import spark.implicits._
+    val offDf = stats.indices
+      .map(i => (i, stats.iterator.take(i).map(_._2).sum)).toDF("__rid", "__off")
+
+    // pass 2: rank locally within each recomputed range (parallel), lift
+    // by the range's prefix offset
+    val local = Window.partitionBy("__rid").orderBy(order: _*)
+    val ranked = df.withColumn("__rid", rangeId)
+      .withColumn("__lrn", row_number().over(local))
+      .join(broadcast(offDf), Seq("__rid"))
+      .withColumn(out, col("__off") + col("__lrn"))
+      .drop("__rid", "__off", "__lrn")
+    (ranked, total)
+  }
+
+  /** SQL `ntile(buckets)` under a total order, distributed: standard
+    * semantics — with n rows, q = n div buckets and r = n mod buckets, the
+    * first r buckets get q+1 rows, the rest q. n and the cut are known
+    * driver-side from the boundary pass, so the bucket arithmetic is all
+    * literal constants over the global rank.
+    */
+  def ntileSpread(df: DataFrame, buckets: Int, order: Seq[Column],
+                  out: String = "bucket", numPartitions: Int = 0): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val (ranked, n) = withGlobalRowNumber(df, order, "__grank", numPartitions)
+    val q = n / buckets
+    val r = n % buckets
+    val bucket =
+      if (q == 0) col("__grank") // fewer rows than buckets: rank IS the bucket
+      else {
+        val cut = r * (q + 1) // last rank inside the fat (q+1-row) buckets
+        when(col("__grank") <= cut,
+            floor((col("__grank") - 1) / (q + 1)) + 1)
+          .otherwise(floor((col("__grank") - cut - 1) / q) + lit(r) + 1)
+      }
+    ranked.withColumn(out, bucket.cast("int")).drop("__grank")
+  }
+}

@@ -250,14 +250,18 @@ object Extras {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin),
 
-    // ---- ntile bucketing under a total order
+    // ---- ntile bucketing under a total order — distributed: a bare
+    //      Window.orderBy would funnel the whole table through ONE task;
+    //      Ranks.ntileSpread range-partitions the order instead (two-pass
+    //      offset rank). No-SinglePartition pinned in PlanQualitySpec.
     "w6_ntile" -> withOracle(
-      (s, d) => {
-        val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        Tables.orders(s, d)
-          .select(col("o_orderkey"), ntile(4).over(w).as("price_quartile"))
-          .orderBy("o_orderkey")
-      },
+      (s, d) =>
+        graft.ops.Ranks.ntileSpread(
+            Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+            4, Seq(col("o_totalprice").desc, col("o_orderkey")),
+            out = "price_quartile")
+          .select("o_orderkey", "price_quartile")
+          .orderBy("o_orderkey"),
       """SELECT o_orderkey,
         |       CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
         |         AS price_quartile

@@ -79,11 +79,27 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
   }
 
-  test("j1 multikey self-join: aggregate side broadcast, partial combine kept") {
+  test("j1 multikey self-join: no cartesian, partial combine kept") {
     val p = plan01("j1_join_multikey")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // scale-honest pins: no cartesian product and map-side combine hold at
+    // ANY data size. The join strategy itself is left to AQE on purpose —
+    // the build side is an aggregate of the fact table, so its cardinality
+    // grows with data; at test SF AQE picks broadcast, at 100x it must be
+    // free to pick SMJ. Only pin that SOME hash-based join was chosen here.
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("w6 ntile: distributed rank — no single-partition window anywhere") {
+    // the one pattern that cannot survive 100x: Window.orderBy with no
+    // partitionBy funnels the table through one task. w6 must plan as
+    // range-exchange + per-range windows + broadcast offset join instead.
+    val p = plan01("w6_ntile")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // the offset lift join
   }
 
   test("pipe_sales_details: orders broadcast, exactly one nest shuffle") {

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class RanksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // values with heavy ties; (v, id) is the total order
+  private def data(n: Int) =
+    (0 until n).map(i => ((i * 7919) % 97, i.toLong)).toDF("v", "id")
+
+  test("global row number equals the single-partition window's, with ties") {
+    val df = data(500)
+    val order = Seq(col("v").desc, col("id"))
+    val (ranked, total) = Ranks.withGlobalRowNumber(df, order, "rn", numPartitions = 8)
+    assert(total == 500L)
+    val expect = df.withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = ranked.select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("ntileSpread matches the built-in ntile across sizes and bucket counts") {
+    // exact multiple, remainder, n < buckets, n == 1
+    for ((n, b) <- Seq((120, 4), (121, 4), (7, 10), (1, 3), (97, 5))) {
+      val df = data(n)
+      val order = Seq(col("v").desc, col("id"))
+      val got = Ranks.ntileSpread(df, b, order, out = "t", numPartitions = 6)
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val expect = df
+        .withColumn("t", ntile(b).over(Window.orderBy(order: _*)))
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expect, s"n=$n buckets=$b")
+    }
+  }
+
+  test("empty input yields an empty result, not a failure") {
+    val df = data(0)
+    val (ranked, total) = Ranks.withGlobalRowNumber(df, Seq(col("id")), "rn")
+    assert(total == 0L && ranked.count() == 0L)
+    assert(Ranks.ntileSpread(df, 4, Seq(col("id"))).count() == 0L)
+  }
+
+  test("plan has no single-partition stage and ranks in parallel ranges") {
+    val (ranked, _) = Ranks.withGlobalRowNumber(data(500),
+      Seq(col("v"), col("id")), "rn", numPartitions = 8)
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+    // ranking pass shuffles by the recomputed range id, in parallel
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("ranks are stable across repeated evaluations of the same DataFrame") {
+    // the range sampler re-seeds per job; the op must not couple two jobs
+    // through physical partition ids (regression probe for exactly that bug)
+    val (ranked, _) = Ranks.withGlobalRowNumber(
+      data(2000), Seq(col("v").desc, col("id")), "rn", numPartitions = 16)
+    val a = ranked.collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val b = ranked.collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b)
+    assert(a.values.toSeq.sorted == (1L to 2000L))
+  }
+}

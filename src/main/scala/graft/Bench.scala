@@ -45,7 +45,14 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the harvester keeps only the stdout tail, which has truncated the
+    // alphabetically-first per-query entries before (r5's a*-g* history was
+    // unrecoverable) — persist the full line for round-over-round diffing
+    val out = java.nio.file.Paths.get("bench_full.json")
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    println(s"[bench] full JSON written to ${out.toAbsolutePath}")
     spark.stop()
   }
 }

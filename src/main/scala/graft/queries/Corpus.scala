@@ -324,6 +324,59 @@ object Corpus {
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
 
+    // ---- materialized sequence packing: pk1 assigns bins; a training-data
+    //      exporter needs the packed rows themselves — concatenated text
+    //      plus the boundary offset of every member doc, so a loader can
+    //      split a sequence back into documents without re-tokenizing.
+    //      Same one-window-per-stratum plan as pk1; the pack itself is a
+    //      grouped sort_array over (doc_id, start, text) structs, so member
+    //      order is data-defined, not shuffle-defined. Gate compares the
+    //      packed text by md5 (the ld1 pattern) and the offsets/ids as
+    //      comma-joined strings; CorpusSpec pins that each offset equals
+    //      the cumulative length of the texts packed before it.
+    "pk2_pack_rows" -> withOracle(
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val first = element_at(col("ds"), 1)
+        Tables.documents(s, d)
+          .withColumn("cum", sum("n_chars").over(w))
+          .withColumn("start", col("cum") - col("n_chars"))
+          .withColumn("bin", expr("start div 4096"))
+          .groupBy("lang", "bin")
+          .agg(collect_list(struct(col("doc_id"), col("start"), col("text"))).as("ds"))
+          .withColumn("ds", array_sort(col("ds"))) // structs sort by doc_id (unique per stratum)
+          .select(
+            col("lang"), col("bin"),
+            size(col("ds")).cast("long").as("n_docs"),
+            concat_ws(",", transform(col("ds"), x => x("doc_id").cast("string")))
+              .as("doc_ids"),
+            concat_ws(",", transform(col("ds"),
+                x => (x("start") - first("start")).cast("string")))
+              .as("offsets"),
+            md5(concat_ws("", transform(col("ds"), x => x("text"))))
+              .as("packed_md5"))
+          .orderBy("lang", "bin")
+      },
+      """WITH c AS (
+        |  SELECT lang, doc_id, text,
+        |         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) - n_chars AS start
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, doc_id, text, start,
+        |         CAST(start // 4096 AS BIGINT) AS bin,
+        |         min(start) OVER (PARTITION BY lang, CAST(start // 4096 AS BIGINT))
+        |           AS min_start
+        |  FROM c)
+        |SELECT lang, bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+        |       string_agg(CAST(start - min_start AS VARCHAR), ',' ORDER BY doc_id)
+        |         AS offsets,
+        |       md5(string_agg(text, '' ORDER BY doc_id)) AS packed_md5
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
+
     // ---- benchmark decontamination: drop corpus docs sharing any trigram
     //      with the held-out set (doc_id % 97 == 0 plays the benchmark).
     //      The benchmark trigram set is broadcast; the corpus streams once.

@@ -61,6 +61,40 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("pk2_pack_rows: every offset equals the cumulative length of the texts before it") {
+    // boundary alignment: reassembling each bin from the documents table in
+    // doc_id order must reproduce the offsets AND the packed-text hash —
+    // i.e. offsets are real substring boundaries, not bookkeeping
+    val docs = Tables.documents(spark, sf001).select("lang", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (lang, rows) =>
+        lang -> rows.sortBy(_._2).map(t => t._2 -> t._3)
+      }
+    val byDoc = docs.values.flatten.toMap
+    val out = graft.SparkEntry.queries("pk2_pack_rows")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ids = r.getAs[String]("doc_ids").split(",").map(_.toLong)
+      val offs = r.getAs[String]("offsets").split(",").map(_.toLong)
+      assert(ids.length == r.getAs[Long]("n_docs") && ids.length == offs.length)
+      assert(offs.head == 0L, "first member starts at offset 0")
+      val texts = ids.map(byDoc)
+      val cum = texts.map(_.length.toLong).scanLeft(0L)(_ + _).init
+      assert(offs.toSeq == cum.toSeq,
+        s"${r.getAs[String]("lang")} bin ${r.getAs[Long]("bin")}: offsets $offs vs cumulative lengths $cum")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(texts.mkString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5 == r.getAs[String]("packed_md5"))
+    }
+    // members of a bin are consecutive in stratum doc order (no doc skipped)
+    val seen = out.map(r => r.getAs[String]("lang") ->
+      r.getAs[String]("doc_ids").split(",").map(_.toLong).toSeq)
+      .groupBy(_._1).map { case (l, g) => l -> g.flatMap(_._2).sorted.toSeq }
+    docs.foreach { case (lang, rows) =>
+      assert(seen(lang) == rows.map(_._1).toSeq.sorted, s"$lang membership drift")
+    }
+  }
+
   // ---- sampling ---------------------------------------------------------
 
   test("smp1_hash_sample is deterministic and close to its 3/16 target at sf0.001") {

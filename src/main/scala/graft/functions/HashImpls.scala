@@ -155,15 +155,31 @@ object HashImpls {
     v
   }
 
+  /** Copy an embedding into a double[] verbatim — the residual-PQ path,
+    * where the input is already a residual whose MAGNITUDE is the signal
+    * and must not be rescaled.
+    */
+  def toRaw(emb: ArrayData, isFloat: Boolean): Array[Double] = {
+    val d = emb.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      v(i) = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      i += 1
+    }
+    v
+  }
+
   /** Product-quantization encode: per-subspace nearest codebook centroid
-    * (squared L2 on the unit-normalized vector; ties keep the lowest code).
-    * codebooks(s)(c) is the subdim-length centroid c of subspace s; the
-    * result is one byte per subspace — the compressed representation a
+    * (squared L2 on the unit-normalized vector — or the raw vector when
+    * `normalize` is false, the residual-PQ path; ties keep the lowest
+    * code). codebooks(s)(c) is the subdim-length centroid c of subspace s;
+    * the result is one byte per subspace — the compressed representation a
     * 100 TB embedding store scans instead of raw floats.
     */
   def pqEncode(emb: ArrayData, codebooks: Array[Array[Array[Double]]],
-               isFloat: Boolean): ArrayData = {
-    val v = toUnit(emb, isFloat)
+               isFloat: Boolean, normalize: Boolean): ArrayData = {
+    val v = if (normalize) toUnit(emb, isFloat) else toRaw(emb, isFloat)
     val m = codebooks.length
     val codes = new Array[Byte](m)
     var s = 0
@@ -199,8 +215,8 @@ object HashImpls {
     * is then m array reads ([[pqAdc]]).
     */
   def pqLut(emb: ArrayData, codebooks: Array[Array[Array[Double]]],
-            isFloat: Boolean): ArrayData = {
-    val v = toUnit(emb, isFloat)
+            isFloat: Boolean, normalize: Boolean): ArrayData = {
+    val v = if (normalize) toUnit(emb, isFloat) else toRaw(emb, isFloat)
     val m = codebooks.length
     val k = codebooks(0).length
     val lut = new Array[Double](m * k)
@@ -227,6 +243,20 @@ object HashImpls {
     }
     new GenericArrayData(lut)
   }
+
+  /** Cell-indexed PQ encode/LUT (LOPQ: one codebook per coarse cell).
+    * cb4(cell) is that cell's m x k x subdim codebook; residual inputs are
+    * never normalized (magnitude is the signal).
+    */
+  def pqEncodeCells(emb: ArrayData, cell: Long,
+                    cb4: Array[Array[Array[Array[Double]]]],
+                    isFloat: Boolean): ArrayData =
+    pqEncode(emb, cb4(cell.toInt), isFloat, normalize = false)
+
+  def pqLutCells(emb: ArrayData, cell: Long,
+                 cb4: Array[Array[Array[Array[Double]]]],
+                 isFloat: Boolean): ArrayData =
+    pqLut(emb, cb4(cell.toInt), isFloat, normalize = false)
 
   /** Asymmetric distance: sum of per-subspace LUT entries selected by the
     * candidate's codes. k is implied by the layout (lut.length / codes

@@ -132,7 +132,8 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
   * (m x k x subdim doubles, small by construction) riding into generated
   * code via `addReferenceObj`, like [[NearestCell]]'s centroids.
   */
-case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
+                    normalize: Boolean = true)
     extends UnaryExpression {
   require(codebooks.nonEmpty && codebooks.head.nonEmpty, "codebooks must be non-empty")
   require(codebooks.head.length <= 256, "at most 256 codes per subspace (one byte)")
@@ -141,11 +142,11 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   override def prettyName: String = "pq_encode"
   override protected def nullSafeEval(input: Any): Any =
-    HashImpls.pqEncode(input.asInstanceOf[ArrayData], codebooks, isFloat)
+    HashImpls.pqEncode(input.asInstanceOf[ArrayData], codebooks, isFloat, normalize)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HashImpls.pqEncode($c, $ref, $isFloat)")
+      s"graft.functions.HashImpls.pqEncode($c, $ref, $isFloat, $normalize)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -156,7 +157,8 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   * [s*k + c]. Evaluated once per query row; candidates then score in m
   * array reads via [[PqAdc]].
   */
-case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]],
+                 normalize: Boolean = true)
     extends UnaryExpression {
   require(codebooks.nonEmpty && codebooks.head.nonEmpty, "codebooks must be non-empty")
   private lazy val isFloat =
@@ -164,14 +166,64 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_lut"
   override protected def nullSafeEval(input: Any): Any =
-    HashImpls.pqLut(input.asInstanceOf[ArrayData], codebooks, isFloat)
+    HashImpls.pqLut(input.asInstanceOf[ArrayData], codebooks, isFloat, normalize)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HashImpls.pqLut($c, $ref, $isFloat)")
+      s"graft.functions.HashImpls.pqLut($c, $ref, $isFloat, $normalize)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Cell-indexed PQ encode (LOPQ — Kalantidis & Avrithis, "Locally
+  * Optimized Product Quantization", CVPR 2014): each coarse cell owns its
+  * codebook, so the byte budget adapts to the cell's local residual
+  * geometry. left = residual array, right = cell id; the full
+  * per-cell codebook tensor rides into generated code via
+  * `addReferenceObj` (nCells x m x k x subdim doubles — bounded model
+  * state; keep nCells moderate, the LOPQ regime).
+  */
+case class PqEncodeCells(left: Expression, right: Expression,
+                         cb4: Array[Array[Array[Array[Double]]]])
+    extends BinaryExpression {
+  require(cb4.nonEmpty && cb4.head.nonEmpty, "codebooks must be non-empty")
+  require(cb4.head.head.length <= 256, "at most 256 codes per subspace (one byte)")
+  private lazy val isFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode_cells"
+  override protected def nullSafeEval(res: Any, cell: Any): Any =
+    HashImpls.pqEncodeCells(res.asInstanceOf[ArrayData], cell.asInstanceOf[Long], cb4, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cbs", cb4, "double[][][][]")
+    defineCodeGen(ctx, ev, (r, c) =>
+      s"graft.functions.HashImpls.pqEncodeCells($r, $c, $ref, $isFloat)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cell-indexed per-query LUT — [[PqEncodeCells]]'s probe-side dual. */
+case class PqLutCells(left: Expression, right: Expression,
+                      cb4: Array[Array[Array[Array[Double]]]])
+    extends BinaryExpression {
+  require(cb4.nonEmpty && cb4.head.nonEmpty, "codebooks must be non-empty")
+  private lazy val isFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut_cells"
+  override protected def nullSafeEval(res: Any, cell: Any): Any =
+    HashImpls.pqLutCells(res.asInstanceOf[ArrayData], cell.asInstanceOf[Long], cb4, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cbs", cb4, "double[][][][]")
+    defineCodeGen(ctx, ev, (r, c) =>
+      s"graft.functions.HashImpls.pqLutCells($r, $c, $ref, $isFloat)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Asymmetric PQ distance between a code array and a query LUT — the
@@ -308,17 +360,30 @@ object functions {
   def ngrams(tokens: Column, n: Int, distinct: Boolean = false): Column =
     toCol(Ngrams(expr(tokens), n, distinct))
 
-  /** PQ codes (one byte per subspace) for an embedding, codegen'd. */
-  def pq_encode(embedding: Column, codebooks: Array[Array[Array[Double]]]): Column =
-    toCol(PqEncode(expr(embedding), codebooks))
+  /** PQ codes (one byte per subspace) for an embedding, codegen'd.
+    * `normalize = false` is the residual-PQ path: the input is already a
+    * residual whose magnitude is the signal.
+    */
+  def pq_encode(embedding: Column, codebooks: Array[Array[Array[Double]]],
+                normalize: Boolean = true): Column =
+    toCol(PqEncode(expr(embedding), codebooks, normalize))
 
   /** PQ asymmetric-distance lookup table for a query embedding, codegen'd. */
-  def pq_lut(embedding: Column, codebooks: Array[Array[Array[Double]]]): Column =
-    toCol(PqLut(expr(embedding), codebooks))
+  def pq_lut(embedding: Column, codebooks: Array[Array[Array[Double]]],
+             normalize: Boolean = true): Column =
+    toCol(PqLut(expr(embedding), codebooks, normalize))
 
   /** Asymmetric PQ distance of a code array against a query LUT, codegen'd. */
   def pq_adc(codes: Column, lut: Column): Column =
     toCol(PqAdc(expr(codes), expr(lut)))
+
+  /** Cell-indexed (LOPQ) residual encode / LUT, codegen'd. */
+  def pq_encode_cells(res: Column, cell: Column,
+                      cb4: Array[Array[Array[Array[Double]]]]): Column =
+    toCol(PqEncodeCells(expr(res), expr(cell), cb4))
+  def pq_lut_cells(res: Column, cell: Column,
+                   cb4: Array[Array[Array[Array[Double]]]]): Column =
+    toCol(PqLutCells(expr(res), expr(cell), cb4))
 
   /** Bloom-filter membership probe (long keys), codegen'd. */
   def bloom_might_contain(key: Column,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.dedup.{MinHashDedup, SimHashDedup}
-import graft.sim.{Ann, Pq}
+import graft.sim.{Ann, IvfPq, Pq}
 import Registry._
 
 /** Near-dup dedup / similarity-search coverage (brief: training-data
@@ -192,6 +192,16 @@ object DedupSim {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .select("q_id", "rk", "vec_id")
+          .orderBy("q_id", "rk")
+      }),
+
+    // ---- residual IVF-PQ: coarse cells + PQ over residuals (the FAISS
+    //      IndexIVFPQ composition; recall vs e1 pinned in IvfPqSpec)
+    "e6_ann_ivfpq" -> rowsOnly(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        IvfPq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
           .select("q_id", "rk", "vec_id")
           .orderBy("q_id", "rk")
       }),

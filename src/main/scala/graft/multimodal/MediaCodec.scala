@@ -11,9 +11,11 @@ import javax.imageio.ImageIO
   *
   *  - PNG/JPEG decode via `javax.imageio` → dimensions + per-channel means.
   *  - WAV via a RIFF chunk walk → channels/rate/bits/duration + PCM16 RMS.
-  *  - Anything else (incl. video — the JDK ships no video codec) falls back
-  *    to a 16-bin byte histogram, the engine's documented opaque-content
-  *    feature.
+  *  - MP4 via an ISO BMFF box walk → movie timescale/duration, track
+  *    count, handler types (frame pixels need a codec the JDK doesn't
+  *    ship; the container level is real).
+  *  - Anything else falls back to a 16-bin byte histogram, the engine's
+  *    documented opaque-content feature.
   *
   * The reference treats media as opaque attachments around its tabular flow
   * (/root/reference/dags/Funciones_CotyData.py:349 ships files whole); the
@@ -26,7 +28,9 @@ object MediaCodec {
   // add a temp-file write per decoded image on every executor
   ImageIO.setUseCache(false)
 
-  /** Container sniffed from magic bytes: "png" | "jpeg" | "wav" | "opaque". */
+  /** Container sniffed from magic bytes:
+    * "png" | "jpeg" | "wav" | "mp4" | "opaque".
+    */
   def sniff(bytes: Array[Byte]): String = {
     def at(i: Int): Int = bytes(i) & 0xff
     if (bytes.length >= 8 && at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
@@ -34,6 +38,7 @@ object MediaCodec {
     else if (bytes.length >= 12 &&
       new String(bytes, 0, 4, US_ASCII) == "RIFF" &&
       new String(bytes, 8, 4, US_ASCII) == "WAVE") "wav"
+    else if (bytes.length >= 12 && new String(bytes, 4, 4, US_ASCII) == "ftyp") "mp4"
     else "opaque"
   }
 
@@ -50,6 +55,14 @@ object MediaCodec {
         imageFeatures(bytes).map((k, _)).getOrElse(("opaque", byteHistogram(bytes)))
       case "wav" =>
         wavFeatures(bytes).map(("wav", _)).getOrElse(("opaque", byteHistogram(bytes)))
+      case "mp4" =>
+        // container metadata only — the JDK ships no video frame codec, so
+        // features stop at the moov level: [duration_ms, timescale,
+        // n_tracks, has_video, has_audio]
+        mp4Meta(bytes).map(m => ("mp4", Array(
+          m.durationMs.toFloat, m.timescale.toFloat, m.nTracks.toFloat,
+          if (m.hasVideo) 1f else 0f, if (m.hasAudio) 1f else 0f)))
+          .getOrElse(("opaque", byteHistogram(bytes)))
       case _ => ("opaque", byteHistogram(bytes))
     }
 
@@ -206,6 +219,159 @@ object MediaCodec {
         (math.sqrt(sumSq / (until - from)) / 32768.0).toFloat
       }
     })
+  }
+
+  // ---- MP4 / ISO BMFF (ISO 14496-12) container metadata ----------------
+
+  final case class Mp4Meta(timescale: Long, duration: Long, nTracks: Int,
+                           hasVideo: Boolean, hasAudio: Boolean) {
+    def durationMs: Long =
+      if (timescale > 0) duration * 1000L / timescale else 0L
+  }
+
+  /** One box header at `pos`: (payloadStart, boxEnd, type). ISO BMFF boxes
+    * are [size:u32][type:4cc]; size==1 moves the real size to a following
+    * u64 ("largesize"), size==0 extends the box to the end of the file.
+    * Returns None on any malformed header — truncated sizes, overflow,
+    * boxes running past the buffer.
+    */
+  private def boxAt(bytes: Array[Byte], pos: Int, limit: Int): Option[(Int, Int, String)] = {
+    if (pos + 8 > limit) return None
+    val bb = ByteBuffer.wrap(bytes)
+    val size32 = bb.getInt(pos).toLong & 0xffffffffL
+    val tpe = new String(bytes, pos + 4, 4, US_ASCII)
+    val (payload, end) =
+      if (size32 == 0) (pos + 8L, limit.toLong) // to end of enclosing scope
+      else if (size32 == 1) {
+        if (pos + 16 > limit) return None
+        (pos + 16L, pos + bb.getLong(pos + 8))
+      } else (pos + 8L, pos + size32)
+    if (end < payload || end > limit) None
+    else Some((payload.toInt, end.toInt, tpe))
+  }
+
+  /** Walk the direct children of [from, limit), yielding
+    * (payloadStart, boxEnd, type). Stops at the first malformed header.
+    * Cannot loop: [[boxAt]] guarantees end >= payloadStart > headerStart,
+    * so the cursor strictly advances.
+    */
+  private def boxes(bytes: Array[Byte], from: Int, limit: Int): Iterator[(Int, Int, String)] =
+    new Iterator[(Int, Int, String)] {
+      private var nextBox = boxAt(bytes, from, limit)
+      def hasNext: Boolean = nextBox.isDefined
+      def next(): (Int, Int, String) = {
+        val b = nextBox.get
+        nextBox = boxAt(bytes, b._2, limit)
+        b
+      }
+    }
+
+  /** Pure-JDK MP4 metadata: movie timescale + duration from `moov/mvhd`
+    * (version 0 and 1 layouts), track count from `moov/trak`, and the
+    * handler types from `trak/mdia/hdlr` ('vide'/'soun'). No codec — just
+    * the binary box walk (the same approach that made [[graft.sources.Xlsx]]
+    * real without a spreadsheet dependency). Returns None when no parseable
+    * `mvhd` exists.
+    */
+  def mp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    if (sniff(bytes) != "mp4") return None
+    val bb = ByteBuffer.wrap(bytes)
+    val moov = boxes(bytes, 0, bytes.length).collectFirst {
+      case (p, e, "moov") => (p, e)
+    }
+    moov.flatMap { case (mp, me) =>
+      var timescale = -1L
+      var duration = 0L
+      var nTracks = 0
+      var hasVideo = false
+      var hasAudio = false
+      boxes(bytes, mp, me).foreach {
+        case (p, e, "mvhd") if p + 4 <= e =>
+          val version = bytes(p) & 0xff
+          if (version == 0 && p + 24 <= e) {
+            timescale = bb.getInt(p + 12).toLong & 0xffffffffL
+            duration = bb.getInt(p + 16).toLong & 0xffffffffL
+          } else if (version == 1 && p + 36 <= e) {
+            timescale = bb.getInt(p + 20).toLong & 0xffffffffL
+            duration = bb.getLong(p + 24)
+          }
+        case (p, e, "trak") =>
+          nTracks += 1
+          for {
+            (mdp, mde, _) <- boxes(bytes, p, e).filter(_._3 == "mdia")
+            (hp, he, _) <- boxes(bytes, mdp, mde).filter(_._3 == "hdlr")
+            if hp + 12 <= he
+          } {
+            new String(bytes, hp + 8, 4, US_ASCII) match {
+              case "vide" => hasVideo = true
+              case "soun" => hasAudio = true
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+      if (timescale < 0) None
+      else Some(Mp4Meta(timescale, duration, nTracks, hasVideo, hasAudio))
+    }
+  }
+
+  private def fullBox(tpe: String, version: Int, payload: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 4 + payload.length)
+    bb.putInt(8 + 4 + payload.length).put(tpe.getBytes(US_ASCII))
+      .putInt(version << 24).put(payload)
+    bb.array()
+  }
+
+  private def box(tpe: String, children: Array[Byte]*): Array[Byte] = {
+    val total = 8 + children.map(_.length).sum
+    val bb = ByteBuffer.allocate(total)
+    bb.putInt(total).put(tpe.getBytes(US_ASCII))
+    children.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Minimal valid MP4 (ftyp + moov(mvhd + one trak per handler) + mdat):
+    * a real ISO BMFF byte layout so [[mp4Meta]] parses exactly what was
+    * declared — the test-fixture/synthesis encoder (no codec: `mdat`
+    * carries the payload verbatim).
+    */
+  def encodeMp4(timescale: Int, duration: Long, handlers: Seq[String],
+                payload: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val ftyp = {
+      val bb = ByteBuffer.allocate(20)
+      bb.putInt(20).put("ftyp".getBytes(US_ASCII)).put("isom".getBytes(US_ASCII))
+        .putInt(0).put("isom".getBytes(US_ASCII))
+      bb.array()
+    }
+    val mvhd = {
+      // version 0: creation, modification, timescale, duration, then rate/
+      // volume/reserved/matrix/predefined/next_track_id as fixed fields
+      val bb = ByteBuffer.allocate(96)
+      bb.putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putLong(0)
+      // unity matrix
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(handlers.length + 1) // next_track_ID
+      fullBox("mvhd", 0, bb.array())
+    }
+    val traks = handlers.map { h =>
+      val hdlrPayload = {
+        val bb = ByteBuffer.allocate(21)
+        bb.putInt(0).put(h.getBytes(US_ASCII)).putInt(0).putInt(0).putInt(0)
+          .put(0.toByte) // empty null-terminated name
+        bb.array()
+      }
+      box("trak", box("mdia", fullBox("hdlr", 0, hdlrPayload)))
+    }
+    val moov = box("moov", (mvhd +: traks): _*)
+    val mdat = box("mdat", payload)
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov); out.write(mdat)
+    out.toByteArray
   }
 
   /** Opaque-content fallback: 16-bin byte histogram, L1-normalized. */

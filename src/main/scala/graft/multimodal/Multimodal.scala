@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   *
   * Decode is REAL and JDK-native ([[MediaCodec]]): PNG/JPEG through
   * `javax.imageio` (dimensions, channel means), WAV through a RIFF chunk
-  * walk (channels/rate/bits/duration, PCM16 RMS). Video falls back to the
-  * byte-histogram feature — the JDK ships no video codec, and that boundary
-  * is documented rather than faked.
+  * walk (channels/rate/bits/duration, PCM16 RMS), MP4 through an ISO BMFF
+  * box walk (movie timescale/duration, track count, handler types). Frame
+  * PIXELS stay behind the one honest boundary left — the JDK ships no
+  * video frame codec — but the sampling timestamps come from the parsed
+  * container, not from claimed metadata.
   *
   * Scale notes: decode runs via mapPartitions (one codec init per
   * partition, not per row); binary payloads never shuffle — features are
@@ -116,13 +118,52 @@ object Multimodal {
   /** Frame-sampling plan for video rows: evenly spaced sample timestamps
     * from the duration metadata (`n` frames), exploded to one row per
     * planned frame. Decode of the frame itself happens in the (stubbed)
-    * decode stage.
+    * decode stage. See [[videoMeta]]/[[frameSampleTimestamps]] for the
+    * variant that derives the duration from the CONTAINER bytes instead of
+    * trusting the claimed metadata.
     */
   def frameSamplePlan(media: DataFrame, n: Int): DataFrame =
     media.filter(col("modality") === "video")
       .withColumn("frame_ms", explode(
         transform(sequence(lit(0), lit(n - 1)),
           i => (col("meta.duration_ms") * i / n).cast("long"))))
+      .select(col("id"), col("frame_ms"))
+
+  final case class VideoMeta(id: Long, timescale: Long, duration_ms: Long,
+                             n_tracks: Int, has_video: Boolean, has_audio: Boolean)
+
+  /** REAL video container metadata: a pure-JDK MP4/ISO-BMFF box walk
+    * ([[MediaCodec.mp4Meta]] — `moov/mvhd` timescale+duration, `trak`
+    * count, `hdlr` types), no codec dependency. Rows whose bytes aren't a
+    * parseable MP4 are dropped; the claimed `meta.duration_ms` is never
+    * consulted — this is the decode-side truth the plan-level stub lacked.
+    */
+  def videoMeta(media: DataFrame): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    val idIdx = media.schema.fieldIndex("id")
+    val binIdx = media.schema.fieldIndex("content")
+    media.filter(col("modality") === "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) Array.empty[Byte]
+                    else r.getAs[Array[Byte]](binIdx)
+        MediaCodec.mp4Meta(bytes)
+          .map(m => VideoMeta(r.getLong(idIdx), m.timescale, m.durationMs,
+            m.nTracks, m.hasVideo, m.hasAudio)).iterator
+      }
+    }
+  }
+
+  /** Executable frame sampling: `n` evenly spaced timestamps from the
+    * PARSED container duration ([[videoMeta]]), one row per planned frame.
+    * This is where a real pipeline would hand each (id, frame_ms) to a
+    * codec; the JDK ships none, so the boundary is the timestamp list —
+    * but the timestamps are now derived from the actual bytes.
+    */
+  def frameSampleTimestamps(media: DataFrame, n: Int): DataFrame =
+    videoMeta(media).toDF()
+      .withColumn("frame_ms", explode(
+        transform(sequence(lit(0), lit(n - 1)),
+          i => (col("duration_ms") * i / n).cast("long"))))
       .select(col("id"), col("frame_ms"))
 
   // NOT private: the Janino-compiled encoder calls these accessors from
@@ -166,10 +207,17 @@ object Multimodal {
               MediaRow(id, "audio", MediaCodec.encodeWav(8000, samples),
                 MediaMeta("audio/wav", None, None, Some(n * 1000L / 8000)))
             case _ =>
-              MediaRow(id, "video", text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-                MediaMeta("application/octet-stream",
+              // REAL minimal MP4 container (ftyp+moov+mdat): mvhd declares
+              // the duration, the text rides in mdat as the opaque payload
+              // — so the box walk parses actual bytes, not claimed metadata
+              val durMs = id * 40 + 1000
+              MediaRow(id, "video",
+                MediaCodec.encodeMp4(timescale = 1000, duration = durMs,
+                  handlers = if (id % 2 == 0) Seq("vide") else Seq("vide", "soun"),
+                  payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+                MediaMeta("video/mp4",
                   Some((id % 1000 + 100).toInt), Some((id % 800 + 80).toInt),
-                  Some(id * 40 + 1000)))
+                  Some(durMs)))
           }
         }
       }

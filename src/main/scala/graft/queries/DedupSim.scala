@@ -272,6 +272,24 @@ object DedupSim {
           .orderBy("id")
       }),
 
+    // ---- real video container metadata: pure-JDK MP4/ISO-BMFF box walk
+    //      (moov/mvhd timescale+duration, trak count, hdlr types) over
+    //      real generated MP4 bytes, plus frame-sample timestamps derived
+    //      from the PARSED duration (goldens in MultimodalSpec)
+    "mm4_video_meta" -> rowsOnly(
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.synthesizeFromDocuments(
+          Tables.documents(s, d))
+        val meta = graft.multimodal.Multimodal.videoMeta(media).toDF()
+        val frames = graft.multimodal.Multimodal.frameSampleTimestamps(media, n = 4)
+          .groupBy("id").agg(count(lit(1)).as("n_frames"),
+            max("frame_ms").as("last_frame_ms"))
+        meta.join(frames, Seq("id"))
+          .select("id", "timescale", "duration_ms", "n_tracks",
+            "has_video", "has_audio", "n_frames", "last_frame_ms")
+          .orderBy("id")
+      }),
+
     // ---- real audio frame sampling (per-segment PCM16 RMS)
     "mm3_audio_segments" -> rowsOnly(
       (s, d) => {

@@ -19,7 +19,7 @@ class MultimodalSpec extends SparkTestBase {
       .select("meta.mime").head().getString(0) == "image/png")
   }
 
-  test("extractFeatures decodes real PNG/WAV bytes; video stays opaque") {
+  test("extractFeatures decodes real PNG/WAV bytes and real MP4 containers") {
     val feats = Multimodal.extractFeatures(media)
     // id 0 -> image: 3x2 solid PNG with rgb = (0*h) & 0xffffff = black
     val img = feats.filter(col("id") === 0).head()
@@ -31,10 +31,11 @@ class MultimodalSpec extends SparkTestBase {
     assert(wav.features(0) == 1f && wav.features(1) == 8000f && wav.features(2) == 16f)
     assert(math.abs(wav.features(3) - 161 * 2 * 1000f / 16000) < 1e-3) // duration_ms
     assert(math.abs(wav.features(4) - 6000f / 32768) < 1e-4)           // constant-|amp| RMS
-    // id 2 -> video: opaque histogram fallback, L1-normalized
+    // id 2 -> video: real MP4 container parse (duration 2*40+1000 at
+    // timescale 1000, one 'vide' track since id is even)
     val vid = feats.filter(col("id") === 2).head()
-    assert(vid.kind == "opaque" && vid.features.length == 16)
-    assert(math.abs(vid.features.sum - 1.0f) < 1e-3)
+    assert(vid.kind == "mp4")
+    assert(vid.features.toSeq == Seq(1080f, 1000f, 1f, 1f, 0f))
     // deterministic across partitionings
     val a = Multimodal.extractFeatures(media.repartition(1))
       .orderBy("id").collect().map(_.features.toSeq).toSeq
@@ -107,6 +108,67 @@ class MultimodalSpec extends SparkTestBase {
       .select("frame_ms").collect().map(_.getLong(0)).toSeq
     val dur = media.filter(col("id") === 2).select("meta.duration_ms").head().getLong(0)
     assert(frames == Seq(0L, dur / 4, dur / 2, dur * 3 / 4))
+  }
+
+  test("mp4Meta golden: hand-built ISO BMFF fixture parses field-exactly") {
+    // hand-assembled bytes (not encodeMp4 — the writer must not grade its
+    // own homework): ftyp + moov(mvhd v0 ts=600 dur=3000, trak/mdia/hdlr
+    // 'soun') + trailing mdat
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    val mvhdBody = be32(0) ++ // version 0 + flags
+      be32(0) ++ be32(0) ++ be32(600) ++ be32(3000) ++ // creation, mod, timescale, duration
+      Array.fill[Byte](80)(0) // rate..next_track_id, layout irrelevant to the parser
+    val mvhd = be32(8 + mvhdBody.length) ++ fourcc("mvhd") ++ mvhdBody
+    val hdlrBody = be32(0) ++ be32(0) ++ fourcc("soun") ++ Array.fill[Byte](13)(0)
+    val hdlr = be32(8 + hdlrBody.length) ++ fourcc("hdlr") ++ hdlrBody
+    val mdia = be32(8 + hdlr.length) ++ fourcc("mdia") ++ hdlr
+    val trak = be32(8 + mdia.length) ++ fourcc("trak") ++ mdia
+    val moov = be32(8 + mvhd.length + trak.length) ++ fourcc("moov") ++ mvhd ++ trak
+    val ftyp = be32(16) ++ fourcc("ftyp") ++ fourcc("isom") ++ be32(0)
+    val mdat = be32(11) ++ fourcc("mdat") ++ "abc".getBytes("US-ASCII")
+    val fixture = ftyp ++ moov ++ mdat
+    assert(MediaCodec.sniff(fixture) == "mp4")
+    val m = MediaCodec.mp4Meta(fixture).get
+    assert(m.timescale == 600L && m.duration == 3000L)
+    assert(m.durationMs == 5000L) // 3000 ticks at 600/s
+    assert(m.nTracks == 1 && m.hasAudio && !m.hasVideo)
+    // mvhd version 1: 64-bit times; timescale shifts to +20, duration to +24
+    val mvhd1Body = Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](16)(0) ++ be32(90000) ++
+      Array.fill[Byte](4)(0) ++ be32(450000) ++ Array.fill[Byte](76)(0)
+    val mvhd1 = be32(8 + mvhd1Body.length) ++ fourcc("mvhd") ++ mvhd1Body
+    val moov1 = be32(8 + mvhd1.length) ++ fourcc("moov") ++ mvhd1
+    val m1 = MediaCodec.mp4Meta(ftyp ++ moov1).get
+    assert(m1.timescale == 90000L && m1.duration == 450000L && m1.durationMs == 5000L)
+    // truncation and corruption demote to None/opaque, never throw
+    assert(MediaCodec.mp4Meta(fixture.take(30)).isEmpty)
+    assert(MediaCodec.mp4Meta(ftyp).isEmpty) // no moov at all
+    val bad = fixture.clone; bad(20) = 0x7f // corrupt moov's first child size
+    assert(MediaCodec.mp4Meta(bad).isEmpty || MediaCodec.mp4Meta(bad).isDefined) // no throw
+    assert(MediaCodec.decode("plain".getBytes)._1 == "opaque")
+  }
+
+  test("encodeMp4 round-trips through mp4Meta; videoMeta/frameSampleTimestamps use parsed bytes") {
+    val bytes = MediaCodec.encodeMp4(timescale = 1000, duration = 2400,
+      handlers = Seq("vide", "soun"), payload = "xyz".getBytes)
+    val m = MediaCodec.mp4Meta(bytes).get
+    assert(m.timescale == 1000L && m.durationMs == 2400L)
+    assert(m.nTracks == 2 && m.hasVideo && m.hasAudio)
+    // distributed path: every synthesized video row parses; duration comes
+    // from the container, matching what synthesis declared
+    val vm = Multimodal.videoMeta(media).collect()
+    val videoIds = media.filter(col("modality") === "video")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(vm.map(_.id).toSet == videoIds, "every synthesized MP4 parses")
+    vm.foreach { v =>
+      assert(v.timescale == 1000L && v.duration_ms == v.id * 40 + 1000)
+      assert(v.has_video && (v.has_audio == (v.id % 2 == 1)))
+    }
+    val frames = Multimodal.frameSampleTimestamps(media, n = 4)
+      .filter(col("id") === 2).orderBy("frame_ms")
+      .collect().map(_.getLong(1)).toSeq
+    assert(frames == Seq(0L, 270L, 540L, 810L)) // 1080 ms from the BYTES
   }
 
   test("resizeNearest golden: solid tile keeps exact color at exact target dims") {

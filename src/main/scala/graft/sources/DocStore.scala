@@ -45,6 +45,7 @@ object DocStore {
       "pass deleteProtection = false to allow it")
 
   private val Manifest = "_MANIFEST"
+  private val StatsDir = "_STATS"
   private val GenName = "gen-(\\d{6})".r
 
   /** K8: append documents; returns rows written. Appending adds files to
@@ -65,10 +66,25 @@ object DocStore {
     * inference error. An interrupted manifest commit resolves to the
     * newest complete generation, so data loss is never masked as
     * emptiness.
+    *
+    * DATA SKIPPING: when the live generation carries per-file min/max
+    * statistics ([[cluster]]/[[collectStats]]) and the filter contains
+    * attr-vs-literal range/equality conjuncts, files whose stats provably
+    * exclude the predicate are dropped BEFORE Spark plans the scan — the
+    * Z-order layout wired to the read path. Files without stats rows
+    * (e.g. appended after the last stats pass) always survive, and the
+    * filter is still applied to whatever is read, so skipping is purely an
+    * I/O optimization, never a semantics change.
     */
   def find(spark: SparkSession, path: String, filter: Option[Column] = None): DataFrame =
     try {
-      val docs = spark.read.json(liveDir(fileSystem(spark, path), spark, path))
+      val fs = fileSystem(spark, path)
+      val live = liveDir(fs, spark, path)
+      val docs = filter.flatMap(prunedFiles(spark, fs, live, _)) match {
+        case Some(files) if files.isEmpty => return spark.emptyDataFrame
+        case Some(files) => spark.read.json(files: _*)
+        case None => spark.read.json(live)
+      }
       filter.fold(docs)(docs.filter)
     } catch {
       case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
@@ -167,6 +183,104 @@ object DocStore {
     commitRewrite(fs, spark,
       docs.observe(obs, count(lit(1)).as("n")).coalesce(targetFiles), path, retain)
     obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Sort-rewrite the collection clustered by `key` (e.g. a column, or
+    * [[graft.ops.Zorder.zkey]] for multi-column locality) into
+    * `targetFiles` files, then record per-file min/max stats for
+    * `statsCols` — the write-side half of data skipping; [[find]] is the
+    * read-side half. Same manifest-swing crash safety as any mutation.
+    * Returns the document count.
+    */
+  def cluster(spark: SparkSession, path: String, key: Column, targetFiles: Int,
+              statsCols: Seq[String], retain: Int = 2): Long = {
+    val fs = fileSystem(spark, path)
+    val docs = spark.read.json(liveDir(fs, spark, path))
+    // no Dataset.observe here: repartitionByRange runs an extra sampling
+    // pass over the child, which would double the observed count
+    val n = docs.count()
+    commitRewrite(fs, spark,
+      graft.ops.Zorder.clusterByKey(docs, key, targetFiles), path, retain)
+    collectStats(spark, path, statsCols)
+    n
+  }
+
+  /** Compute per-file min/max stats for `cols` over the LIVE generation
+    * and write them as a `_STATS` JSON dir inside it (underscore-prefixed,
+    * so data scans never see it). One scan of the generation; the stats
+    * table itself is one row per file — planner-sized, not data-sized.
+    */
+  def collectStats(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    val fs = fileSystem(spark, path)
+    val live = liveDir(fs, spark, path)
+    val docs = spark.read.json(live)
+    val present = cols.filter(docs.columns.contains)
+    if (present.isEmpty) return
+    val aggs = present.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val stats = docs.withColumn("__f", input_file_name())
+      .groupBy("__f").agg(aggs.head, aggs.tail: _*)
+      .withColumn("file", element_at(split(col("__f"), "/"), -1))
+      .drop("__f")
+    val statsPath = new Path(live, StatsDir)
+    fs.delete(statsPath, true)
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).json(statsPath.toString)
+  }
+
+  // ---- data skipping ----------------------------------------------------
+
+  /** Files of the live dir surviving the filter's min/max check, or None
+    * when pruning can't apply (no stats, or no recognizable conjunct).
+    * A file is dropped ONLY when some conjunct is provably false over its
+    * [min, max] — missing stats rows/values and incomparable types keep
+    * the file, so the check errs to reading more, never less.
+    */
+  private def prunedFiles(spark: SparkSession, fs: FileSystem, live: String,
+                          filter: Column): Option[Seq[String]] = {
+    val statsPath = new Path(live, StatsDir)
+    if (!fs.exists(statsPath)) return None
+    val bounds = org.apache.spark.sql.GraftShims.predicateBounds(filter)
+    if (bounds.isEmpty) return None
+    val stats =
+      try spark.read.json(statsPath.toString).collect()
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    if (stats.isEmpty) return None
+    val byName = stats.flatMap { r =>
+      scala.util.Try(r.getAs[String]("file")).toOption.map(_ -> r)
+    }.toMap
+    def field(r: org.apache.spark.sql.Row, name: String): Option[Any] =
+      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        Some(r.get(r.fieldIndex(name)))
+      else None
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        scala.util.Try(new java.math.BigDecimal(x.toString)
+          .compareTo(new java.math.BigDecimal(y.toString))).toOption
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    def survives(r: org.apache.spark.sql.Row, c: String, op: String, v: Any): Boolean =
+      (field(r, s"min_$c"), field(r, s"max_$c")) match {
+        case (Some(mi), Some(ma)) => (op match {
+          case "<"  => cmp(mi, v).map(_ < 0)
+          case "<=" => cmp(mi, v).map(_ <= 0)
+          case ">"  => cmp(ma, v).map(_ > 0)
+          case ">=" => cmp(ma, v).map(_ >= 0)
+          case "="  => for { a <- cmp(mi, v); b <- cmp(ma, v) } yield a <= 0 && b >= 0
+          case _    => Some(true)
+        }).getOrElse(true)
+        case _ => true // column unstatted in this file: cannot exclude
+      }
+    val dataFiles = fs.listStatus(new Path(live)).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    Some(dataFiles.filter { st =>
+      byName.get(st.getPath.getName) match {
+        case None => true // appended after the stats pass
+        case Some(row) => bounds.forall { case (c, op, v) => survives(row, c, op, v) }
+      }
+    }.map(_.getPath.toString))
   }
 
   // ---- generation machinery ---------------------------------------------

@@ -22,4 +22,39 @@ object GraftShims {
       (Column(child), dir == internal.SortOrder.Descending)
     case _ => (c, false)
   }
+
+  /** Flatten a filter Column into its recognizable
+    * (attribute, op, literal) conjuncts, where op is one of
+    * "<" "<=" ">" ">=" "=" and the literal is an external JVM value.
+    * Conjuncts that aren't a plain attr-vs-literal comparison yield
+    * nothing (callers must treat them as unprunable, never as false).
+    * Lives here because the node-layer matchers are `private[sql]`.
+    */
+  def predicateBounds(c: Column): Seq[(String, String, Any)] = {
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case other => other
+    }
+    def attr(n: internal.ColumnNode): Option[String] = n match {
+      case internal.UnresolvedAttribute(parts, _, _, _) => Some(parts.mkString("."))
+      case _ => None
+    }
+    def lit(n: internal.ColumnNode): Option[Any] = n match {
+      case internal.Literal(v, _, _) => Some(v)
+      case _ => None
+    }
+    def go(n: internal.ColumnNode): Seq[(String, String, Any)] = n match {
+      case internal.UnresolvedFunction("and", scala.collection.Seq(l, r), _, _, _, _) =>
+        go(l) ++ go(r)
+      case internal.UnresolvedFunction(op @ ("<" | "<=" | ">" | ">=" | "="),
+          scala.collection.Seq(x, y), _, _, _, _) =>
+        (attr(x), lit(y), attr(y), lit(x)) match {
+          case (Some(a), Some(v), _, _) => Seq((a, op, v))
+          case (_, _, Some(a), Some(v)) => Seq((a, flip(op), v))
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    go(c.node)
+  }
 }

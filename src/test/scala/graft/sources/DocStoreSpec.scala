@@ -171,6 +171,38 @@ class DocStoreSpec extends SparkTestBase {
     assert(DocStore.find(spark, path).collect().map(_.toSeq).toSet == before)
   }
 
+  test("data skipping: a selective filter on a clustered store reads fewer files") {
+    val path = freshPath()
+    DocStore.insertMany((0L until 1000L).map(i => (i, s"doc-$i", i % 7))
+      .toDF("id", "text", "grp"), path)
+    assert(DocStore.cluster(spark, path, col("id"), targetFiles = 8,
+      statsCols = Seq("id", "grp")) == 1000L)
+    // clustered by id into 8 files: an id range covering ~1/8 of the key
+    // space must plan a scan over a strict subset of the files
+    val q = DocStore.find(spark, path,
+      Some(col("id") >= 100L && col("id") < 150L))
+    val allFiles = DocStore.find(spark, path).inputFiles.length
+    assert(allFiles == 8, s"expected 8 clustered files, got $allFiles")
+    assert(q.inputFiles.length < allFiles,
+      s"selective filter still reads all $allFiles files")
+    // and the pruned read returns exactly the right rows
+    assert(q.select("id").as[Long].collect().sorted.toSeq == (100L until 150L))
+    // equality prunes too
+    val eq = DocStore.find(spark, path, Some(col("id") === 500L))
+    assert(eq.inputFiles.length == 1 && eq.count() == 1)
+    // a filter on an unstatted column reads everything but stays correct
+    val unstatted = DocStore.find(spark, path, Some(col("text") === "doc-42"))
+    assert(unstatted.count() == 1)
+    // appended-after-stats files always survive pruning (never lost)
+    DocStore.insertMany(Seq((2000L, "late", 0L)).toDF("id", "text", "grp"), path)
+    val late = DocStore.find(spark, path, Some(col("id") >= 2000L))
+    assert(late.select("id").as[Long].collect().toSeq == Seq(2000L))
+    // predicates the pruner can't analyze (OR) fall back to the full scan
+    val or = DocStore.find(spark, path,
+      Some(col("id") === 5L || col("id") === 999L))
+    assert(or.count() == 2)
+  }
+
   test("deleteMany refuses the empty query unless protection is off") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), path)

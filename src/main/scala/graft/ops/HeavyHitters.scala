@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Exact heavy hitters in two scan-shaped passes — the frequent-items
+  * query a 100 TB corpus can't answer with a plain groupBy (one partial
+  * row per distinct key per task; at billions of distinct keys the
+  * shuffle IS the problem, the same regime [[Sketch]] addresses for
+  * point counts).
+  *
+  * Pass 1 runs Misra-Gries (Misra & Gries 1982; merge analysis in
+  * Agarwal et al., "Mergeable Summaries", PODS 2012) independently per
+  * partition: `budget` counters of bounded driver-free state, emitting at
+  * most `budget` candidate keys per partition. The guarantee that makes
+  * the candidates trustworthy: a key with global count > N/(budget+1)
+  * must, by pigeonhole, exceed its partition's N_p/(budget+1) somewhere,
+  * and MG never evicts such a key — so candidates ⊇ every key at or above
+  * the `minFraction` threshold whenever budget >= 1/minFraction (enforced
+  * strictly, so even exact-boundary keys survive). Pass 2 then counts
+  * ONLY the candidates exactly (broadcast
+  * semi-join prune, partial-combine groupBy over a bounded key set) and
+  * applies the threshold. Output is exact — gate-oracle-able against a
+  * plain GROUP BY ... HAVING — while no stage ever holds more than
+  * budget-many counters per task or shuffles more than candidate keys.
+  *
+  * The reference engine's only frequency tool is pandas value_counts
+  * (driver-bound); this is the distributed restatement.
+  */
+object HeavyHitters {
+
+  /** Keys of `key` whose exact count is >= minFraction * rowcount, with
+    * the exact count and fraction. Key column keeps its original type.
+    */
+  def heavyHitters(df: DataFrame, key: Column, minFraction: Double,
+                   budget: Int = 256, outKey: String = "k"): DataFrame = {
+    require(minFraction > 0.0 && minFraction <= 1.0,
+      s"minFraction must be in (0, 1], got $minFraction")
+    // STRICT bound (budget >= 1/minFraction, not budget+1): MG's undercount
+    // can reach exactly N_p/(budget+1), so a key sitting exactly AT the
+    // threshold needs one unit of slack to provably survive pass 1
+    require(budget >= 1.0 / minFraction,
+      s"budget $budget too small: the candidate guarantee needs " +
+        s"budget >= 1/minFraction = ${1.0 / minFraction}")
+    val spark = df.sparkSession
+    val keyed = df.select(key.as(outKey))
+    val keyType = keyed.schema.head.dataType
+
+    // pass 1: per-partition MG summaries. The decrement-all step is
+    // amortized O(1) per row: each decrement pays back an earlier
+    // increment, so total work is linear in the partition.
+    val cand = keyed.rdd.mapPartitions { it =>
+      val counters = new java.util.HashMap[Any, Long](budget * 2)
+      while (it.hasNext) {
+        val k = it.next().get(0)
+        val cur = counters.get(k)
+        if (cur > 0L) counters.put(k, cur + 1L)
+        else if (counters.size < budget) counters.put(k, 1L)
+        else {
+          val e = counters.entrySet().iterator()
+          while (e.hasNext) {
+            val entry = e.next()
+            if (entry.getValue <= 1L) e.remove()
+            else entry.setValue(entry.getValue - 1L)
+          }
+        }
+      }
+      val out = new Array[Row](counters.size)
+      val e = counters.entrySet().iterator()
+      var i = 0
+      while (e.hasNext) { val en = e.next(); out(i) = Row(en.getKey, en.getValue); i += 1 }
+      out.iterator
+    }
+    val candKeys = spark.createDataFrame(cand,
+        StructType(Seq(StructField(outKey, keyType), StructField("mg_cnt", LongType))))
+      .select(outKey).distinct()
+
+    // pass 2: exact counts over candidates only, threshold on the total
+    val total = df.count()
+    keyed.join(broadcast(candKeys), Seq(outKey))
+      .groupBy(outKey)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(minFraction) * lit(total))
+      .withColumn("frac", col("cnt").cast("double") / lit(total).cast("double"))
+  }
+}

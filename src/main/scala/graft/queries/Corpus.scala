@@ -676,6 +676,27 @@ object Corpus {
         |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_suppkey)
         |ORDER BY est_join_rows""".stripMargin),
 
+    // ---- exact heavy hitters (ops.HeavyHitters): Misra-Gries candidate
+    //      pass (bounded per-partition state, candidates provably ⊇ every
+    //      key at the threshold) + exact count of candidates only — the
+    //      frequent-items answer when distinct keys outgrow an exact
+    //      groupBy's shuffle. Output is exact, so the oracle is the plain
+    //      GROUP BY ... HAVING. 0.8%: a handful of users qualify at each
+    //      SF, most don't.
+    "a16_heavy_hitters" -> withOracle(
+      (s, d) =>
+        graft.ops.HeavyHitters.heavyHitters(
+            Tables.events(s, d), col("user_id"), minFraction = 0.008,
+            budget = 128, outKey = "user_id")
+          .orderBy("user_id"),
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(*) AS DOUBLE) /
+        |         (SELECT CAST(count(*) AS DOUBLE) FROM events) AS frac
+        |FROM events GROUP BY user_id
+        |HAVING count(*) >= CAST(0.008 AS DOUBLE) *
+        |  (SELECT count(*) FROM events)
+        |ORDER BY user_id""".stripMargin),
+
     // ---- exact percentiles per group. l_quantity is integral and the
     //      quarter-grid fractions are exact in binary, so linear
     //      interpolation is bit-identical whatever the engine's formula

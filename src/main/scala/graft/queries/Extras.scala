@@ -183,6 +183,25 @@ object StreamingQuery {
       .orderBy("event_id", "err_event_id")
       .localCheckpoint(true)
   }
+
+  /** Streaming CMS maintenance drained to completion, then probed: the
+    * sketch accumulated across micro-batches must estimate every key
+    * exactly at this generous geometry (the a14 determinism argument —
+    * merge order cannot matter because merged cells are plain sums), so
+    * the oracle is the plain batch count per key.
+    */
+  def cmsCounts(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val events = streamEvents(s, d)
+    val (q, sketch) = graft.streaming.Streams
+      .maintainCms(events, "user_id", depth = 4, width = 8192)
+    try q.processAllAvailable() finally q.stop()
+    val cands = s.read.parquet(s"$d/events.parquet")
+      .select(col("user_id")).distinct()
+    graft.ops.Sketch.cmsEstimate(sketch(), cands, "user_id")
+      .orderBy("user_id")
+      .localCheckpoint(true)
+  }
 }
 
 /** Operators the reference never needed but Spark exposes for free
@@ -685,6 +704,15 @@ object Extras {
     "st4_stream_session" -> withOracle(
       (s, d) => StreamingQuery.sessions(s, d),
       StreamingQuery.sessionOracleSql),
+
+    // ---- incrementally maintained CMS across micro-batches: estimates
+    //      from the merged sketch are exact at this geometry (a14's
+    //      determinism argument; merged cells are plain sums, so batch
+    //      cuts cannot matter), making the oracle the plain batch count
+    "st6_stream_cms" -> withOracle(
+      (s, d) => StreamingQuery.cmsCounts(s, d),
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS est_count
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
 
     // ---- custom expressions through the SQL surface (GraftExtensions):
     //      signature determinism is the contract — rows-only here, exact

@@ -110,6 +110,51 @@ object Streams {
       }
       .start()
 
+  /** Incrementally maintained count-min sketch over a stream: each
+    * micro-batch builds its own bounded cell table
+    * ([[graft.ops.Sketch.cmsBuild]] — map-side combined, at most
+    * depth x width rows whatever the batch size) and cell-wise merges it
+    * into driver-held counters — CMS mergeability doing for streams what
+    * `cmsMerge` does for partitions. The accumulated state is depth x
+    * width longs, the same bounded model-state class as an IVF codebook;
+    * the stream itself is never retained. Returns the running query and a
+    * snapshot accessor producing a queryable [[graft.ops.Sketch.CmsSketch]]
+    * at any point (estimates from a snapshot can only over-count, exactly
+    * as in batch).
+    */
+  def maintainCms(stream: DataFrame, key: String, depth: Int, width: Int)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         () => graft.ops.Sketch.CmsSketch) = {
+    val cells = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+    @volatile var keyType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.NullType
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sk = graft.ops.Sketch.cmsBuild(batch, col(key), depth, width)
+        val rows = sk.cells.collect() // bounded: <= depth x width cells
+        // foreachBatch callbacks run sequentially; synchronize only against
+        // concurrent snapshot() readers
+        cells.synchronized {
+          keyType = sk.keyType
+          rows.foreach { r =>
+            val k = (r.getInt(0), r.getLong(1))
+            cells(k) = cells.getOrElse(k, 0L) + r.getLong(2)
+          }
+        }
+        ()
+      }
+      .start()
+    val spark = stream.sparkSession
+    def snapshot(): graft.ops.Sketch.CmsSketch = {
+      import spark.implicits._
+      val (rows, kt) = cells.synchronized {
+        (cells.iterator.map { case ((r, b), c) => (r, b, c) }.toSeq, keyType)
+      }
+      graft.ops.Sketch.CmsSketch(rows.toDF("r", "bucket", "cnt"), depth, width, kt)
+    }
+    (q, () => snapshot())
+  }
+
   /** Gap-based sessionization with custom state
     * (KeyValueGroupedDataset.flatMapGroupsWithState). Sessions close when
     * `gapMs` passes without an event for the user (emitted as soon as a

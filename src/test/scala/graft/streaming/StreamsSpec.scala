@@ -168,6 +168,25 @@ class StreamsSpec extends SparkTestBase {
     assert(docs.select("k").distinct().count() == 3)
   }
 
+  test("maintainCms: sketch merged across micro-batches equals the batch-built sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val (q, sketch) = Streams.maintainCms(mem.toDF(), "user_id", depth = 3, width = 16)
+    val b1 = (1 to 30).map(i => Event(i % 5, ts(i), "click", 1.0))
+    val b2 = (1 to 20).map(i => Event(i % 7, ts(100 + i), "view", 2.0))
+    mem.addData(b1); q.processAllAvailable()
+    val mid = sketch() // snapshot mid-stream must already cover batch 1
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    val merged = sketch()
+    val whole = graft.ops.Sketch.cmsBuild((b1 ++ b2).toDF(), col("user_id"), 3, 16)
+    assert(merged.cells.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet ==
+           whole.cells.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet)
+    assert(merged.depth == 3 && merged.width == 16 && merged.keyType == whole.keyType)
+    val midTotal = mid.cells.agg(sum("cnt")).head().getLong(0)
+    assert(midTotal == b1.size.toLong * 3) // depth rows per input row
+  }
+
   test("batch/stream unification: windowedCounts runs on a plain DataFrame") {
     val batch = Seq(Event(1, ts(0), "click", 2.0), Event(1, ts(10), "click", 3.0)).toDF()
     val out = Streams.windowedCounts(batch).collect()

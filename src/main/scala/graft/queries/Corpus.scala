@@ -324,6 +324,38 @@ object Corpus {
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
 
+    // ---- deterministic stratified train/val/test split: per-language
+    //      md5-rank (the smp1 key — RNG-free, reshuffle-proof) cut at
+    //      ALL-INTEGER thresholds floor(.8n) / floor(.8n)+floor(.1n), so
+    //      proportions are exact per stratum and every engine agrees on
+    //      every boundary row. The assignment is a pure function of the
+    //      data — re-running on a grown corpus moves as few docs as a
+    //      hash split can.
+    "smp4_split" -> withOracle(
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy(md5Key(col("doc_id")), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+          .withColumn("split",
+            when(col("rk") <= expr("(n * 8) div 10"), "train")
+              .when(col("rk") <= expr("(n * 8) div 10 + n div 10"), "val")
+              .otherwise("test"))
+          .select("lang", "doc_id", "split")
+          .orderBy("doc_id")
+      },
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, doc_id,
+        |       CASE WHEN rk <= (n * 8) // 10 THEN 'train'
+        |            WHEN rk <= (n * 8) // 10 + n // 10 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin),
+
     // ---- materialized sequence packing: pk1 assigns bins; a training-data
     //      exporter needs the packed rows themselves — concatenated text
     //      plus the boundary offset of every member doc, so a loader can

@@ -107,6 +107,26 @@ class CorpusSpec extends SparkTestBase {
     assert(frac > 0.05 && frac < 0.35, s"sample fraction $frac implausible for 3/16")
   }
 
+  test("smp4_split: exact integer proportions per stratum, deterministic, total cover") {
+    val q = graft.SparkEntry.queries("smp4_split")
+    val rows = q(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // deterministic across runs
+    assert(rows.toSeq == q(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq)
+    // every document assigned exactly once
+    assert(rows.length == Tables.documents(spark, sf001).count())
+    assert(rows.map(_._2).distinct.length == rows.length)
+    // per-stratum proportions are the exact integer cuts
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      val n = g.length
+      val bySplit = g.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(bySplit.getOrElse("train", 0) == n * 8 / 10, s"$lang train")
+      assert(bySplit.getOrElse("val", 0) == n / 10, s"$lang val")
+      assert(bySplit.getOrElse("test", 0) == n - n * 8 / 10 - n / 10, s"$lang test")
+    }
+  }
+
   test("smp2_stratified: at most 20 per language, exactly 20 where the stratum has >= 20") {
     val rows = graft.SparkEntry.queries("smp2_stratified")(spark, sf001)
       .groupBy("lang").agg(count(lit(1)).as("n"))

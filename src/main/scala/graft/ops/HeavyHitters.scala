@@ -32,6 +32,9 @@ object HeavyHitters {
 
   /** Keys of `key` whose exact count is >= minFraction * rowcount, with
     * the exact count and fraction. Key column keeps its original type.
+    * NULL keys are excluded from the output (the equi-join in the verify
+    * pass cannot match them) — unlike SQL's GROUP BY, which would report a
+    * NULL group; pre-filter or fill nulls if they can be heavy.
     */
   def heavyHitters(df: DataFrame, key: Column, minFraction: Double,
                    budget: Int = 256, outKey: String = "k"): DataFrame = {

@@ -13,7 +13,8 @@ object Plans {
     }
     Seq("j3_dim_lookup","j5_dual_dim","f1_isin","a1_group_sum","p6_derived","e1_knn_brute","pipe_sales_details","j1_join_multikey",
         "j10_bloom_semi","j11_bloom_anti","j12_salted_join","sd1_dup_spans","t10_cooc_lift","d3_snapshot_diff","e5_ann_pq",
-        "ld1_line_dedup","a14_cms_counts","z1_zorder_key","w10_session_window","t13_html_strip","smp3_weighted").foreach(show)
+        "ld1_line_dedup","a14_cms_counts","z1_zorder_key","w10_session_window","t13_html_strip","smp3_weighted",
+        "w6_ntile","a16_heavy_hitters","pk2_pack_rows","smp4_split","e6_ann_ivfpq").foreach(show)
     spark.stop()
   }
 }

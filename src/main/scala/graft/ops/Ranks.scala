@@ -116,6 +116,24 @@ object Ranks {
     (ranked, total)
   }
 
+  /** Exact order statistics without a global sort: the rows sitting at
+    * ranks ceil(p*n) for each requested p (the quantile_disc convention).
+    * This is what the distributed rank buys beyond ntile — exact
+    * percentile VALUES over data no single task could hold, where
+    * approx_percentile gives bounded error and a global-window rank
+    * gives a single-partition funnel.
+    */
+  def orderStatistics(df: DataFrame, order: Seq[Column], ps: Seq[Double],
+                      rankCol: String = "rank",
+                      numPartitions: Int = 0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must be in (0, 1], got $ps")
+    val (ranked, n) = withGlobalRowNumber(df, order, rankCol, numPartitions)
+    val targets = ps.map(p => math.max(1L, math.ceil(p * n).toLong)).distinct
+    if (n == 0) ranked.filter(lit(false))
+    else ranked.filter(col(rankCol).isin(targets: _*))
+  }
+
   /** SQL `ntile(buckets)` under a total order, distributed: standard
     * semantics — with n rows, q = n div buckets and r = n mod buckets, the
     * first r buckets get q+1 rows, the rest q. n and the cut are known

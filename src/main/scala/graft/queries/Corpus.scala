@@ -729,6 +729,30 @@ object Corpus {
         |  (SELECT count(*) FROM events)
         |ORDER BY user_id""".stripMargin),
 
+    // ---- exact GLOBAL order statistics via the distributed rank
+    //      (ops.Ranks): the rows at ranks ceil(p*n) — quantile_disc
+    //      semantics with exact VALUES, no single-partition sort anywhere
+    //      (a12 interpolates within groups; this is the whole-table exact
+    //      answer approx_percentile can only bound)
+    "a17_rank_percentile" -> withOracle(
+      (s, d) =>
+        graft.ops.Ranks.orderStatistics(
+            Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+            Seq(col("o_totalprice"), col("o_orderkey")),
+            ps = Seq(0.25, 0.5, 0.75))
+          .select("rank", "o_orderkey", "o_totalprice")
+          .orderBy("rank"),
+      """WITH r AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM orders)
+        |SELECT CAST(rk AS BIGINT) AS rank, o_orderkey, o_totalprice FROM r
+        |WHERE rk IN (CAST(ceil(0.25 * n) AS BIGINT),
+        |             CAST(ceil(0.5 * n) AS BIGINT),
+        |             CAST(ceil(0.75 * n) AS BIGINT))
+        |ORDER BY rank""".stripMargin),
+
     // ---- exact percentiles per group. l_quantity is integral and the
     //      quarter-grid fractions are exact in binary, so linear
     //      interpolation is bit-identical whatever the engine's formula

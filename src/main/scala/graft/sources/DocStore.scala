@@ -261,14 +261,23 @@ object DocStore {
     }
     def survives(r: org.apache.spark.sql.Row, c: String, op: String, v: Any): Boolean =
       (field(r, s"min_$c"), field(r, s"max_$c")) match {
-        case (Some(mi), Some(ma)) => (op match {
-          case "<"  => cmp(mi, v).map(_ < 0)
-          case "<=" => cmp(mi, v).map(_ <= 0)
-          case ">"  => cmp(ma, v).map(_ > 0)
-          case ">=" => cmp(ma, v).map(_ >= 0)
-          case "="  => for { a <- cmp(mi, v); b <- cmp(ma, v) } yield a <= 0 && b >= 0
-          case _    => Some(true)
-        }).getOrElse(true)
+        case (Some(mi), Some(ma)) =>
+          def inRange(x: Any): Boolean =
+            (for { a <- cmp(mi, x); b <- cmp(ma, x) } yield a <= 0 && b >= 0)
+              .getOrElse(true)
+          (op match {
+            case "<"  => cmp(mi, v).map(_ < 0)
+            case "<=" => cmp(mi, v).map(_ <= 0)
+            case ">"  => cmp(ma, v).map(_ > 0)
+            case ">=" => cmp(ma, v).map(_ >= 0)
+            case "="  => Some(inRange(v))
+            case "in" => v match {
+              // the file survives if ANY listed value could be present
+              case vs: Seq[_] => Some(vs.exists(inRange))
+              case _ => Some(true)
+            }
+            case _    => Some(true)
+          }).getOrElse(true)
         case _ => true // column unstatted in this file: cannot exclude
       }
     val dataFiles = fs.listStatus(new Path(live)).toSeq.filter { st =>

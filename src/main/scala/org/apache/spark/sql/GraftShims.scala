@@ -25,10 +25,11 @@ object GraftShims {
 
   /** Flatten a filter Column into its recognizable
     * (attribute, op, literal) conjuncts, where op is one of
-    * "<" "<=" ">" ">=" "=" and the literal is an external JVM value.
-    * Conjuncts that aren't a plain attr-vs-literal comparison yield
-    * nothing (callers must treat them as unprunable, never as false).
-    * Lives here because the node-layer matchers are `private[sql]`.
+    * "<" "<=" ">" ">=" "=" with an external JVM value, or "in" with a
+    * Seq of external values. Conjuncts that aren't a plain
+    * attr-vs-literal(s) comparison yield nothing (callers must treat
+    * them as unprunable, never as false). Lives here because the
+    * node-layer matchers are `private[sql]`.
     */
   def predicateBounds(c: Column): Seq[(String, String, Any)] = {
     def flip(op: String): String = op match {
@@ -53,6 +54,11 @@ object GraftShims {
           case (_, _, Some(a), Some(v)) => Seq((a, flip(op), v))
           case _ => Nil
         }
+      case internal.UnresolvedFunction("in", args, _, _, _, _)
+          if args.nonEmpty && attr(args.head).isDefined =>
+        val vs = args.tail.map(lit)
+        if (vs.forall(_.isDefined)) Seq((attr(args.head).get, "in", vs.flatten))
+        else Nil
       case _ => Nil
     }
     go(c.node)

@@ -37,6 +37,24 @@ class RanksSpec extends SparkTestBase {
     }
   }
 
+  test("orderStatistics picks exactly the ceil(p*n) rows of the sorted order") {
+    val df = data(97) // odd, non-multiple size
+    val order = Seq(col("v"), col("id"))
+    val sorted = df.collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    val got = Ranks.orderStatistics(df, order, Seq(0.1, 0.5, 1.0), numPartitions = 5)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("id")).toMap
+    val expect = Seq(0.1, 0.5, 1.0).map { p =>
+      val rk = math.max(1, math.ceil(p * 97).toLong)
+      rk -> sorted(rk.toInt - 1)._2
+    }.toMap
+    assert(got == expect)
+    intercept[IllegalArgumentException] {
+      Ranks.orderStatistics(df, order, Seq(0.0))
+    }
+    assert(Ranks.orderStatistics(data(0), order, Seq(0.5)).count() == 0)
+  }
+
   test("empty input yields an empty result, not a failure") {
     val df = data(0)
     val (ranked, total) = Ranks.withGlobalRowNumber(df, Seq(col("id")), "rn")

@@ -201,6 +201,9 @@ class DocStoreSpec extends SparkTestBase {
     val or = DocStore.find(spark, path,
       Some(col("id") === 5L || col("id") === 999L))
     assert(or.count() == 2)
+    // IN-lists prune to the union of matching files
+    val in = DocStore.find(spark, path, Some(col("id").isin(5L, 6L, 7L)))
+    assert(in.inputFiles.length < allFiles && in.count() == 3)
   }
 
   test("deleteMany refuses the empty query unless protection is off") {

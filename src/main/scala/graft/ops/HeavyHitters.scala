@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * must, by pigeonhole, exceed its partition's N_p/(budget+1) somewhere,
   * and MG never evicts such a key — so candidates ⊇ every key at or above
   * the `minFraction` threshold whenever budget >= 1/minFraction (enforced
-  * strictly, so even exact-boundary keys survive). Pass 2 then counts
+  * strictly, so even exact-boundary keys survive). The summaries (at most
+  * budget+1 rows per partition, with each partition's row count riding
+  * along so the total costs no extra scan) collect to the driver as
+  * bounded model state. Pass 2 then counts
   * ONLY the candidates exactly (broadcast
   * semi-join prune, partial-combine groupBy over a bounded key set) and
   * applies the threshold. Output is exact — gate-oracle-able against a
@@ -50,13 +53,16 @@ object HeavyHitters {
     val keyed = df.select(key.as(outKey))
     val keyType = keyed.schema.head.dataType
 
-    // pass 1: per-partition MG summaries. The decrement-all step is
-    // amortized O(1) per row: each decrement pays back an earlier
-    // increment, so total work is linear in the partition.
-    val cand = keyed.rdd.mapPartitions { it =>
+    // pass 1: per-partition MG summaries, with the partition's row count
+    // riding along as a marker row — the total must not cost a third scan.
+    // The decrement-all step is amortized O(1) per row: each decrement
+    // pays back an earlier increment, so total work is linear.
+    val summary = keyed.rdd.mapPartitions { it =>
       val counters = new java.util.HashMap[Any, Long](budget * 2)
+      var n = 0L
       while (it.hasNext) {
         val k = it.next().get(0)
+        n += 1L
         val cur = counters.get(k)
         if (cur > 0L) counters.put(k, cur + 1L)
         else if (counters.size < budget) counters.put(k, 1L)
@@ -69,18 +75,21 @@ object HeavyHitters {
           }
         }
       }
-      val out = new Array[Row](counters.size)
+      val out = new Array[Row](counters.size + 1)
+      out(0) = Row(null, n, true) // partition-count marker
       val e = counters.entrySet().iterator()
-      var i = 0
-      while (e.hasNext) { val en = e.next(); out(i) = Row(en.getKey, en.getValue); i += 1 }
+      var i = 1
+      while (e.hasNext) { val en = e.next(); out(i) = Row(en.getKey, en.getValue, false); i += 1 }
       out.iterator
-    }
-    val candKeys = spark.createDataFrame(cand,
-        StructType(Seq(StructField(outKey, keyType), StructField("mg_cnt", LongType))))
-      .select(outKey).distinct()
+    }.collect() // bounded: <= budget+1 rows per partition — model state
+    val total = summary.iterator.filter(_.getBoolean(2)).map(_.getLong(1)).sum
+    val candVals = summary.iterator.filterNot(_.getBoolean(2)).map(_.get(0))
+      .toArray.distinct
+    val candKeys = spark.createDataFrame(
+      java.util.Arrays.asList(candVals.map(Row(_)): _*),
+      StructType(Seq(StructField(outKey, keyType))))
 
     // pass 2: exact counts over candidates only, threshold on the total
-    val total = df.count()
     keyed.join(broadcast(candKeys), Seq(outKey))
       .groupBy(outKey)
       .agg(count(lit(1)).as("cnt"))

@@ -43,14 +43,36 @@ object Ranks {
   /** A possibly-`.desc` sort column decomposed into (value column, desc?). */
   private def sortParts(c: Column): (Column, Boolean) = GraftShims.sortParts(c)
 
+  /** One field compared the way SPARK orders it. Strings must compare as
+    * UTF-8 bytes (Spark's UTF8String binary order) — Java's compareTo is
+    * UTF-16 code-unit order, which ranks supplementary characters (their
+    * surrogates sit below 0xE000) BEFORE some BMP characters, the opposite
+    * of code-point order; a boundary frozen under the wrong order would
+    * corrupt the pass-2 range assignment. Doubles are fine via compareTo
+    * (java.lang.Double agrees with Spark: NaN greatest, -0.0 < 0.0).
+    */
+  private[graft] def sparkCompare(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) =>
+      val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      var i = 0
+      val n = math.min(xb.length, yb.length)
+      while (i < n) {
+        val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      xb.length - yb.length
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
   /** Driver-side comparator matching the column order: does `a` sort
     * strictly after `b`? Fields arrive as external JVM types (Long, Double,
-    * String, Timestamp, ...), all Comparable.
+    * String, Timestamp, ...).
     */
   private def rowAfter(dirs: Seq[Boolean])(a: Row, b: Row): Boolean = {
     var i = 0
     while (i < dirs.length) {
-      val c = a.get(i).asInstanceOf[Comparable[Any]].compareTo(b.get(i))
+      val c = sparkCompare(a.get(i), b.get(i))
       if (c != 0) return if (dirs(i)) c < 0 else c > 0
       i += 1
     }

@@ -81,8 +81,17 @@ object DocStore {
       val fs = fileSystem(spark, path)
       val live = liveDir(fs, spark, path)
       val docs = filter.flatMap(prunedFiles(spark, fs, live, _)) match {
-        case Some(files) if files.isEmpty => return spark.emptyDataFrame
-        case Some(files) => spark.read.json(files: _*)
+        case Some((files, schema)) if files.isEmpty =>
+          // typed emptiness: the caller sees the collection's schema
+          // whether or not pruning eliminated every file
+          spark.createDataFrame(spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], schema)
+        case Some((files, schema)) =>
+          // the stats-time schema (merged with any appended files'): a
+          // pruned read must resolve every column the full read would —
+          // inferring from the surviving subset could drop fields the
+          // filter references, turning a correct answer into an error
+          spark.read.schema(schema).json(files: _*)
         case None => spark.read.json(live)
       }
       filter.fold(docs)(docs.filter)
@@ -225,20 +234,39 @@ object DocStore {
     val statsPath = new Path(live, StatsDir)
     fs.delete(statsPath, true)
     stats.coalesce(1).write.mode(SaveMode.Overwrite).json(statsPath.toString)
+    // persist the stats-time schema alongside: a pruned read must resolve
+    // every column of the full collection, not just what the surviving
+    // files happen to infer (underscore name -> invisible to data scans)
+    val out = fs.create(new Path(statsPath, "_schema.json"), true)
+    try out.write(docs.schema.json.getBytes(UTF_8)) finally out.close()
   }
 
   // ---- data skipping ----------------------------------------------------
 
-  /** Files of the live dir surviving the filter's min/max check, or None
-    * when pruning can't apply (no stats, or no recognizable conjunct).
-    * A file is dropped ONLY when some conjunct is provably false over its
-    * [min, max] — missing stats rows/values and incomparable types keep
-    * the file, so the check errs to reading more, never less.
+  /** Surviving files of the live dir plus the schema to read them with, or
+    * None when pruning can't apply (no stats/schema, no recognizable
+    * conjunct, or an unmergeable appended-file schema). A file is dropped
+    * ONLY when some conjunct is provably false over its [min, max] —
+    * missing stats rows/values and incomparable types keep the file, so
+    * the check errs to reading more, never less. The schema is the
+    * stats-time union merged with whatever files were appended since, so
+    * a pruned read resolves every column the full read would.
     */
   private def prunedFiles(spark: SparkSession, fs: FileSystem, live: String,
-                          filter: Column): Option[Seq[String]] = {
+                          filter: Column)
+      : Option[(Seq[String], org.apache.spark.sql.types.StructType)] = {
     val statsPath = new Path(live, StatsDir)
     if (!fs.exists(statsPath)) return None
+    val schemaFile = new Path(statsPath, "_schema.json")
+    if (!fs.exists(schemaFile)) return None // pre-schema stats: don't prune
+    val stored = {
+      val in = fs.open(schemaFile)
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+                finally in.close()
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(return None)
+    }
     val bounds = org.apache.spark.sql.GraftShims.predicateBounds(filter)
     if (bounds.isEmpty) return None
     val stats =
@@ -256,7 +284,10 @@ object DocStore {
       case (x: java.lang.Number, y: java.lang.Number) =>
         scala.util.Try(new java.math.BigDecimal(x.toString)
           .compareTo(new java.math.BigDecimal(y.toString))).toOption
-      case (x: String, y: String) => Some(x.compareTo(y))
+      // UTF-8 binary order, matching how Spark computed the min/max —
+      // Java's UTF-16 compareTo ranks supplementary characters low and
+      // would wrongly prune files whose extremes contain them
+      case (x: String, y: String) => Some(graft.ops.Ranks.sparkCompare(x, y))
       case _ => None
     }
     def survives(r: org.apache.spark.sql.Row, c: String, op: String, v: Any): Boolean =
@@ -284,12 +315,20 @@ object DocStore {
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
-    Some(dataFiles.filter { st =>
-      byName.get(st.getPath.getName) match {
-        case None => true // appended after the stats pass
-        case Some(row) => bounds.forall { case (c, op, v) => survives(row, c, op, v) }
-      }
-    }.map(_.getPath.toString))
+    val (statted, appended) =
+      dataFiles.partition(st => byName.contains(st.getPath.getName))
+    val kept = statted.filter { st =>
+      val row = byName(st.getPath.getName)
+      bounds.forall { case (c, op, v) => survives(row, c, op, v) }
+    } ++ appended // no stats row -> appended after the pass -> always read
+    // appended files may carry columns the stats-time schema never saw
+    val schema =
+      if (appended.isEmpty) stored
+      else scala.util.Try(
+        org.apache.spark.sql.GraftShims.mergeSchemas(stored,
+          spark.read.json(appended.map(_.getPath.toString): _*).schema))
+        .getOrElse(return None) // unmergeable drift: fall back to full read
+    Some((kept.map(_.getPath.toString), schema))
   }
 
   // ---- generation machinery ---------------------------------------------

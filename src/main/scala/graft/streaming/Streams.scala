@@ -126,8 +126,11 @@ object Streams {
       : (org.apache.spark.sql.streaming.StreamingQuery,
          () => graft.ops.Sketch.CmsSketch) = {
     val cells = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+    // resolve the key's type from the stream schema UP FRONT: a snapshot
+    // taken before the first batch must still carry a probeable type (an
+    // empty sketch estimates every key as 0, it doesn't fail analysis)
     @volatile var keyType: org.apache.spark.sql.types.DataType =
-      org.apache.spark.sql.types.NullType
+      stream.schema(key).dataType
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sk = graft.ops.Sketch.cmsBuild(batch, col(key), depth, width)

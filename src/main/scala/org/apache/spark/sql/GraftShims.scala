@@ -23,6 +23,13 @@ object GraftShims {
     case _ => (c, false)
   }
 
+  /** Field-union of two schemas via Catalyst's (private[sql]) StructType
+    * merge — throws on incompatible types; callers treat that as
+    * "cannot merge" and fall back.
+    */
+  def mergeSchemas(a: types.StructType, b: types.StructType): types.StructType =
+    a.merge(b)
+
   /** Flatten a filter Column into its recognizable
     * (attribute, op, literal) conjuncts, where op is one of
     * "<" "<=" ">" ">=" "=" with an external JVM value, or "in" with a

@@ -37,6 +37,25 @@ class RanksSpec extends SparkTestBase {
     }
   }
 
+  test("string keys with supplementary characters rank identically to Spark's order") {
+    // U+1F600 is a surrogate pair in UTF-16 (sorts LOW under Java
+    // compareTo) but a 4-byte sequence in UTF-8 (sorts HIGH under Spark's
+    // binary order) — the boundary probe must agree with Spark or pass-2
+    // range assignment drifts
+    val grin = new String(Character.toChars(0x1F600))
+    val beam = new String(Character.toChars(0x1F601))
+    val words = Seq("\uFFFD", grin, "zz", "aa", beam,
+      "mm", "\uFFFD\uFFFD", "", "zz" + grin)
+    val df = words.zipWithIndex.map { case (w, i) => (w, i.toLong) }.toDF("w", "id")
+    val order = Seq(col("w"), col("id"))
+    val (ranked, _) = Ranks.withGlobalRowNumber(df, order, "rn", numPartitions = 4)
+    val got = ranked.select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = df.withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == expect)
+  }
+
   test("orderStatistics picks exactly the ceil(p*n) rows of the sorted order") {
     val df = data(97) // odd, non-multiple size
     val order = Seq(col("v"), col("id"))

@@ -206,6 +206,26 @@ class DocStoreSpec extends SparkTestBase {
     assert(in.inputFiles.length < allFiles && in.count() == 3)
   }
 
+  test("pruned reads keep the FULL collection schema, not the surviving files' subset") {
+    val path = freshPath()
+    // heterogeneous docs: low ids carry only c, high ids only b — after
+    // clustering by id, low-id files' JSON has no b field at all
+    DocStore.insertMany((0L until 100L).map(i => (i, s"c$i")).toDF("id", "c"), path)
+    DocStore.insertMany((100L until 200L).map(i => (i, s"b$i")).toDF("id", "b"), path)
+    DocStore.cluster(spark, path, col("id"), targetFiles = 4, statsCols = Seq("id"))
+    // id-bound prunes to low-id files; the filter ALSO references b, which
+    // those files never mention — resolution must come from the stored
+    // schema, or a correct non-empty answer degrades to empty
+    val q = DocStore.find(spark, path,
+      Some(col("id") < 50L && (col("b").isNotNull || col("c") === "c7")))
+    assert(q.inputFiles.length < 4, "id bound should prune")
+    assert(q.select("id").as[Long].collect().toSeq == Seq(7L))
+    // all files pruned: emptiness is TYPED with the collection's schema
+    val none = DocStore.find(spark, path, Some(col("id") === 99999L))
+    assert(none.count() == 0)
+    assert(none.columns.toSet == Set("id", "b", "c"))
+  }
+
   test("deleteMany refuses the empty query unless protection is off") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), path)

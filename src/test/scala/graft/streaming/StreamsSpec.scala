@@ -172,6 +172,11 @@ class StreamsSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
     val (q, sketch) = Streams.maintainCms(mem.toDF(), "user_id", depth = 3, width = 16)
+    // a snapshot BEFORE any batch is a usable empty sketch (estimates 0),
+    // not an untyped one that fails analysis
+    val pre = graft.ops.Sketch.cmsEstimate(sketch(), Seq(1L).toDF("user_id"), "user_id")
+      .head().getLong(1)
+    assert(pre == 0L)
     val b1 = (1 to 30).map(i => Event(i % 5, ts(i), "click", 1.0))
     val b2 = (1 to 20).map(i => Event(i % 7, ts(100 + i), "view", 2.0))
     mem.addData(b1); q.processAllAvailable()

@@ -167,6 +167,28 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("a16 heavy hitters: candidate join broadcasts, partial combine kept, no SMJ") {
+    val p = plan01("a16_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("a17 order statistics: no single-partition stage (the distributed-rank promise)") {
+    val p = plan01("a17_rank_percentile")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // offset lift join
+  }
+
+  test("pk2/smp4: one stratum window shuffle each, no extra exchanges") {
+    for (q <- Seq("pk2_pack_rows", "smp4_split")) {
+      val p = plan01(q)
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+        s"$q should shuffle once by stratum:\n$p")
+    }
+  }
+
   test("dc1 decontam: no inferred generate-filter re-inlines the tokenizer at the scan") {
     // InferFiltersFromGenerate is excluded in Sessions: with it, explode of
     // a computed n-gram array grows a size(transform(...split...))>0 filter

@@ -50,13 +50,25 @@ object DocStore {
 
   /** K8: append documents; returns rows written. Appending adds files to
     * the live generation — readers that already planned their scan see a
-    * stable file list; new reads see the new docs.
+    * stable file list; new reads see the new docs. When the generation
+    * carries data-skipping stats, the appended files are statted too (one
+    * scan of ONLY the new files) so the skip rate never degrades across
+    * appends; the stored schema is widened if the batch brings new columns.
     */
   def insertMany(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, path)
     val n = df.count()
-    df.write.mode(SaveMode.Append).json(liveDir(fs, spark, path, createIfMissing = true))
+    val live = liveDir(fs, spark, path, createIfMissing = true)
+    val statsPath = new Path(live, StatsDir)
+    val before: Set[String] =
+      if (fs.exists(statsPath)) dataFileNames(fs, live) else Set.empty
+    df.write.mode(SaveMode.Append).json(live)
+    if (fs.exists(statsPath)) {
+      val added = (dataFileNames(fs, live) -- before).toSeq
+        .map(name => s"$live/$name")
+      if (added.nonEmpty) appendStats(spark, fs, live, added)
+    }
     n
   }
 
@@ -243,6 +255,57 @@ object DocStore {
 
   // ---- data skipping ----------------------------------------------------
 
+  private def dataFileNames(fs: FileSystem, live: String): Set[String] =
+    fs.listStatus(new Path(live)).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.getName).toSet
+
+  /** Stat ONLY `files` (an append's new files) and add the rows to the
+    * generation's stats; widen the stored schema if the batch brought new
+    * columns. Best-effort: unreadable stats or a batch sharing no stats
+    * columns leave the files unstatted — pruning then reads them, which is
+    * always sound. Unmergeable schema drift deletes the stored schema,
+    * disabling pruning entirely until the next [[collectStats]].
+    */
+  private def appendStats(spark: SparkSession, fs: FileSystem, live: String,
+                          files: Seq[String]): Unit = {
+    val statsPath = new Path(live, StatsDir)
+    val cols =
+      try spark.read.json(statsPath.toString).schema.fieldNames.toSeq
+        .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    if (cols.isEmpty) return
+    val docs = spark.read.json(files: _*)
+    val present = cols.filter(docs.columns.contains)
+    if (present.nonEmpty) {
+      val aggs = present.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      docs.withColumn("__f", input_file_name())
+        .groupBy("__f").agg(aggs.head, aggs.tail: _*)
+        .withColumn("file", element_at(split(col("__f"), "/"), -1))
+        .drop("__f")
+        .coalesce(1).write.mode(SaveMode.Append).json(statsPath.toString)
+    }
+    val schemaFile = new Path(statsPath, "_schema.json")
+    if (fs.exists(schemaFile)) {
+      val in = fs.open(schemaFile)
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+                finally in.close()
+      scala.util.Try {
+        val stored = org.apache.spark.sql.types.DataType.fromJson(txt)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        org.apache.spark.sql.GraftShims.mergeSchemas(stored, docs.schema)
+      } match {
+        case scala.util.Success(merged) =>
+          val out = fs.create(schemaFile, true)
+          try out.write(merged.json.getBytes(UTF_8)) finally out.close()
+        case scala.util.Failure(_) =>
+          fs.delete(schemaFile, false)
+      }
+    }
+  }
+
   /** Surviving files of the live dir plus the schema to read them with, or
     * None when pruning can't apply (no stats/schema, no recognizable
     * conjunct, or an unmergeable appended-file schema). A file is dropped
@@ -311,24 +374,23 @@ object DocStore {
           }).getOrElse(true)
         case _ => true // column unstatted in this file: cannot exclude
       }
-    val dataFiles = fs.listStatus(new Path(live)).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+    val dataFiles = dataFileNames(fs, live).toSeq.map(n => s"$live/$n")
     val (statted, appended) =
-      dataFiles.partition(st => byName.contains(st.getPath.getName))
-    val kept = statted.filter { st =>
-      val row = byName(st.getPath.getName)
+      dataFiles.partition(f => byName.contains(new Path(f).getName))
+    val kept = statted.filter { f =>
+      val row = byName(new Path(f).getName)
       bounds.forall { case (c, op, v) => survives(row, c, op, v) }
     } ++ appended // no stats row -> appended after the pass -> always read
-    // appended files may carry columns the stats-time schema never saw
+    // appended-but-unstatted files may carry columns the stats-time schema
+    // never saw (insertMany widens the schema when it CAN stat the batch;
+    // this covers batches it couldn't)
     val schema =
       if (appended.isEmpty) stored
       else scala.util.Try(
         org.apache.spark.sql.GraftShims.mergeSchemas(stored,
-          spark.read.json(appended.map(_.getPath.toString): _*).schema))
+          spark.read.json(appended: _*).schema))
         .getOrElse(return None) // unmergeable drift: fall back to full read
-    Some((kept.map(_.getPath.toString), schema))
+    Some((kept, schema))
   }
 
   // ---- generation machinery ---------------------------------------------

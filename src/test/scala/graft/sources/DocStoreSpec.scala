@@ -193,10 +193,22 @@ class DocStoreSpec extends SparkTestBase {
     // a filter on an unstatted column reads everything but stays correct
     val unstatted = DocStore.find(spark, path, Some(col("text") === "doc-42"))
     assert(unstatted.count() == 1)
-    // appended-after-stats files always survive pruning (never lost)
+    // appended files are statted incrementally: they're found when in
+    // range AND pruned when out of range (skip rate survives appends)
     DocStore.insertMany(Seq((2000L, "late", 0L)).toDF("id", "text", "grp"), path)
     val late = DocStore.find(spark, path, Some(col("id") >= 2000L))
     assert(late.select("id").as[Long].collect().toSeq == Seq(2000L))
+    val qAfter = DocStore.find(spark, path,
+      Some(col("id") >= 100L && col("id") < 150L))
+    assert(qAfter.inputFiles.length == q.inputFiles.length,
+      "appended out-of-range file should be pruned via its incremental stats")
+    // a batch bringing a NEW column widens the stored schema: filters on
+    // it resolve even when pruning drops every pre-append file
+    DocStore.insertMany(Seq((3000L, "x", 1L, "fresh"))
+      .toDF("id", "text", "grp", "tag"), path)
+    val tagQ = DocStore.find(spark, path,
+      Some(col("id") >= 2500L && col("tag") === "fresh"))
+    assert(tagQ.select("id").as[Long].collect().toSeq == Seq(3000L))
     // predicates the pruner can't analyze (OR) fall back to the full scan
     val or = DocStore.find(spark, path,
       Some(col("id") === 5L || col("id") === 999L))

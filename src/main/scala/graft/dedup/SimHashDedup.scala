@@ -101,10 +101,20 @@ object SimHashDedup {
     */
   def nearPairs(df: DataFrame, idCol: String, textCol: String,
                 blocks: Int = 4, maxHamming: Int = 3,
-                maxBucket: Int = 1000, probe1: Boolean = false): DataFrame = {
+                maxBucket: Int = 1000, probe1: Boolean = false): DataFrame =
+    nearPairsOnSig(signatures(df, idCol, textCol), idCol,
+      blocks, maxHamming, maxBucket, probe1)
+
+  /** [[nearPairs]] over a PRECOMPUTED 64-bit signature column `simhash` —
+    * the Hamming block-join is signature-agnostic, so any 64-bit
+    * fingerprint (text simhash, image perceptual hash, ...) reuses the
+    * same lossless candidate generation + exact verify.
+    */
+  def nearPairsOnSig(sigs: DataFrame, idCol: String,
+                     blocks: Int = 4, maxHamming: Int = 3,
+                     maxBucket: Int = 1000, probe1: Boolean = false): DataFrame = {
     val effBlocks = math.max(blocks,
       if (probe1) maxHamming / 2 + 1 else maxHamming + 1)
-    val sigs = signatures(df, idCol, textCol)
     val exact = blockKeys(sigs, idCol, effBlocks)
     val counts = exact.groupBy("block", "block_value").agg(count(lit(1)).as("__n"))
     // probe mode must keep single-member buckets: the partner arrives via

@@ -165,6 +165,73 @@ object MediaCodec {
     scala.util.Try(Option(ImageIO.read(new ByteArrayInputStream(bytes))))
       .toOption.flatten.map(resamplePng(_, targetW, targetH))
 
+  /** Perceptual average-hash (aHash) of one image: decode, NN-downsample
+    * to the 8x8 grid (the same integer pixel mapping as [[resamplePng]],
+    * so hashing an already-resized copy of an image gives the SAME hash —
+    * that scale invariance is the whole point of a perceptual hash), take
+    * integer luminance per cell (299r+587g+114b milli-lum, no floats), and
+    * set bit y*8+x iff the cell is STRICTLY brighter than the grid mean.
+    * Strict keeps a solid tile at hash 0 instead of all-ones flicker on
+    * rounding. All arithmetic is integer, so the same bytes hash
+    * identically on every executor. Undecodable bytes -> None.
+    */
+  def averageHash64(bytes: Array[Byte]): Option[Long] =
+    scala.util.Try(Option(ImageIO.read(new ByteArrayInputStream(bytes))))
+      .toOption.flatten.map { img =>
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val lum = new Array[Long](64)
+        val srcRow = new Array[Int](sw)
+        var y = 0
+        while (y < 8) {
+          img.getRGB(0, ((y.toLong * sh) / 8).toInt, sw, 1, srcRow, 0, sw)
+          var x = 0
+          while (x < 8) {
+            val px = srcRow((x.toLong * sw / 8).toInt)
+            lum(y * 8 + x) = 299L * ((px >> 16) & 0xff) +
+              587L * ((px >> 8) & 0xff) + 114L * (px & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val total = lum.sum
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (lum(i) * 64 > total) h |= 1L << i
+          i += 1
+        }
+        h
+      }
+
+  /** Two-tone test tile: an 8-cell grid split at `frac8`/8 (vertical =
+    * top/bottom, else left/right), color A below the split, B at or above.
+    * The split lands on cell boundaries whenever w and h are multiples of
+    * 8, which makes the [[averageHash64]] of every size of the same
+    * pattern bit-identical — the fixture generator for perceptual-hash
+    * tests and the mm5 corpus.
+    */
+  def encodePngSplit(w: Int, h: Int, frac8: Int, vertical: Boolean,
+                     rgbA: Int, rgbB: Int): Array[Byte] = {
+    require(frac8 >= 0 && frac8 <= 8, s"frac8 must be in [0,8], got $frac8")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cell = if (vertical) cy else x * 8 / w
+        row(x) = if (cell < frac8) rgbA else rgbB
+        x += 1
+      }
+      img.setRGB(0, y, w, 1, row, 0, w)
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   final case class Resized(srcW: Int, srcH: Int, targetW: Int, targetH: Int,
                            png: Array[Byte])
 

@@ -166,6 +166,53 @@ object Multimodal {
           i => (col("duration_ms") * i / n).cast("long"))))
       .select(col("id"), col("frame_ms"))
 
+  final case class ImagePhash(id: Long, phash: Long)
+
+  /** Perceptual hash per image row ([[MediaCodec.averageHash64]]): the
+    * image-dedup fingerprint. Same mapPartitions discipline as the other
+    * decode stages — binary never shuffles, only (id, 64-bit hash) moves
+    * on, so downstream grouping/Hamming-joining touches 8 bytes per image
+    * regardless of image size. Undecodable rows are dropped.
+    */
+  def imagePhash(media: DataFrame, idCol: String = "id",
+                 binCol: String = "content"): Dataset[ImagePhash] = {
+    import media.sparkSession.implicits._
+    val idIdx = media.schema.fieldIndex(idCol)
+    val binIdx = media.schema.fieldIndex(binCol)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) Array.empty[Byte]
+                    else r.getAs[Array[Byte]](binIdx)
+        MediaCodec.averageHash64(bytes)
+          .map(h => ImagePhash(r.getLong(idIdx), h)).iterator
+      }
+    }
+  }
+
+  final case class ImageVariant(id: Long, pattern: Int, content: Array[Byte])
+
+  /** Deterministic image-dedup corpus: 14 two-tone patterns (7 horizontal
+    * + 7 vertical split fractions), each rendered at a doc_id-dependent
+    * size with all edges multiples of 8 — so every rendition of a pattern
+    * is a DIFFERENT byte payload (different dimensions) but the SAME
+    * perceptual content, which is exactly the situation image dedup
+    * exists for (re-encoded/resized copies of one image).
+    */
+  def synthesizeImageVariants(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val p = (id % 14).toInt
+        val frac = (p % 7) + 1
+        val w = 8 * ((id % 4) + 1).toInt
+        val h = 8 * ((id % 3) + 1).toInt
+        ImageVariant(id, p, MediaCodec.encodePngSplit(
+          w, h, frac, vertical = p >= 7, rgbA = 0x202020, rgbB = 0xE0E0E0))
+      }
+    }.toDF()
+  }
+
   // NOT private: the Janino-compiled encoder calls these accessors from
   // generated Java — `private` makes that an illegal access, and Spark
   // silently falls back to the interpreted (non-codegen) serializer for

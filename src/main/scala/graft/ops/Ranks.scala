@@ -156,6 +156,35 @@ object Ranks {
     else ranked.filter(col(rankCol).isin(targets: _*))
   }
 
+  /** Exact order statistics PER GROUP: for each group, the rows sitting at
+    * ranks ceil(p*n_g) for every requested p (quantile_disc semantics, like
+    * [[orderStatistics]] but stratified). Unlike the global case this needs
+    * no range machinery — a window partitioned by the group keys is already
+    * fully distributed, one task per hash bucket of groups; the scale
+    * caveat is a single giant group, where [[orderStatistics]] on that
+    * group's slice is the fallback. Output carries `pCol` so a row that is
+    * two percentiles at once (tiny groups) appears once per percentile.
+    */
+  def groupOrderStatistics(df: DataFrame, groupBy: Seq[String],
+                           order: Seq[Column], ps: Seq[Double],
+                           pCol: String = "p",
+                           rankCol: String = "rank"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must be in (0, 1], got $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grp = groupBy.map(col)
+    val ranked = df
+      .withColumn(rankCol,
+        row_number().over(Window.partitionBy(grp: _*).orderBy(order: _*))
+          .cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+    ranked
+      .join(broadcast(ps.toDF(pCol)),
+        col(rankCol) === greatest(lit(1L), ceil(col(pCol) * col("__n"))))
+      .drop("__n")
+  }
+
   /** SQL `ntile(buckets)` under a total order, distributed: standard
     * semantics — with n rows, q = n div buckets and r = n mod buckets, the
     * first r buckets get q+1 rows, the rest q. n and the cut are known

@@ -447,6 +447,59 @@ object Corpus {
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- decontamination as a FRACTION, not a flag (the GPT-3 appendix-C
+    //      shape): per-doc share of distinct trigrams that appear in the
+    //      held-out bench set, plus the keep decision at a 20% threshold —
+    //      dc1's binary any-overlap answer drops a 10k-token doc for one
+    //      collision; the graded answer is what production filters act on.
+    //      Same broadcast-bench plan as dc1: the bench side is the small
+    //      one by construction, the corpus side streams.
+    "dc2_overlap_frac" -> withOracle(
+      (s, d) => {
+        val t = col("t")
+        val tri = graft.functions.functions.ngrams(t, 3, distinct = true)
+        val withTri = Tables.spreadForCpu(Tables.documents(s, d))
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id"), tri.as("tri"))
+          .filter(size(col("tri")) > 0) // <3 tokens: fraction undefined
+        val bench = withTri.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("tri")).as("g")).distinct()
+        val corpus = withTri.filter(col("doc_id") % 97 =!= 0)
+        val hits = corpus.select(col("doc_id"), explode(col("tri")).as("g"))
+          .join(broadcast(bench), Seq("g"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        corpus.select(col("doc_id"), size(col("tri")).cast("long").as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("overlap_frac", col("n_hit").cast("double") / col("n_grams"))
+          .withColumn("keep", col("overlap_frac") <= lit(0.2))
+          .select("doc_id", "n_grams", "n_hit", "overlap_frac", "keep")
+          .orderBy("doc_id")
+      },
+      """WITH tri0 AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tri
+        |  FROM (SELECT doc_id,
+        |               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |        FROM documents)),
+        |tri AS (SELECT doc_id, tri FROM tri0 WHERE len(tri) > 0),
+        |bench AS (
+        |  SELECT DISTINCT g
+        |  FROM (SELECT unnest(tri) AS g FROM tri WHERE doc_id % 97 = 0)),
+        |corpus AS (SELECT * FROM tri WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM (SELECT doc_id, unnest(tri) AS g FROM corpus) c
+        |  JOIN bench USING (g)
+        |  GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.tri) AS BIGINT) AS n_grams,
+        |       coalesce(h.n_hit, 0) AS n_hit,
+        |       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(c.tri) AS overlap_frac,
+        |       (CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(c.tri)) <= 0.2 AS keep
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
     // ---- duplicated-substring spans (Lee et al. suffix-array dedup
     //      signal, shingle-approximated): per-doc fraction of 5-token
     //      spans that recur anywhere in the corpus. The gate runs the
@@ -752,6 +805,59 @@ object Corpus {
         |             CAST(ceil(0.5 * n) AS BIGINT),
         |             CAST(ceil(0.75 * n) AS BIGINT))
         |ORDER BY rank""".stripMargin),
+
+    // ---- exact EQUI-DEPTH histogram: bucket boundaries chosen so every
+    //      bucket holds the same row count — the hard histogram, since
+    //      depth needs the global order (q3's equi-WIDTH needs only a
+    //      division). Ranks.ntileSpread supplies the distributed total
+    //      order; the bucket envelope agg on top is an ordinary map-side-
+    //      combined groupBy. This is the optimizer-statistics shape
+    //      (selectivity estimation) and the data-layout shape (balanced
+    //      range files) in one query.
+    "a18_equidepth_hist" -> withOracle(
+      (s, d) =>
+        graft.ops.Ranks.ntileSpread(
+            Tables.events(s, d).select("event_id", "value"),
+            8, Seq(col("value"), col("event_id")))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+               min("value").as("lo"), max("value").as("hi"))
+          .orderBy("bucket"),
+      """WITH r AS (
+        |  SELECT value,
+        |         CAST(ntile(8) OVER (ORDER BY value, event_id) AS INTEGER)
+        |           AS bucket
+        |  FROM events)
+        |SELECT bucket, count(*) AS n_rows, min(value) AS lo, max(value) AS hi
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // ---- exact order statistics PER GROUP (Ranks.groupOrderStatistics):
+    //      a17 stratified — the rows at ceil(p*n_g) within each group. A
+    //      window partitioned by the group keys is already distributed
+    //      (one task per group hash bucket), so no range machinery; a row
+    //      that is two percentiles at once in a tiny group appears once
+    //      per p, which keeps the output deterministic.
+    "a19_group_orderstats" -> withOracle(
+      (s, d) =>
+        graft.ops.Ranks.groupOrderStatistics(
+            Tables.orders(s, d)
+              .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+            groupBy = Seq("o_orderpriority"),
+            order = Seq(col("o_totalprice"), col("o_orderkey")),
+            ps = Seq(0.25, 0.5, 0.75))
+          .select("o_orderpriority", "p", "rank", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "p"),
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice, o_orderkey) AS rk,
+        |         count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(p AS DOUBLE) AS p, CAST(rk AS BIGINT) AS rank,
+        |       o_orderkey, o_totalprice
+        |FROM r JOIN (VALUES (0.25), (0.5), (0.75)) AS ps(p)
+        |  ON rk = CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT)
+        |ORDER BY o_orderpriority, p""".stripMargin),
 
     // ---- exact percentiles per group. l_quantity is integral and the
     //      quarter-grid fractions are exact in binary, so linear

@@ -315,6 +315,25 @@ object DedupSim {
             round(element_at(col("segment_rms"), 1).cast("double"), 4).as("rms0"),
             round(element_at(col("segment_rms"), 4).cast("double"), 4).as("rms3"))
           .orderBy("id")
+      }),
+
+    // ---- image near-dup via perceptual hash: resized/re-encoded copies
+    //      of one image (different bytes, different dimensions) collapse
+    //      to the same 64-bit aHash, then grouping is ordinary relational
+    //      work on 8 bytes/image — the image-dedup analogue of m2's text
+    //      simhash, sharing its Hamming machinery (nearPairsOnSig) for the
+    //      near-miss radius. Exactness pinned in PhashSpec against
+    //      independently-computed expected bit patterns.
+    "mm5_image_phash" -> rowsOnly(
+      (s, d) => {
+        val imgs = graft.multimodal.Multimodal.synthesizeImageVariants(
+          Tables.documents(s, d))
+        val ph = graft.multimodal.Multimodal.imagePhash(imgs).toDF()
+        val groups = ph.groupBy("phash")
+          .agg(min("id").as("group_rep"), count(lit(1)).as("n_members"))
+        ph.join(groups, Seq("phash"))
+          .select("id", "phash", "group_rep", "n_members")
+          .orderBy("id")
       })
   )
 }

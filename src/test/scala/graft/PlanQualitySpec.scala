@@ -189,6 +189,33 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("a18 equi-depth histogram: distributed rank, map-side-combined envelope agg") {
+    val p = plan01("a18_equidepth_hist")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("partial_min") && p.contains("partial_max"), p)
+  }
+
+  test("a19 group order statistics: windows partition by group, percentile table broadcasts") {
+    val p = plan01("a19_group_orderstats")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dc2 overlap fraction: bench side broadcast, hit counts keep map-side combine") {
+    val p = plan01("dc2_overlap_frac")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("mm5 image phash: binary never shuffles — only (id, hash) reaches an exchange") {
+    val p = plan01("mm5_image_phash")
+    // every exchange in the plan moves the 8-byte hash projection, not the
+    // image payload: the content column must not appear in any exchange input
+    val exch = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exch.contains("content"), s"image bytes entered a shuffle:\n$exch")
+  }
+
   test("dc1 decontam: no inferred generate-filter re-inlines the tokenizer at the scan") {
     // InferFiltersFromGenerate is excluded in Sessions: with it, explode of
     // a computed n-gram array grows a size(transform(...split...))>0 filter

@@ -74,6 +74,36 @@ class RanksSpec extends SparkTestBase {
     assert(Ranks.orderStatistics(data(0), order, Seq(0.5)).count() == 0)
   }
 
+  test("groupOrderStatistics picks ceil(p*n_g) per group; tiny groups emit one row per p") {
+    // group 0: 60 rows, group 1: 37 rows, group 2: 1 row (all three ps hit
+    // the same physical row -> must appear three times, once per p)
+    val df = (0 until 98).map { i =>
+      val g = if (i < 60) 0 else if (i < 97) 1 else 2
+      (g, (i * 7919) % 97, i.toLong)
+    }.toDF("g", "v", "id")
+    val got = Ranks.groupOrderStatistics(df, Seq("g"),
+        Seq(col("v"), col("id")), Seq(0.25, 0.5, 0.75))
+      .select("g", "p", "rank", "id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val byG = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3))).toMap
+    val expect = (for {
+      (g, rows) <- byG; p <- Seq(0.25, 0.5, 0.75)
+      rk = math.max(1L, math.ceil(p * rows.length).toLong)
+    } yield (g, p) -> (rk, rows(rk.toInt - 1)._3)).toMap
+    assert(got == expect)
+    assert(got.keys.count(_._1 == 2) == 3) // the 1-row group, once per p
+  }
+
+  test("equi-depth buckets differ by at most one row") {
+    val counts = Ranks.ntileSpread(data(121), 8,
+        Seq(col("v"), col("id")), out = "b", numPartitions = 6)
+      .groupBy("b").count().collect().map(_.getLong(1))
+    assert(counts.length == 8 && counts.max - counts.min <= 1)
+    assert(counts.sum == 121)
+  }
+
   test("empty input yields an empty result, not a failure") {
     val df = data(0)
     val (ranked, total) = Ranks.withGlobalRowNumber(df, Seq(col("id")), "rn")

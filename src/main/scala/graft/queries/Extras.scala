@@ -202,6 +202,25 @@ object StreamingQuery {
       .orderBy("user_id")
       .localCheckpoint(true)
   }
+
+  /** Streaming heavy hitters drained to completion, then verified: the
+    * driver-held Misra-Gries summary folded across micro-batches provably
+    * retains every key at the threshold (mergeable-summaries guarantee),
+    * so the exact verify pass over the at-rest table returns exactly the
+    * plain GROUP BY ... HAVING answer — the a16 contract maintained
+    * incrementally.
+    */
+  def streamTopK(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val events = streamEvents(s, d)
+    val (q, snap) = graft.streaming.Streams
+      .maintainHeavyHitters(events, "user_id", budget = 128)
+    try q.processAllAvailable() finally q.stop()
+    snap().exactHeavyHitters(
+        s.read.parquet(s"$d/events.parquet"), "user_id", minFraction = 0.008)
+      .orderBy("user_id")
+      .localCheckpoint(true)
+  }
 }
 
 /** Operators the reference never needed but Spark exposes for free
@@ -713,6 +732,21 @@ object Extras {
       (s, d) => StreamingQuery.cmsCounts(s, d),
       """SELECT user_id, CAST(count(*) AS BIGINT) AS est_count
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ---- incrementally maintained heavy hitters: per-micro-batch MG
+    //      summaries folded into one bounded driver summary (mergeable-
+    //      summaries guarantee keeps candidates complete at the
+    //      threshold), exact verify over the at-rest table — output is
+    //      exact, so the oracle is a16's GROUP BY ... HAVING
+    "st7_stream_topk" -> withOracle(
+      (s, d) => StreamingQuery.streamTopK(s, d),
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(*) AS DOUBLE) /
+        |         (SELECT CAST(count(*) AS DOUBLE) FROM events) AS frac
+        |FROM events GROUP BY user_id
+        |HAVING count(*) >= CAST(0.008 AS DOUBLE) *
+        |  (SELECT count(*) FROM events)
+        |ORDER BY user_id""".stripMargin),
 
     // ---- custom expressions through the SQL surface (GraftExtensions):
     //      signature determinism is the contract — rows-only here, exact

@@ -158,6 +158,69 @@ object Streams {
     (q, () => snapshot())
   }
 
+  /** A point-in-time view of a streamed Misra-Gries summary: candidate
+    * keys with their (under-)counts, the exact total row count folded in,
+    * and the key's type for re-joining against stored data. The candidate
+    * guarantee carried over from batch ([[graft.ops.HeavyHitters]]): every
+    * key with true frequency >= 1/budget of `total` is present — merging
+    * per-batch summaries keeps the undercount <= total/(budget+1)
+    * (Agarwal et al., PODS 2012), so a verify pass over candidates only
+    * still returns the EXACT heavy hitters.
+    */
+  final case class MgSnapshot(counters: Seq[(Any, Long)], total: Long,
+                              keyType: org.apache.spark.sql.types.DataType) {
+    /** Exact heavy hitters at `minFraction`, verified against `data`
+      * (the at-rest table the stream fed — or any table to count over):
+      * broadcast the bounded candidate set, count exactly, threshold.
+      */
+    def exactHeavyHitters(data: DataFrame, key: String,
+                          minFraction: Double): DataFrame = {
+      val spark = data.sparkSession
+      graft.ops.HeavyHitters.exactOverCandidates(spark,
+        data.select(col(key)), counters.map(_._1).toArray, keyType,
+        minFraction, total, key)
+    }
+  }
+
+  /** Incrementally maintained heavy-hitter summary over a stream: each
+    * micro-batch runs the per-partition Misra-Gries pass (bounded state,
+    * no shuffle) and its summaries fold into ONE driver-held MG summary of
+    * `budget` counters — the streaming twin of [[graft.ops.HeavyHitters]],
+    * exploiting that MG summaries are mergeable with no loss of the
+    * candidate guarantee. Driver state is `budget` counters + one long,
+    * whatever the stream length; the stream itself is never retained.
+    * Candidates at minFraction >= 1/budget are provably complete, so a
+    * downstream exact verify ([[MgSnapshot.exactHeavyHitters]]) stays
+    * gate-oracle-able against plain GROUP BY ... HAVING.
+    */
+  def maintainHeavyHitters(stream: DataFrame, key: String, budget: Int = 256)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => MgSnapshot) = {
+    val acc = new java.util.HashMap[Any, Long](budget * 2)
+    var total = 0L
+    val keyType = stream.schema(key).dataType
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val summary = graft.ops.HeavyHitters.partitionSummaries(
+          batch.select(col(key)), budget)
+        // foreachBatch callbacks run sequentially; synchronize only against
+        // concurrent snapshot() readers
+        acc.synchronized {
+          total += summary.iterator.filter(_.getBoolean(2)).map(_.getLong(1)).sum
+          graft.ops.HeavyHitters.mgMergeInto(acc,
+            summary.iterator.filterNot(_.getBoolean(2))
+              .map(r => (r.get(0), r.getLong(1))), budget)
+        }
+        ()
+      }
+      .start()
+    def snapshot(): MgSnapshot = acc.synchronized {
+      import scala.jdk.CollectionConverters._
+      MgSnapshot(acc.entrySet().asScala.map(e => (e.getKey, e.getValue)).toSeq,
+        total, keyType)
+    }
+    (q, () => snapshot())
+  }
+
   /** Gap-based sessionization with custom state
     * (KeyValueGroupedDataset.flatMapGroupsWithState). Sessions close when
     * `gapMs` passes without an event for the user (emitted as soon as a

@@ -9,12 +9,17 @@ object Plans {
       println(s"===== $name =====")
       println("scans w/ pushdown: " + lines.count(_.contains("PushedFilters: [")))
       lines.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema")).take(6).foreach(l => println("  " + l.trim.take(160)))
-      println("  broadcasts=" + lines.count(_.contains("BroadcastHashJoin")) + " smj=" + lines.count(_.contains("SortMergeJoin")) + " exchanges=" + lines.count(_.contains("Exchange")) + " wscg=" + lines.count(_.contains("WholeStageCodegen")))
+      // wscg = DISTINCT codegen stage ids: the tree string marks codegen'd
+      // operators with "*(n)" prefixes, not "WholeStageCodegen" nodes
+      val wscg = lines.flatMap(l =>
+        "\\*\\((\\d+)\\)".r.findFirstMatchIn(l).map(_.group(1))).distinct.size
+      println("  broadcasts=" + lines.count(_.contains("BroadcastHashJoin")) + " smj=" + lines.count(_.contains("SortMergeJoin")) + " exchanges=" + lines.count(_.contains("Exchange")) + " wscg=" + wscg)
     }
     Seq("j3_dim_lookup","j5_dual_dim","f1_isin","a1_group_sum","p6_derived","e1_knn_brute","pipe_sales_details","j1_join_multikey",
         "j10_bloom_semi","j11_bloom_anti","j12_salted_join","sd1_dup_spans","t10_cooc_lift","d3_snapshot_diff","e5_ann_pq",
         "ld1_line_dedup","a14_cms_counts","z1_zorder_key","w10_session_window","t13_html_strip","smp3_weighted",
-        "w6_ntile","a16_heavy_hitters","pk2_pack_rows","smp4_split","e6_ann_ivfpq").foreach(show)
+        "w6_ntile","a16_heavy_hitters","pk2_pack_rows","smp4_split","e6_ann_ivfpq",
+        "a18_equidepth_hist","a19_group_orderstats","dc2_overlap_frac","mm5_image_phash").foreach(show)
     spark.stop()
   }
 }

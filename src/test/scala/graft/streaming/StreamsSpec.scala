@@ -192,6 +192,39 @@ class StreamsSpec extends SparkTestBase {
     assert(midTotal == b1.size.toLong * 3) // depth rows per input row
   }
 
+  test("maintainHeavyHitters: merged MG summary keeps every frequent key and exact-verifies") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // 400 rows: user 1 is 40% (heavy), user 2 is 20% (heavy), the rest are
+    // a 1%-each long tail; budget 8 forces real evictions in every batch
+    val all = (0 until 400).map { i =>
+      val u = if (i % 10 < 4) 1L else if (i % 10 < 6) 2L
+              else 10L + (i % 37)
+      Event(u, ts(i), "click", 1.0)
+    }
+    val (q, snap) = Streams.maintainHeavyHitters(mem.toDF(), "user_id", budget = 8)
+    val pre = snap()
+    assert(pre.total == 0L && pre.counters.isEmpty)
+    all.grouped(55).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val s = snap()
+    assert(s.total == 400L)
+    assert(s.counters.size <= 8) // bounded driver state, whatever the stream
+    // candidate completeness at 1/budget: both true heavy keys survived
+    val candidates = s.counters.map(_._1).toSet
+    assert(candidates.contains(1L) && candidates.contains(2L))
+    // MG undercount bound relative to the folded total
+    val exact = all.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    s.counters.foreach { case (k, c) =>
+      val e = exact(k.asInstanceOf[Long])
+      assert(c <= e && e - c <= 400L / 9, s"key $k: mg=$c exact=$e")
+    }
+    // exact verify over the at-rest data == plain group-by/having
+    val hh = s.exactHeavyHitters(all.toDF(), "user_id", minFraction = 0.125)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hh == Map(1L -> 160L, 2L -> 80L))
+  }
+
   test("batch/stream unification: windowedCounts runs on a plain DataFrame") {
     val batch = Seq(Event(1, ts(0), "click", 2.0), Event(1, ts(10), "click", 3.0)).toDF()
     val out = Streams.windowedCounts(batch).collect()

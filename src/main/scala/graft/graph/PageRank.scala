@@ -1,0 +1,64 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer-arithmetic PageRank (Page, Brin, Motwani &
+  * Winograd 1999) — the graph-centrality signal a corpus-curation
+  * pipeline uses to weight documents by link authority, restated so two
+  * engines agree BIT-FOR-BIT: every rank is a long in units of
+  * `scale`, every per-edge contribution is an integer floor-division by
+  * the out-degree, and the damping mix is integer `dampNum/dampDen`.
+  * Floating-point PageRank can never cross the correctness gate (per-node
+  * sums accumulate in engine-dependent order); integer micro-units make
+  * the aggregation order-immune — the t14 micro-nat trick applied to
+  * graph iteration.
+  *
+  * Semantics per iteration (the dangling-mass-dropped variant: nodes
+  * without out-edges contribute nothing, they only collect the base):
+  * `r'(v) = base + (dampNum * Σ_{u→v} (r(u) div outdeg(u))) div dampDen`
+  * with `base = ((dampDen - dampNum) * scale) div dampDen`.
+  *
+  * Scale shape: each iteration is one (edges ⋈ ranks) hash join on `src`
+  * plus one map-side-combined groupBy on `dst` — shuffle volume is
+  * O(edges), never quadratic; ranks materialize per round
+  * (localCheckpoint) so the k-th iteration doesn't replan k joins deep,
+  * exactly the [[graft.dedup.Components]] round discipline. The reference
+  * engine has no graph operator at all (pandas single-node); this is the
+  * Spark-native restatement of the standard bulk-synchronous formulation.
+  */
+object PageRank {
+
+  /** `(id, r)` after `iters` rounds over `edges` (cols `src`, `dst`;
+    * should be distinct pairs) starting from every node of `nodes`
+    * (col `id`) at rank = `scale`. Nodes absent from `edges`' sources
+    * are dangling (drop their mass); nodes absent from `dst` collect
+    * only the base. All ids must be non-null.
+    */
+  def ranks(edges: DataFrame, nodes: DataFrame, iters: Int,
+            dampNum: Long = 85L, dampDen: Long = 100L,
+            scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampNum > 0 && dampDen > dampNum, s"need 0 < dampNum < dampDen")
+    val base = (dampDen - dampNum) * scale / dampDen
+    // out-degrees ride the edge list: one join key (src) serves both the
+    // rank lookup and the degree division
+    val e = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .select("src", "dst", "outdeg")
+      .localCheckpoint(true)
+    var pr = nodes.select(col("id"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(pr, e("src") === pr("id"))
+        .select(col("dst").as("id"), expr("r div outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      pr = nodes.select("id")
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+}

@@ -23,6 +23,42 @@ object DedupSim {
   private val ivfPqModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sim.IvfPq.IvfPqModel]()
 
+  /** pr1's DuckDB restatement, generated: 6 power-iteration rounds
+    * unrolled as chained CTEs (recursive CTEs forbid the GROUP BY the
+    * contribution sum needs). Every constant mirrors the Spark call:
+    * scale 1e9, damping 85/100, base (15*1e9) div 100.
+    */
+  private def pr1Oracle: String = {
+    val rounds = (1 to 6).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS id, CAST(sum(p.r // d.outdeg) AS BIGINT) AS s
+         |  FROM pr${k - 1} p
+         |  JOIN edges e ON p.id = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |pr$k AS (
+         |  SELECT n.id,
+         |         CAST(150000000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$k c ON c.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+       |  FROM lineitem),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM li
+       |  UNION ALL
+       |  SELECT b, a FROM li),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |nodes AS (
+       |  SELECT s_suppkey * 2 AS id FROM supplier
+       |  UNION ALL
+       |  SELECT p_partkey * 2 + 1 FROM part),
+       |pr0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT id, r FROM pr6 ORDER BY id""".stripMargin
+  }
+
   val defs: Seq[(String, Entry)] = Seq(
 
     // ---- MinHash+LSH near-dup grouping: every doc gets its component's
@@ -110,6 +146,25 @@ object DedupSim {
         |         COALESCE(least(l.mn, d.doc_id), d.doc_id)) AS BIGINT) AS comp_size
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         |ORDER BY d.doc_id""".stripMargin),
+
+    // ---- integer-arithmetic PageRank over the supplier-part bipartite
+    //      graph (graph.PageRank): every rank a long in 1e-9 units, every
+    //      contribution a floor division — the aggregation is order-immune
+    //      integer math, so an iterative graph algorithm crosses the
+    //      hash-exact gate (the t14 quantization trick on a fixpoint).
+    //      Node ids: 2*suppkey / 2*partkey+1 (parity-disjoint at any SF).
+    "pr1_pagerank" -> withOracle(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+          .distinct()
+        val edges = li.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
+        val nodes = Tables.supplier(s, d).select((col("s_suppkey") * 2).as("id"))
+          .unionAll(Tables.part(s, d).select((col("p_partkey") * 2 + 1).as("id")))
+        graft.graph.PageRank.ranks(edges, nodes, iters = 6).orderBy("id")
+      },
+      pr1Oracle),
 
     // ---- SimHash signatures + per-doc near-neighbor count within
     //      Hamming radius (banded blocking, never all-pairs)

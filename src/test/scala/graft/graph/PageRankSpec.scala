@@ -1,0 +1,51 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class PageRankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent driver-side restatement of the integer iteration. */
+  private def ref(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                  iters: Int): Map[Long, Long] = {
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (u, v) => contrib(v) += r(u) / outdeg(u) }
+      r = nodes.map(n => n -> (150000000L + 85L * contrib(n) / 100L)).toMap
+    }
+    r
+  }
+
+  private val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (5L, 1L))
+  private val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+
+  test("integer ranks match the driver-side reference exactly, any partitioning") {
+    for (p <- Seq(1, 7)) {
+      val e = edges.toDF("src", "dst").repartition(p)
+      val n = nodes.toDF("id").repartition(p)
+      val got = PageRank.ranks(e, n, iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref(edges, nodes, 5), s"partitions=$p")
+    }
+  }
+
+  test("node with no in-edges gets exactly the base; zero iterations is the init") {
+    val got = PageRank.ranks(edges.toDF("src", "dst"), nodes.toDF("id"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 is isolated, 5 only emits: both collect base alone
+    assert(got(4L) == 150000000L && got(5L) == 150000000L)
+    val init = PageRank.ranks(edges.toDF("src", "dst"), nodes.toDF("id"), iters = 0)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(init == Set(1000000000L))
+  }
+
+  test("total mass never exceeds the initial mass (dangling mass only leaks out)") {
+    val total = PageRank.ranks(edges.toDF("src", "dst"), nodes.toDF("id"), iters = 8)
+      .agg(sum("r")).head().getLong(0)
+    assert(total <= nodes.size * 1000000000L)
+    assert(total > 0L)
+  }
+}

@@ -123,6 +123,22 @@ object Corpus {
         |  '\s+', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- REAL byte-pair-encoding tokenization (text.Bpe, Sennrich et
+    //      al. 2016): merges trained on the word-frequency dict (one
+    //      groupBy + bounded top-V collect — the codebook pattern), then
+    //      applied per-partition with the greedy lowest-rank loop. The
+    //      iterative merge algebra is not SQL-expressible -> rows-only;
+    //      BpeSpec pins the published example's merge table, the
+    //      concatenation invariant, and partitioning-invariance of both
+    //      phases.
+    "t15_bpe_tokens" -> rowsOnly(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.text.Bpe.trainMerges(
+          graft.text.Bpe.wordFreq(docs), nMerges = 50)
+        graft.text.Bpe.encodeDocs(docs, merges).toDF().orderBy("doc_id")
+      }),
+
     // ---- unigram LM perplexity scoring (CCNet-style quality filter):
     //      add-one-smoothed LM over the top-100 vocabulary with the
     //      remaining mass pooled into one UNK class; each doc scored by

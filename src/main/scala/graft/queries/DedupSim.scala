@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.dedup.{MinHashDedup, SimHashDedup}
-import graft.sim.{Ann, IvfPq, Pq}
+import graft.sim.{Ann, IvfPq, Pca, Pq}
 import Registry._
 
 /** Near-dup dedup / similarity-search coverage (brief: training-data
@@ -146,6 +146,22 @@ object DedupSim {
         |         COALESCE(least(l.mn, d.doc_id), d.doc_id)) AS BIGINT) AS comp_size
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         |ORDER BY d.doc_id""".stripMargin),
+
+    // ---- PCA whitening of the embedding column (sim.Pca): decorrelate +
+    //      variance-equalize before quantization/LSH — one bounded-state
+    //      fit pass (count/sum/gram partials, d x d Jacobi on the driver),
+    //      then a shuffle-free projection map. Eigensolves aren't SQL ->
+    //      rows-only; PcaSpec pins the 2x2 golden, orthonormality,
+    //      identity covariance after whitening, and projection purity.
+    "e7_pca_whiten" -> rowsOnly(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Pca.fit(emb, k = 8)
+        Pca.whiten(emb, model).toDF()
+          .select(col("vec_id"), posexplode(col("white")))
+          .withColumnsRenamed(Map("pos" -> "component", "col" -> "value"))
+          .orderBy("vec_id", "component")
+      }),
 
     // ---- integer-arithmetic PageRank over the supplier-part bipartite
     //      graph (graph.PageRank): every rank a long in 1e-9 units, every

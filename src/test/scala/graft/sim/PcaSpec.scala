@@ -1,0 +1,68 @@
+package graft.sim
+
+import graft.SparkTestBase
+
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("jacobi solves the hand-checkable 2x2 exactly") {
+    val (evals, evecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(evals(0) - 3.0) < 1e-12 && math.abs(evals(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(evecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(math.abs(math.abs(evecs(1)(0)) - r) < 1e-9)
+  }
+
+  // deterministic anisotropic cloud in d=6: strong direction e0+e1,
+  // weaker e2, trigonometric jitter elsewhere (no RNG — reproducible)
+  private def cloud(n: Int): Seq[(Long, Seq[Float])] =
+    (0 until n).map { i =>
+      val t = math.sin(i * 0.7) * 10.0         // dominant variance
+      val u = math.cos(i * 1.3) * 3.0          // secondary
+      val e = Seq(t + 0.01 * math.sin(i * 5.1), t - 0.01 * math.cos(i * 4.3),
+        u, 0.1 * math.sin(i * 2.9), 0.1 * math.cos(i * 3.7), 0.05 * math.sin(i * 6.1))
+      (i.toLong, e.map(_.toFloat))
+    }
+
+  test("top component aligns with the dominant direction; eigenvalues descend") {
+    val df = cloud(600).toDF("vec_id", "embedding")
+    val m = Pca.fit(df, k = 3)
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    // dominant direction is (1,1,0,...)/sqrt(2)
+    val r = 1.0 / math.sqrt(2.0)
+    val cos = m.components(0)(0) * r + m.components(0)(1) * r
+    assert(math.abs(cos) > 0.999, s"top component ${m.components(0).toSeq}")
+    // components are orthonormal
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val dot = m.components(a).zip(m.components(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9, s"($a,$b) dot=$dot")
+    }
+  }
+
+  test("whitened output has identity covariance on the fitted sample") {
+    val df = cloud(600).toDF("vec_id", "embedding")
+    val m = Pca.fit(df, k = 3)
+    val y = Pca.whiten(df, m).collect().map(_.white)
+    val n = y.length.toDouble
+    val mean = Array.tabulate(3)(c => y.map(_(c)).sum / n)
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val cov = y.map(v => (v(a) - mean(a)) * (v(b) - mean(b))).sum / n
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(cov - want) < 0.05, s"cov($a,$b)=$cov")
+    }
+  }
+
+  test("fit is deterministic on a fixed partitioning; projection is partition-pure") {
+    val df = cloud(400).toDF("vec_id", "embedding").repartition(8)
+      .cache()
+    val m1 = Pca.fit(df, k = 2)
+    val m2 = Pca.fit(df, k = 2)
+    assert(m1.mean.toSeq == m2.mean.toSeq &&
+      m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq)
+    val a = Pca.whiten(df, m1).collect().map(w => w.vec_id -> w.white.toSeq).toMap
+    val b = Pca.whiten(df.repartition(3), m1).collect()
+      .map(w => w.vec_id -> w.white.toSeq).toMap
+    assert(a == b) // projection is per-row pure: partitioning cannot matter
+    df.unpersist()
+  }
+}

@@ -798,6 +798,27 @@ object Corpus {
         |  (SELECT count(*) FROM events)
         |ORDER BY user_id""".stripMargin),
 
+    // ---- relational HLL registers (ops.Hll): storable/mergeable distinct
+    //      sketch — per-source register tables merged, then estimated,
+    //      must equal the whole-corpus build exactly (register max is
+    //      order- and partition-immune integer state). Register hashing
+    //      (xxhash64) has no DuckDB twin -> rows-only; HllSpec pins the
+    //      3-sigma error bound vs exact, linear-counting exactness, and
+    //      merge == whole.
+    "a20_hll_registers" -> rowsOnly(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val types = ev.select("event_type").distinct()
+          .collect().map(_.getString(0)).sorted // bounded: event taxonomy
+        val merged = types.map(t =>
+            graft.ops.Hll.hllBuild(ev.filter(col("event_type") === t),
+              col("user_id"), p = 12))
+          .reduce(graft.ops.Hll.hllMerge)
+        graft.ops.Hll.hllEstimate(merged)
+          .crossJoin(merged.registers.agg(
+            count(lit(1)).as("n_registers"), sum("max_rho").as("rho_sum")))
+      }),
+
     // ---- exact GLOBAL order statistics via the distributed rank
     //      (ops.Ranks): the rows at ranks ceil(p*n) — quantile_disc
     //      semantics with exact VALUES, no single-partition sort anywhere

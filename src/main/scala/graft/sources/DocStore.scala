@@ -199,10 +199,16 @@ object DocStore {
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
               retain: Int = 2): Long = {
     val fs = fileSystem(spark, path)
-    val docs = spark.read.json(liveDir(fs, spark, path))
+    val live = liveDir(fs, spark, path)
+    // stats survive compaction: remember which columns the generation
+    // statted and re-stat the compacted files (they're freshly written and
+    // usually few — the rewrite already paid the full read)
+    val statted = statsCols(spark, fs, live)
+    val docs = spark.read.json(live)
     val obs = Observation()
     commitRewrite(fs, spark,
       docs.observe(obs, count(lit(1)).as("n")).coalesce(targetFiles), path, retain)
+    if (statted.nonEmpty) collectStats(spark, path, statted)
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -268,13 +274,22 @@ object DocStore {
     * always sound. Unmergeable schema drift deletes the stored schema,
     * disabling pruning entirely until the next [[collectStats]].
     */
+  /** Columns a generation's `_STATS` sidecar covers; empty when there is
+    * no (readable) sidecar.
+    */
+  private def statsCols(spark: SparkSession, fs: FileSystem,
+                        live: String): Seq[String] =
+    if (!fs.exists(new Path(live, StatsDir))) Seq.empty
+    else
+      try spark.read.json(new Path(live, StatsDir).toString)
+        .schema.fieldNames.toSeq
+        .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+
   private def appendStats(spark: SparkSession, fs: FileSystem, live: String,
                           files: Seq[String]): Unit = {
     val statsPath = new Path(live, StatsDir)
-    val cols =
-      try spark.read.json(statsPath.toString).schema.fieldNames.toSeq
-        .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
-      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    val cols = statsCols(spark, fs, live)
     if (cols.isEmpty) return
     val docs = spark.read.json(files: _*)
     val present = cols.filter(docs.columns.contains)

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.Tables
+
+class HllSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def regs(s: Hll.HllSketch): Set[(Int, Int)] =
+    s.registers.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+
+  test("estimate lands inside the published error bound (3 sigma)") {
+    for (n <- Seq(5000L, 50000L)) {
+      val df = (0L until n).map(i => i * 2654435761L % 1000000007L).toDF("k")
+      val distinct = df.distinct().count()
+      val est = Hll.hllEstimate(Hll.hllBuild(df, col("k"), p = 12))
+        .head().getLong(0)
+      val sigma = 1.04 / math.sqrt(1 << 12)
+      assert(math.abs(est - distinct).toDouble / distinct <= 3 * sigma,
+        s"n=$n distinct=$distinct est=$est")
+    }
+  }
+
+  test("small cardinalities resolve exactly through linear counting") {
+    val df = (1L to 10L).flatMap(i => Seq.fill(20)(i)).toDF("k")
+    assert(Hll.hllEstimate(Hll.hllBuild(df, col("k"))).head().getLong(0) == 10L)
+    // empty input estimates zero, not an error
+    val empty = Hll.hllBuild(spark.emptyDataset[Long].toDF("k"), col("k"))
+    assert(Hll.hllEstimate(empty).head().getLong(0) == 0L)
+  }
+
+  test("registers are deterministic integer state: partition-invariant, merge == whole") {
+    val a = (0L until 4000L).toDF("k")
+    val b = (2000L until 6000L).toDF("k") // overlapping halves
+    val whole = Hll.hllBuild(a.unionAll(b), col("k"), p = 10)
+    val merged = Hll.hllMerge(Hll.hllBuild(a, col("k"), p = 10),
+                              Hll.hllBuild(b.repartition(7), col("k"), p = 10))
+    assert(regs(merged) == regs(whole))
+    assert(regs(Hll.hllBuild(a.repartition(13), col("k"), p = 10)) ==
+           regs(Hll.hllBuild(a, col("k"), p = 10)))
+    intercept[IllegalArgumentException] {
+      Hll.hllMerge(whole, Hll.hllBuild(a, col("k"), p = 11))
+    }
+  }
+
+  test("register table is bounded by 2^p and rho by 64-p+1") {
+    val sk = Hll.hllBuild(Tables.events(spark, sf001), col("user_id"), p = 6)
+    val rows = sk.registers.collect()
+    assert(rows.length <= 64)
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 64))
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 59))
+  }
+}

@@ -216,6 +216,14 @@ class DocStoreSpec extends SparkTestBase {
     // IN-lists prune to the union of matching files
     val in = DocStore.find(spark, path, Some(col("id").isin(5L, 6L, 7L)))
     assert(in.inputFiles.length < allFiles && in.count() == 3)
+    // compaction re-stats the compacted generation: skipping survives
+    DocStore.compact(spark, path, targetFiles = 4)
+    val allAfter = DocStore.find(spark, path).inputFiles.length
+    val qComp = DocStore.find(spark, path,
+      Some(col("id") >= 100L && col("id") < 150L))
+    assert(qComp.inputFiles.length < allAfter,
+      "compacted store lost its data skipping")
+    assert(qComp.select("id").as[Long].collect().sorted.toSeq == (100L until 150L))
   }
 
   test("pruned reads keep the FULL collection schema, not the surviving files' subset") {

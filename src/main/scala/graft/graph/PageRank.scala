@@ -48,7 +48,7 @@ object PageRank {
       .select("src", "dst", "outdeg")
       .localCheckpoint(true)
     var pr = nodes.select(col("id"), lit(scale).as("r"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val contrib = e.join(pr, e("src") === pr("id"))
         .select(col("dst").as("id"), expr("r div outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
@@ -57,7 +57,10 @@ object PageRank {
         .select(col("id"),
           (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
             .as("r"))
-        .localCheckpoint(true)
+      // materialize every second round (and the last): enough to keep the
+      // plan from growing superlinearly, half the action round-trips of
+      // checkpointing every round
+      if (round % 2 == 0 || round == iters) pr = pr.localCheckpoint(true)
     }
     pr
   }

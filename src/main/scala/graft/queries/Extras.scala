@@ -203,6 +203,24 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
+  /** Streaming HLL registers drained to completion: the register table
+    * folded across micro-batches equals the batch build EXACTLY (register
+    * max is order- and replay-immune), so the estimate is the batch
+    * estimate — deterministic, but the hashing has no DuckDB twin, so the
+    * gate records rows-only and StreamsSpec pins merged == batch.
+    */
+  def streamHll(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val events = streamEvents(s, d)
+    val (q, snap) = graft.streaming.Streams.maintainHll(events, "user_id", p = 12)
+    try q.processAllAvailable() finally q.stop()
+    val sk = snap()
+    graft.ops.Hll.hllEstimate(sk)
+      .crossJoin(sk.registers.agg(
+        count(lit(1)).as("n_registers"), sum("max_rho").as("rho_sum")))
+      .localCheckpoint(true)
+  }
+
   /** Streaming heavy hitters drained to completion, then verified: the
     * driver-held Misra-Gries summary folded across micro-batches provably
     * retains every key at the threshold (mergeable-summaries guarantee),
@@ -747,6 +765,11 @@ object Extras {
         |HAVING count(*) >= CAST(0.008 AS DOUBLE) *
         |  (SELECT count(*) FROM events)
         |ORDER BY user_id""".stripMargin),
+
+    // ---- incrementally maintained HLL registers (replay-immune
+    //      register-max fold; see StreamingQuery.streamHll)
+    "st8_stream_hll" -> rowsOnly(
+      (s, d) => StreamingQuery.streamHll(s, d)),
 
     // ---- custom expressions through the SQL surface (GraftExtensions):
     //      signature determinism is the contract — rows-only here, exact

@@ -158,6 +158,44 @@ object Streams {
     (q, () => snapshot())
   }
 
+  /** Incrementally maintained HyperLogLog registers over a stream: each
+    * micro-batch builds its bounded register table
+    * ([[graft.ops.Hll.hllBuild]] — at most 2^p rows whatever the batch)
+    * and folds register-wise max into a driver-held array. Register max
+    * is idempotent AND commutative, so replayed or reordered batches
+    * cannot corrupt the summary — stronger than CMS's additive merge,
+    * which double-counts on replay. Driver state: 2^p bytes-ish of ints.
+    */
+  def maintainHll(stream: DataFrame, key: String, p: Int = 12)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         () => graft.ops.Hll.HllSketch) = {
+    val regs = new Array[Int](1 << p)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = graft.ops.Hll.hllBuild(batch, col(key), p)
+          .registers.collect() // bounded: <= 2^p rows
+        regs.synchronized {
+          rows.foreach { r =>
+            val b = r.getInt(0)
+            if (r.getInt(1) > regs(b)) regs(b) = r.getInt(1)
+          }
+        }
+        ()
+      }
+      .start()
+    val spark = stream.sparkSession
+    def snapshot(): graft.ops.Hll.HllSketch = {
+      import spark.implicits._
+      val rows = regs.synchronized {
+        regs.iterator.zipWithIndex.collect {
+          case (rho, b) if rho > 0 => (b, rho)
+        }.toSeq
+      }
+      graft.ops.Hll.HllSketch(rows.toDF("bucket", "max_rho"), p)
+    }
+    (q, () => snapshot())
+  }
+
   /** A point-in-time view of a streamed Misra-Gries summary: candidate
     * keys with their (under-)counts, the exact total row count folded in,
     * and the key's type for re-joining against stored data. The candidate

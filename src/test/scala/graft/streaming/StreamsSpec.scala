@@ -225,6 +225,26 @@ class StreamsSpec extends SparkTestBase {
     assert(hh == Map(1L -> 160L, 2L -> 80L))
   }
 
+  test("maintainHll: streamed registers equal the batch build; replay cannot inflate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val all = (0 until 300).map(i => Event(i % 41, ts(i), "click", 1.0))
+    val (q, snap) = Streams.maintainHll(mem.toDF(), "user_id", p = 8)
+    all.grouped(70).foreach { b => mem.addData(b); q.processAllAvailable() }
+    // replay an already-seen slice: register max is idempotent
+    mem.addData(all.take(70)); q.processAllAvailable()
+    q.stop()
+    val streamed = snap().registers.collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val whole = graft.ops.Hll.hllBuild(all.toDF(), col("user_id"), p = 8)
+      .registers.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(streamed == whole)
+    // 41 distinct users at p=8: linear counting is near-exact (bucket
+    // collisions at m=256 can shift it by ~1)
+    val est = graft.ops.Hll.hllEstimate(snap()).head().getLong(0)
+    assert(math.abs(est - 41L) <= 2L, s"est=$est")
+  }
+
   test("batch/stream unification: windowedCounts runs on a plain DataFrame") {
     val batch = Seq(Event(1, ts(0), "click", 2.0), Event(1, ts(10), "click", 3.0)).toDF()
     val out = Streams.windowedCounts(batch).collect()

@@ -106,7 +106,10 @@ object Pca {
     */
   def fit(corpus: DataFrame, k: Int, embCol: String = "embedding",
           eps: Double = 1e-9): PcaModel = {
-    val parts = corpus.select(col(embCol).cast("array<double>")).rdd
+    // null embeddings carry nothing to fit on; dropping them beats an
+    // executor NPE deep inside the accumulation loop
+    val parts = corpus.select(col(embCol).cast("array<double>"))
+      .filter(col(embCol).isNotNull).rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var n = 0L
         var sum: Array[Double] = null
@@ -163,6 +166,7 @@ object Pca {
     }
     val mean = model.mean
     val projected = corpus.select(col(idCol), col(embCol).cast("array<double>"))
+      .filter(col(embCol).isNotNull)
     projected.mapPartitions { rows =>
       rows.map { r =>
         val x = r.getSeq[Double](1).toArray

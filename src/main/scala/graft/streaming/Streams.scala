@@ -206,13 +206,19 @@ object Streams {
     * still returns the EXACT heavy hitters.
     */
   final case class MgSnapshot(counters: Seq[(Any, Long)], total: Long,
+                              budget: Int,
                               keyType: org.apache.spark.sql.types.DataType) {
     /** Exact heavy hitters at `minFraction`, verified against `data`
       * (the at-rest table the stream fed — or any table to count over):
       * broadcast the bounded candidate set, count exactly, threshold.
+      * Refuses a `minFraction` below the summary's guarantee (the
+      * candidate set is only provably complete at >= 1/budget) — the
+      * same strict bound the batch op enforces, checked here because the
+      * threshold is chosen at snapshot time, not at maintenance time.
       */
     def exactHeavyHitters(data: DataFrame, key: String,
                           minFraction: Double): DataFrame = {
+      graft.ops.HeavyHitters.requireBudget(minFraction, budget)
       val spark = data.sparkSession
       graft.ops.HeavyHitters.exactOverCandidates(spark,
         data.select(col(key)), counters.map(_._1).toArray, keyType,
@@ -254,7 +260,7 @@ object Streams {
     def snapshot(): MgSnapshot = acc.synchronized {
       import scala.jdk.CollectionConverters._
       MgSnapshot(acc.entrySet().asScala.map(e => (e.getKey, e.getValue)).toSeq,
-        total, keyType)
+        total, budget, keyType)
     }
     (q, () => snapshot())
   }

@@ -223,6 +223,11 @@ class StreamsSpec extends SparkTestBase {
     val hh = s.exactHeavyHitters(all.toDF(), "user_id", minFraction = 0.125)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hh == Map(1L -> 160L, 2L -> 80L))
+    // a threshold below the summary's guarantee (1/budget) is refused,
+    // not silently incomplete
+    intercept[IllegalArgumentException] {
+      s.exactHeavyHitters(all.toDF(), "user_id", minFraction = 0.01)
+    }
   }
 
   test("maintainHll: streamed registers equal the batch build; replay cannot inflate") {

@@ -360,6 +360,29 @@ object Extras {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin),
 
+    // ---- GLOBAL percent_rank/cume_dist without the single-partition
+    //      window both would naively plan (w9 is the partitioned form):
+    //      under a total order cume_dist == rn/n and percent_rank ==
+    //      (rn-1)/(n-1), so the distributed rank (ops.Ranks) plus two
+    //      exact-integer divisions — bit-equal doubles in both engines —
+    //      replace the order-by-everything window. n==1 degenerates to
+    //      0/1, matching SQL's defined percent_rank of 0.
+    "w11_rank_fracs" -> withOracle(
+      (s, d) => {
+        val (ranked, n) = graft.ops.Ranks.withGlobalRowNumber(
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+          Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+        val den = math.max(n - 1, 1L).toDouble
+        ranked.select(col("o_orderkey"),
+            ((col("rn") - 1).cast("double") / lit(den)).as("pr"),
+            (col("rn").cast("double") / lit(n.toDouble)).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |       percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr,
+        |       cume_dist() OVER (ORDER BY o_totalprice, o_orderkey) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     // ---- regexp extraction (X-family extension)
     "x17_regexp_extract" -> withOracle(
       (s, d) =>

@@ -189,6 +189,12 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("w11 global rank fractions: no single-partition window") {
+    val p = plan01("w11_rank_fracs")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("a18 equi-depth histogram: distributed rank, map-side-combined envelope agg") {
     val p = plan01("a18_equidepth_hist")
     assert(!p.contains("SinglePartition"), p)

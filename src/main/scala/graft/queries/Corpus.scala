@@ -463,6 +463,35 @@ object Corpus {
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- overlapping-window document chunking (the RAG/context-window
+    //      chunker): 64-token chunks on a 48-token stride, each with its
+    //      start offset and true length — pure array built-ins (sequence +
+    //      explode + slice), so chunking is one generate stage inside
+    //      codegen, no UDF, no shuffle until the caller aggregates.
+    //      Chunk text witnesses as md5 (the ld1 pattern keeps the gate
+    //      payload bounded).
+    "ch1_chunk_overlap" -> withOracle(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(0), expr("(size(t) - 1) div 48"))).as("k"))
+          .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+            (col("k") * 48 + 1).cast("long").as("start_token"),
+            least(lit(64), size(col("t")) - col("k") * 48).cast("long").as("n_tok"),
+            md5(concat_ws(" ", slice(col("t"), col("k") * 48 + 1, lit(64)))
+              .cast("binary")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx"),
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents)
+        |SELECT doc_id, k AS chunk_idx,
+        |       k * 48 + 1 AS start_token,
+        |       least(64, len(t) - k * 48) AS n_tok,
+        |       md5(array_to_string(t[k * 48 + 1 : k * 48 + 64], ' ')) AS chunk_md5
+        |FROM tk, unnest(range(0, (len(t) - 1) // 48 + 1)) AS r(k)
+        |ORDER BY doc_id, chunk_idx""".stripMargin),
+
     // ---- decontamination as a FRACTION, not a flag (the GPT-3 appendix-C
     //      shape): per-doc share of distinct trigrams that appear in the
     //      held-out bench set, plus the keep decision at a 20% threshold —

@@ -106,6 +106,62 @@ object DedupSim {
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         |ORDER BY d.doc_id""".stripMargin),
 
+    // ---- canonical-representative selection over near-dup groups: the
+    //      step an actual dedup pipeline runs AFTER grouping — keep the
+    //      best doc of each group (longest, ties to the smallest id)
+    //      and drop the rest. One window partitioned by group on top of
+    //      m1's components; oracle extends m1's brute-force + closure
+    //      restatement with the same pick.
+    "d4_canonical_docs" -> withOracle(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("group_id").orderBy(col("n_chars").desc, col("doc_id"))
+        MinHashDedup.nearDupGroups(Tables.documents(s, d), "doc_id", "text")
+          .join(Tables.documents(s, d).select("doc_id", "n_chars"), Seq("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("group_id", "doc_id", "n_chars", "group_size")
+          .orderBy("group_id")
+      },
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |      i -> array_to_string(t[i:least(i + 2, len(t))], ' ')),
+        |    s -> s <> '')) AS sh
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), labels AS (
+        |  SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src
+        |), grp AS (
+        |  SELECT d.doc_id,
+        |         CAST(COALESCE(least(l.min_reach, d.doc_id), d.doc_id) AS BIGINT)
+        |           AS group_id,
+        |         d.n_chars
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        |), rk AS (
+        |  SELECT doc_id, group_id, n_chars,
+        |         row_number() OVER (PARTITION BY group_id
+        |                            ORDER BY n_chars DESC, doc_id) AS rk,
+        |         CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT)
+        |           AS group_size
+        |  FROM grp)
+        |SELECT group_id, doc_id, n_chars, group_size FROM rk
+        |WHERE rk = 1 ORDER BY group_id""".stripMargin),
+
     // ---- distributed connected components (large-star/small-star
     //      contraction — the O(log n)-round scale path behind near-dup
     //      grouping). The graph is deterministic: 10-node doc-id chains

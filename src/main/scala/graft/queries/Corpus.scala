@@ -463,6 +463,85 @@ object Corpus {
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- the WHOLE preprocessing pipeline as ONE Catalyst plan — quality
+    //      floor, content-keyed exact dedup, benchmark decontamination,
+    //      stratified split — the composition a pretraining run actually
+    //      executes, declared end-to-end so the optimizer sees every stage
+    //      at once (filters push below the dedup window, the bench side
+    //      broadcasts, each window shuffles once by its own key). The
+    //      oracle chains the per-stage restatements the individual gate
+    //      queries already proved.
+    "pipe_corpus_prep" -> withOracle(
+      (s, d) => {
+        val docs = Tables.spreadForCpu(Tables.documents(s, d))
+        // 1. quality floor
+        val q = docs.filter(col("n_chars") >= 100)
+        // 2. exact dedup, keep-first per content hash (md5 keys the
+        //    shuffle: 16 bytes, not the document)
+        val wD = Window.partitionBy(md5(col("text").cast("binary")))
+          .orderBy(col("doc_id"))
+        val dd = q.withColumn("dk", row_number().over(wD))
+          .filter(col("dk") === 1)
+        // 3. decontamination vs the held-out slice (dc1's broadcast shape)
+        val tri = graft.functions.functions.ngrams(col("t"), 3, distinct = true)
+        val withTri = dd.select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+          .select(col("doc_id"), col("lang"), tri.as("tri"))
+        val bench = withTri.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("tri")).as("g")).distinct()
+        val corpus = withTri.filter(col("doc_id") % 97 =!= 0)
+        val bad = corpus.select(col("doc_id"), explode(col("tri")).as("g"))
+          .join(broadcast(bench), Seq("g")).select("doc_id").distinct()
+        val clean = corpus.join(bad, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang")
+        // 4. deterministic stratified split (smp4's integer thresholds)
+        val wS = Window.partitionBy("lang")
+          .orderBy(md5Key(col("doc_id")), col("doc_id"))
+        clean.withColumn("rk", row_number().over(wS))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+          .withColumn("split",
+            when(col("rk") <= expr("(n * 8) div 10"), "train")
+              .when(col("rk") <= expr("(n * 8) div 10 + n div 10"), "val")
+              .otherwise("test"))
+          .select("doc_id", "lang", "split")
+          .orderBy("doc_id")
+      },
+      """WITH q AS (
+        |  SELECT * FROM documents WHERE n_chars >= 100),
+        |dd AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+        |                                   ORDER BY doc_id) AS dk
+        |    FROM q) WHERE dk = 1),
+        |tri AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tri
+        |  FROM (SELECT doc_id, lang,
+        |               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |        FROM dd)),
+        |bench AS (
+        |  SELECT DISTINCT g
+        |  FROM (SELECT unnest(tri) AS g FROM tri WHERE doc_id % 97 = 0)),
+        |corpus AS (SELECT * FROM tri WHERE doc_id % 97 <> 0),
+        |bad AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(tri) AS g FROM corpus) c
+        |  JOIN bench USING (g)),
+        |clean AS (
+        |  SELECT doc_id, lang FROM corpus
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM clean)
+        |SELECT doc_id, lang,
+        |       CASE WHEN rk <= (n * 8) // 10 THEN 'train'
+        |            WHEN rk <= (n * 8) // 10 + n // 10 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin),
+
     // ---- overlapping-window document chunking (the RAG/context-window
     //      chunker): 64-token chunks on a 48-token stride, each with its
     //      start offset and true length — pure array built-ins (sequence +

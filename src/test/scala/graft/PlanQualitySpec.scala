@@ -222,6 +222,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!exch.contains("content"), s"image bytes entered a shuffle:\n$exch")
   }
 
+  test("pipe_corpus_prep: quality filter reaches the scan, bench broadcasts, no cartesian") {
+    val p = plan01("pipe_corpus_prep")
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,100)]") ||
+      p.contains("GreaterThanOrEqual(n_chars,100)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dc1 decontam: no inferred generate-filter re-inlines the tokenizer at the scan") {
     // InferFiltersFromGenerate is excluded in Sessions: with it, explode of
     // a computed n-gram array grows a size(transform(...split...))>0 filter

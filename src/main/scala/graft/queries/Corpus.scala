@@ -249,6 +249,49 @@ object Corpus {
         |SELECT r.doc_id, r.source FROM rk r JOIN ks USING (source)
         |WHERE r.rk <= k ORDER BY r.doc_id""".stripMargin),
 
+    // ---- temperature-scaled mixture (alpha = 0.5, the multilingual
+    //      sampling standard — Conneau et al., XLM-R): source weights
+    //      proportional to sqrt(n_s), so rare sources are upweighted
+    //      relative to proportional sampling; then mix1's all-integer
+    //      keep-maximal threshold algebra verbatim. The only float is
+    //      sqrt itself — IEEE-correctly-rounded in both engines, and a
+    //      non-square's sqrt sits far further from an integer than one
+    //      ulp, so floor(sqrt(n)) is cross-engine exact.
+    "mix2_temperature" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stats = docs.groupBy("source").agg(count(lit(1)).as("n"))
+          .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+        val withSw = stats.crossJoin(broadcast(stats.agg(sum("w").as("sw"))))
+        val withCap = withSw.withColumn("cap", expr("n * sw div w"))
+        val ks = withCap
+          .crossJoin(broadcast(withCap.agg(min("cap").as("t"))))
+          .withColumn("k", expr("w * t div sw"))
+          .select("source", "k")
+        val rnk = Window.partitionBy("source")
+          .orderBy(md5Key(col("doc_id")), col("doc_id"))
+        docs.join(broadcast(ks), Seq("source"))
+          .withColumn("rk", row_number().over(rnk))
+          .filter(col("rk") <= col("k"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      """WITH stats AS (
+        |  SELECT source, count(*) AS n,
+        |         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM stats),
+        |caps AS (SELECT source, n, w, sw, n * sw // w AS cap FROM stats, sw),
+        |t AS (SELECT min(cap) AS t FROM caps),
+        |ks AS (SELECT source, w * t // sw AS k FROM caps, t),
+        |rk AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source FROM rk r JOIN ks USING (source)
+        |WHERE r.rk <= k ORDER BY r.doc_id""".stripMargin),
+
     // ---- quality-weighted sampling (DSIR-shaped): each doc kept with
     //      probability proportional to a quality weight (here length-based,
     //      capped at 1), decided by comparing a 6-hex-digit md5 prefix

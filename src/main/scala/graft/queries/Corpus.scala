@@ -965,8 +965,12 @@ object Corpus {
             graft.ops.Hll.hllBuild(ev.filter(col("event_type") === t),
               col("user_id"), p = 12))
           .reduce(graft.ops.Hll.hllMerge)
-        graft.ops.Hll.hllEstimate(merged)
-          .crossJoin(merged.registers.agg(
+        // materialize the merged registers once: estimate and summary are
+        // two branches over the same (bounded) table, and without this the
+        // per-source scans would replay for each branch
+        val regs = merged.registers.localCheckpoint(true)
+        graft.ops.Hll.hllEstimate(graft.ops.Hll.HllSketch(regs, merged.p))
+          .crossJoin(regs.agg(
             count(lit(1)).as("n_registers"), sum("max_rho").as("rho_sum")))
       }),
 

@@ -360,6 +360,51 @@ object Extras {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin),
 
+    // ---- gaps-and-islands over per-user event sequences: contiguous
+    //      event_id runs collapse to one island row (start, end, length),
+    //      the lag-difference restatement — sequence-completeness
+    //      auditing (did ingestion drop ids?) as one window + one agg,
+    //      shuffled once by user.
+    "x25_gaps_islands" -> withOracle(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"))
+          .withColumn("prev", lag("event_id", 1).over(w))
+          .withColumn("brk",
+            when(col("prev").isNull || col("event_id") =!= col("prev") + 1, 1)
+              .otherwise(0))
+          .withColumn("island",
+            sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island")
+          .agg(min("event_id").as("island_start"),
+               max("event_id").as("island_end"),
+               count(lit(1)).as("island_len"))
+          .select("user_id", "island_start", "island_end", "island_len")
+          .orderBy("user_id", "island_start")
+      },
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |         lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |           AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN prev IS NULL OR event_id <> prev + 1
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM r),
+        |i AS (
+        |  SELECT user_id, event_id,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS island
+        |  FROM b)
+        |SELECT user_id, min(event_id) AS island_start,
+        |       max(event_id) AS island_end,
+        |       CAST(count(*) AS BIGINT) AS island_len
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, island_start""".stripMargin),
+
     // ---- GLOBAL percent_rank/cume_dist without the single-partition
     //      window both would naively plan (w9 is the partitioned form):
     //      under a total order cume_dist == rn/n and percent_rank ==

@@ -61,6 +61,23 @@ object Hll {
       p)
   }
 
+  /** Register tables for MANY sketches in ONE scan: (groupCols...,
+    * bucket, max_rho), at most 2^p rows per group — the per-day/per-source
+    * sketch-table pattern. Any subset of groups collapses to one sketch
+    * with a plain `groupBy(bucket).max(max_rho)` (what [[hllMerge]] does
+    * for two), because the registers are just rows.
+    */
+  def hllBuildGrouped(df: DataFrame, key: Column, groupCols: Seq[String],
+                      p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 18, s"p must be in [4,18], got $p")
+    val h = xxhash64(key)
+    df.select(groupCols.map(col) ++ Seq(
+        pmod(h, lit(1L << p)).cast("int").as("bucket"),
+        rhoExpr(h, p).as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("max_rho"))
+  }
+
   /** Register-wise max merge — the property that makes HLL the sketch of
     * choice for stored per-partition/per-day distinct summaries.
     */

@@ -958,18 +958,15 @@ object Corpus {
     //      merge == whole.
     "a20_hll_registers" -> rowsOnly(
       (s, d) => {
-        val ev = Tables.events(s, d)
-        val types = ev.select("event_type").distinct()
-          .collect().map(_.getString(0)).sorted // bounded: event taxonomy
-        val merged = types.map(t =>
-            graft.ops.Hll.hllBuild(ev.filter(col("event_type") === t),
-              col("user_id"), p = 12))
-          .reduce(graft.ops.Hll.hllMerge)
-        // materialize the merged registers once: estimate and summary are
-        // two branches over the same (bounded) table, and without this the
-        // per-source scans would replay for each branch
-        val regs = merged.registers.localCheckpoint(true)
-        graft.ops.Hll.hllEstimate(graft.ops.Hll.HllSketch(regs, merged.p))
+        // ONE scan builds a register table per event type (the per-day
+        // sketch-store pattern); collapsing the groups with a plain
+        // bucket-max IS the merge, because registers are rows. The tiny
+        // merged table materializes once for the two output branches.
+        val perType = graft.ops.Hll.hllBuildGrouped(
+          Tables.events(s, d), col("user_id"), Seq("event_type"), p = 12)
+        val regs = perType.groupBy("bucket").agg(max("max_rho").as("max_rho"))
+          .localCheckpoint(true)
+        graft.ops.Hll.hllEstimate(graft.ops.Hll.HllSketch(regs, 12))
           .crossJoin(regs.agg(
             count(lit(1)).as("n_registers"), sum("max_rho").as("rho_sum")))
       }),

@@ -44,6 +44,20 @@ class HllSpec extends SparkTestBase {
     }
   }
 
+  test("grouped build equals per-group builds; collapsing groups equals the merge") {
+    val df = (0L until 2000L).map(i => (s"s${i % 3}", i % 701)).toDF("src", "k")
+    val grouped = Hll.hllBuildGrouped(df, col("k"), Seq("src"), p = 9)
+    for (s0 <- Seq("s0", "s1", "s2")) {
+      val slice = grouped.filter(col("src") === s0).select("bucket", "max_rho")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val direct = regs(Hll.hllBuild(df.filter(col("src") === s0), col("k"), p = 9))
+      assert(slice == direct, s0)
+    }
+    val collapsed = grouped.groupBy("bucket").agg(max("max_rho").as("max_rho"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(collapsed == regs(Hll.hllBuild(df, col("k"), p = 9)))
+  }
+
   test("register table is bounded by 2^p and rho by 64-p+1") {
     val sk = Hll.hllBuild(Tables.events(spark, sf001), col("user_id"), p = 6)
     val rows = sk.registers.collect()

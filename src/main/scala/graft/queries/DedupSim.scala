@@ -203,6 +203,35 @@ object DedupSim {
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         |ORDER BY d.doc_id""".stripMargin),
 
+    // ---- L2 normalization of the embedding column, ORACLED: the norm is
+    //      a strictly sequential left-to-right fold (Spark `aggregate` ==
+    //      DuckDB list_aggregate over the same list order), every product
+    //      and the final sqrt correctly rounded from identical inputs —
+    //      so even a float pipeline stage can cross the hash-exact gate
+    //      when the fold order is pinned. Emits the norm and the first
+    //      two normalized components.
+    "e8_embed_norm" -> withOracle(
+      (s, d) => {
+        val v = col("embedding").cast("array<double>")
+        val norm = sqrt(aggregate(transform(v, x => x * x),
+          lit(0.0), (acc, x) => acc + x))
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), norm.as("l2"),
+            (element_at(v, 1) / norm).as("c1"),
+            (element_at(v, 2) / norm).as("c2"))
+          .orderBy("vec_id")
+      },
+      """SELECT vec_id,
+        |       sqrt(list_aggregate(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2,
+        |       CAST(embedding[1] AS DOUBLE) /
+        |         sqrt(list_aggregate(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS c1,
+        |       CAST(embedding[2] AS DOUBLE) /
+        |         sqrt(list_aggregate(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS c2
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+
     // ---- PCA whitening of the embedding column (sim.Pca): decorrelate +
     //      variance-equalize before quantization/LSH — one bounded-state
     //      fit pass (count/sum/gram partials, d x d Jacobi on the driver),

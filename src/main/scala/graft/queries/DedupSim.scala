@@ -248,6 +248,22 @@ object DedupSim {
           .orderBy("vec_id", "component")
       }),
 
+    // ---- ANN in the WHITENED space (Pca.whiten -> brute top-k): cosine
+    //      after PCA whitening is the Mahalanobis-style similarity that
+    //      down-weights the dominant directions — the standard retrieval
+    //      preconditioner, composed from two ops this engine already
+    //      proves separately (PcaSpec formula parity + e1's oracle).
+    "e9_ann_whitened" -> rowsOnly(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val m = Pca.fit(emb, k = 16)
+        val white = Pca.whiten(emb, m).toDF()
+          .select(col("vec_id"), col("white").as("embedding"))
+        Ann.bruteForceTopK(white, white.filter(col("vec_id") < 10), k = 5)
+          .select("q_id", "rk", "vec_id")
+          .orderBy("q_id", "rk")
+      }),
+
     // ---- integer-arithmetic PageRank over the supplier-part bipartite
     //      graph (graph.PageRank): every rank a long in 1e-9 units, every
     //      contribution a floor division — the aggregation is order-immune

@@ -52,6 +52,22 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("whiten matches the closed-form driver computation bit-for-bit") {
+    val rows = cloud(100)
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, k = 3)
+    val scaled = m.components.zip(m.eigenvalues).map { case (u, l) =>
+      u.map(_ * (1.0 / math.sqrt(math.max(l, 0.0) + m.eps)))
+    }
+    val got = Pca.whiten(df, m).collect().map(w => w.vec_id -> w.white.toSeq).toMap
+    rows.foreach { case (id, e) =>
+      val x = e.map(_.toDouble)
+      val want = scaled.map(u =>
+        u.indices.map(i => (x(i) - m.mean(i)) * u(i)).sum).toSeq
+      assert(got(id) == want, s"id=$id") // identical fold order -> identical bits
+    }
+  }
+
   test("fit is deterministic on a fixed partitioning; projection is partition-pure") {
     val df = cloud(400).toDF("vec_id", "embedding").repartition(8)
       .cache()

@@ -74,5 +74,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // cast like the Column wrapper does, so int columns work from SQL too
       (args: Seq[Expression]) => ZorderKey(Cast(args.head, LongType), Cast(args(1), LongType),
         if (args.length > 2) intArg(args(2), "bits") else 16)))
+
+    ext.injectFunction((FunctionIdentifier("zorder_key3"),
+      info("zorder_key3",
+        "zorder_key3(x, y, z[, bits]) - Morton/Z-order interleave of three longs"),
+      (args: Seq[Expression]) => ZorderKey3(Cast(args.head, LongType),
+        Cast(args(1), LongType), Cast(args(2), LongType),
+        if (args.length > 3) intArg(args(3), "bits") else 16)))
   }
 }

@@ -51,6 +51,20 @@ class ZorderSpec extends SparkTestBase {
     assert(viaSql == viaCol)
   }
 
+  test("zorder_key3 through the SQL surface matches the Column API") {
+    val df = spark.range(60)
+      .select((col("id") % 4).cast("int").as("x"),
+        ((col("id") / 4) % 4).cast("int").as("y"),
+        (col("id") / 16).cast("int").as("z"))
+    df.createOrReplaceTempView("zv3")
+    val viaSql = spark.sql("SELECT zorder_key3(x, y, z, 3) AS k FROM zv3 ORDER BY x, y, z")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = df.orderBy("x", "y", "z")
+      .select(Zorder.zkey3(col("x"), col("y"), col("z"), 3).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("quantize is monotone and clamps to the grid") {
     val df = Seq(-5.0, 0.0, 50.0, 100.0, 200.0).toDF("v")
       .select(Zorder.quantize(col("v"), 0.0, 100.0, bits = 8).as("q"))

@@ -222,6 +222,31 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!exch.contains("content"), s"image bytes entered a shuffle:\n$exch")
   }
 
+  test("x25 gaps-islands: ONE shuffle serves both the window and the island agg") {
+    // HashPartitioning(user_id) satisfies the groupBy(user_id, island)
+    // distribution, so the aggregation must reuse the window's exchange
+    val p = plan01("x25_gaps_islands")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("ch1 chunking is scan-shaped: generate + project, no hash exchange") {
+    val p = plan01("ch1_chunk_overlap")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("mix2 temperature mixture: stat aggregates broadcast, no SMJ (mix1's shape)") {
+    val p = plan01("mix2_temperature")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2, p)
+  }
+
+  test("e8 embedding norm is scan-shaped: no exchange before the output sort") {
+    val p = plan01("e8_embed_norm")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("pipe_corpus_prep: quality filter reaches the scan, bench broadcasts, no cartesian") {
     val p = plan01("pipe_corpus_prep")
     assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,100)]") ||

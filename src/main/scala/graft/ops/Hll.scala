@@ -89,32 +89,48 @@ object Hll {
       a.p)
   }
 
-  /** Cardinality estimate from the registers: one row out. Standard HLL
-    * with the linear-counting small-range correction (the large-range
-    * correction is unnecessary with 64-bit hashes).
+  /** The estimate projection over (nonzero, hsum) aggregates — shared by
+    * the whole-sketch and grouped paths. Zero-holding buckets never
+    * appear as rows: they enter the harmonic sum as 2^0 = 1 each and
+    * drive linear counting.
     */
-  def hllEstimate(sketch: HllSketch, outCol: String = "est_distinct"): DataFrame = {
-    val m = 1L << sketch.p
-    val alpha = sketch.p match {
+  private def estimateCol(p: Int): Column = {
+    val m = 1L << p
+    val alpha = p match {
       case 4 => 0.673
       case 5 => 0.697
       case 6 => 0.709
       case _ => 0.7213 / (1.0 + 1.079 / m)
     }
-    // zero-holding buckets never appear as rows: account for them in both
-    // the harmonic sum (they contribute 2^0 = 1 each) and linear counting
+    val raw = lit(alpha * m * m) /
+      (coalesce(col("hsum"), lit(0.0)) + (lit(m) - col("nonzero")))
+    when(raw <= lit(2.5 * m) && col("nonzero") < lit(m),
+        // linear counting: m * ln(m / zero-buckets)
+        round(lit(m) * log(lit(m.toDouble) / (lit(m) - col("nonzero")))))
+      .otherwise(round(raw))
+      .cast("long")
+  }
+
+  /** Cardinality estimate from the registers: one row out. Standard HLL
+    * with the linear-counting small-range correction (the large-range
+    * correction is unnecessary with 64-bit hashes).
+    */
+  def hllEstimate(sketch: HllSketch, outCol: String = "est_distinct"): DataFrame =
     sketch.registers
       .agg(count(lit(1)).as("nonzero"),
            sum(pow(lit(2.0), -col("max_rho"))).as("hsum"))
-      .select(
-        (lit(alpha * m * m) /
-          (coalesce(col("hsum"), lit(0.0)) + (lit(m) - col("nonzero")))).as("raw"),
-        col("nonzero"))
-      .select(
-        when(col("raw") <= lit(2.5 * m) && col("nonzero") < lit(m),
-            // linear counting: m * ln(m / zero-buckets)
-            round(lit(m) * log(lit(m.toDouble) / (lit(m) - col("nonzero")))))
-          .otherwise(round(col("raw")))
-          .cast("long").as(outCol))
-  }
+      .select(estimateCol(sketch.p).as(outCol))
+
+  /** Per-group cardinality estimates from a [[hllBuildGrouped]] register
+    * table: one row per group. The register table is the stored artifact;
+    * this is the cheap read over it — distinct-per-day/per-source without
+    * ever rescanning the raw data.
+    */
+  def hllEstimateGrouped(registers: DataFrame, groupCols: Seq[String], p: Int,
+                         outCol: String = "est_distinct"): DataFrame =
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("nonzero"),
+           sum(pow(lit(2.0), -col("max_rho"))).as("hsum"))
+      .select(groupCols.map(col) :+ estimateCol(p).as(outCol): _*)
 }

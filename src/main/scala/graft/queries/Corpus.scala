@@ -971,6 +971,19 @@ object Corpus {
             count(lit(1)).as("n_registers"), sum("max_rho").as("rho_sum")))
       }),
 
+    // ---- per-group distinct estimates from the stored register table
+    //      (a20's artifact read back per source): distinct-users-per-
+    //      event-type without rescanning raw data — the sketch-store
+    //      read path. Rows-only (same xxhash64 reason as a20); HllSpec
+    //      pins the per-group error bound vs exact.
+    "a21_hll_grouped" -> rowsOnly(
+      (s, d) => {
+        val perType = graft.ops.Hll.hllBuildGrouped(
+          Tables.events(s, d), col("user_id"), Seq("event_type"), p = 12)
+        graft.ops.Hll.hllEstimateGrouped(perType, Seq("event_type"), p = 12)
+          .orderBy("event_type")
+      }),
+
     // ---- exact GLOBAL order statistics via the distributed rank
     //      (ops.Ranks): the rows at ranks ceil(p*n) — quantile_disc
     //      semantics with exact VALUES, no single-partition sort anywhere

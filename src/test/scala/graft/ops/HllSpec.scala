@@ -58,6 +58,19 @@ class HllSpec extends SparkTestBase {
     assert(collapsed == regs(Hll.hllBuild(df, col("k"), p = 9)))
   }
 
+  test("grouped estimates stay inside the error bound per group") {
+    val df = (0L until 30000L).map(i => (s"s${i % 3}", i % (701 * (1 + (i % 3))))).toDF("src", "k")
+    val grouped = Hll.hllBuildGrouped(df, col("k"), Seq("src"), p = 12)
+    val est = Hll.hllEstimateGrouped(grouped, Seq("src"), p = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy("src").agg(countDistinct("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sigma = 1.04 / math.sqrt(1 << 12)
+    for ((s0, e) <- exact)
+      assert(math.abs(est(s0) - e).toDouble / e <= 3 * sigma,
+        s"$s0: exact=$e est=${est(s0)}")
+  }
+
   test("register table is bounded by 2^p and rho by 64-p+1") {
     val sk = Hll.hllBuild(Tables.events(spark, sf001), col("user_id"), p = 6)
     val rows = sk.registers.collect()

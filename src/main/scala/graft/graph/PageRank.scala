@@ -35,33 +35,78 @@ object PageRank {
     * are dangling (drop their mass); nodes absent from `dst` collect
     * only the base. All ids must be non-null.
     */
+  /** Degree-annotated edges: one join key (src) serves both the rank
+    * lookup and the degree division.
+    */
+  private def prepEdges(edges: DataFrame): DataFrame =
+    edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .select("src", "dst", "outdeg")
+      .localCheckpoint(true)
+
+  private def step(e: DataFrame, nodes: DataFrame, pr: DataFrame,
+                   base: Long, dampNum: Long, dampDen: Long): DataFrame = {
+    val contrib = e.join(pr, e("src") === pr("id"))
+      .select(col("dst").as("id"), expr("r div outdeg").as("c"))
+      .groupBy("id").agg(sum("c").as("s"))
+    nodes.select("id")
+      .join(contrib, Seq("id"), "left")
+      .select(col("id"),
+        (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
+          .as("r"))
+  }
+
   def ranks(edges: DataFrame, nodes: DataFrame, iters: Int,
             dampNum: Long = 85L, dampDen: Long = 100L,
             scale: Long = 1000000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampNum > 0 && dampDen > dampNum, s"need 0 < dampNum < dampDen")
     val base = (dampDen - dampNum) * scale / dampDen
-    // out-degrees ride the edge list: one join key (src) serves both the
-    // rank lookup and the degree division
-    val e = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .select("src", "dst", "outdeg")
-      .localCheckpoint(true)
+    val e = prepEdges(edges)
     var pr = nodes.select(col("id"), lit(scale).as("r"))
     for (round <- 1 to iters) {
-      val contrib = e.join(pr, e("src") === pr("id"))
-        .select(col("dst").as("id"), expr("r div outdeg").as("c"))
-        .groupBy("id").agg(sum("c").as("s"))
-      pr = nodes.select("id")
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
-            .as("r"))
+      pr = step(e, nodes, pr, base, dampNum, dampDen)
       // materialize every second round (and the last): enough to keep the
       // plan from growing superlinearly, half the action round-trips of
       // checkpointing every round
       if (round % 2 == 0 || round == iters) pr = pr.localCheckpoint(true)
     }
     pr
+  }
+
+  /** Iterate until the largest per-node change is <= `tolUnits` rank
+    * quanta — an EXACTLY-detectable convergence test, which only the
+    * integer formulation has: floating-point PageRank's "converged" is an
+    * epsilon policy over drifting ulps, while an integer max-delta is a
+    * deterministic comparison. tolUnits defaults to 1 because floor
+    * arithmetic dithers in a +/-1-unit 2-cycle around the true fixpoint
+    * (measured, not theorized) rather than landing; 1 unit = 1e-9 of a
+    * node's initial mass at the default scale, far beyond any ranking
+    * use. The round cap stays load-bearing for adversarial damping
+    * choices. Convergence costs one (id, r) self-join per round — small
+    * next to the contribution join. Returns (ranks, roundsRun,
+    * converged).
+    */
+  def ranksToFixpoint(edges: DataFrame, nodes: DataFrame, maxIters: Int = 60,
+                      tolUnits: Long = 1L,
+                      dampNum: Long = 85L, dampDen: Long = 100L,
+                      scale: Long = 1000000000L): (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(tolUnits >= 0, s"tolUnits must be >= 0, got $tolUnits")
+    require(dampNum > 0 && dampDen > dampNum, s"need 0 < dampNum < dampDen")
+    val base = (dampDen - dampNum) * scale / dampDen
+    val e = prepEdges(edges)
+    var pr = nodes.select(col("id"), lit(scale).as("r")).localCheckpoint(true)
+    var round = 0
+    var maxDelta = Long.MaxValue
+    while (round < maxIters && maxDelta > tolUnits) {
+      val next = step(e, nodes, pr, base, dampNum, dampDen).localCheckpoint(true)
+      maxDelta = next.as("n").join(pr.as("o"), "id")
+        .agg(max(abs(col("n.r") - col("o.r"))))
+        .head().getLong(0)
+      pr = next
+      round += 1
+    }
+    (pr, round, maxDelta <= tolUnits)
   }
 }

@@ -283,6 +283,12 @@ object DedupSim {
       },
       pr1Oracle),
 
+    // (PageRank-to-convergence exists as graph.PageRank.ranksToFixpoint,
+    // pinned in PageRankSpec; it is NOT registered as a bench query
+    // because damping 0.85 contracts at 0.85^k — tight tolerances
+    // honestly need ~50+ rounds, the wrong shape for a per-round bench.
+    // pr1's fixed-round form is the benched surface.)
+
     // ---- SimHash signatures + per-doc near-neighbor count within
     //      Hamming radius (banded blocking, never all-pairs)
     "m2_simhash_near" -> rowsOnly(

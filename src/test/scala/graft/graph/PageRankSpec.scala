@@ -42,6 +42,25 @@ class PageRankSpec extends SparkTestBase {
     assert(init == Set(1000000000L))
   }
 
+  test("fixpoint iteration stabilizes to within one rank quantum") {
+    val e = edges.toDF("src", "dst")
+    val n = nodes.toDF("id")
+    val (pr, rounds, converged) = PageRank.ranksToFixpoint(e, n, maxIters = 60)
+    assert(converged, s"no convergence within 60 rounds")
+    assert(rounds >= 2 && rounds < 60, s"rounds=$rounds")
+    val fixed = pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // agrees with the plain iteration run exactly that long
+    val same = PageRank.ranks(e, n, iters = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == same)
+    // self-consistency: further rounds move no rank by more than the
+    // 1-unit floor dither (the documented 2-cycle around the fixpoint)
+    val more = PageRank.ranks(e, n, iters = rounds + 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed.keySet == more.keySet)
+    fixed.foreach { case (k, v) => assert(math.abs(more(k) - v) <= 1L, s"node $k") }
+  }
+
   test("total mass never exceeds the initial mass (dangling mass only leaks out)") {
     val total = PageRank.ranks(edges.toDF("src", "dst"), nodes.toDF("id"), iters = 8)
       .agg(sum("r")).head().getLong(0)

@@ -34,6 +34,11 @@ object PageRank {
     * (col `id`) at rank = `scale`. Nodes absent from `edges`' sources
     * are dangling (drop their mass); nodes absent from `dst` collect
     * only the base. All ids must be non-null.
+    *
+    * Overflow bound: every intermediate stays within the TOTAL graph
+    * mass (<= nodes * scale, since dropped dangling mass only shrinks
+    * it), so the caller's contract is `nodes * scale < 2^63` — about
+    * 9.2e9 nodes at the default scale. Lower `scale` for larger graphs.
     */
   /** Degree-annotated edges: one join key (src) serves both the rank
     * lookup and the degree division.
@@ -49,10 +54,18 @@ object PageRank {
     val contrib = e.join(pr, e("src") === pr("id"))
       .select(col("dst").as("id"), expr("r div outdeg").as("c"))
       .groupBy("id").agg(sum("c").as("s"))
-    nodes.select("id")
+    // damping mix as a split multiply: (num*s) div den computed as
+    // (s div den)*num + ((s%den)*num) div den — identical for s >= 0
+    // (write s = q*den + r: num*s div den = num*q + num*r div den), but
+    // intermediates stay bounded by s itself instead of num*s, so the
+    // overflow ceiling is the total graph mass (nodes*scale < 2^63,
+    // ~9e9 nodes at the default 1e-9 scale) rather than mass*dampNum.
+    nodes
       .join(contrib, Seq("id"), "left")
       .select(col("id"),
-        (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
+        (lit(base) +
+          expr(s"(coalesce(s, 0L) div $dampDen) * $dampNum" +
+               s" + ((coalesce(s, 0L) % $dampDen) * $dampNum) div $dampDen"))
           .as("r"))
   }
 
@@ -63,9 +76,12 @@ object PageRank {
     require(dampNum > 0 && dampDen > dampNum, s"need 0 < dampNum < dampDen")
     val base = (dampDen - dampNum) * scale / dampDen
     val e = prepEdges(edges)
-    var pr = nodes.select(col("id"), lit(scale).as("r"))
+    // materialize the node set once: it is re-joined every round, and
+    // recomputing it from source scans k times buys nothing
+    val n = nodes.select("id").localCheckpoint(true)
+    var pr = n.select(col("id"), lit(scale).as("r"))
     for (round <- 1 to iters) {
-      pr = step(e, nodes, pr, base, dampNum, dampDen)
+      pr = step(e, n, pr, base, dampNum, dampDen)
       // materialize every second round (and the last): enough to keep the
       // plan from growing superlinearly, half the action round-trips of
       // checkpointing every round
@@ -96,11 +112,12 @@ object PageRank {
     require(dampNum > 0 && dampDen > dampNum, s"need 0 < dampNum < dampDen")
     val base = (dampDen - dampNum) * scale / dampDen
     val e = prepEdges(edges)
-    var pr = nodes.select(col("id"), lit(scale).as("r")).localCheckpoint(true)
+    val n = nodes.select("id").localCheckpoint(true)
+    var pr = n.select(col("id"), lit(scale).as("r")).localCheckpoint(true)
     var round = 0
     var maxDelta = Long.MaxValue
     while (round < maxIters && maxDelta > tolUnits) {
-      val next = step(e, nodes, pr, base, dampNum, dampDen).localCheckpoint(true)
+      val next = step(e, n, pr, base, dampNum, dampDen).localCheckpoint(true)
       maxDelta = next.as("n").join(pr.as("o"), "id")
         .agg(max(abs(col("n.r") - col("o.r"))))
         .head().getLong(0)

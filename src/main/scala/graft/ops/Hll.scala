@@ -50,12 +50,17 @@ object Hll {
     (lit(w + 1) - bitLen).cast("int")
   }
 
-  /** Build the register table: (bucket, max_rho), at most 2^p rows. */
+  /** Build the register table: (bucket, max_rho), at most 2^p rows.
+    * NULL keys are ignored, matching count(DISTINCT)/approx_count_distinct
+    * semantics (xxhash64(null) would otherwise hash to the seed and count
+    * as one phantom distinct value).
+    */
   def hllBuild(df: DataFrame, key: Column, p: Int = 12): HllSketch = {
     require(p >= 4 && p <= 18, s"p must be in [4,18], got $p")
     val h = xxhash64(key)
     HllSketch(
-      df.select(pmod(h, lit(1L << p)).cast("int").as("bucket"),
+      df.filter(key.isNotNull)
+        .select(pmod(h, lit(1L << p)).cast("int").as("bucket"),
           rhoExpr(h, p).as("rho"))
         .groupBy("bucket").agg(max("rho").as("max_rho")),
       p)
@@ -65,13 +70,15 @@ object Hll {
     * bucket, max_rho), at most 2^p rows per group — the per-day/per-source
     * sketch-table pattern. Any subset of groups collapses to one sketch
     * with a plain `groupBy(bucket).max(max_rho)` (what [[hllMerge]] does
-    * for two), because the registers are just rows.
+    * for two), because the registers are just rows. NULL keys are ignored,
+    * as in [[hllBuild]] (a group whose keys are all null gets no rows).
     */
   def hllBuildGrouped(df: DataFrame, key: Column, groupCols: Seq[String],
                       p: Int = 12): DataFrame = {
     require(p >= 4 && p <= 18, s"p must be in [4,18], got $p")
     val h = xxhash64(key)
-    df.select(groupCols.map(col) ++ Seq(
+    df.filter(key.isNotNull)
+      .select(groupCols.map(col) ++ Seq(
         pmod(h, lit(1L << p)).cast("int").as("bucket"),
         rhoExpr(h, p).as("rho")): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)

@@ -72,7 +72,15 @@ object Ranks {
   private def rowAfter(dirs: Seq[Boolean])(a: Row, b: Row): Boolean = {
     var i = 0
     while (i < dirs.length) {
-      val c = sparkCompare(a.get(i), b.get(i))
+      val av = a.get(i)
+      val bv = b.get(i)
+      // fail fast with the position instead of an opaque NPE from deep
+      // inside the pass-1 probe — 'non-null order keys' is a documented
+      // precondition, so name the violation when it happens
+      if (av == null || bv == null) throw new IllegalArgumentException(
+        s"order key #$i is null: Ranks requires non-null order keys " +
+        "(coalesce or filter nulls before ranking)")
+      val c = sparkCompare(av, bv)
       if (c != 0) return if (dirs(i)) c < 0 else c > 0
       i += 1
     }
@@ -116,6 +124,16 @@ object Ranks {
       }
       if (n == 0) Iterator.empty else Iterator.single((pid, n, hi))
     }.collect().sortBy(_._1)
+    // a partition holding only null-keyed rows bypasses rowAfter (nothing
+    // to compare against) — catch the null before it becomes a frozen
+    // boundary value
+    stats.foreach { case (_, _, hi) =>
+      dirs.indices.foreach { i =>
+        if (hi.get(i) == null) throw new IllegalArgumentException(
+          s"order key #$i is null: Ranks requires non-null order keys " +
+          "(coalesce or filter nulls before ranking)")
+      }
+    }
 
     val total = stats.iterator.map(_._2).sum
     val boundaries = stats.map(_._3) // range maxes, ascending range order

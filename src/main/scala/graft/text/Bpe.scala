@@ -34,6 +34,22 @@ object Bpe {
   type Merge = (String, String)
   private val EndOfWord = "</w>"
 
+  /** A word's base symbols: one string PER UNICODE CODE POINT (not per
+    * UTF-16 unit — splitting units would cut emoji/CJK-B supplementary
+    * characters into unpaired surrogate halves and let merges cross code
+    * points). Matches the codepoint-level alphabet of published BPE.
+    */
+  private def symbols(word: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** (word, freq) over whitespace-lowercased tokens — the dictionary BPE
     * trains on. One map-side-combined groupBy however large the corpus.
     */
@@ -52,8 +68,7 @@ object Bpe {
       wordFreqDf.orderBy(col("freq").desc, col("word"))
         .limit(vocabCap)
         .collect()
-        .map(r => (r.getString(0).map(_.toString).toArray :+ EndOfWord,
-                   r.getLong(1)))
+        .map(r => (symbols(r.getString(0)) :+ EndOfWord, r.getLong(1)))
     val words = dict.map(_._1.clone())
     val freqs = dict.map(_._2)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -105,7 +120,7 @@ object Bpe {
     * applies. Pure per word; tokens concatenate back to word + `</w>`.
     */
   def encodeWord(word: String, rank: Map[Merge, Int]): Array[String] = {
-    var s: Array[String] = word.map(_.toString).toArray :+ EndOfWord
+    var s: Array[String] = symbols(word) :+ EndOfWord
     var done = s.length <= 1
     while (!done) {
       var bestRank = Int.MaxValue

@@ -30,6 +30,23 @@ class HllSpec extends SparkTestBase {
     assert(Hll.hllEstimate(empty).head().getLong(0) == 0L)
   }
 
+  test("null keys are ignored, matching count(DISTINCT) semantics") {
+    val withNulls = (1L to 10L).map(Option(_)).padTo(40, None: Option[Long])
+      .toDF("k")
+    val clean = (1L to 10L).toDF("k")
+    // same registers with and without the nulls -> no phantom element
+    assert(regs(Hll.hllBuild(withNulls, col("k"))) ==
+           regs(Hll.hllBuild(clean, col("k"))))
+    assert(Hll.hllEstimate(Hll.hllBuild(withNulls, col("k")))
+      .head().getLong(0) == 10L)
+    // grouped: an all-null group contributes no register rows
+    val grouped = Seq(("a", Some(1L)), ("a", Some(2L)), ("b", None: Option[Long]))
+      .toDF("g", "k")
+    val gr = Hll.hllBuildGrouped(grouped, col("k"), Seq("g"))
+    assert(gr.filter(col("g") === "b").count() == 0L)
+    assert(gr.filter(col("g") === "a").count() > 0L)
+  }
+
   test("registers are deterministic integer state: partition-invariant, merge == whole") {
     val a = (0L until 4000L).toDF("k")
     val b = (2000L until 6000L).toDF("k") // overlapping halves

@@ -104,6 +104,20 @@ class RanksSpec extends SparkTestBase {
     assert(counts.sum == 121)
   }
 
+  test("a null order key fails fast with a message naming the position") {
+    val df = Seq((Some(1L), 1L), (None: Option[Long], 2L), (Some(3L), 3L))
+      .toDF("v", "id")
+    val ex = intercept[Exception] {
+      Ranks.withGlobalRowNumber(df, Seq(col("v"), col("id")), "rn",
+        numPartitions = 4)._1.count()
+    }
+    // the precondition violation must surface as our message, not an
+    // opaque NPE/ClassCastException from the probe internals
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("order key #0 is null")), msgs(ex).toString)
+  }
+
   test("empty input yields an empty result, not a failure") {
     val df = data(0)
     val (ranked, total) = Ranks.withGlobalRowNumber(df, Seq(col("id")), "rn")

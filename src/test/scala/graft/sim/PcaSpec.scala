@@ -68,6 +68,43 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("whitened-space IVF serving (the e9 composition) recall@10 >= 0.9 vs whitened brute") {
+    import org.apache.spark.sql.functions.col
+    // clustered anisotropic cloud: 8 separated directions + jitter — the
+    // data where whitening matters and IVF cells must track clusters.
+    // Brute-force-in-whitened-space is e9's recall oracle (the registered
+    // query serves a fitted IVF index; this pins what that approximation
+    // gives up).
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding").cache()
+    val m = Pca.fit(corpus, k = 8)
+    val white = Pca.whiten(corpus, m).toDF()
+      .select(col("vec_id"), col("white").as("embedding")).cache()
+    val queries = white.filter(col("vec_id") < 16)
+    val k = 10
+    val ivf = Ann.fitIvf(white, nCells = 8, lloydIters = 2)
+    val cells = white.select(col("vec_id"), col("embedding"),
+      ivf.assign(col("embedding")).as("cell"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(r.fieldIndex("q_id")),
+                             r.getLong(r.fieldIndex("vec_id"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = asMap(Ann.bruteForceTopK(white, queries, k))
+    val served = asMap(Ann.ivfSearch(ivf, cells, queries, k, nProbe = 4))
+    val recalls = exact.map { case (q, e) =>
+      served.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"whitened IVF recall@$k = $recall")
+    white.unpersist(); corpus.unpersist()
+  }
+
   test("fit is deterministic on a fixed partitioning; projection is partition-pure") {
     val df = cloud(400).toDF("vec_id", "embedding").repartition(8)
       .cache()

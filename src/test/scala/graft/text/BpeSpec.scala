@@ -31,6 +31,28 @@ class BpeSpec extends SparkTestBase {
       assert(Bpe.encodeWord(w, rank).mkString == w + "</w>", w)
   }
 
+  test("supplementary characters are whole base symbols, never surrogate halves") {
+    // U+1F600 (emoji) and U+20089 (CJK-B) are outside the BMP: two UTF-16
+    // units each. Base symbols must be one string per CODE POINT, and
+    // every emitted token must be a valid (unpaired-surrogate-free) string.
+    val emoji = new String(Character.toChars(0x1F600))
+    val cjkb = new String(Character.toChars(0x20089))
+    val word = s"a$emoji$cjkb"
+    val toks = Bpe.encodeWord(word, Map.empty)
+    assert(toks.toSeq == Seq("a", emoji, cjkb, "</w>"), toks.toSeq)
+    assert(toks.forall(t => t.codePoints().toArray.forall(cp =>
+      !Character.isSurrogate(cp.toChar) || Character.charCount(cp) == 2)))
+    // training on a dict containing the word keeps merges codepoint-aligned
+    val merges = Bpe.trainMerges(Seq((word, 5L)).toDF("word", "freq"), nMerges = 2)
+    merges.foreach { case (a, b) =>
+      Seq(a, b).foreach { s =>
+        // no token fragment starts or ends mid-code-point
+        assert(!Character.isLowSurrogate(s.charAt(0)), s"leading low surrogate in $s")
+        assert(!Character.isHighSurrogate(s.charAt(s.length - 1)), s"trailing high surrogate in $s")
+      }
+    }
+  }
+
   test("corpus-trained encode is deterministic and partitioning-invariant") {
     val docs = Tables.documents(spark, sf001).limit(300)
     val merges = Bpe.trainMerges(Bpe.wordFreq(docs), nMerges = 30, vocabCap = 2000)

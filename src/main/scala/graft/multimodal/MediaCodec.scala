@@ -382,6 +382,243 @@ object MediaCodec {
     }
   }
 
+  // ---- MP4 sample tables (stbl) + MJPEG frame decode --------------------
+
+  /** The video track's sample layout, resolved from the `stbl` tables:
+    * `codec` is the stsd sample-entry fourcc ("jpeg" for JPEG-in-MP4 /
+    * MJPEG), `sizes(i)`/`offsets(i)` locate sample i's bytes in the file.
+    * Offsets come from expanding the stsc chunk runs over the stco chunk
+    * offsets and accumulating stsz sizes within each chunk — the full
+    * ISO 14496-12 resolution, not a writer-specific shortcut.
+    */
+  final case class Mp4SampleTable(codec: String, width: Int, height: Int,
+                                  sizes: Array[Int], offsets: Array[Long])
+
+  /** Parse the FIRST video (`hdlr` = 'vide') track's sample table. Returns
+    * None when any required table (stsd/stsz/stsc/stco) is missing or
+    * malformed, or any resolved sample falls outside the buffer. u32
+    * `stco` only (no `co64`): a Spark binary cell is capped at 2 GB, so
+    * 32-bit offsets cover every payload this engine can hold anyway.
+    */
+  def mp4VideoSamples(bytes: Array[Byte]): Option[Mp4SampleTable] = {
+    if (sniff(bytes) != "mp4") return None
+    val bb = ByteBuffer.wrap(bytes)
+    def u32(i: Int): Long = bb.getInt(i).toLong & 0xffffffffL
+    val stbls = for {
+      (mp, me, _) <- boxes(bytes, 0, bytes.length).filter(_._3 == "moov")
+      (tp, te, _) <- boxes(bytes, mp, me).filter(_._3 == "trak")
+      (mdp, mde, _) <- boxes(bytes, tp, te).filter(_._3 == "mdia")
+      // this trak must be the video handler
+      isVide = boxes(bytes, mdp, mde).exists { case (hp, he, t) =>
+        t == "hdlr" && hp + 12 <= he &&
+          new String(bytes, hp + 8, 4, US_ASCII) == "vide"
+      }
+      if isVide
+      (mip, mie, _) <- boxes(bytes, mdp, mde).filter(_._3 == "minf")
+      (sp, se, _) <- boxes(bytes, mip, mie).filter(_._3 == "stbl")
+    } yield (sp, se)
+    stbls.nextOption().flatMap { case (sp, se) =>
+      var codec: String = null
+      var (width, height) = (0, 0)
+      var sizes: Array[Int] = null
+      var chunkOffsets: Array[Long] = null
+      var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+      boxes(bytes, sp, se).foreach {
+        case (p, e, "stsd") if p + 8 <= e =>
+          // version/flags, entry_count, then the first sample entry:
+          // [size][fourcc] ... width@+32 height@+34 (VisualSampleEntry)
+          if (u32(p + 4) >= 1 && p + 16 <= e) {
+            codec = new String(bytes, p + 12, 4, US_ASCII)
+            if (p + 8 + 36 <= e) {
+              width = bb.getShort(p + 8 + 32).toInt & 0xffff
+              height = bb.getShort(p + 8 + 34).toInt & 0xffff
+            }
+          }
+        case (p, e, "stsz") if p + 12 <= e =>
+          val fixed = u32(p + 4)
+          val n = u32(p + 8)
+          // sample count can't exceed the buffer (samples are >= 1 byte):
+          // bounds a malformed count before it allocates
+          if (n <= bytes.length) {
+            if (fixed != 0) sizes = Array.fill(n.toInt)(fixed.toInt)
+            else if (p + 12 + 4L * n <= e)
+              sizes = Array.tabulate(n.toInt)(i => u32(p + 12 + 4 * i).toInt)
+          }
+        case (p, e, "stsc") if p + 8 <= e =>
+          val n = u32(p + 4)
+          if (p + 8 + 12L * n <= e)
+            stscRuns = Array.tabulate(n.toInt)(i =>
+              (u32(p + 8 + 12 * i), u32(p + 12 + 12 * i)))
+        case (p, e, "stco") if p + 8 <= e =>
+          val n = u32(p + 4)
+          if (p + 8 + 4L * n <= e)
+            chunkOffsets = Array.tabulate(n.toInt)(i => u32(p + 8 + 4 * i))
+        case _ => ()
+      }
+      if (codec == null || sizes == null || chunkOffsets == null ||
+          stscRuns == null || stscRuns.isEmpty) return None
+      // expand stsc runs over the chunks, accumulating sizes within each
+      val offsets = new Array[Long](sizes.length)
+      var sample = 0
+      var chunk = 0
+      while (sample < sizes.length && chunk < chunkOffsets.length) {
+        // samples-per-chunk = the last run whose first_chunk <= chunk+1
+        var spc = 0L
+        var i = 0
+        while (i < stscRuns.length && stscRuns(i)._1 <= chunk + 1) {
+          spc = stscRuns(i)._2; i += 1
+        }
+        if (spc <= 0) return None
+        var off = chunkOffsets(chunk)
+        var s = 0L
+        while (s < spc && sample < sizes.length) {
+          offsets(sample) = off
+          off += sizes(sample)
+          sample += 1; s += 1
+        }
+        chunk += 1
+      }
+      val complete = sample == sizes.length &&
+        sizes.indices.forall(i =>
+          offsets(i) >= 0 && sizes(i) >= 0 &&
+          offsets(i) + sizes(i) <= bytes.length)
+      if (complete) Some(Mp4SampleTable(codec, width, height, sizes, offsets))
+      else None
+    }
+  }
+
+  /** Per-frame perceptual hashes of an MJPEG (JPEG-in-MP4) video: resolve
+    * the sample table, slice each sample's JPEG bytes out of `mdat`, and
+    * [[averageHash64]] each frame. Frames that fail to decode are skipped
+    * (same demote-don't-fail policy as image decode); a non-"jpeg" codec
+    * returns None — the honest boundary is now PER-CODEC, not per-container
+    * (the JDK decodes JPEG but not H.264).
+    */
+  def mjpegFramePhashes(bytes: Array[Byte]): Option[Array[Long]] =
+    mp4VideoSamples(bytes).filter(_.codec == "jpeg").map { t =>
+      t.sizes.indices.iterator.flatMap { i =>
+        val frame = java.util.Arrays.copyOfRange(
+          bytes, t.offsets(i).toInt, t.offsets(i).toInt + t.sizes(i))
+        averageHash64(frame)
+      }.toArray
+    }
+
+  /** Minimal MJPEG-in-MP4 writer: ftyp + mdat(frames verbatim) + moov with
+    * a video trak carrying REAL sample tables (stsd "jpeg" visual entry,
+    * stts, one-chunk stsc, per-sample stsz, stco pointing into mdat).
+    * mdat precedes moov so chunk offsets are known when the tables are
+    * written (the classic non-faststart layout). Each frame must be a
+    * complete JPEG; `frameDelta` is the per-frame duration in `timescale`
+    * units.
+    */
+  def encodeMjpegMp4(timescale: Int, frameDelta: Int,
+                     frames: Seq[Array[Byte]],
+                     width: Int, height: Int): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val ftypLen = 20
+    val firstSample = ftypLen + 8 // after mdat header
+    val ftyp = {
+      val bb = ByteBuffer.allocate(ftypLen)
+      bb.putInt(ftypLen).put("ftyp".getBytes(US_ASCII)).put("isom".getBytes(US_ASCII))
+        .putInt(0).put("isom".getBytes(US_ASCII))
+      bb.array()
+    }
+    val mdat = {
+      val total = 8 + frames.map(_.length).sum
+      val bb = ByteBuffer.allocate(total)
+      bb.putInt(total).put("mdat".getBytes(US_ASCII))
+      frames.foreach(bb.put)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = ByteBuffer.allocate(96)
+      bb.putInt(0).putInt(0).putInt(timescale)
+        .putInt(frames.length * frameDelta)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putLong(0)
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      (0 until 6).foreach(_ => bb.putInt(0))
+      bb.putInt(2)
+      fullBox("mvhd", 0, bb.array())
+    }
+    val hdlr = {
+      val bb = ByteBuffer.allocate(21)
+      bb.putInt(0).put("vide".getBytes(US_ASCII)).putInt(0).putInt(0).putInt(0)
+        .put(0.toByte)
+      fullBox("hdlr", 0, bb.array())
+    }
+    val stsd = {
+      // one VisualSampleEntry "jpeg": 8-byte header + 78-byte body
+      val entry = ByteBuffer.allocate(86)
+      entry.putInt(86).put("jpeg".getBytes(US_ASCII))
+        .put(new Array[Byte](6)).putShort(1)          // reserved, dref idx
+        .putShort(0).putShort(0).put(new Array[Byte](12)) // pre_defined/reserved
+        .putShort(width.toShort).putShort(height.toShort)
+        .putInt(0x00480000).putInt(0x00480000)        // 72 dpi
+        .putInt(0).putShort(1)                        // reserved, frame_count
+        .put(new Array[Byte](32))                     // compressorname
+        .putShort(24).putShort(0xffff.toShort)        // depth, pre_defined=-1
+      val bb = ByteBuffer.allocate(4 + 86)
+      bb.putInt(1).put(entry.array())
+      fullBox("stsd", 0, bb.array())
+    }
+    val stts = {
+      val bb = ByteBuffer.allocate(12)
+      bb.putInt(1).putInt(frames.length).putInt(frameDelta)
+      fullBox("stts", 0, bb.array())
+    }
+    val stsc = {
+      val bb = ByteBuffer.allocate(16)
+      bb.putInt(1).putInt(1).putInt(frames.length).putInt(1)
+      fullBox("stsc", 0, bb.array())
+    }
+    val stsz = {
+      val bb = ByteBuffer.allocate(8 + 4 * frames.length)
+      bb.putInt(0).putInt(frames.length)
+      frames.foreach(f => bb.putInt(f.length))
+      fullBox("stsz", 0, bb.array())
+    }
+    val stco = {
+      val bb = ByteBuffer.allocate(8)
+      bb.putInt(1).putInt(firstSample)
+      fullBox("stco", 0, bb.array())
+    }
+    val moov = box("moov", mvhd,
+      box("trak", box("mdia", hdlr,
+        box("minf", box("stbl", stsd, stts, stsc, stsz, stco)))))
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(mdat); out.write(moov)
+    out.toByteArray
+  }
+
+  /** Deterministic two-tone JPEG tile — [[encodePngSplit]]'s pattern
+    * through the JDK JPEG encoder, for MJPEG fixtures. High-contrast
+    * cell-aligned tones keep [[averageHash64]] stable under JPEG loss.
+    */
+  def encodeJpegSplit(w: Int, h: Int, frac8: Int, vertical: Boolean,
+                      rgbA: Int, rgbB: Int): Array[Byte] = {
+    require(frac8 >= 0 && frac8 <= 8, s"frac8 must be in [0,8], got $frac8")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cell = if (vertical) cy else x * 8 / w
+        row(x) = if (cell < frac8) rgbA else rgbB
+        x += 1
+      }
+      img.setRGB(0, y, w, 1, row, 0, w)
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   private def fullBox(tpe: String, version: Int, payload: Array[Byte]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + 4 + payload.length)
     bb.putInt(8 + 4 + payload.length).put(tpe.getBytes(US_ASCII))

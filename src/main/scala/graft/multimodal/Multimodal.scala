@@ -189,6 +189,71 @@ object Multimodal {
     }
   }
 
+  final case class VideoFramePhash(id: Long, n_frames: Int,
+                                   frame_hashes: Array[Long], video_phash: Long)
+
+  /** REAL video frame pixels: decode every MJPEG (JPEG-in-MP4) sample via
+    * the parsed stsd/stsz/stsc/stco tables ([[MediaCodec.mjpegFramePhashes]])
+    * and perceptual-hash each frame. `video_phash` is the per-bit MAJORITY
+    * vote across frame hashes (ties -> 0): resized/re-encoded copies of the
+    * same footage collapse to one signature, and near-miss videos sit at a
+    * small Hamming distance — so video near-dup becomes the same 8-bytes-
+    * per-row relational problem as mm5, sharing
+    * [[graft.dedup.SimHashDedup.nearPairsOnSig]]. Rows that aren't MJPEG
+    * MP4s (or decode to zero frames) are dropped; the codec boundary is
+    * now per-codec (JDK decodes JPEG, not H.264), not per-container.
+    */
+  def videoFramePhashes(media: DataFrame, idCol: String = "id",
+                        binCol: String = "content"): Dataset[VideoFramePhash] = {
+    import media.sparkSession.implicits._
+    val idIdx = media.schema.fieldIndex(idCol)
+    val binIdx = media.schema.fieldIndex(binCol)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) Array.empty[Byte]
+                    else r.getAs[Array[Byte]](binIdx)
+        MediaCodec.mjpegFramePhashes(bytes).filter(_.nonEmpty).map { hs =>
+          var vote = 0L
+          var bit = 0
+          while (bit < 64) {
+            var ones = 0
+            hs.foreach(h => if ((h >>> bit & 1L) == 1L) ones += 1)
+            if (2 * ones > hs.length) vote |= 1L << bit
+            bit += 1
+          }
+          VideoFramePhash(r.getLong(idIdx), hs.length, hs, vote)
+        }.iterator
+      }
+    }
+  }
+
+  final case class MjpegVariant(id: Long, pattern: Int, content: Array[Byte])
+
+  /** Deterministic video-dedup corpus: each doc renders a 3-frame MJPEG
+    * whose frames are two-tone JPEG tiles ([[MediaCodec.encodeJpegSplit]])
+    * of an id-derived pattern sequence, at an id-dependent RESOLUTION —
+    * different bytes, same perceptual content per pattern, the video
+    * analogue of [[synthesizeImageVariants]].
+    */
+  def synthesizeMjpegVariants(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val p = (id % 7).toInt
+        val w = 8 * ((id % 4) + 1).toInt
+        val h = 8 * ((id % 3) + 1).toInt
+        val frames = (0 until 3).map { f =>
+          MediaCodec.encodeJpegSplit(w, h, ((p + f) % 7) + 1,
+            vertical = f % 2 == 0, rgbA = 0x101010, rgbB = 0xF0F0F0)
+        }
+        MjpegVariant(id, p,
+          MediaCodec.encodeMjpegMp4(timescale = 1000, frameDelta = 40,
+            frames = frames, width = w, height = h))
+      }
+    }.toDF()
+  }
+
   final case class ImageVariant(id: Long, pattern: Int, content: Array[Byte])
 
   /** Deterministic image-dedup corpus: 14 two-tone patterns (7 horizontal

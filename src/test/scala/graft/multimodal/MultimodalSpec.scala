@@ -219,4 +219,118 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.forall(_.segment_rms.length == 3))
     assert(out.forall(_.segment_rms.forall(v => v >= 0f && v <= 1f)))
   }
+
+  // ---- MJPEG sample tables + frame decode --------------------------------
+
+  private def be32(v: Int) =
+    Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+  private def fourcc(s: String) = s.getBytes("US-ASCII")
+
+  /** Hand-assembled MJPEG MP4 (NOT encodeMjpegMp4 — the writer must not
+    * grade its own homework): TWO chunks (2 samples + 1 sample) so the
+    * stsc run expansion is exercised, not just the one-chunk shortcut.
+    * Returns (fixture, frames, expected offsets).
+    */
+  private def handMjpeg(): (Array[Byte], Seq[Array[Byte]], Seq[Long]) = {
+    val frames = Seq(
+      MediaCodec.encodeJpegSplit(16, 16, 2, vertical = true, 0x101010, 0xF0F0F0),
+      MediaCodec.encodeJpegSplit(16, 16, 5, vertical = false, 0x101010, 0xF0F0F0),
+      MediaCodec.encodeJpegSplit(16, 16, 7, vertical = true, 0x101010, 0xF0F0F0))
+    val ftyp = be32(16) ++ fourcc("ftyp") ++ fourcc("isom") ++ be32(0)
+    // mdat: chunk 1 = frames 0,1 back to back; 3 pad bytes; chunk 2 = frame 2
+    val pad = Array[Byte](9, 9, 9)
+    val mdatPayload = frames(0) ++ frames(1) ++ pad ++ frames(2)
+    val mdat = be32(8 + mdatPayload.length) ++ fourcc("mdat") ++ mdatPayload
+    val chunk1 = ftyp.length + 8L
+    val chunk2 = chunk1 + frames(0).length + frames(1).length + pad.length
+    // stbl tables
+    val entry = be32(86) ++ fourcc("jpeg") ++ Array.fill[Byte](6)(0) ++ be16(1) ++
+      Array.fill[Byte](16)(0) ++ be16(16) ++ be16(16) ++
+      be32(0x00480000) ++ be32(0x00480000) ++ be32(0) ++ be16(1) ++
+      Array.fill[Byte](32)(0) ++ be16(24) ++ be16(0xffff)
+    val stsd = be32(8 + 8 + entry.length) ++ fourcc("stsd") ++ be32(0) ++ be32(1) ++ entry
+    val stts2 = be32(8 + 16) ++ fourcc("stts") ++ be32(0) ++ be32(1) ++ be32(3) ++ be32(40)
+    val stsc = be32(8 + 4 + 4 + 24) ++ fourcc("stsc") ++ be32(0) ++ be32(2) ++
+      be32(1) ++ be32(2) ++ be32(1) ++ // first_chunk=1: 2 samples/chunk
+      be32(2) ++ be32(1) ++ be32(1)    // first_chunk=2: 1 sample/chunk
+    val stsz = be32(8 + 4 + 8 + 12) ++ fourcc("stsz") ++ be32(0) ++ be32(0) ++ be32(3) ++
+      be32(frames(0).length) ++ be32(frames(1).length) ++ be32(frames(2).length)
+    val stco = be32(8 + 4 + 4 + 8) ++ fourcc("stco") ++ be32(0) ++ be32(2) ++
+      be32(chunk1.toInt) ++ be32(chunk2.toInt)
+    val stbl = be32(8 + stsd.length + stts2.length + stsc.length + stsz.length + stco.length) ++
+      fourcc("stbl") ++ stsd ++ stts2 ++ stsc ++ stsz ++ stco
+    val minf = be32(8 + stbl.length) ++ fourcc("minf") ++ stbl
+    val hdlrBody = be32(0) ++ be32(0) ++ fourcc("vide") ++ Array.fill[Byte](13)(0)
+    val hdlr = be32(8 + hdlrBody.length) ++ fourcc("hdlr") ++ hdlrBody
+    val mdia = be32(8 + hdlr.length + minf.length) ++ fourcc("mdia") ++ hdlr ++ minf
+    val trak = be32(8 + mdia.length) ++ fourcc("trak") ++ mdia
+    val mvhdBody = be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(120) ++
+      Array.fill[Byte](80)(0)
+    val mvhd = be32(8 + mvhdBody.length) ++ fourcc("mvhd") ++ mvhdBody
+    val moov = be32(8 + mvhd.length + trak.length) ++ fourcc("moov") ++ mvhd ++ trak
+    (ftyp ++ mdat ++ moov, frames,
+      Seq(chunk1, chunk1 + frames(0).length, chunk2))
+  }
+
+  test("mp4VideoSamples golden: hand-built two-chunk MJPEG fixture resolves exactly") {
+    val (fixture, frames, wantOffsets) = handMjpeg()
+    val t = MediaCodec.mp4VideoSamples(fixture).get
+    assert(t.codec == "jpeg" && t.width == 16 && t.height == 16)
+    assert(t.sizes.toSeq == frames.map(_.length))
+    assert(t.offsets.toSeq == wantOffsets) // chunk-2 offset skips the pad bytes
+    // frame hashes equal hashing the same JPEG bytes directly
+    val hs = MediaCodec.mjpegFramePhashes(fixture).get
+    assert(hs.toSeq == frames.map(f => MediaCodec.averageHash64(f).get))
+    // distinct patterns -> distinct frame hashes
+    assert(hs.distinct.length == 3)
+  }
+
+  test("mp4VideoSamples rejects malformed tables; non-jpeg codecs stay out of mjpeg decode") {
+    val (fixture, _, _) = handMjpeg()
+    // truncating mid-moov kills a required table -> None, never a throw
+    assert(MediaCodec.mp4VideoSamples(fixture.dropRight(20)).isEmpty)
+    // an audio-only container has no video trak
+    val audioOnly = MediaCodec.encodeMp4(1000, 500, Seq("soun"))
+    assert(MediaCodec.mp4VideoSamples(audioOnly).isEmpty)
+    // a non-jpeg fourcc parses as a table but refuses frame decode
+    val avc1 = fixture.clone()
+    val idx = avc1.indexOfSlice(fourcc("jpeg"))
+    assert(idx > 0)
+    System.arraycopy(fourcc("avc1"), 0, avc1, idx, 4)
+    assert(MediaCodec.mp4VideoSamples(avc1).exists(_.codec == "avc1"))
+    assert(MediaCodec.mjpegFramePhashes(avc1).isEmpty)
+  }
+
+  test("encodeMjpegMp4 round-trips: table matches frames, mvhd still parses") {
+    val frames = (1 to 4).map(i =>
+      MediaCodec.encodeJpegSplit(24, 16, i, vertical = i % 2 == 0, 0x101010, 0xF0F0F0))
+    val bytes = MediaCodec.encodeMjpegMp4(timescale = 1000, frameDelta = 40,
+      frames = frames, width = 24, height = 16)
+    val t = MediaCodec.mp4VideoSamples(bytes).get
+    assert(t.codec == "jpeg" && t.width == 24 && t.height == 16)
+    assert(t.sizes.toSeq == frames.map(_.length))
+    val hs = MediaCodec.mjpegFramePhashes(bytes).get
+    assert(hs.toSeq == frames.map(f => MediaCodec.averageHash64(f).get))
+    val m = MediaCodec.mp4Meta(bytes).get
+    assert(m.timescale == 1000L && m.duration == 160L && m.hasVideo && !m.hasAudio)
+  }
+
+  test("videoFramePhashes: resized re-encodes of the same footage share one video_phash") {
+    import spark.implicits._
+    val docs = (0L until 56L).toDF("doc_id")
+    val vids = Multimodal.synthesizeMjpegVariants(docs)
+    val out = Multimodal.videoFramePhashes(vids).collect()
+    assert(out.length == 56 && out.forall(_.n_frames == 3))
+    // same pattern (id % 7) at different resolutions -> identical signature
+    val byPattern = out.groupBy(_.id % 7)
+    byPattern.foreach { case (p, vs) =>
+      assert(vs.map(_.video_phash).distinct.length == 1,
+        s"pattern $p split across signatures")
+      assert(vs.map(_.frame_hashes.toSeq).distinct.length == 1,
+        s"pattern $p frame hashes differ across resolutions")
+    }
+    // different patterns -> different signatures
+    assert(byPattern.values.map(_.head.video_phash).toSeq.distinct.length == 7)
+  }
 }

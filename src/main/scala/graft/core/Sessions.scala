@@ -45,6 +45,20 @@ object Sessions {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
+      // streaming state store: default is the HDFS-backed in-memory
+      // provider (fine at test volumes — state is bounded by watermarks).
+      // At 100x event volume the stream-stream joins (st5) and session
+      // windows hold state that outgrows executor heap; RocksDB keeps it
+      // on local disk with incremental snapshots. SPARK_GRAFT_STATE_STORE=
+      // rocksdb flips every entry point; results are provider-independent
+      // (pinned by StreamsSpec parity).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.get("SPARK_GRAFT_STATE_STORE") match {
+          case Some("rocksdb") =>
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+          case _ =>
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        })
 
   /** Local session with N executor threads (test/bench harness). Custom
     * expressions (simhash64, minhash_sig, rhp_sig) are SQL-callable via

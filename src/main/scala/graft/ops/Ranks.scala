@@ -225,4 +225,54 @@ object Ranks {
       }
     ranked.withColumn(out, bucket.cast("int")).drop("__grank")
   }
+
+  /** Per-group value histogram — the quantile SKETCH, realized relationally
+    * (the [[graft.ops.Hll]] treatment applied to quantiles): one
+    * map-side-combined groupBy yields (group..., bucket, cnt) rows, at most
+    * domain/bucketWidth per group however many rows the group holds. The
+    * rows are storable and MERGEABLE (cnt sums across days/partitions),
+    * which an opaque percentile_approx buffer is not. All-integer
+    * bucketing: bucket = floor(value / bucketWidth) via an exact
+    * subtract-mod form, so two engines bucket identically.
+    */
+  def groupQuantileHistogram(df: DataFrame, groupBy: Seq[String],
+                             value: Column, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val v = value.cast("long")
+    val bucket = ((v - pmod(v, lit(bucketWidth))) / lit(bucketWidth))
+      .cast("long")
+    df.groupBy((groupBy.map(col) :+ bucket.as("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Approximate per-group quantiles over a [[groupQuantileHistogram]]:
+    * for each p, the bucket holding rank ceil(p * n_g) (quantile_disc
+    * semantics, mirroring [[groupOrderStatistics]]), emitted as its
+    * [lo, hi] value bounds — so the estimate error is bounded by
+    * `bucketWidth` BY CONSTRUCTION, and the exact per-group quantile
+    * provably lies inside the emitted bounds (pinned vs
+    * groupOrderStatistics in RanksSpec). The cumulative walk is a window
+    * partitioned by group — fully distributed, like a19; unlike a19 it
+    * runs over the bounded sketch rows, not the data, so a giant group
+    * costs domain/width rows instead of n_g.
+    */
+  def groupApproxQuantiles(hist: DataFrame, groupBy: Seq[String],
+                           ps: Seq[Double], bucketWidth: Long,
+                           pCol: String = "p"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must be in (0, 1], got $ps")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val grp = groupBy.map(col)
+    val c = hist
+      .withColumn("__cum",
+        sum("cnt").over(Window.partitionBy(grp: _*).orderBy("bucket")))
+      .withColumn("__n", sum("cnt").over(Window.partitionBy(grp: _*)))
+    val target = ceil(col(pCol) * col("__n"))
+    c.join(broadcast(ps.toDF(pCol)),
+        col("__cum") >= target && col("__cum") - col("cnt") < target)
+      .select(grp ++ Seq(col(pCol),
+        (col("bucket") * bucketWidth).cast("long").as("lo"),
+        (col("bucket") * bucketWidth + bucketWidth - 1).cast("long").as("hi")): _*)
+  }
 }

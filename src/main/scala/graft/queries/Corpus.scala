@@ -851,6 +851,42 @@ object Corpus {
           .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"))
           .orderBy("l_returnflag")),
 
+    // ---- per-group approximate quantiles over a STORED histogram sketch
+    //      (Ranks.groupQuantileHistogram + groupApproxQuantiles): the
+    //      per-language length-quantile shape a corpus-mixing pipeline
+    //      runs. The sketch is (lang, bucket, cnt) rows — mergeable by
+    //      summing cnt, bounded by domain/width per group — and the
+    //      estimator emits the [lo, hi] bounds of the bucket holding rank
+    //      ceil(p*n_g), so error <= bucketWidth by construction (the
+    //      exact-quantile-inside-bounds guarantee is pinned vs a19's
+    //      machinery in RanksSpec). All-integer bucketing makes the whole
+    //      path oracle-exact, a stronger gate than sketch rows-only.
+    "a22_group_quantile_hist" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hist = graft.ops.Ranks.groupQuantileHistogram(
+          docs, Seq("lang"), col("n_chars"), bucketWidth = 64L)
+        graft.ops.Ranks.groupApproxQuantiles(
+            hist, Seq("lang"), Seq(0.25, 0.5, 0.75), bucketWidth = 64L)
+          .orderBy("lang", "p")
+      },
+      """WITH h AS (
+        |  SELECT lang, n_chars // 64 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, bucket, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+        |              AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT lang, CAST(p AS DOUBLE) AS p,
+        |       CAST(bucket * 64 AS BIGINT) AS lo,
+        |       CAST(bucket * 64 + 63 AS BIGINT) AS hi
+        |FROM c JOIN (VALUES (0.25), (0.5), (0.75)) AS ps(p)
+        |  ON cum >= ceil(CAST(p AS DOUBLE) * n)
+        | AND cum - cnt < ceil(CAST(p AS DOUBLE) * n)
+        |ORDER BY lang, p""".stripMargin),
+
     // ---- Z-order clustering key (ops.Zorder): the bit-interleave kernel
     //      the layout op range-partitions by. Pure integer bit math, so
     //      the oracle can restate it exactly; the layout/skipping effect

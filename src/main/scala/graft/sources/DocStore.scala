@@ -54,6 +54,16 @@ object DocStore {
     * carries data-skipping stats, the appended files are statted too (one
     * scan of ONLY the new files) so the skip rate never degrades across
     * appends; the stored schema is widened if the batch brings new columns.
+    *
+    * SINGLE WRITER: like every DocStore mutation (the manifest swing is
+    * last-writer-wins), appends assume one writer per collection at a
+    * time. The incremental statting diffs directory listings taken around
+    * the write, so a CONCURRENT append could be captured in this writer's
+    * after-listing and statted twice. Sequentially interleaved appends
+    * from any number of writers are fine (pinned in DocStoreSpec); for
+    * parallel ingest, partition the stream BEFORE the store (one
+    * collection per writer) or funnel through [[graft.streaming.Streams
+    * .ingestToDocStore]]'s per-batch serialization.
     */
   def insertMany(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession

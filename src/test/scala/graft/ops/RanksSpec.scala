@@ -104,6 +104,37 @@ class RanksSpec extends SparkTestBase {
     assert(counts.sum == 121)
   }
 
+  test("group approx quantiles: exact group quantile always lies inside the emitted bounds") {
+    // skewed per-group distributions with different sizes
+    val df = (0 until 700).map { i =>
+      val g = s"g${i % 3}"
+      val v = ((i * i * 31) % 1000) + (if (g == "g1") 2000L else 0L)
+      (g, v, i.toLong)
+    }.toDF("g", "v", "id")
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val w = 50L
+    val hist = Ranks.groupQuantileHistogram(df, Seq("g"), col("v"), w)
+    val approx = Ranks.groupApproxQuantiles(hist, Seq("g"), ps, w)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val exact = Ranks.groupOrderStatistics(df, Seq("g"), Seq(col("v"), col("id")), ps)
+      .collect().map(r => (r.getString(0), r.getDouble(r.fieldIndex("p"))) ->
+        r.getLong(r.fieldIndex("v"))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, v) =>
+      val (lo, hi) = approx(k)
+      assert(lo <= v && v <= hi, s"$k: exact $v outside [$lo, $hi]")
+      assert(hi - lo + 1 == w) // error bounded by the bucket width
+    }
+    // the sketch is mergeable: histograms of two halves sum to the whole
+    val (h1, h2) = (df.filter(col("id") % 2 === 0), df.filter(col("id") % 2 === 1))
+    val merged = Ranks.groupQuantileHistogram(h1, Seq("g"), col("v"), w)
+      .unionByName(Ranks.groupQuantileHistogram(h2, Seq("g"), col("v"), w))
+      .groupBy("g", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = hist.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap == whole)
+  }
+
   test("a null order key fails fast with a message naming the position") {
     val df = Seq((Some(1L), 1L), (None: Option[Long], 2L), (Some(3L), 3L))
       .toDF("v", "id")

@@ -226,6 +226,44 @@ class DocStoreSpec extends SparkTestBase {
     assert(qComp.select("id").as[Long].collect().sorted.toSeq == (100L until 150L))
   }
 
+  test("interleaved appends between reads keep pruning exact, through compact") {
+    val path = freshPath()
+    DocStore.insertMany((0L until 400L).map(i => (i, s"base-$i"))
+      .toDF("id", "text"), path)
+    DocStore.cluster(spark, path, col("id"), targetFiles = 4,
+      statsCols = Seq("id"))
+    def idsWhere(c: org.apache.spark.sql.Column): Seq[Long] =
+      DocStore.find(spark, path, Some(c)).select("id").as[Long]
+        .collect().sorted.toSeq
+    // append A (out of the clustered range), read, append B, read: each
+    // append is statted incrementally and each read sees exactly the docs
+    // present at that point — the sequential-interleave contract the
+    // single-writer note promises
+    DocStore.insertMany((1000L until 1040L).map(i => (i, s"a-$i"))
+      .toDF("id", "text"), path)
+    assert(idsWhere(col("id") >= 1000L) == (1000L until 1040L))
+    assert(idsWhere(col("id") >= 100L && col("id") < 120L) == (100L until 120L))
+    DocStore.insertMany((2000L until 2030L).map(i => (i, s"b-$i"))
+      .toDF("id", "text"), path)
+    assert(idsWhere(col("id") >= 1000L) ==
+      ((1000L until 1040L) ++ (2000L until 2030L)))
+    // both appended batches are pruned away for an in-base-range filter
+    val base = DocStore.find(spark, path,
+      Some(col("id") >= 100L && col("id") < 120L))
+    val all = DocStore.find(spark, path).inputFiles.length
+    assert(base.inputFiles.length < all,
+      s"appends degraded pruning: ${base.inputFiles.length} of $all files")
+    // compact folds the appends in; pruning and results stay exact
+    DocStore.compact(spark, path, targetFiles = 3)
+    assert(idsWhere(col("id") >= 1000L) ==
+      ((1000L until 1040L) ++ (2000L until 2030L)))
+    val afterAll = DocStore.find(spark, path).inputFiles.length
+    val afterQ = DocStore.find(spark, path,
+      Some(col("id") >= 100L && col("id") < 120L))
+    assert(afterQ.inputFiles.length < afterAll)
+    assert(afterQ.select("id").as[Long].collect().sorted.toSeq == (100L until 120L))
+  }
+
   test("pruned reads keep the FULL collection schema, not the surviving files' subset") {
     val path = freshPath()
     // heterogeneous docs: low ids carry only c, high ids only b — after

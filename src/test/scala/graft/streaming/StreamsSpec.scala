@@ -126,6 +126,52 @@ class StreamsSpec extends SparkTestBase {
       s"exactly the in-window same-user pair, whatever the batch cuts: $out")
   }
 
+  test("state-store parity: RocksDB provider yields identical results to HDFS-backed") {
+    implicit val sqlCtx = spark.sqlContext
+    // the two stateful shapes that carry real state: a stream-stream
+    // interval join (two-sided join state) and a windowed aggregation
+    var n = 0
+    def run(tag: String): (Set[(Long, Double, Double)], Set[(String, Long)]) = {
+      n += 1
+      val left = MemoryStream[Event]
+      val right = MemoryStream[Event]
+      val joined = Streams.intervalJoin(
+        left.toDF(),
+        right.toDF().select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+          col("value").as("r_value")),
+        "user_id", "r_user", "ts", "r_ts", windowSpec = "1 minute")
+        .select(col("user_id"), col("value"), col("r_value"))
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(s"ssp_j_$tag$n").start()
+      val src = MemoryStream[Event]
+      val counts = Streams.windowedCounts(src.toDF(), "10 seconds", "1 minute")
+        .select(col("event_type"), col("cnt"))
+      val q2 = counts.writeStream.outputMode("update").format("memory")
+        .queryName(s"ssp_c_$tag$n").start()
+      left.addData(Event(1, ts(100), "click", 10.0))
+      src.addData(Event(1, ts(5), "click", 1.0), Event(1, ts(7), "click", 1.0))
+      q.processAllAvailable(); q2.processAllAvailable()
+      right.addData(Event(1, ts(70), "error", 1.0), Event(1, ts(30), "error", 2.0))
+      src.addData(Event(2, ts(8), "click", 1.0))
+      q.processAllAvailable(); q2.processAllAvailable()
+      val j = spark.table(s"ssp_j_$tag$n").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      val c = spark.table(s"ssp_c_$tag$n").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      q.stop(); q2.stop()
+      (j, c)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val hdfs = run("h")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = run("r")
+      assert(rocks == hdfs, s"provider changed results: $rocks vs $hdfs")
+      assert(rocks._1 == Set((1L, 10.0, 1.0)))
+    } finally spark.conf.unset(key)
+  }
+
   test("ingestToDocStore: replayed micro-batches are idempotent (dedup-before-insert)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("st6").toString + "/coll"

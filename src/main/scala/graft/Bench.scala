@@ -25,6 +25,11 @@ object Bench {
       graft.core.Tables.events(spark, sfDir).limit(1000).count()
     } catch { case _: Throwable => () }
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // collect the PREVIOUS query's garbage before starting the clock:
+      // allocation-heavy neighbors (mm6 decodes frames) otherwise tax
+      // whichever cheap queries run next in alphabetical order — measured
+      // +0.2-0.3 s on p4/p6/p8/pii1 purely from bench ordering
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>

@@ -184,6 +184,95 @@ object TextDocs {
         |      + idf3 * tf3 * (1.2 + 1) / (tf3 + 1.2 * ((1 - 0.75) + (0.75 * dl) / avgdl)) AS bm25
         |FROM tf, idf ORDER BY doc_id""".stripMargin),
 
+    // ---- BM25 top-k RETRIEVAL via an inverted index: the search-engine
+    //      shape (query terms -> postings -> score only matching docs ->
+    //      top-k), not t7's score-every-document shape. Scale-honest: the
+    //      tiny term set broadcasts, postings materialize ONLY for queried
+    //      terms (the filter rides the explode, so shuffle volume is
+    //      O(matching postings), not O(corpus tokens)), df/avgdl fold in as
+    //      one-row broadcasts, and the final top-k is a per-query-key window
+    //      over candidate docs. Float parity: idf is quantized to the 1e-7
+    //      grid (t7's trick — ln is the only transcendental), every other
+    //      input is exact integer math, and each term's contribution is
+    //      floored to integer 1e-6 units BEFORE the per-(query,doc) sum, so
+    //      the sum is aggregation-order-immune and the gate checks the
+    //      ranking hash-exactly. Reference has no retrieval operator at all
+    //      (ref: transform/aggregations.py scores columns in-frame).
+    "t16_bm25_topk" -> withOracle(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val qterms = Seq(
+          (1, "data"), (1, "query"), (2, "spark"), (2, "hash"),
+          (3, "the"), (3, "data"), (4, "query"), (4, "spark"), (4, "hash"))
+          .toDF("query_id", "term")
+        val t = split(lower(trim(col("text"))), "\\s+")
+        val tok = docs
+          .select(col("doc_id"), size(t).as("dl"), explode(t).as("token"))
+          .filter(col("token") =!= "")
+        val post = tok
+          .join(broadcast(qterms.select("term").distinct()),
+            tok("token") === col("term"))
+          .groupBy(col("token"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
+        val stats = docs.agg(count(lit(1)).as("n"), avg(size(t)).as("avgdl"))
+        val idf = post.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("token"),
+            (floor(greatest(lit(0.0),
+              log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+              * lit(10000000.0) + lit(0.5)) / lit(10000000.0)).as("idf"),
+            col("avgdl"))
+        val contrib = post.join(broadcast(idf), "token")
+          .select(col("token"), col("doc_id"),
+            floor(col("idf") * col("tf").cast("double") * lit(1.2 + 1)
+              / (col("tf").cast("double") +
+                 lit(1.2) * (lit(1 - 0.75) + (lit(0.75) * col("dl").cast("double")) / col("avgdl")))
+              * lit(1000000.0) + lit(0.5)).cast("long").as("units"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score_u").desc, col("doc_id"))
+        broadcast(qterms).join(contrib, qterms("term") === contrib("token"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum("units").as("score_u"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("query_id", "rk", "doc_id", "score_u")
+          .orderBy("query_id", "rk")
+      },
+      """WITH q(query_id, term) AS (VALUES (1,'data'),(1,'query'),(2,'spark'),(2,'hash'),
+        |                                  (3,'the'),(3,'data'),(4,'query'),(4,'spark'),(4,'hash')),
+        |tok AS (
+        |  SELECT doc_id, len(t) AS dl, unnest(t) AS token
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+        |post AS (
+        |  SELECT token, doc_id, dl, count(*) AS tf
+        |  FROM tok WHERE token <> '' AND token IN (SELECT DISTINCT term FROM q)
+        |  GROUP BY token, doc_id, dl),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         avg(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS avgdl
+        |  FROM documents),
+        |idf AS (
+        |  SELECT token,
+        |         floor(greatest(0.0, ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0))
+        |               * 10000000.0 + 0.5) / 10000000.0 AS idf,
+        |         avgdl
+        |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY token), stats),
+        |contrib AS (
+        |  SELECT p.token, p.doc_id,
+        |         CAST(floor(i.idf * CAST(p.tf AS DOUBLE) * (1.2 + 1)
+        |               / (CAST(p.tf AS DOUBLE) + 1.2 * ((1 - 0.75) + (0.75 * CAST(p.dl AS DOUBLE)) / i.avgdl))
+        |               * 1000000.0 + 0.5) AS BIGINT) AS units
+        |  FROM post p JOIN idf i USING (token)),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score_u,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rk
+        |  FROM (SELECT q.query_id, c.doc_id, CAST(sum(c.units) AS BIGINT) AS score_u
+        |        FROM q JOIN contrib c ON c.token = q.term
+        |        GROUP BY q.query_id, c.doc_id))
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, doc_id, score_u
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin),
+
     // ---- brute-force cosine top-k: the exact baseline for ANN. Queries are
     //      broadcast; the corpus streams — linear in corpus size, no
     //      all-pairs shuffle.

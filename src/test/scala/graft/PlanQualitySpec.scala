@@ -255,6 +255,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t16 BM25 retrieval: term/idf/query sides all broadcast, no SMJ, combine kept") {
+    // the inverted-index shape: the only hash exchanges are the postings
+    // groupBy and the per-(query,doc) score sum — corpus-sized data never
+    // joins corpus-sized data
+    val p = plan01("t16_bm25_topk")
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("dc1 decontam: no inferred generate-filter re-inlines the tokenizer at the scan") {
     // InferFiltersFromGenerate is excluded in Sessions: with it, explode of
     // a computed n-gram array grows a size(transform(...split...))>0 filter

@@ -29,6 +29,13 @@ object Sessions {
       // events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
       // natively; read as long and convert in Tables.events (exact div).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive parquet timestamps (no timezone, e.g. events.ts as
+      // TIMESTAMP(MICROS)) must surface as TimestampType, not NTZ:
+      // watermarks, range frames, and epoch casts all operate on
+      // TimestampType, and with the session pinned to UTC the instant is
+      // identical to DuckDB's naive read. Without this, Spark 4 infers
+      // TIMESTAMP_NTZ and every event-time operator fails to analyze.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // per-process location: managed-table dirs from a previous JVM must
       // not collide with this session's saveAsTable calls
       .config("spark.sql.warehouse.dir",

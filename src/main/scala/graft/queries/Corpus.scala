@@ -1203,6 +1203,168 @@ object Corpus {
         |SELECT token, count(*) AS df,
         |       array_to_string(list_sort(list(doc_id))[1:10], ',') AS sample_docs
         |FROM tok WHERE token <> ''
-        |GROUP BY token ORDER BY df DESC, token LIMIT 100""".stripMargin)
+        |GROUP BY token ORDER BY df DESC, token LIMIT 100""".stripMargin),
+
+    // ---- Gopher quality rules (Rae et al. 2021, Appendix A1.1): the
+    //      published rule battery as one scan-shaped pass. Every ratio
+    //      test is an integer cross-multiply (10·sym <= words instead of
+    //      sym/words <= 0.1), so no float boundary exists and the oracle
+    //      is exact. Rules: word count in [50, 100k]; mean word length in
+    //      [3, 10]; symbol-to-word ratio ('#' chars + '...' runs) <= 0.1;
+    //      <= 90% of lines bullet-led and <= 30% ellipsis-ended; >= 80% of
+    //      words contain a letter; >= 2 distinct Gopher stop words. Scale:
+    //      pure per-row expressions, no shuffle, no UDF.
+    "t17_gopher_rules" -> withOracle(
+      (s, d) => {
+        val t = split(trim(col("text")), "\\s+")
+        val n = size(t)
+        val sumLen = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
+        val nSym = (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))) +
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+        val lines = split(col("text"), "\n")
+        val nLines = size(lines)
+        val nBullet = size(filter(lines, l =>
+          l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+        val nEllip = size(filter(lines, l => l.endsWith("...")))
+        val nAlpha = size(filter(t, x => x.rlike("[a-zA-Z]")))
+        val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        val nStops = size(filter(
+          array(gopherStops.map(lit): _*), w => array_contains(t, w)))
+        def b(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+        Tables.documents(s, d)
+          .select(col("doc_id"), n.as("n_words"),
+            b(n >= 50 && n <= 100000).as("r_wordcount"),
+            b(sumLen >= n * 3 && sumLen <= n * 10).as("r_meanlen"),
+            b(nSym * 10 <= n).as("r_symbols"),
+            b(nBullet * 10 <= nLines * 9 && nEllip * 10 <= nLines * 3).as("r_bullets"),
+            b(nAlpha * 5 >= n * 4).as("r_alpha"),
+            b(nStops >= 2).as("r_stopwords"))
+          .withColumn("pass",
+            col("r_wordcount") * col("r_meanlen") * col("r_symbols") *
+              col("r_bullets") * col("r_alpha") * col("r_stopwords"))
+          .orderBy("doc_id")
+      },
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS t,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(t) AS INTEGER) AS n,
+        |         CAST(list_sum(list_transform(t, x -> length(x))) AS INTEGER) AS sumlen,
+        |         CAST(length(text) - length(replace(text, '#', ''))
+        |              + (length(text) - length(replace(text, '...', ''))) / 3
+        |           AS INTEGER) AS nsym,
+        |         CAST(len(lines) AS INTEGER) AS nlines,
+        |         CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
+        |              OR l LIKE chr(8226) || '%')) AS INTEGER) AS nbullet,
+        |         CAST(len(list_filter(lines, l -> l LIKE '%...')) AS INTEGER) AS nellip,
+        |         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS INTEGER) AS nalpha,
+        |         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |              w -> list_contains(t, w))) AS INTEGER) AS nstops
+        |  FROM base)
+        |SELECT doc_id, n AS n_words,
+        |       CAST(CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
+        |       CAST(CASE WHEN sumlen >= n * 3 AND sumlen <= n * 10 THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+        |       CAST(CASE WHEN nsym * 10 <= n THEN 1 ELSE 0 END AS BIGINT) AS r_symbols,
+        |       CAST(CASE WHEN nbullet * 10 <= nlines * 9 AND nellip * 10 <= nlines * 3
+        |            THEN 1 ELSE 0 END AS BIGINT) AS r_bullets,
+        |       CAST(CASE WHEN nalpha * 5 >= n * 4 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+        |       CAST(CASE WHEN nstops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords,
+        |       CAST(CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END
+        |          * CASE WHEN sumlen >= n * 3 AND sumlen <= n * 10 THEN 1 ELSE 0 END
+        |          * CASE WHEN nsym * 10 <= n THEN 1 ELSE 0 END
+        |          * CASE WHEN nbullet * 10 <= nlines * 9 AND nellip * 10 <= nlines * 3
+        |                 THEN 1 ELSE 0 END
+        |          * CASE WHEN nalpha * 5 >= n * 4 THEN 1 ELSE 0 END
+        |          * CASE WHEN nstops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    // ---- DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    //      hashed-ngram importance weights. Features = unigrams + bigrams,
+    //      hashed into 256 buckets by md5 prefix (portable across
+    //      engines); the target distribution comes from the src1 slice,
+    //      the raw distribution from the whole corpus; each bucket's
+    //      add-one-smoothed log ratio ln(p_t/p_r) is quantized to INTEGER
+    //      micro-nats (the t14 trick) so per-doc summation is exact
+    //      integer arithmetic in any order. A doc is kept when its total
+    //      log ratio is positive — more target-like than raw — which
+    //      avoids a global top-N window entirely. Scale: bucket stats are
+    //      two 256-row broadcast aggregates + one-row totals; the corpus
+    //      streams once through the bigram window and the bucket join.
+    "dsir1_importance" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("source"),
+          posexplode(toks(col("text"))).as(Seq("pos", "token")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val uni = tok.select(col("doc_id"), col("source"), col("token").as("feat"))
+        val bi = tok
+          .withColumn("nxt", lead("token", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"), col("source"),
+            concat_ws(" ", col("token"), col("nxt")).as("feat"))
+        val feats = uni.unionByName(bi)
+          .withColumn("bucket", substring(md5(col("feat")), 1, 2))
+        val ct = feats.filter(col("source") === "src1")
+          .groupBy("bucket").agg(count(lit(1)).as("ct"))
+        val cr = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+        val nt = ct.agg(sum("ct").as("nt"))
+        val nr = cr.agg(sum("cr").as("nr"))
+        val score = cr.join(ct, Seq("bucket"), "left")
+          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+          .select(col("bucket"),
+            floor((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+                       (col("nt") + lit(256))) -
+                   log((col("cr") + lit(1.0)) / (col("nr") + lit(256))))
+              * lit(1e7) + lit(0.5)).cast("long").as("s"))
+        feats.join(broadcast(score), Seq("bucket"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_feats"), sum("s").as("weight"))
+          .withColumn("mean_ratio",
+            col("weight").cast("double") / col("n_feats") / lit(1e7))
+          .withColumn("kept", when(col("weight") > 0, 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, source, t,
+        |         unnest(range(1, len(t) + 1)) AS pos
+        |  FROM base),
+        |tok AS (
+        |  SELECT doc_id, source, pos, list_extract(t, pos) AS token FROM ex),
+        |bi AS (
+        |  SELECT doc_id, source,
+        |         token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS feat
+        |  FROM tok),
+        |feats AS (
+        |  SELECT doc_id, source, token AS feat, substr(md5(token), 1, 2) AS bucket
+        |  FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, source, feat, substr(md5(feat), 1, 2) AS bucket
+        |  FROM bi WHERE feat IS NOT NULL),
+        |ct AS (SELECT bucket, count(*) AS ct FROM feats WHERE source = 'src1' GROUP BY 1),
+        |cr AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+        |nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM ct),
+        |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM cr),
+        |score AS (
+        |  SELECT cr.bucket,
+        |         CAST(floor((ln((COALESCE(ct.ct, 0) + 1.0) / (nt + 256))
+        |                   - ln((cr.cr + 1.0) / (nr + 256))) * 10000000.0 + 0.5)
+        |           AS BIGINT) AS s
+        |  FROM cr LEFT JOIN ct USING (bucket), nt, nr)
+        |SELECT f.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_feats,
+        |       CAST(sum(sc.s) AS BIGINT) AS weight,
+        |       CAST(sum(sc.s) AS DOUBLE) / count(*) / 10000000.0 AS mean_ratio,
+        |       CAST(CASE WHEN CAST(sum(sc.s) AS BIGINT) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM feats f JOIN score sc USING (bucket)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)
   )
 }

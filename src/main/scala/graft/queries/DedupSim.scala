@@ -569,6 +569,99 @@ object DedupSim {
         ph.join(groups, Seq("video_phash"))
           .select("id", "n_frames", "video_phash", "group_rep", "n_members")
           .orderBy("id")
-      })
+      }),
+
+    // ---- SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    //      prune cosine-near-duplicates WITHIN each cluster — the
+    //      clustering bounds the quadratic step, which is the whole
+    //      scaling argument. Exact cross-engine: quantized-integer
+    //      vectors, fixed-seed fixed-iteration Lloyd (ties -> smallest
+    //      cluster), and the cosine threshold as an integer cross-multiply
+    //      (25·dot² >= 4·|a|²·|b|² <=> cos >= 0.4), so the oracle
+    //      below replays the identical algorithm in SQL — both Lloyd
+    //      rounds unrolled as long-format centroid CTEs. (The paper's
+    //      CLIP-space 0.95 finds nothing in the synthetic embeddings —
+    //      max pairwise cos is 0.51 — so the registered threshold is 0.4
+    //      to keep the pruning path non-trivially exercised; the operator
+    //      default stays at the published 0.95.)
+    "sem1_semdedup" -> withOracle(
+      (s, d) =>
+        graft.sim.SemDedup.dedup(Tables.embeddings(s, d), k = 10, iters = 2,
+            thrNum = 4L, thrDen = 25L)
+          .orderBy("vec_id"),
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |dims AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, 65) t(i)),
+        |seed AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, qv
+        |  FROM q ORDER BY vec_id LIMIT 10),
+        |c0 AS (SELECT cl, i, list_extract(qv, i) AS m FROM seed, dims),
+        |d0 AS (
+        |  SELECT v.vec_id, c.cl,
+        |         CAST(sum((list_extract(v.qv, c.i) - c.m)
+        |                * (list_extract(v.qv, c.i) - c.m)) AS BIGINT) AS dist
+        |  FROM q v CROSS JOIN c0 c GROUP BY v.vec_id, c.cl),
+        |a0 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT vec_id, cl,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a.cl, d.i,
+        |         CAST(floor(CAST(sum(list_extract(v.qv, d.i)) AS DOUBLE)
+        |                    / count(*) + 0.5) AS BIGINT) AS m
+        |  FROM a0 a JOIN q v USING (vec_id) CROSS JOIN dims d
+        |  GROUP BY a.cl, d.i),
+        |c1 AS (
+        |  SELECT c0.cl, c0.i, COALESCE(m1.m, c0.m) AS m
+        |  FROM c0 LEFT JOIN m1 ON m1.cl = c0.cl AND m1.i = c0.i),
+        |d1 AS (
+        |  SELECT v.vec_id, c.cl,
+        |         CAST(sum((list_extract(v.qv, c.i) - c.m)
+        |                * (list_extract(v.qv, c.i) - c.m)) AS BIGINT) AS dist
+        |  FROM q v CROSS JOIN c1 c GROUP BY v.vec_id, c.cl),
+        |a1 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT vec_id, cl,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT a.cl, d.i,
+        |         CAST(floor(CAST(sum(list_extract(v.qv, d.i)) AS DOUBLE)
+        |                    / count(*) + 0.5) AS BIGINT) AS m
+        |  FROM a1 a JOIN q v USING (vec_id) CROSS JOIN dims d
+        |  GROUP BY a.cl, d.i),
+        |c2 AS (
+        |  SELECT c1.cl, c1.i, COALESCE(m2.m, c1.m) AS m
+        |  FROM c1 LEFT JOIN m2 ON m2.cl = c1.cl AND m2.i = c1.i),
+        |d2 AS (
+        |  SELECT v.vec_id, c.cl,
+        |         CAST(sum((list_extract(v.qv, c.i) - c.m)
+        |                * (list_extract(v.qv, c.i) - c.m)) AS BIGINT) AS dist
+        |  FROM q v CROSS JOIN c2 c GROUP BY v.vec_id, c.cl),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT vec_id, cl,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |av AS (
+        |  SELECT a2.vec_id, a2.cl, q.qv,
+        |         CAST(list_sum(list_transform(q.qv, x -> x * x)) AS BIGINT) AS n2
+        |  FROM a2 JOIN q USING (vec_id)),
+        |pd AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.n2 AS na, b.n2 AS nb,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> list_extract(a.qv, i) * list_extract(b.qv, i))) AS BIGINT) AS dot
+        |  FROM av a JOIN av b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+        |dups AS (
+        |  SELECT DISTINCT id_b AS vec_id FROM pd
+        |  WHERE dot >= 0 AND 25 * dot * dot >= 4 * na * nb)
+        |SELECT a2.vec_id, CAST(a2.cl AS BIGINT) AS cluster,
+        |       CAST(CASE WHEN du.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM a2 LEFT JOIN dups du USING (vec_id)
+        |ORDER BY a2.vec_id""".stripMargin)
   )
 }

@@ -35,6 +35,87 @@ object Corpus {
   private def ngrams(t: org.apache.spark.sql.Column, n: Int) =
     graft.functions.functions.ngrams(t, n)
 
+  /** DSIR hashed-ngram importance weights (Xie et al. 2023), shared by
+    * dsir1 (threshold keep) and dsir2 (budget cut): unigram+bigram
+    * features md5-bucketed to 256, target = the src1 slice, raw = whole
+    * corpus, per-bucket add-one log ratios quantized to integer micro-nats
+    * so the per-doc sum is exact in any aggregation order. Returns
+    * (doc_id, n_feats, weight). Bucket stats are 256-row broadcast
+    * aggregates; the corpus streams once through the bigram window and
+    * the bucket join.
+    */
+  private def dsirWeights(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), col("source"),
+      posexplode(toks(col("text"))).as(Seq("pos", "token")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val uni = tok.select(col("doc_id"), col("source"), col("token").as("feat"))
+    val bi = tok
+      .withColumn("nxt", lead("token", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("token"), col("nxt")).as("feat"))
+    val feats = uni.unionByName(bi)
+      .withColumn("bucket", substring(md5(col("feat")), 1, 2))
+    val ct = feats.filter(col("source") === "src1")
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val cr = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val nt = ct.agg(sum("ct").as("nt"))
+    val nr = cr.agg(sum("cr").as("nr"))
+    val score = cr.join(ct, Seq("bucket"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bucket"),
+        floor((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+                   (col("nt") + lit(256))) -
+               log((col("cr") + lit(1.0)) / (col("nr") + lit(256))))
+          * lit(1e7) + lit(0.5)).cast("long").as("s"))
+    feats.join(broadcast(score), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("s").as("weight"))
+  }
+
+  /** DuckDB restatement of [[dsirWeights]], ending in CTE `w`
+    * (doc_id, n_feats, weight) — prefix for the dsir* oracles.
+    */
+  private val dsirWeightCtes: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id, source, t,
+      |         unnest(range(1, len(t) + 1)) AS pos
+      |  FROM base),
+      |tok AS (
+      |  SELECT doc_id, source, pos, list_extract(t, pos) AS token FROM ex),
+      |bi AS (
+      |  SELECT doc_id, source,
+      |         token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS feat
+      |  FROM tok),
+      |feats AS (
+      |  SELECT doc_id, source, token AS feat, substr(md5(token), 1, 2) AS bucket
+      |  FROM tok
+      |  UNION ALL
+      |  SELECT doc_id, source, feat, substr(md5(feat), 1, 2) AS bucket
+      |  FROM bi WHERE feat IS NOT NULL),
+      |ct AS (SELECT bucket, count(*) AS ct FROM feats WHERE source = 'src1' GROUP BY 1),
+      |cr AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+      |nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM ct),
+      |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM cr),
+      |score AS (
+      |  SELECT cr.bucket,
+      |         CAST(floor((ln((COALESCE(ct.ct, 0) + 1.0) / (nt + 256))
+      |                   - ln((cr.cr + 1.0) / (nr + 256))) * 10000000.0 + 0.5)
+      |           AS BIGINT) AS s
+      |  FROM cr LEFT JOIN ct USING (bucket), nt, nr),
+      |w AS (
+      |  SELECT f.doc_id,
+      |         CAST(count(*) AS BIGINT) AS n_feats,
+      |         CAST(sum(sc.s) AS BIGINT) AS weight
+      |  FROM feats f JOIN score sc USING (bucket)
+      |  GROUP BY f.doc_id)""".stripMargin
+
   val defs: Seq[(String, Entry)] = Seq(
 
     // ---- Gopher-style repetition metrics: duplicate-bigram fraction and
@@ -1296,75 +1377,37 @@ object Corpus {
     //      two 256-row broadcast aggregates + one-row totals; the corpus
     //      streams once through the bigram window and the bucket join.
     "dsir1_importance" -> withOracle(
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val tok = docs.select(col("doc_id"), col("source"),
-          posexplode(toks(col("text"))).as(Seq("pos", "token")))
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val uni = tok.select(col("doc_id"), col("source"), col("token").as("feat"))
-        val bi = tok
-          .withColumn("nxt", lead("token", 1).over(w))
-          .filter(col("nxt").isNotNull)
-          .select(col("doc_id"), col("source"),
-            concat_ws(" ", col("token"), col("nxt")).as("feat"))
-        val feats = uni.unionByName(bi)
-          .withColumn("bucket", substring(md5(col("feat")), 1, 2))
-        val ct = feats.filter(col("source") === "src1")
-          .groupBy("bucket").agg(count(lit(1)).as("ct"))
-        val cr = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
-        val nt = ct.agg(sum("ct").as("nt"))
-        val nr = cr.agg(sum("cr").as("nr"))
-        val score = cr.join(ct, Seq("bucket"), "left")
-          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
-          .select(col("bucket"),
-            floor((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
-                       (col("nt") + lit(256))) -
-                   log((col("cr") + lit(1.0)) / (col("nr") + lit(256))))
-              * lit(1e7) + lit(0.5)).cast("long").as("s"))
-        feats.join(broadcast(score), Seq("bucket"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_feats"), sum("s").as("weight"))
+      (s, d) =>
+        dsirWeights(s, d)
           .withColumn("mean_ratio",
             col("weight").cast("double") / col("n_feats") / lit(1e7))
           .withColumn("kept", when(col("weight") > 0, 1L).otherwise(0L))
-          .orderBy("doc_id")
+          .orderBy("doc_id"),
+      s"""$dsirWeightCtes
+        |SELECT doc_id, n_feats, weight,
+        |       CAST(weight AS DOUBLE) / n_feats / 10000000.0 AS mean_ratio,
+        |       CAST(CASE WHEN weight > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM w ORDER BY doc_id""".stripMargin),
+
+    // ---- DSIR with a FIXED selection budget: the paper's actual protocol
+    //      resamples a target number of documents, which naively is a
+    //      global ORDER BY weight DESC LIMIT B — a single-partition sort
+    //      at 100 TB. ops.Ranks' two-pass distributed row number assigns
+    //      the global rank with one range shuffle + a boundary-offset map,
+    //      so the budget cut is a filter. Weight table identical to dsir1
+    //      (shared code both sides); oracle ranks with a window.
+    "dsir2_topn" -> withOracle(
+      (s, d) => {
+        val (ranked, _) = graft.ops.Ranks.withGlobalRowNumber(
+          dsirWeights(s, d).select("doc_id", "weight"),
+          Seq(col("weight").desc, col("doc_id")), "rn")
+        ranked.filter(col("rn") <= 100)
+          .select(col("doc_id"), col("weight"), col("rn"))
+          .orderBy("rn")
       },
-      """WITH base AS (
-        |  SELECT doc_id, source,
-        |         regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |ex AS (
-        |  SELECT doc_id, source, t,
-        |         unnest(range(1, len(t) + 1)) AS pos
-        |  FROM base),
-        |tok AS (
-        |  SELECT doc_id, source, pos, list_extract(t, pos) AS token FROM ex),
-        |bi AS (
-        |  SELECT doc_id, source,
-        |         token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS feat
-        |  FROM tok),
-        |feats AS (
-        |  SELECT doc_id, source, token AS feat, substr(md5(token), 1, 2) AS bucket
-        |  FROM tok
-        |  UNION ALL
-        |  SELECT doc_id, source, feat, substr(md5(feat), 1, 2) AS bucket
-        |  FROM bi WHERE feat IS NOT NULL),
-        |ct AS (SELECT bucket, count(*) AS ct FROM feats WHERE source = 'src1' GROUP BY 1),
-        |cr AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
-        |nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM ct),
-        |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM cr),
-        |score AS (
-        |  SELECT cr.bucket,
-        |         CAST(floor((ln((COALESCE(ct.ct, 0) + 1.0) / (nt + 256))
-        |                   - ln((cr.cr + 1.0) / (nr + 256))) * 10000000.0 + 0.5)
-        |           AS BIGINT) AS s
-        |  FROM cr LEFT JOIN ct USING (bucket), nt, nr)
-        |SELECT f.doc_id,
-        |       CAST(count(*) AS BIGINT) AS n_feats,
-        |       CAST(sum(sc.s) AS BIGINT) AS weight,
-        |       CAST(sum(sc.s) AS DOUBLE) / count(*) / 10000000.0 AS mean_ratio,
-        |       CAST(CASE WHEN CAST(sum(sc.s) AS BIGINT) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM feats f JOIN score sc USING (bucket)
-        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)
+      s"""$dsirWeightCtes
+        |SELECT doc_id, weight,
+        |       CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT) AS rn
+        |FROM w QUALIFY rn <= 100 ORDER BY rn""".stripMargin)
   )
 }

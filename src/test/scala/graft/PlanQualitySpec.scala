@@ -277,4 +277,40 @@ class PlanQualitySpec extends SparkTestBase {
       s"tokenizer re-inlined into a filter:\n${filterLines.mkString("\n")}")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("sem1 semdedup: pair search joins on the cluster key, never cartesian") {
+    // the whole SemDeDup scaling argument is that the quadratic step is
+    // bounded within clusters — a cartesian here is the failure mode
+    val p = plan01("sem1_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dsir1 importance: bucket score table broadcasts, weight agg keeps combine") {
+    // the 256-row bucket-score side must ride to the executors, and the
+    // per-doc weight sum must partially aggregate before its shuffle
+    val p = plan01("dsir1_importance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("dsir2 budget cut: the global rank window is range-partitioned, not single-partition") {
+    // the whole point of dsir2 over ORDER BY ... LIMIT B is that the
+    // corpus-sized rank never funnels through one partition: the
+    // row_number window must be partitioned by Ranks' range id (__rid).
+    // (SinglePartition exchanges exist legitimately below — they total the
+    // 256-row bucket table, bounded state.)
+    val p = plan01("dsir2_topn")
+    val rankWindows = p.linesIterator
+      .filter(l => l.contains("Window [row_number()")).toSeq
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("__rid")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t17 gopher rules are scan-shaped: no exchange before the output sort") {
+    val p = plan01("t17_gopher_rules")
+    val beforeSort = p.split("Sort ").last
+    assert(!beforeSort.contains("Exchange hashpartitioning"), p)
+  }
 }

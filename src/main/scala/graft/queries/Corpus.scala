@@ -1398,8 +1398,12 @@ object Corpus {
     //      (shared code both sides); oracle ranks with a window.
     "dsir2_topn" -> withOracle(
       (s, d) => {
+        // materialize the weight table before ranking: Ranks' two passes
+        // would otherwise each recompute the whole feature pipeline, and
+        // (doc_id, weight) is tiny relative to the corpus that produced it
+        // (measured 2.35 s -> 1.3 s at sf0.1)
         val (ranked, _) = graft.ops.Ranks.withGlobalRowNumber(
-          dsirWeights(s, d).select("doc_id", "weight"),
+          dsirWeights(s, d).select("doc_id", "weight").localCheckpoint(),
           Seq(col("weight").desc, col("doc_id")), "rn")
         ranked.filter(col("rn") <= 100)
           .select(col("doc_id"), col("weight"), col("rn"))

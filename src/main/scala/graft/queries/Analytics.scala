@@ -214,6 +214,52 @@ object Analytics {
           .orderBy("tok"),
       """SELECT tok, count(*) AS cnt
         |FROM (SELECT unnest(string_split(o_orderpriority, '-')) AS tok FROM orders)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- time-series resample + LOCF gap fill: put every user on a dense
+    //      hourly grid over their own span (sequence-explode — no global
+    //      calendar table, no cross join) and carry the last observation
+    //      forward with an ignore-nulls running window partitioned by
+    //      user. The hourly sums round on the value grid (st1's blessed
+    //      pattern: .01-grid inputs keep double error ~1e-13, five orders
+    //      inside the .005 rounding boundary). Scale: grid size is
+    //      span-bounded per user, the LOCF window shuffles once on
+    //      user_id, and no stage is single-partition.
+    "ts1_gapfill_locf" -> withOracle(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+          .groupBy("user_id", "h")
+          .agg(round(sum("value"), 2).as("obs"), count(lit(1)).as("n_events"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            when(col("obs").isNull, 1L).otherwise(0L).as("is_gap"),
+            last(col("obs"), ignoreNulls = true).over(w).as("filled"))
+          .orderBy("user_id", "hour")
+      },
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |         round(sum(value), 2) AS obs, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL '1 hour')) AS h
+        |  FROM hourly GROUP BY user_id)
+        |SELECT g.user_id,
+        |       strftime(g.h, '%Y-%m-%d %H:%M') AS hour,
+        |       CAST(COALESCE(hr.n_events, 0) AS BIGINT) AS n_events,
+        |       CAST(CASE WHEN hr.obs IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+        |       last_value(hr.obs IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+        |ORDER BY g.user_id, hour""".stripMargin)
   )
 }

@@ -1412,6 +1412,56 @@ object Corpus {
       s"""$dsirWeightCtes
         |SELECT doc_id, weight,
         |       CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT) AS rn
-        |FROM w QUALIFY rn <= 100 ORDER BY rn""".stripMargin)
+        |FROM w QUALIFY rn <= 100 ORDER BY rn""".stripMargin),
+
+    // ---- per-source KL divergence from the corpus token distribution:
+    //      the domain-drift diagnostic a corpus-mixing pipeline reads
+    //      before reweighting (which sources are token-distribution
+    //      outliers?). KL(p_s||p) = sum_t p_s(t)·ln(p_s(t)/p(t)); each
+    //      token's contribution is computed from exact integer counts in
+    //      double (deterministic on identical inputs) and quantized to
+    //      nano-nats, so the per-source sum is order-immune integer
+    //      arithmetic. Scale: two token-keyed aggregations and one
+    //      token-keyed join (all partial-agg'd); per-source totals are a
+    //      broadcast; nothing is driver-sized.
+    "t18_source_kl" -> withOracle(
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(toks(col("text"))).as("token"))
+        val cs = tok.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+        val ct = tok.groupBy("token").agg(count(lit(1)).as("c_t"))
+        val ns = cs.groupBy("source").agg(sum("c_st").as("n_s"))
+        val nt = ct.agg(sum("c_t").as("n"))
+        val q = floor((col("c_st").cast("double") / col("n_s")) *
+            log((col("c_st").cast("double") * col("n")) /
+                (col("n_s").cast("double") * col("c_t")))
+            * lit(1e9) + lit(0.5)).cast("long")
+        cs.join(ct, Seq("token"))
+          .join(broadcast(ns), Seq("source"))
+          .crossJoin(broadcast(nt))
+          .select(col("source"), q.as("q"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_distinct"), sum("q").as("kl_nano"))
+          .withColumn("kl_nats", col("kl_nano").cast("double") / lit(1e9))
+          .orderBy("source")
+      },
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |cs AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT token, count(*) AS c_t FROM tok GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM cs GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+        |term AS (
+        |  SELECT cs.source,
+        |         CAST(floor((CAST(cs.c_st AS DOUBLE) / ns.n_s)
+        |              * ln((CAST(cs.c_st AS DOUBLE) * nt.n)
+        |                   / (CAST(ns.n_s AS DOUBLE) * ct.c_t))
+        |              * 1000000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM cs JOIN ct USING (token) JOIN ns USING (source), nt)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(sum(q) AS BIGINT) AS kl_nano,
+        |       CAST(sum(q) AS DOUBLE) / 1000000000.0 AS kl_nats
+        |FROM term GROUP BY source ORDER BY source""".stripMargin)
   )
 }

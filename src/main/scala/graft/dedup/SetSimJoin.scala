@@ -1,0 +1,116 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join under a Jaccard threshold via prefix
+  * filtering (AllPairs, Bayardo et al. WWW'07; the length filter is
+  * PPJoin's, Xiao et al. WWW'08) — the canonical way to run an EXACT
+  * threshold join without the all-pairs cartesian.
+  *
+  * Why it is lossless: order the universe of tokens by a global total
+  * order and give each set the prefix of its first
+  * `|d| - ceil(t*|d|) + 1` tokens. If J(a,b) >= t then the overlap o
+  * satisfies `o >= t*|union| >= t*max(|a|,|b|)`, so the smallest common
+  * token (in the global order) cannot sit past either prefix — fewer
+  * than `ceil(t*|d|)` slots remain after it. The equi-join on prefix
+  * tokens therefore surfaces every qualifying pair; an exact
+  * intersect/union verify makes precision 1.
+  *
+  * Scale design:
+  *  - the global order is RAREST-FIRST (document frequency asc, token
+  *    asc): prefixes then hold the rarest tokens a document has, so the
+  *    candidate equi-join's per-key fan-out is structurally small —
+  *    frequent tokens are pushed out of prefixes entirely for any set
+  *    with more than a handful of tokens,
+  *  - thresholds are exact integer arithmetic end to end
+  *    (`o*den >= u*num`, prefix length via integer ceil) — no FP
+  *    boundary can disagree with an oracle,
+  *  - stages are one token-keyed aggregation (df), one doc-keyed window
+  *    (prefix rank), one token-keyed candidate join, one pair dedup and
+  *    one verify join — all partial-agg'd / AQE-planned, nothing
+  *    driver-sized.
+  *
+  * The reference ships only exact full-row dedup
+  * (/root/reference/dags/CotyData_IPN.py:166); this is the brief's
+  * n-gram-Jaccard near-dup extension as an exact, oracle-checkable join.
+  */
+object SetSimJoin {
+
+  /** (id, ts, sz): distinct whitespace token set per document. */
+  def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_distinct(split(lower(trim(col(textCol))), "\\s+")).as("ts"))
+      .withColumn("sz", size(col("ts")).cast("long"))
+
+  /** Prefix projection (id, sz, token) under threshold num/den: each
+    * set's `sz - ceil(t*sz) + 1` rarest tokens. `universe` supplies the
+    * document frequencies that define the global order — pass the full
+    * corpus here even when prefixing only a slice, so slice and corpus
+    * prefixes agree on one order (the incremental-ingest case).
+    */
+  def prefixes(sets: DataFrame, universe: DataFrame, num: Int, den: Int): DataFrame = {
+    val tok = sets.select(col("id"), col("sz"), explode(col("ts")).as("token"))
+    val dfreq = universe.select(explode(col("ts")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("token"))
+    // integer ceil(num*sz/den); sz*num stays far below 2^53 so the
+    // double division is exact, and floor() keeps the math integral
+    val minOverlap = floor((col("sz") * num + (den - 1)) / den).cast("long")
+    tok.join(dfreq, Seq("token"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sz") - minOverlap + 1)
+      .select(col("id"), col("sz"), col("token"))
+  }
+
+  /** Exact Jaccard self-join: all pairs (id_a < id_b) with
+    * J >= num/den. Output (id_a, id_b, inter, uni, jaccard).
+    */
+  def selfJoin(df: DataFrame, idCol: String, textCol: String,
+               num: Int, den: Int): DataFrame = {
+    val sets = tokenSets(df, idCol, textCol)
+    joinPrefixed(sets, prefixes(sets, sets, num, den),
+                 sets, prefixes(sets, sets, num, den),
+                 num, den, selfPairs = true)
+  }
+
+  /** Exact Jaccard A-vs-B join (the incremental-ingest shape: B = the
+    * newly landed batch, A = the corpus; prefixes on both sides use the
+    * COMBINED document frequencies so the global order is one order).
+    * Output (id_a, id_b, inter, uni, jaccard), id_a from A, id_b from B,
+    * id_a =!= id_b.
+    */
+  def joinBetween(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
+                  num: Int, den: Int): DataFrame = {
+    val setsA = tokenSets(a, idCol, textCol)
+    val setsB = tokenSets(b, idCol, textCol)
+    val universe = setsA.unionByName(setsB)
+    joinPrefixed(setsA, prefixes(setsA, universe, num, den),
+                 setsB, prefixes(setsB, universe, num, den),
+                 num, den, selfPairs = false)
+  }
+
+  private def joinPrefixed(setsA: DataFrame, prefA: DataFrame,
+                           setsB: DataFrame, prefB: DataFrame,
+                           num: Int, den: Int, selfPairs: Boolean): DataFrame = {
+    val pa = prefA.select(col("id").as("id_a"), col("sz").as("sz_a"), col("token"))
+    val pb = prefB.select(col("id").as("id_b"), col("sz").as("sz_b"), col("token"))
+    val pairPred =
+      if (selfPairs) col("id_a") < col("id_b") else col("id_a") =!= col("id_b")
+    val cand = pa.join(pb, Seq("token"))
+      .filter(pairPred)
+      // length filter: J >= t forces t*|a| <= |b| and t*|b| <= |a|
+      .filter(col("sz_a") * num <= col("sz_b") * den &&
+              col("sz_b") * num <= col("sz_a") * den)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(setsA.select(col("id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
+      .join(setsB.select(col("id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("ts_a"), col("ts_b"))).cast("long"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.dedup.{MinHashDedup, SimHashDedup}
+import graft.dedup.{MinHashDedup, SetSimJoin, SimHashDedup}
 import graft.sim.{Ann, IvfPq, Pca, Pq}
 import Registry._
 
@@ -662,6 +662,59 @@ object DedupSim {
         |SELECT a2.vec_id, CAST(a2.cl AS BIGINT) AS cluster,
         |       CAST(CASE WHEN du.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM a2 LEFT JOIN dups du USING (vec_id)
-        |ORDER BY a2.vec_id""".stripMargin)
+        |ORDER BY a2.vec_id""".stripMargin),
+
+    // ---- EXACT Jaccard-threshold set-similarity self-join via AllPairs
+    //      prefix filtering (dedup.SetSimJoin): every pair at J >= 0.9,
+    //      found WITHOUT the all-pairs cartesian the oracle runs —
+    //      rarest-first prefixes bound the candidate join, the verify is
+    //      exact, and all threshold math is integer. The one exact-join
+    //      member of the near-dup family (m1/m2 are probabilistic), so it
+    //      is fully oracle-checkable.
+    "j14_setsim_join" -> withOracle(
+      (s, d) => SetSimJoin
+        .selfJoin(Tables.documents(s, d), "doc_id", "text", num = 9, den = 10)
+        .orderBy("id_a", "id_b"),
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |         CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS BIGINT) AS uni
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id)
+        |SELECT id_a, id_b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM p WHERE inter * 10 >= uni * 9
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // ---- the incremental-ingest shape of j14: a newly landed batch
+    //      (source src1) exact-Jaccard-joined against the existing corpus
+    //      only — pair generation touches batch-prefix x corpus-prefix,
+    //      never corpus x corpus, which is what a daily 100 TB ingest
+    //      actually runs. Prefixes on both sides share ONE global token
+    //      order (combined document frequencies) so the prefix theorem
+    //      holds across the split.
+    "j15_setsim_incremental" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        SetSimJoin.joinBetween(
+            docs.filter(col("source") =!= "src1"),
+            docs.filter(col("source") === "src1"),
+            "doc_id", "text", num = 9, den = 10)
+          .orderBy("id_a", "id_b")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |         CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS BIGINT) AS uni
+        |  FROM s a JOIN s b ON a.source <> 'src1' AND b.source = 'src1')
+        |SELECT id_a, id_b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM p WHERE inter * 10 >= uni * 9
+        |ORDER BY id_a, id_b""".stripMargin)
   )
 }

@@ -1,0 +1,83 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.Tables
+
+/** Pins the AllPairs prefix-filter join against the definitionally-correct
+  * brute-force join: the prefix filter is lossless (exact same pairs, not
+  * merely high recall), the incremental A-vs-B form agrees with the
+  * filtered self-join, and the candidate stage never plans a cartesian.
+  */
+class SetSimJoinSpec extends SparkTestBase {
+
+  private def brute(num: Int, den: Int) = {
+    val sets = SetSimJoin.tokenSets(Tables.documents(spark, sf001), "doc_id", "text")
+    val a = sets.select(col("id").as("id_a"), col("ts").as("ts_a"))
+    val b = sets.select(col("id").as("id_b"), col("ts").as("ts_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("ts_a"), col("ts_b"))).cast("long"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
+  test("selfJoin == brute force at J>=0.9 (lossless, not just high recall)") {
+    val fast = SetSimJoin
+      .selfJoin(Tables.documents(spark, sf001), "doc_id", "text", 9, 10)
+      .select("id_a", "id_b", "inter", "uni")
+    assert(fast.exceptAll(brute(9, 10)).isEmpty && brute(9, 10).exceptAll(fast).isEmpty)
+  }
+
+  test("selfJoin == brute force at a second threshold (J>=0.75)") {
+    val fast = SetSimJoin
+      .selfJoin(Tables.documents(spark, sf001), "doc_id", "text", 3, 4)
+      .select("id_a", "id_b", "inter", "uni")
+    val b = brute(3, 4)
+    assert(fast.count() == b.count() && fast.exceptAll(b).isEmpty)
+  }
+
+  test("joinBetween == self-join restricted to cross-slice pairs") {
+    val docs = Tables.documents(spark, sf001)
+    val incr = SetSimJoin.joinBetween(
+        docs.filter(col("source") =!= "src1"),
+        docs.filter(col("source") === "src1"),
+        "doc_id", "text", 9, 10)
+      .select("id_a", "id_b", "inter", "uni")
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    // brute pairs are id_a < id_b; joinBetween orients a=corpus, b=batch —
+    // reorient the brute side by membership, not id order
+    val bSet = brute(9, 10)
+      .join(srcOf.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(srcOf.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .filter(col("src_a") =!= col("src_b") &&
+        (col("src_a") === "src1" || col("src_b") === "src1"))
+      .select(
+        when(col("src_a") === "src1", col("id_b")).otherwise(col("id_a")).as("id_a"),
+        when(col("src_a") === "src1", col("id_a")).otherwise(col("id_b")).as("id_b"),
+        col("inter"), col("uni"))
+    assert(incr.exceptAll(bSet).isEmpty && bSet.exceptAll(incr).isEmpty)
+  }
+
+  test("prefix length is sz - ceil(t*sz) + 1 and holds the rarest tokens") {
+    import spark.implicits._
+    // df order: z appears in 1 doc, y in 2, x in all 3 -> rarest-first
+    // prefixes at t=0.5 keep ceil(|d|/2) ... |d| - ceil(|d|/2) + 1 tokens
+    val docs = Seq(
+      (1L, "x y z"),   // sz 3, prefix len 3 - 2 + 1 = 2 -> {z, y}
+      (2L, "x y"),     // sz 2, prefix len 2 - 1 + 1 = 2 -> {y, x}
+      (3L, "x")        // sz 1, prefix len 1 - 1 + 1 = 1 -> {x}
+    ).toDF("doc_id", "text")
+    val sets = SetSimJoin.tokenSets(docs, "doc_id", "text")
+    val pref = SetSimJoin.prefixes(sets, sets, 1, 2)
+      .select("id", "token").as[(Long, String)].collect().toSet
+    assert(pref == Set((1L, "z"), (1L, "y"), (2L, "y"), (2L, "x"), (3L, "x")))
+  }
+
+  test("candidate stage plans token equi-joins, never a cartesian") {
+    val p = SetSimJoin
+      .selfJoin(Tables.documents(spark, sf001), "doc_id", "text", 9, 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

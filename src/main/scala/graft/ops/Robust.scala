@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust (median/MAD) per-group outlier detection — the quality filter a
+  * corpus pipeline runs where mean/stddev would be dragged by the very
+  * outliers it is hunting.
+  *
+  * Semantics are fully discrete so the result is oracle-exact on integer
+  * inputs: the group median is the value at rank ceil(n/2) under
+  * (value, tieBreak) — the lower median, quantile_disc-style like
+  * [[Ranks.groupOrderStatistics]] — and the MAD is the same statistic over
+  * the absolute deviations. A row is an outlier when dev > k * MAD, all in
+  * integer arithmetic.
+  *
+  * Scale: two group-partitioned windows (one task per hash bucket of
+  * groups, same distribution story as [[Ranks.groupOrderStatistics]]) and
+  * two broadcast joins of per-group scalars (one row per group). The
+  * caveat is a single giant group — there the global-rank machinery in
+  * [[Ranks.orderStatistics]] on that group's slice is the fallback.
+  *
+  * The reference has no outlier stage (its quality gates are null/row
+  * checks, /root/reference/dags/utils/dataframe_checks.py); this is the
+  * brief's quality-scoring extension.
+  */
+object Robust {
+
+  /** Adds med, dev, mad, is_outlier to `df` (one output row per input
+    * row). `k` is the MAD multiple that flags an outlier.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  tieBreak: Column, k: Int): DataFrame = {
+    require(k > 0, s"MAD multiple must be positive, got $k")
+    val grp = groupCols.map(col)
+
+    def groupLowerMedian(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(grp: _*).orderBy(col(c), tieBreak)
+      in.withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+        // integer ceil(n/2) = (n+1) div 2; exact in double far past any n
+        .filter(col("__rk") === floor((col("__n") + 1) / 2).cast("long"))
+        .select(grp :+ col(c).as(out): _*)
+    }
+
+    val med = groupLowerMedian(df, valueCol, "med")
+    val withDev = df.join(broadcast(med), groupCols)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = groupLowerMedian(withDev, "dev", "mad")
+    withDev.join(broadcast(mad), groupCols)
+      .withColumn("is_outlier",
+        (col("dev") > col("mad") * k).cast("long"))
+  }
+}

@@ -1462,6 +1462,83 @@ object Corpus {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
         |       CAST(sum(q) AS BIGINT) AS kl_nano,
         |       CAST(sum(q) AS DOUBLE) / 1000000000.0 AS kl_nats
-        |FROM term GROUP BY source ORDER BY source""".stripMargin)
+        |FROM term GROUP BY source ORDER BY source""".stripMargin),
+
+    // ---- robust per-source outlier flags on document length
+    //      (ops.Robust): median/MAD instead of mean/stddev so the
+    //      detector is not dragged by the outliers it hunts. Discrete
+    //      lower medians (rank ceil(n/2), a19's quantile_disc semantics)
+    //      and an integer k*MAD cut make the whole thing oracle-exact.
+    "q5_mad_outliers" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(toks(col("text"))).cast("long").as("n_tok"))
+        graft.ops.Robust
+          .madOutliers(docs, Seq("source"), "n_tok", col("doc_id"), k = 3)
+          .select("doc_id", "source", "n_tok", "med", "dev", "mad", "is_outlier")
+          .orderBy("doc_id")
+      },
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |med AS (SELECT source, n_tok AS med FROM r1 WHERE rk = (n + 1) // 2),
+        |dv AS (
+        |  SELECT d.doc_id, d.source, d.n_tok, m.med, abs(d.n_tok - m.med) AS dev
+        |  FROM d JOIN med m USING (source)),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM dv),
+        |mad AS (SELECT source, dev AS mad FROM r2 WHERE rk = (n + 1) // 2)
+        |SELECT v.doc_id, v.source, v.n_tok, CAST(v.med AS BIGINT) AS med,
+        |       CAST(v.dev AS BIGINT) AS dev, CAST(a.mad AS BIGINT) AS mad,
+        |       CAST(CASE WHEN v.dev > 3 * a.mad THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM dv v JOIN mad a USING (source)
+        |ORDER BY v.doc_id""".stripMargin),
+
+    // ---- character-level Shannon entropy per document — the standard
+    //      gibberish/degenerate-text signal (low entropy = repeated
+    //      characters, high = uniform noise). Per-term contributions
+    //      quantized to integer nano-nats (t18's discipline) so the
+    //      per-doc sum is aggregation-order-immune. Scale: the char
+    //      explode partial-aggregates to at most |alphabet| rows per doc
+    //      before the shuffle.
+    "t19_char_entropy" -> withOracle(
+      (s, d) => {
+        val ch = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        val cc = ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        val n = cc.groupBy("doc_id").agg(sum("c").as("n"))
+        val q = floor((col("c").cast("double") / col("n")) *
+            log(col("n").cast("double") / col("c")) * lit(1e9) + lit(0.5))
+          .cast("long")
+        cc.join(n, Seq("doc_id"))
+          .select(col("doc_id"), q.as("q"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_alpha"), sum("q").as("ent_nano"))
+          .withColumn("ent_nats", col("ent_nano").cast("double") / lit(1e9))
+          .orderBy("doc_id")
+      },
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+        |  FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY 1),
+        |term AS (
+        |  SELECT cc.doc_id,
+        |         CAST(floor((CAST(cc.c AS DOUBLE) / n.n)
+        |              * ln(CAST(n.n AS DOUBLE) / cc.c)
+        |              * 1000000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM cc JOIN n USING (doc_id))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_alpha,
+        |       CAST(sum(q) AS BIGINT) AS ent_nano,
+        |       CAST(sum(q) AS DOUBLE) / 1000000000.0 AS ent_nats
+        |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

@@ -70,9 +70,8 @@ object SetSimJoin {
   def selfJoin(df: DataFrame, idCol: String, textCol: String,
                num: Int, den: Int): DataFrame = {
     val sets = tokenSets(df, idCol, textCol)
-    joinPrefixed(sets, prefixes(sets, sets, num, den),
-                 sets, prefixes(sets, sets, num, den),
-                 num, den, selfPairs = true)
+    val pref = prefixes(sets, sets, num, den) // one subtree, both join sides
+    joinPrefixed(sets, pref, sets, pref, num, den, selfPairs = true)
   }
 
   /** Exact Jaccard A-vs-B join (the incremental-ingest shape: B = the
@@ -94,7 +93,16 @@ object SetSimJoin {
   private def joinPrefixed(setsA: DataFrame, prefA: DataFrame,
                            setsB: DataFrame, prefB: DataFrame,
                            num: Int, den: Int, selfPairs: Boolean): DataFrame = {
+    // The candidate join FANS OUT: a few prefix rows in, candidate-pair
+    // volume out (sum of df^2 over prefix tokens — 14k prefix rows
+    // expanding to 8.8M pair rows at sf0.1). AQE sizes the probe side by
+    // its tiny INPUT and coalesces it to ~1 partition, serializing the
+    // expansion; a round-robin repartition pins the probe side wide (the
+    // other side broadcasts, so no co-partitioning is lost). Measured
+    // 36.7 s -> 3.2 s min-of-3 at sf0.1 for the registered self-join.
+    val nPart = setsA.sparkSession.sessionState.conf.numShufflePartitions
     val pa = prefA.select(col("id").as("id_a"), col("sz").as("sz_a"), col("token"))
+      .repartition(nPart)
     val pb = prefB.select(col("id").as("id_b"), col("sz").as("sz_b"), col("token"))
     val pairPred =
       if (selfPairs) col("id_a") < col("id_b") else col("id_a") =!= col("id_b")
@@ -103,12 +111,20 @@ object SetSimJoin {
       // length filter: J >= t forces t*|a| <= |b| and t*|b| <= |a|
       .filter(col("sz_a") * num <= col("sz_b") * den &&
               col("sz_b") * num <= col("sz_a") * den)
-      .select("id_a", "id_b").distinct()
+      // sizes are functions of the ids, so carrying them through the pair
+      // dedup costs nothing and saves re-deriving them in the verify
+      .select("id_a", "id_b", "sz_a", "sz_b").distinct()
     cand
       .join(setsA.select(col("id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
       .join(setsB.select(col("id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      // ONE array op per candidate: |union| = |a| + |b| - |intersect|, and
+      // the intersect lands in a projection so filter + output read the
+      // computed attribute instead of re-evaluating the array kernel —
+      // the string-hashing intersect is the verify's unit cost at millions
+      // of candidates (2.5 s for 3.7M verifies at sf0.1, measured with
+      // inputs cached)
       .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
-      .withColumn("uni", size(array_union(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * den >= col("uni") * num)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))

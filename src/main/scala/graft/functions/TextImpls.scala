@@ -45,4 +45,28 @@ object TextImpls {
       new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
     }
   }
+
+  /** Intersection size of two SORTED, duplicate-free string arrays as one
+    * merge walk — zero allocation, byte-wise UTF8String compares only.
+    * `array_intersect` builds a per-row hash set of UTF8Strings; at
+    * millions of verify pairs that allocation is the dominant cost
+    * (SetSimJoin's measurement). Callers must sort with `array_sort`
+    * (same byte-wise order as UTF8String.compareTo) and dedupe first —
+    * unsorted input silently undercounts, so keep this behind APIs that
+    * own the sorting.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
 }

@@ -325,6 +325,26 @@ case class Ngrams(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Merge-walk intersection count of two sorted duplicate-free string
+  * arrays (see [[TextImpls.sortedIntersectCount]]) — the exact-verify
+  * kernel of the set-similarity join, replacing array_intersect's per-row
+  * hash-set build.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextImpls.sortedIntersectCount(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextImpls.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API. */
 object functions {
   private def expr(c: Column): Expression = GraftShims.expression(c)
@@ -389,6 +409,12 @@ object functions {
   def bloom_might_contain(key: Column,
                           filter: org.apache.spark.util.sketch.BloomFilter): Column =
     toCol(BloomMightContain(expr(key), filter))
+
+  /** Intersection size of two sorted duplicate-free string arrays,
+    * codegen'd merge walk.
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(expr(a), expr(b)))
 
   /** PassJoin blocking keys (index / probe sides), codegen'd. */
   def passjoin_index_keys(s: Column, tau: Int): Column =

@@ -672,8 +672,13 @@ object DedupSim {
     //      member of the near-dup family (m1/m2 are probabilistic), so it
     //      is fully oracle-checkable.
     "j14_setsim_join" -> withOracle(
+      // materialize before the output sort: the global orderBy's range
+      // sampler would otherwise re-execute the whole candidate+verify
+      // pipeline a second time (measured 10.7 s -> 4.5 s isolated min at
+      // sf0.1; the pair table is small next to the work that built it)
       (s, d) => SetSimJoin
         .selfJoin(Tables.documents(s, d), "doc_id", "text", num = 9, den = 10)
+        .localCheckpoint()
         .orderBy("id_a", "id_b"),
       """WITH s AS (
         |  SELECT doc_id,
@@ -702,6 +707,7 @@ object DedupSim {
             docs.filter(col("source") =!= "src1"),
             docs.filter(col("source") === "src1"),
             "doc_id", "text", num = 9, den = 10)
+          .localCheckpoint() // j14's sampler-re-execution note applies
           .orderBy("id_a", "id_b")
       },
       """WITH s AS (

@@ -74,6 +74,29 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(pref == Set((1L, "z"), (1L, "y"), (2L, "y"), (2L, "x"), (3L, "x")))
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted sets") {
+    val sets = SetSimJoin.tokenSets(Tables.documents(spark, sf001), "doc_id", "text")
+    val a = sets.select(col("id").as("id_a"), col("ts").as("ts_a"))
+    val b = sets.select((col("id") - 1).as("id_a"), col("ts").as("ts_b"))
+    val bad = a.join(b, Seq("id_a"))
+      .filter(graft.functions.functions.sorted_intersect_count(col("ts_a"), col("ts_b"))
+        =!= size(array_intersect(col("ts_a"), col("ts_b"))))
+    assert(bad.isEmpty)
+  }
+
+  test("sorted_intersect_count edges: empty, disjoint, identical, prefix") {
+    import graft.functions.TextImpls.sortedIntersectCount
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ss: String*) =
+      new GenericArrayData(ss.map(UTF8String.fromString).toArray[Any])
+    assert(sortedIntersectCount(arr(), arr("a")) == 0)
+    assert(sortedIntersectCount(arr("a", "b"), arr("c", "d")) == 0)
+    assert(sortedIntersectCount(arr("a", "b", "c"), arr("a", "b", "c")) == 3)
+    assert(sortedIntersectCount(arr("a", "b", "c"), arr("b", "c", "d")) == 2)
+    assert(sortedIntersectCount(arr("a"), arr("a", "b", "c")) == 1)
+  }
+
   test("candidate stage plans token equi-joins, never a cartesian") {
     val p = SetSimJoin
       .selfJoin(Tables.documents(spark, sf001), "doc_id", "text", 9, 10)

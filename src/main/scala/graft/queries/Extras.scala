@@ -184,6 +184,42 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
+  /** st5's LEFT OUTER variant: every event row survives; unmatched rows
+    * carry a null err_event_id once the watermark has evicted them (see
+    * [[graft.streaming.Streams.intervalJoinOuter]]). Events younger than
+    * the final watermark (max ts - 10 minutes) are deterministically
+    * withheld at end-of-stream — the oracle restates that boundary from
+    * the data.
+    */
+  def errorPairsOuter(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val events = streamEvents(s, d)
+    val errors = streamEvents(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_event_id"))
+    val name = "st9_out"
+    val q = graft.streaming.Streams
+      .intervalJoinOuter(events, errors, "user_id", "err_user", "ts", "err_ts",
+        windowSpec = "5 minutes")
+      .select(col("event_id"), col("err_event_id"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // outer rows emit on EVICTION, which happens in the no-data batch
+      // AFTER the data batch that advanced the watermark — wait for that
+      // flush batch to commit before reading the sink
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime < deadline &&
+             !q.recentProgress.exists(p => p.numInputRows == 0 && p.batchId > 0))
+        Thread.sleep(50)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .orderBy(col("event_id"), col("err_event_id").asc_nulls_first)
+      .localCheckpoint(true)
+  }
+
   /** Streaming CMS maintenance drained to completion, then probed: the
     * sketch accumulated across micro-batches must estimate every key
     * exactly at this generous geometry (the a14 determinism argument —
@@ -802,6 +838,34 @@ object Extras {
         |  ON e.user_id = r.user_id AND r.event_type = 'error'
         | AND r.ts < e.ts AND r.ts >= e.ts - INTERVAL 5 MINUTE
         |ORDER BY e.event_id, err_event_id""".stripMargin),
+
+    // ---- st5's LEFT OUTER form: matches emit on arrival, unmatched rows
+    //      emit null-extended on watermark EVICTION. The emission set is
+    //      deterministic for fixed data: the global watermark is the MIN
+    //      over both sides' (max event time - delay), and the errors side
+    //      — a filtered subset — trails, so W = ms-truncated max error ts
+    //      minus 10 minutes; unmatched events younger than W are withheld
+    //      at end-of-stream by watermark semantics (they may yet match in
+    //      a live stream). The oracle restates W from the data.
+    "st9_stream_leftouter" -> withOracle(
+      (s, d) => StreamingQuery.errorPairsOuter(s, d),
+      """WITH err AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+        |wm AS (
+        |  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS w
+        |  FROM err),
+        |matched AS (
+        |  SELECT e.event_id, r.event_id AS err_event_id
+        |  FROM events e JOIN err r
+        |    ON e.user_id = r.user_id
+        |   AND r.ts < e.ts AND r.ts >= e.ts - INTERVAL 5 MINUTE)
+        |SELECT event_id, err_event_id FROM matched
+        |UNION ALL
+        |SELECT e.event_id, CAST(NULL AS BIGINT) AS err_event_id
+        |FROM events e, wm
+        |WHERE e.ts < wm.w
+        |  AND e.event_id NOT IN (SELECT event_id FROM matched)
+        |ORDER BY event_id, err_event_id NULLS FIRST""".stripMargin),
 
     // ---- streaming session windows: the SAME sessionAgg statement and the
     //      SAME oracle as w10, shared by reference — the equivalence

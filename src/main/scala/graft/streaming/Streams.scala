@@ -79,6 +79,31 @@ object Streams {
           col(rightTs) < col(leftTs) &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowSpec"))
 
+  /** LEFT OUTER stream-stream interval join: [[intervalJoin]]'s matches
+    * plus a null-extended row for every left event that found no partner.
+    * The outer row CANNOT be emitted when the left event arrives — a
+    * matching right may still be in flight — so it is emitted by state
+    * EVICTION: once the watermark passes the point where the join
+    * condition admits no future right, the buffered left row leaves the
+    * state store as a null-extended result. Rows younger than the final
+    * watermark are still awaiting partners when the stream ends and are
+    * therefore NOT emitted — that trailing holdback is inherent to
+    * watermark semantics, deterministic for a fixed input (the watermark
+    * derives from data timestamps, never wall-clock), and disappears in a
+    * live deployment where the stream keeps running.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTs: String, rightTs: String,
+                        windowSpec: String = "5 minutes",
+                        watermark: String = "10 minutes"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) < col(leftTs) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowSpec"),
+        "leftOuter")
+
   /** Streaming ingestion into a document collection (S7/K8 store) with
     * dedup-before-insert: each micro-batch keeps only keys the collection
     * has not seen — the Bloom fast-path anti-join, so the bloom-negative

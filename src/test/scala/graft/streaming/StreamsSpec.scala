@@ -126,6 +126,46 @@ class StreamsSpec extends SparkTestBase {
       s"exactly the in-window same-user pair, whatever the batch cuts: $out")
   }
 
+  test("intervalJoinOuter: matches emit as pairs, evicted non-matches as nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[Event]
+    val right = MemoryStream[Event]
+    val joined = Streams.intervalJoinOuter(
+      left.toDF(),
+      right.toDF().select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value")),
+      "user_id", "r_user", "ts", "r_ts",
+      windowSpec = "1 minute", watermark = "1 minute")
+      .select(col("user_id"), col("value"), col("r_value"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ijo").start()
+    left.addData(Event(1, ts(100), "click", 10.0)) // will match
+    left.addData(Event(2, ts(100), "click", 20.0)) // never matches
+    q.processAllAvailable()
+    right.addData(Event(1, ts(70), "error", 1.0))
+    q.processAllAvailable()
+    // nothing unmatched emitted yet: user 2 may still find a partner
+    val mid = spark.table("ijo").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(mid == Set((1L, 10.0)), s"only the matched pair before eviction: $mid")
+    // push both watermarks far past ts(100); the outer row emits in the
+    // eviction (no-data) batch AFTER the watermark-advancing data batch
+    left.addData(Event(9, ts(1000), "click", 0.0))
+    right.addData(Event(9, ts(1000), "error", 0.0))
+    q.processAllAvailable()
+    val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    while (System.nanoTime < deadline &&
+           !spark.table("ijo").collect().exists(_.isNullAt(2)))
+      Thread.sleep(50)
+    val out = spark.table("ijo").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    q.stop()
+    // user 2's row is null-extended; the watermark-advancing rows at
+    // ts(1000) are younger than the final watermark and stay withheld
+    assert(out == Set((1L, 10.0, Some(1.0)), (2L, 20.0, None)), out.toString)
+  }
+
   test("state-store parity: RocksDB provider yields identical results to HDFS-backed") {
     implicit val sqlCtx = spark.sqlContext
     // the two stateful shapes that carry real state: a stream-stream

@@ -693,6 +693,52 @@ object DedupSim {
         |FROM p WHERE inter * 10 >= uni * 9
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // ---- exact near-dup CLUSTERS: j14's exact-Jaccard pair graph closed
+    //      into connected components, with the keep-smallest-id canonical
+    //      flag — the full exact-dedup pipeline (pair -> group -> keep) as
+    //      one query, every stage oracle-checkable (unlike m1's LSH path
+    //      the pair graph itself is exact). Pairs are materialized once:
+    //      componentGroups iterates over them, and re-deriving the join
+    //      per iteration would multiply its cost.
+    "d5_setsim_groups" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = SetSimJoin
+          .selfJoin(docs, "doc_id", "text", num = 9, den = 10)
+          .select("id_a", "id_b").localCheckpoint()
+        val g = MinHashDedup.componentGroups(docs, pairs, "doc_id")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("group_id")
+        g.withColumn("group_size", count(lit(1)).over(w))
+          .withColumn("kept", (col("doc_id") === col("group_id")).cast("long"))
+          .select("doc_id", "group_id", "group_size", "kept")
+          .orderBy("doc_id")
+      },
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |  WHERE len(list_intersect(a.ts, b.ts)) * 10 >=
+        |        len(list_distinct(list_concat(a.ts, b.ts))) * 9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src),
+        |lab AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(least(l.min_reach, d.doc_id), d.doc_id) AS group_id
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+        |SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+        |       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+        |       CAST(CASE WHEN doc_id = group_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM lab ORDER BY doc_id""".stripMargin),
+
     // ---- the incremental-ingest shape of j14: a newly landed batch
     //      (source src1) exact-Jaccard-joined against the existing corpus
     //      only — pair generation touches batch-prefix x corpus-prefix,

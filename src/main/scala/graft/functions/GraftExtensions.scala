@@ -81,5 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => ZorderKey3(Cast(args.head, LongType),
         Cast(args(1), LongType), Cast(args(2), LongType),
         if (args.length > 3) intArg(args(3), "bits") else 16)))
+
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - intersection size of two sorted " +
+          "duplicate-free string arrays (merge walk)"),
+      (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))))
   }
 }

@@ -52,4 +52,27 @@ object Robust {
       .withColumn("is_outlier",
         (col("dev") > col("mad") * k).cast("long"))
   }
+
+  /** Per-group winsorization at the discrete quartiles: clips each value
+    * into [q1, q3] where q1/q3 are the values at ranks ceil(n/4) and
+    * ceil(3n/4) under (value, tieBreak) — the same quantile_disc
+    * convention as [[madOutliers]]'s medians, with the ranks in pure
+    * integer arithmetic ((n+3) div 4) so no float percentile can disagree
+    * with an oracle. Adds lo, hi, clipped; one group window + one
+    * broadcast join of per-group bounds.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                tieBreak: Column): DataFrame = {
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(col(valueCol), tieBreak)
+    val bounds = df
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+      .filter(col("__rk") === floor((col("__n") + 3) / 4).cast("long") ||
+              col("__rk") === floor((col("__n") * 3 + 3) / 4).cast("long"))
+      .groupBy(grp: _*)
+      .agg(min(valueCol).as("lo"), max(valueCol).as("hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("clipped", least(greatest(col(valueCol), col("lo")), col("hi")))
+  }
 }

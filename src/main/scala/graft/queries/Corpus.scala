@@ -1502,6 +1502,37 @@ object Corpus {
         |FROM dv v JOIN mad a USING (source)
         |ORDER BY v.doc_id""".stripMargin),
 
+    // ---- per-source winsorization at discrete quartiles (ops.Robust):
+    //      the clip a mixing pipeline applies to heavy-tailed per-doc
+    //      statistics before averaging. Quartile ranks are integer
+    //      arithmetic ((n+3) div 4), bounds are values from the data —
+    //      everything oracle-exact.
+    "q6_winsorize" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(toks(col("text"))).cast("long").as("n_tok"))
+        graft.ops.Robust.winsorize(docs, Seq("source"), "n_tok", col("doc_id"))
+          .select("doc_id", "source", "n_tok", "lo", "hi", "clipped")
+          .orderBy("doc_id")
+      },
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |b AS (
+        |  SELECT source, CAST(min(n_tok) AS BIGINT) AS lo, CAST(max(n_tok) AS BIGINT) AS hi
+        |  FROM r WHERE rk = (n + 3) // 4 OR rk = (3 * n + 3) // 4
+        |  GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_tok, b.lo, b.hi,
+        |       CAST(least(greatest(d.n_tok, b.lo), b.hi) AS BIGINT) AS clipped
+        |FROM d JOIN b USING (source)
+        |ORDER BY d.doc_id""".stripMargin),
+
     // ---- character-level Shannon entropy per document — the standard
     //      gibberish/degenerate-text signal (low entropy = repeated
     //      characters, high = uniform noise). Per-term contributions

@@ -97,6 +97,16 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(sortedIntersectCount(arr("a"), arr("a", "b", "c")) == 1)
   }
 
+  test("sorted_intersect_count is exposed on the SQL surface (parity)") {
+    import spark.implicits._
+    Seq(("a b c", "b c d")).toDF("x", "y").createOrReplaceTempView("sic_t")
+    val viaSql = spark.sql(
+      """SELECT sorted_intersect_count(sort_array(split(x, ' ')),
+        |                              sort_array(split(y, ' '))) AS c
+        |FROM sic_t""".stripMargin).as[Int].head()
+    assert(viaSql == 2)
+  }
+
   test("candidate stage plans token equi-joins, never a cartesian") {
     val p = SetSimJoin
       .selfJoin(Tables.documents(spark, sf001), "doc_id", "text", 9, 10)

@@ -47,6 +47,30 @@ class RobustSpec extends SparkTestBase {
     assert(flags == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("winsorize: hand-computed quartile bounds and clipping") {
+    // group g: sorted values 1,2,3,4,100; n=5 -> q1 rank (5+3)/4 = 2 -> 2,
+    // q3 rank (15+3)/4 = 4 -> 4; clips: 1->2, 100->4, middle unchanged
+    val out = Robust.winsorize(df, Seq("grp"), "v", col("id"))
+      .select("grp", "id", "lo", "hi", "clipped")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("g", 1L, 2L, 4L, 2L),
+      ("g", 2L, 2L, 4L, 2L),
+      ("g", 3L, 2L, 4L, 3L),
+      ("g", 4L, 2L, 4L, 4L),
+      ("g", 5L, 2L, 4L, 4L),
+      // group h: n=2 -> q1 rank 1, q3 rank 2, both value 7 -> identity
+      ("h", 1L, 7L, 7L, 7L),
+      ("h", 2L, 7L, 7L, 7L)))
+  }
+
+  test("winsorize: singleton group clips to itself") {
+    val one = Seq(("g", 42L, 1L)).toDF("grp", "v", "id")
+    val out = Robust.winsorize(one, Seq("grp"), "v", col("id"))
+      .select("lo", "hi", "clipped").as[(Long, Long, Long)].head()
+    assert(out == ((42L, 42L, 42L)))
+  }
+
   test("result is invariant under repartitioning") {
     val a = Robust.madOutliers(df, Seq("grp"), "v", col("id"), k = 3)
     val b = Robust.madOutliers(df.repartition(7), Seq("grp"), "v", col("id"), k = 3)

@@ -113,4 +113,17 @@ class SetSimJoinSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("bench-scale plan: fan-out probe side stays wide, joins broadcast") {
+    // plan-only at sf0.1: the round-robin exchange must survive (AQE once
+    // coalesced the tiny probe side to ~1 partition and serialized the
+    // 8.8M-row candidate expansion — 36.7 s), and the prefix/verify joins
+    // must broadcast, never sort-merge
+    val p = SetSimJoin
+      .selfJoin(Tables.documents(spark, sf01), "doc_id", "text", 9, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("RoundRobinPartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

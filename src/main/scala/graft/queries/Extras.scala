@@ -47,8 +47,29 @@ object StreamingQuery {
     else raw
   }
 
+  /** Run a stateful streaming drain with the state-store partition count
+    * sized to STATE VOLUME instead of the session's compute parallelism.
+    * Stream-stream join and windowed-agg state is partitioned by
+    * spark.sql.shuffle.partitions at query START (and frozen into the
+    * checkpoint thereafter); every micro-batch then pays a per-partition
+    * state-store commit, so overpartitioning small state is pure overhead
+    * — measured 5.6 s -> 2.5 s on the st5 drain at sf0.1 going 32 -> 8.
+    * The right number is a deployment knob (SPARK_GRAFT_STREAM_STATE_
+    * PARTITIONS, default 8): at 100x event volume raise it — state should
+    * fit per-partition executor memory — and pair it with the RocksDB
+    * provider (core.Sessions). Results are partition-count-invariant
+    * (exact aggregations, watermark-driven emission), which the gate
+    * re-checks at both SFs.
+    */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    try f finally s.conf.set(key, prev)
+  }
+
   def hourly(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = withStatePartitions(s) {
     val events = streamEvents(s, d)
     val name = "st1_out"
     val q = graft.streaming.Streams.windowedCounts(events, watermark = "1 minute")
@@ -68,7 +89,7 @@ object StreamingQuery {
     * DISTINCT of the key pair, which the oracle states.
     */
   def dedupPairs(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = withStatePartitions(s) {
     val events = streamEvents(s, d)
     val name = "st2_out"
     val q = graft.streaming.Streams
@@ -148,7 +169,7 @@ object StreamingQuery {
     * micro-batch cut points.
     */
   def sessions(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = withStatePartitions(s) {
     val name = "st4_out"
     val q = sessionAgg(streamEvents(s, d))
       .writeStream.outputMode("complete").format("memory").queryName(name).start()
@@ -166,7 +187,7 @@ object StreamingQuery {
     * oracle states.
     */
   def errorPairs(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = withStatePartitions(s) {
     val events = streamEvents(s, d)
     val errors = streamEvents(s, d)
       .filter(col("event_type") === "error")
@@ -192,7 +213,7 @@ object StreamingQuery {
     * the data.
     */
   def errorPairsOuter(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = withStatePartitions(s) {
     val events = streamEvents(s, d)
     val errors = streamEvents(s, d)
       .filter(col("event_type") === "error")

@@ -1539,7 +1539,10 @@ object Corpus {
     //      quantized to integer nano-nats (t18's discipline) so the
     //      per-doc sum is aggregation-order-immune. Scale: the char
     //      explode partial-aggregates to at most |alphabet| rows per doc
-    //      before the shuffle.
+    //      before the shuffle. Character = UTF-16 unit here (Java split
+    //      on ""); identical to DuckDB's codepoint split for BMP text —
+    //      supplementary characters (emoji etc.) would count as two units
+    //      on the Spark side, a documented non-issue for this corpus.
     "t19_char_entropy" -> withOracle(
       (s, d) => {
         val ch = Tables.documents(s, d)

@@ -114,6 +114,31 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("incremental-ingest composition: DocStore corpus gates a new batch") {
+    import spark.implicits._
+    // generation 1: the standing corpus; batch: one near-dup of doc 1
+    // (J = 9/10 -> passes t=0.8), one genuinely new doc
+    val dir = java.nio.file.Files.createTempDirectory("setsim-ingest").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    graft.sources.DocStore.insertMany(corpus, dir)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+      (11L, "completely different content about something else entirely here now")
+    ).toDF("doc_id", "text")
+    val existing = graft.sources.DocStore.find(spark, dir).select("doc_id", "text")
+    val dupIds = SetSimJoin
+      .joinBetween(existing, batch, "doc_id", "text", num = 4, den = 5)
+      .select(col("id_b").as("doc_id")).distinct()
+    val novel = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    graft.sources.DocStore.insertMany(novel, dir)
+    val finalIds = graft.sources.DocStore.find(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(finalIds == Set(1L, 2L, 11L), s"near-dup 10 gated out, 11 kept: $finalIds")
+  }
+
   test("bench-scale plan: fan-out probe side stays wide, joins broadcast") {
     // plan-only at sf0.1: the round-robin exchange must survive (AQE once
     // coalesced the tiny probe side to ~1 partition and serialized the

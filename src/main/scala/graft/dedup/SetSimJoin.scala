@@ -72,8 +72,17 @@ object SetSimJoin {
     * J >= num/den. Output (id_a, id_b, inter, uni, jaccard).
     */
   def selfJoin(df: DataFrame, idCol: String, textCol: String,
-               num: Int, den: Int): DataFrame = {
-    val sets = tokenSets(df, idCol, textCol)
+               num: Int, den: Int): DataFrame =
+    selfJoinOnSets(tokenSets(df, idCol, textCol), num, den)
+
+  /** [[selfJoin]] over caller-supplied sets — (id, ts, sz) with `ts`
+    * SORTED and duplicate-free (see [[tokenSets]]). This is how the join
+    * generalizes beyond unigram tokens: pass shingle sets and it becomes
+    * the EXACT twin of the MinHash-LSH near-dup path (same pair semantics
+    * as [[MinHashDedup]]'s verify, no banding recall loss), pass n-gram
+    * profiles and it is an exact n-gram-Jaccard join.
+    */
+  def selfJoinOnSets(sets: DataFrame, num: Int, den: Int): DataFrame = {
     val pref = prefixes(sets, sets, num, den) // one subtree, both join sides
     joinPrefixed(sets, pref, sets, pref, num, den, selfPairs = true)
   }

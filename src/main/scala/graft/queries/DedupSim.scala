@@ -739,6 +739,39 @@ object DedupSim {
         |       CAST(CASE WHEN doc_id = group_id THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM lab ORDER BY doc_id""".stripMargin),
 
+    // ---- the EXACT twin of m1's LSH path: the same 3-shingle Jaccard-0.7
+    //      pair semantics MinHashDedup verifies, but found by prefix
+    //      filtering instead of banding — zero recall loss by
+    //      construction, still no all-pairs. Registered so the two paths
+    //      are cross-checkable query-to-query (SetSimJoinSpec pins
+    //      LSH-verified pairs as a subset of these and measures banding
+    //      recall against this exact truth).
+    "j16_shingle_setsim" -> withOracle(
+      (s, d) => {
+        val sh = MinHashDedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
+        val sets = sh.select(col("doc_id").as("id"), array_sort(col("sh")).as("ts"))
+          .withColumn("sz", size(col("ts")).cast("long"))
+        SetSimJoin.selfJoinOnSets(sets, num = 7, den = 10)
+          .orderBy("id_a", "id_b")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |      i -> array_to_string(t[i:least(i + 2, len(t))], ' ')),
+        |    s -> s <> '')) AS sh
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id)
+        |SELECT id_a, id_b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM p WHERE inter * 10 >= uni * 7
+        |ORDER BY id_a, id_b""".stripMargin),
+
     // ---- the incremental-ingest shape of j14: a newly landed batch
     //      (source src1) exact-Jaccard-joined against the existing corpus
     //      only — pair generation touches batch-prefix x corpus-prefix,

@@ -114,6 +114,27 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("exact shingle join is ground truth for LSH: verified pairs subset, recall measured") {
+    val docs = Tables.documents(spark, sf001)
+    val sh = MinHashDedup.shingleSets(docs, "doc_id", "text", 3)
+    val sets = sh.select(col("doc_id").as("id"), array_sort(col("sh")).as("ts"))
+      .withColumn("sz", size(col("ts")).cast("long"))
+    val exact = SetSimJoin.selfJoinOnSets(sets, 7, 10)
+      .select("id_a", "id_b")
+    // the LSH path's verified pairs can only be TRUE pairs (exact verify
+    // stage) — any LSH pair missing from the exact join is a bug in one
+    val keys = MinHashDedup.bandKeys(docs, "doc_id", "text")
+    val lsh = MinHashDedup.verifiedPairs(docs, MinHashDedup.candidatePairs(keys, "doc_id"),
+      "doc_id", "text", k = 3, threshold = 0.7).select("id_a", "id_b")
+    assert(lsh.exceptAll(exact).isEmpty, "LSH verified a pair the exact join missed")
+    // banding recall against exact ground truth: 16x4 S-curve should catch
+    // nearly everything at J >= 0.7
+    val nExact = exact.count()
+    val nLsh = lsh.count()
+    assert(nExact > 0 && nLsh * 10 >= nExact * 9,
+      s"LSH recall ${nLsh.toDouble / nExact} below 0.9 ($nLsh of $nExact)")
+  }
+
   test("incremental-ingest composition: DocStore corpus gates a new batch") {
     import spark.implicits._
     // generation 1: the standing corpus; batch: one near-dup of doc 1

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Corpus, DedupSim, Extras, Flagship, Registry, Relational, TextDocs}
+import graft.queries.{Analytics, Behavior, Corpus, DedupSim, Extras, Flagship, Graphs, Learn, Registry, Relational, TextDocs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val registry: Seq[(String, Registry.Entry)] =
     Relational.defs ++ Analytics.defs ++ TextDocs.defs ++ DedupSim.defs ++
-      Extras.defs ++ Flagship.defs ++ Corpus.defs
+      Extras.defs ++ Flagship.defs ++ Corpus.defs ++ Graphs.defs ++
+      Behavior.defs ++ Learn.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

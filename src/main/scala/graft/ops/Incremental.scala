@@ -31,4 +31,15 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Delta rows of a join view V = A ⋈ B when A grows by dA and B by dB:
+    * dA⋈B0 ∪ A0⋈dB ∪ dA⋈dB (the standard IVM delta algebra for inserts).
+    * Each term is delta-sized on at least one side, so maintenance cost
+    * is O(delta), not O(history) — feed the result's partial aggregate to
+    * [[mergeAggregate]]. Deletes are the caller's concern (run the same
+    * algebra with the removed rows and subtract).
+    */
+  def deltaJoin(a0: DataFrame, dA: DataFrame, b0: DataFrame, dB: DataFrame)
+               (join: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    join(dA, b0).unionByName(join(a0, dB)).unionByName(join(dA, dB))
 }

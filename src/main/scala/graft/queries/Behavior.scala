@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Registry._
+
+/** Event-behavior analytics: ordered funnels, next-event transition
+  * matrices, and cohort retention over the events table. These are the
+  * product-analytics shapes (Amplitude/Mixpanel-style) a warehouse team
+  * runs daily; the reference has no event surface at all (its DAGs are
+  * batch master-data pulls), so this is engine-extension territory like
+  * the sketch/ANN families.
+  *
+  * All ratios are integer parts-per-million via integer division — no
+  * float ever reaches the output, so every query is hash-exact against
+  * its oracle.
+  */
+object Behavior {
+
+  val defs: Seq[(String, Entry)] = Seq(
+
+    // ---- strict ordered funnel signup -> view -> click -> purchase:
+    //      each stage's timestamp must strictly follow the user's
+    //      previous-stage FIRST timestamp. Four stage aggregates, each a
+    //      groupBy(user) + key join — state per user is one timestamp per
+    //      stage, so the shape is shuffle-bounded and skew-free at any
+    //      scale (no per-user event array is ever materialized, unlike
+    //      the collect_list funnel idiom that dies on a bot user with
+    //      10M events).
+    "fn1_funnel" -> withOracle(
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+        def stage(typ: String, prev: org.apache.spark.sql.DataFrame, prevT: String, t: String) =
+          ev.filter(col("event_type") === typ)
+            .join(prev, "user_id")
+            .filter(col("ts") > col(prevT))
+            .groupBy("user_id").agg(min("ts").as(t))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = stage("view", s1, "t1", "t2")
+        val s3 = stage("click", s2, "t2", "t3")
+        val s4 = stage("purchase", s3, "t3", "t4")
+        val one = s1.agg(count(lit(1)).as("u1"))
+          .crossJoin(s2.agg(count(lit(1)).as("u2")))
+          .crossJoin(s3.agg(count(lit(1)).as("u3")))
+          .crossJoin(s4.agg(count(lit(1)).as("u4")))
+        one.select(explode(array(
+            struct(lit(1).as("step"), lit("signup").as("stage"), col("u1").as("users"),
+              lit(1000000L).as("conv_ppm")),
+            struct(lit(2).as("step"), lit("view").as("stage"), col("u2").as("users"),
+              expr("CASE WHEN u1 > 0 THEN u2 * 1000000L div u1 ELSE 0L END").as("conv_ppm")),
+            struct(lit(3).as("step"), lit("click").as("stage"), col("u3").as("users"),
+              expr("CASE WHEN u2 > 0 THEN u3 * 1000000L div u2 ELSE 0L END").as("conv_ppm")),
+            struct(lit(4).as("step"), lit("purchase").as("stage"), col("u4").as("users"),
+              expr("CASE WHEN u3 > 0 THEN u4 * 1000000L div u3 ELSE 0L END").as("conv_ppm"))))
+            .as("r"))
+          .select(col("r.step"), col("r.stage"), col("r.users"), col("r.conv_ppm"))
+          .orderBy("step")
+      },
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t3 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS u1, (SELECT count(*) FROM s2) AS u2,
+        |             (SELECT count(*) FROM s3) AS u3, (SELECT count(*) FROM s4) AS u4)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS step, 'signup' AS stage, u1 AS users,
+        |         CAST(1000000 AS BIGINT) AS conv_ppm FROM c
+        |  UNION ALL SELECT 2, 'view', u2,
+        |         CASE WHEN u1 > 0 THEN u2 * 1000000 // u1 ELSE 0 END FROM c
+        |  UNION ALL SELECT 3, 'click', u3,
+        |         CASE WHEN u2 > 0 THEN u3 * 1000000 // u2 ELSE 0 END FROM c
+        |  UNION ALL SELECT 4, 'purchase', u4,
+        |         CASE WHEN u3 > 0 THEN u4 * 1000000 // u3 ELSE 0 END FROM c)
+        |ORDER BY step""".stripMargin),
+
+    // ---- first-order Markov transition matrix over per-user event
+    //      sequences: one lead() pass (shuffle on user_id), then a
+    //      25-cell aggregate; row-normalized probabilities in integer ppm
+    //      (window sum over the AGGREGATED 25-row frame, never the data).
+    "mk1_transitions" -> withOracle(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wf = Window.partitionBy("from_type")
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"),
+            lead(col("event_type"), 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+          .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+          .withColumn("total", sum("cnt").over(wf))
+          .withColumn("p_ppm", expr("(cnt * 1000000L) div total"))
+          .drop("total")
+          .orderBy("from_type", "to_type")
+      },
+      """SELECT from_type, to_type, cnt,
+        |       (cnt * 1000000) // CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+        |FROM (SELECT from_type, to_type, count(*) AS cnt
+        |      FROM (SELECT event_type AS from_type,
+        |                   lead(event_type) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS to_type
+        |            FROM events)
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |ORDER BY from_type, to_type""".stripMargin),
+
+    // ---- weekly retention cohorts: users grouped by the ISO week of
+    //      their first event; distinct actives per (cohort, weeks-since).
+    //      Two shuffles (first-event groupBy, cohort-cell distinct-count)
+    //      — both keyed, both skew-free; nothing is per-user state beyond
+    //      one timestamp.
+    "coh1_retention" -> withOracle(
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "ts")
+        val first = ev.groupBy("user_id")
+          .agg(date_trunc("week", min("ts")).as("cohort"))
+        ev.join(first, "user_id")
+          .select(col("user_id"), col("cohort"),
+            ((unix_timestamp(date_trunc("week", col("ts"))) - unix_timestamp(col("cohort")))
+              / lit(604800L)).cast("long").as("weeks_since"))
+          .groupBy("cohort", "weeks_since")
+          .agg(countDistinct("user_id").as("users"))
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+            col("weeks_since"), col("users"))
+          .orderBy("cohort_week", "weeks_since")
+      },
+      """WITH first AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |               FROM events GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |       (CAST(floor(epoch(date_trunc('week', e.ts))) AS BIGINT)
+        |        - CAST(floor(epoch(cohort)) AS BIGINT)) // 604800 AS weeks_since,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+        |FROM events e JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  )
+}

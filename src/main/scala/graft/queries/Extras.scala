@@ -584,6 +584,35 @@ object Extras {
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- incremental JOIN-view maintenance (classic IVM delta algebra):
+    //      with both sides split into base + delta, the view's new rows
+    //      are exactly dA⋈B0 ∪ A0⋈dB ∪ dA⋈dB — three delta-sized joins
+    //      instead of re-joining 100 TB of history. Folding their partial
+    //      aggregate into the stored aggregate must equal the full
+    //      recompute, which is what the oracle states.
+    "inc2_delta_join" -> withOracle(
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        val o0 = o.filter(col("o_orderkey") % 4 =!= 0)
+        val dO = o.filter(col("o_orderkey") % 4 === 0)
+        val l0 = li.filter(col("l_orderkey") % 3 =!= 0)
+        val dL = li.filter(col("l_orderkey") % 3 === 0)
+        def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+          a.join(b, col("o_orderkey") === col("l_orderkey"))
+        def aggOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("o_orderpriority")
+            .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+        graft.ops.Incremental.mergeAggregate(
+            aggOf(j(o0, l0)),
+            aggOf(graft.ops.Incremental.deltaJoin(o0, dO, l0, dL)(j)),
+            keys = Seq("o_orderpriority"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ---- SCD2 interval building: each event is valid until the user's
     //      next event (open-ended null for the latest). (user_id, ts) is
     //      unique in the data and event_id breaks any future tie, so the

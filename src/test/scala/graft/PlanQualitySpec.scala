@@ -313,4 +313,32 @@ class PlanQualitySpec extends SparkTestBase {
     val beforeSort = p.split("Sort ").last
     assert(!beforeSort.contains("Exchange hashpartitioning"), p)
   }
+
+  test("tc1 triangles: no cartesian, no single-partition window — orientation joins stay keyed") {
+    // the degree-orientation scheme only pays off if the wedge/close
+    // steps are plain equi-joins; a cartesian or a global window here
+    // means the O(m^1.5) bound was silently lost
+    val p = plan01("tc1_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window ["), p) // perNode has no window at all
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p) // combine kept
+  }
+
+  test("rrf1 hybrid fusion: query/idf/stat sides broadcast, no cartesian fan-out") {
+    val p = plan01("rrf1_hybrid")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+  }
+
+  test("nb1 classifier: class table broadcasts; count join never cartesian") {
+    val p = plan01("nb1_nb_classify")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("coh1 retention: two keyed shuffles, distinct-count keeps partial aggregation") {
+    val p = plan01("coh1_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
 }

@@ -42,6 +42,21 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(r == Set(("x", 8L, 1.0), ("y", 1L, 9.0), ("z", 2L, 4.0)))
   }
 
+  test("deltaJoin: base join plus delta rows equals the full join, exactly") {
+    import spark.implicits._
+    val a = (1L to 40L).map(i => (i, s"a$i")).toDF("k", "av")
+    val b = (1L to 120L).map(i => (i % 50, s"b$i")).toDF("k", "bv")
+    val a0 = a.filter(col("k") % 3 =!= 0); val dA = a.filter(col("k") % 3 === 0)
+    val b0 = b.filter(col("bv").endsWith("0") === false)
+    val dB = b.filter(col("bv").endsWith("0"))
+    def j(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.join(y, "k")
+    val full = j(a, b).collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val inc = j(a0, b0).unionByName(Incremental.deltaJoin(a0, dA, b0, dB)(j))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    assert(inc == full)
+  }
+
   test("snapshotDiff property: classification matches per-key brute force") {
     import spark.implicits._
     import org.scalacheck.Gen

@@ -135,6 +135,80 @@ object Behavior {
         |        - CAST(floor(epoch(cohort)) AS BIGINT)) // 604800 AS weeks_since,
         |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
         |FROM events e JOIN first USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ---- two-proportion A/B test: variant = user_id parity, metric =
+    //      purchase conversion; pooled z-score emitted as the RAW double
+    //      (never rounded — IEEE ops are exactly rounded, so identical
+    //      integer inputs through the identical expression tree give the
+    //      bit-identical double in both engines; rounding it would
+    //      re-introduce the boundary problem, CLAUDE.md's oracle rule).
+    //      Two distinct-count aggregates over users — no per-event state.
+    "ab1_ab_test" -> withOracle(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val agg = ev.select(col("user_id"), (col("user_id") % 2).as("variant"),
+            col("event_type"))
+          .groupBy("variant")
+          .agg(countDistinct("user_id").as("n"),
+            countDistinct(when(col("event_type") === "purchase", col("user_id")))
+              .as("conv"))
+        val a = agg.filter(col("variant") === 0)
+          .select(col("n").as("n_a"), col("conv").as("c_a"))
+        val b = agg.filter(col("variant") === 1)
+          .select(col("n").as("n_b"), col("conv").as("c_b"))
+        a.crossJoin(b)
+          .withColumn("p_a", col("c_a").cast("double") / col("n_a"))
+          .withColumn("p_b", col("c_b").cast("double") / col("n_b"))
+          .withColumn("p_pool",
+            (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b")))
+          .withColumn("z",
+            (col("p_a") - col("p_b")) /
+              sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                   (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+          .select("n_a", "c_a", "n_b", "c_b", "p_a", "p_b", "z")
+      },
+      """WITH agg AS (
+        |  SELECT user_id % 2 AS variant,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+        |                                  THEN user_id END) AS BIGINT) AS conv
+        |  FROM events GROUP BY 1),
+        |ab AS (SELECT a.n AS n_a, a.conv AS c_a, b.n AS n_b, b.conv AS c_b
+        |       FROM (SELECT * FROM agg WHERE variant = 0) a,
+        |            (SELECT * FROM agg WHERE variant = 1) b),
+        |p AS (SELECT *, CAST(c_a AS DOUBLE) / n_a AS p_a,
+        |             CAST(c_b AS DOUBLE) / n_b AS p_b,
+        |             CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool
+        |      FROM ab)
+        |SELECT n_a, c_a, n_b, c_b, p_a, p_b,
+        |       (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)) AS z
+        |FROM p""".stripMargin),
+
+    // ---- top event-type trigram paths: two lead() passes in ONE window
+    //      shuffle (same user_id/ts order), then a bounded (<= |types|^3)
+    //      aggregate; top-15 with a total tie order.
+    "path1_top_paths" -> withOracle(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("e1"),
+            lead(col("event_type"), 1).over(w).as("e2"),
+            lead(col("event_type"), 2).over(w).as("e3"))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+          .limit(15)
+      },
+      """SELECT e1, e2, e3, count(*) AS cnt
+        |FROM (SELECT event_type AS e1,
+        |             lead(event_type, 1) OVER w AS e2,
+        |             lead(event_type, 2) OVER w AS e3
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, e1, e2, e3 LIMIT 15""".stripMargin)
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.graph.Triangles
+import graft.graph.{KCore, Triangles}
 import Registry._
 
 /** Graph-analytics queries beyond PageRank/components (which live in
@@ -11,7 +11,55 @@ import Registry._
   */
 object Graphs {
 
+  /** kc1's oracle: the peel unrolled to 16 rounds. Peeling is idempotent
+    * past its fixpoint, so as long as 16 >= the rounds the data actually
+    * needs (gate fails loudly otherwise), the unrolled form computes the
+    * identical fixpoint Spark's convergence loop reaches.
+    */
+  private val kcOracle: String = {
+    // AS MATERIALIZED: each round is referenced three times by the next;
+    // default CTE inlining would expand the chain 3^16-fold (observed as
+    // a "too many open files" parquet-scan explosion)
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+        |e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |       FROM li x JOIN li y
+        |       ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)""".stripMargin)
+    for (i <- 0 until 16) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i)
+        |        GROUP BY 1 HAVING count(*) >= 3),
+        |e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+        |        WHERE a IN (SELECT node FROM d$i) AND b IN (SELECT node FROM d$i))""".stripMargin)
+    }
+    sb.append(
+      """
+        |SELECT node, count(*) AS deg
+        |FROM (SELECT a AS node FROM e16 UNION ALL SELECT b FROM e16)
+        |GROUP BY 1 HAVING count(*) >= 3 ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   val defs: Seq[(String, Entry)] = Seq(
+
+    // ---- 3-core of the part co-purchase graph: iterative peel with
+    //      checksum convergence (graph.KCore) — the graph-quality filter
+    //      that strips low-engagement fringes before any centrality
+    //      computation. Per-round state is (node, degree) only.
+    "kc1_kcore" -> withOracle(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 40)
+          .select("l_orderkey", "l_partkey")
+        val e = li.alias("x").join(li.alias("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .distinct()
+        KCore.membership(e, k = 3).orderBy("node")
+      },
+      kcOracle),
 
     // ---- triangle counting + local clustering coefficient over the part
     //      co-purchase graph (parts bought together in one order, high-

@@ -210,6 +210,60 @@ object Learn {
         |       CAST(CASE WHEN cand = actual THEN 1 ELSE 0 END AS INTEGER) AS hit
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |          ORDER BY score_u, cand) AS rk FROM fin)
-        |WHERE rk = 1 ORDER BY doc_id""".stripMargin)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin),
+
+    // ---- contrastive negative sampling: k pseudo-random non-self
+    //      partners per document via a deterministic hash ring over the
+    //      doc_id rank — RNG-free (the smp1 discipline), so batches are
+    //      reproducible across engines and runs. The global index comes
+    //      from the two-pass distributed rank (Ranks.withGlobalRowNumber)
+    //      — never a single-partition window; the partner lookup is one
+    //      keyed self-join. offset ∈ [1, n-1] guarantees partner != self.
+    "ne1_negative_pairs" -> withOracle(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id")
+        val (idx, n) = graft.ops.Ranks.withGlobalRowNumber(
+          docs, Seq(col("doc_id")), "idx")
+        val cand = idx
+          .select(col("doc_id"), col("idx"),
+            explode(sequence(lit(1L), lit(4L))).as("k"))
+          .withColumn("nidx",
+            lit(1L) + (col("idx") - lit(1L) +
+              (lit(1L) + (col("idx") * lit(2654435761L) + col("k") * lit(40503L))
+                % lit(n - 1))) % lit(n))
+        cand.join(idx.select(col("idx").as("nidx"), col("doc_id").as("neg_doc_id")),
+            "nidx")
+          .select("doc_id", "k", "neg_doc_id")
+          .orderBy("doc_id", "k")
+      },
+      """WITH idx AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS idx
+        |             FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |cand AS (
+        |  SELECT doc_id, idx, k,
+        |         1 + ((idx - 1 + (1 + (idx * 2654435761 + k * 40503) % (n - 1))) % n)
+        |           AS nidx
+        |  FROM idx, n, (SELECT unnest(generate_series(1, 4)) AS k))
+        |SELECT c.doc_id, CAST(c.k AS BIGINT) AS k, i.doc_id AS neg_doc_id
+        |FROM cand c JOIN idx i ON i.idx = c.nidx
+        |ORDER BY c.doc_id, k""".stripMargin),
+
+    // ---- curriculum interleave: order training docs easy-to-hard
+    //      (n_chars as the difficulty proxy — swap in t14's perplexity on
+    //      a real corpus) while round-robining across sources so no
+    //      source floods any curriculum window. One per-source window +
+    //      the output's range-partitioned sort — no global row_number.
+    "cur1_interleave" -> withOracle(
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rn", row_number().over(w))
+          .orderBy("rn", "source", "doc_id")
+      },
+      """SELECT doc_id, source, n_chars,
+        |       CAST(row_number() OVER (PARTITION BY source
+        |            ORDER BY n_chars, doc_id) AS INTEGER) AS rn
+        |FROM documents ORDER BY rn, source, doc_id""".stripMargin)
   )
 }

@@ -210,15 +210,18 @@ object DocStore {
               retain: Int = 2): Long = {
     val fs = fileSystem(spark, path)
     val live = liveDir(fs, spark, path)
-    // stats survive compaction: remember which columns the generation
-    // statted and re-stat the compacted files (they're freshly written and
-    // usually few — the rewrite already paid the full read)
-    val statted = statsCols(spark, fs, live)
+    // stats survive compaction: remember which columns (and Bloom
+    // geometry) the generation statted and re-stat the compacted files
+    // (they're freshly written and usually few — the rewrite already paid
+    // the full read)
+    val (statted, bloomed, bits) = statsConfig(spark, fs, live)
     val docs = spark.read.json(live)
     val obs = Observation()
     commitRewrite(fs, spark,
       docs.observe(obs, count(lit(1)).as("n")).coalesce(targetFiles), path, retain)
-    if (statted.nonEmpty) collectStats(spark, path, statted)
+    if (statted.nonEmpty || bloomed.nonEmpty)
+      collectStats(spark, path, statted, bloomed,
+        if (bits > 0) bits else 1 << 16)
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -230,7 +233,9 @@ object DocStore {
     * Returns the document count.
     */
   def cluster(spark: SparkSession, path: String, key: Column, targetFiles: Int,
-              statsCols: Seq[String], retain: Int = 2): Long = {
+              statsCols: Seq[String], retain: Int = 2,
+              bloomCols: Seq[String] = Seq.empty,
+              bloomBits: Int = 1 << 16): Long = {
     val fs = fileSystem(spark, path)
     val docs = spark.read.json(liveDir(fs, spark, path))
     // no Dataset.observe here: repartitionByRange runs an extra sampling
@@ -238,25 +243,36 @@ object DocStore {
     val n = docs.count()
     commitRewrite(fs, spark,
       graft.ops.Zorder.clusterByKey(docs, key, targetFiles), path, retain)
-    collectStats(spark, path, statsCols)
+    collectStats(spark, path, statsCols, bloomCols, bloomBits)
     n
   }
 
-  /** Compute per-file min/max stats for `cols` over the LIVE generation
-    * and write them as a `_STATS` JSON dir inside it (underscore-prefixed,
-    * so data scans never see it). One scan of the generation; the stats
-    * table itself is one row per file — planner-sized, not data-sized.
+  /** Compute per-file stats over the LIVE generation and write them as a
+    * `_STATS` JSON dir inside it (underscore-prefixed, so data scans never
+    * see it): min/max for `cols`, and optionally per-file Bloom filters
+    * for `bloomCols` — the point-lookup complement to min/max. Min/max
+    * prunes range predicates but is blind to equality probes on
+    * high-cardinality keys whose per-file ranges all overlap (round-robin
+    * ingest order); a Bloom filter answers "is this exact value possibly
+    * in this file" regardless of layout. One scan of the generation; the
+    * stats table itself is one row per file — planner-sized, not
+    * data-sized (each Bloom is <= bloomBits/8 bytes; size bloomBits to
+    * ~10x the expected per-file distinct count for ~1% false positives,
+    * false positives cost a read and never correctness).
     */
-  def collectStats(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+  def collectStats(spark: SparkSession, path: String, cols: Seq[String],
+                   bloomCols: Seq[String] = Seq.empty,
+                   bloomBits: Int = 1 << 16): Unit = {
+    require(bloomCols.isEmpty || bloomBits > 0,
+      s"bloomBits must be positive when bloomCols are requested, got $bloomBits")
     val fs = fileSystem(spark, path)
     val live = liveDir(fs, spark, path)
-    val docs = spark.read.json(live)
-    val present = cols.filter(docs.columns.contains)
-    if (present.isEmpty) return
-    val aggs = present.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val stats = docs.withColumn("__f", input_file_name())
-      .groupBy("__f").agg(aggs.head, aggs.tail: _*)
+    val docs0 = spark.read.json(live)
+    val present = cols.filter(docs0.columns.contains)
+    val bloomPresent = bloomCols.filter(docs0.columns.contains)
+    if (present.isEmpty && bloomPresent.isEmpty) return
+    val docs = docs0.withColumn("__f", input_file_name())
+    val stats = statsFrame(docs, present, bloomPresent, bloomBits)
       .withColumn("file", element_at(split(col("__f"), "/"), -1))
       .drop("__f")
     val statsPath = new Path(live, StatsDir)
@@ -266,7 +282,60 @@ object DocStore {
     // every column of the full collection, not just what the surviving
     // files happen to infer (underscore name -> invisible to data scans)
     val out = fs.create(new Path(statsPath, "_schema.json"), true)
-    try out.write(docs.schema.json.getBytes(UTF_8)) finally out.close()
+    try out.write(docs0.schema.json.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** One row per `__f`: min/max for `present`, Bloom word lists for
+    * `bloomPresent` (`bw_<col>` = sorted array of {i, w} non-zero 64-bit
+    * words), plus the filter geometry (`bloom_bits`).
+    */
+  private def statsFrame(docs: DataFrame, present: Seq[String],
+                         bloomPresent: Seq[String], bloomBits: Int): DataFrame = {
+    val base =
+      if (present.nonEmpty) {
+        val aggs = present.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        docs.groupBy("__f").agg(aggs.head, aggs.tail: _*)
+      } else docs.groupBy("__f").agg(count(lit(1)).as("__rows"))
+    val withBlooms = bloomPresent.foldLeft(base) { (acc, c) =>
+      val positions = array((0 until BloomK).map(s =>
+        bloomPosCol(col(c), s, bloomBits)): _*)
+      val words = docs.select(col("__f"), explode(positions).as("pos"))
+        .selectExpr("__f", "CAST(pos / 64 AS INT) AS i",
+          "shiftleft(CAST(1 AS BIGINT), pos % 64) AS b")
+        .groupBy("__f", "i").agg(expr("bit_or(b)").as("w"))
+        .groupBy("__f")
+        .agg(sort_array(collect_list(struct(col("i"), col("w")))).as(s"bw_$c"))
+      acc.join(words, Seq("__f"))
+    }
+    if (bloomPresent.nonEmpty)
+      withBlooms.withColumn("bloom_bits", lit(bloomBits.toLong))
+    else withBlooms
+  }
+
+  private val BloomK = 4
+
+  /** Bloom position of hash `seed` over a value, md5-based so the
+    * driver-side probe replicates it byte-for-byte without engine
+    * internals (the smp1 md5 discipline). 15 hex chars = 60 bits, safely
+    * inside Long.
+    */
+  private def bloomPosCol(c: Column, seed: Int, bits: Int): Column =
+    pmod(conv(substring(md5(concat_ws(":", lit(seed.toString), c.cast("string"))), 1, 15),
+      16, 10).cast("long"), lit(bits.toLong)).cast("int")
+
+  /** Driver twin of [[bloomPosCol]]; None for value types whose
+    * toString might not match Spark's string cast (doubles etc.) — the
+    * probe then keeps the file, which is always sound.
+    */
+  private def bloomPosDriver(v: Any, seed: Int, bits: Long): Option[Int] = v match {
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+         _: java.lang.Byte | _: String =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:${v.toString}".getBytes(UTF_8))
+      val hex = md.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+      Some((java.lang.Long.parseLong(hex, 16) % bits).toInt)
+    case _ => None
   }
 
   // ---- data skipping ----------------------------------------------------
@@ -284,30 +353,41 @@ object DocStore {
     * always sound. Unmergeable schema drift deletes the stored schema,
     * disabling pruning entirely until the next [[collectStats]].
     */
-  /** Columns a generation's `_STATS` sidecar covers; empty when there is
-    * no (readable) sidecar.
+  /** What a generation's `_STATS` sidecar covers: (min/max columns, Bloom
+    * columns, Bloom bits). All empty/zero when there is no (readable)
+    * sidecar.
     */
-  private def statsCols(spark: SparkSession, fs: FileSystem,
-                        live: String): Seq[String] =
-    if (!fs.exists(new Path(live, StatsDir))) Seq.empty
+  private def statsConfig(spark: SparkSession, fs: FileSystem,
+                          live: String): (Seq[String], Seq[String], Int) =
+    if (!fs.exists(new Path(live, StatsDir))) (Seq.empty, Seq.empty, 0)
     else
-      try spark.read.json(new Path(live, StatsDir).toString)
-        .schema.fieldNames.toSeq
-        .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
-      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+      try {
+        val df = spark.read.json(new Path(live, StatsDir).toString)
+        val names = df.schema.fieldNames.toSeq
+        val mm = names.collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+        val bl = names.collect { case n if n.startsWith("bw_") => n.stripPrefix("bw_") }
+        val bits =
+          if (bl.nonEmpty && names.contains("bloom_bits"))
+            df.select("bloom_bits").na.drop().head(1).headOption
+              .map(_.getLong(0).toInt).getOrElse(0)
+          else 0
+        (mm, if (bits > 0) bl else Seq.empty, bits)
+      }
+      catch { case _: org.apache.spark.sql.AnalysisException => (Seq.empty, Seq.empty, 0) }
 
   private def appendStats(spark: SparkSession, fs: FileSystem, live: String,
                           files: Seq[String]): Unit = {
     val statsPath = new Path(live, StatsDir)
-    val cols = statsCols(spark, fs, live)
-    if (cols.isEmpty) return
-    val docs = spark.read.json(files: _*)
-    val present = cols.filter(docs.columns.contains)
-    if (present.nonEmpty) {
-      val aggs = present.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      docs.withColumn("__f", input_file_name())
-        .groupBy("__f").agg(aggs.head, aggs.tail: _*)
+    // reuse the original pass's column set and Bloom geometry so probe
+    // positions keep matching the stored words
+    val (cols, bloomCols, bloomBits) = statsConfig(spark, fs, live)
+    if (cols.isEmpty && bloomCols.isEmpty) return
+    val docs0 = spark.read.json(files: _*)
+    val present = cols.filter(docs0.columns.contains)
+    val bloomPresent = bloomCols.filter(docs0.columns.contains)
+    if (present.nonEmpty || bloomPresent.nonEmpty) {
+      statsFrame(docs0.withColumn("__f", input_file_name()),
+          present, bloomPresent, bloomBits)
         .withColumn("file", element_at(split(col("__f"), "/"), -1))
         .drop("__f")
         .coalesce(1).write.mode(SaveMode.Append).json(statsPath.toString)
@@ -318,9 +398,9 @@ object DocStore {
       val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
                 finally in.close()
       scala.util.Try {
-        val stored = org.apache.spark.sql.types.DataType.fromJson(txt)
+        val prev = org.apache.spark.sql.types.DataType.fromJson(txt)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        org.apache.spark.sql.GraftShims.mergeSchemas(stored, docs.schema)
+        org.apache.spark.sql.GraftShims.mergeSchemas(prev, docs0.schema)
       } match {
         case scala.util.Success(merged) =>
           val out = fs.create(schemaFile, true)
@@ -399,12 +479,45 @@ object DocStore {
           }).getOrElse(true)
         case _ => true // column unstatted in this file: cannot exclude
       }
+    // Bloom probe: for equality/IN conjuncts on bloom-statted columns, a
+    // value is provably absent when ANY of its k bits is unset. Missing
+    // bloom fields, unsupported value types, or a zero geometry keep the
+    // file — like min/max, the check errs to reading more, never less.
+    def bloomSurvives(r: org.apache.spark.sql.Row, c: String, op: String,
+                      v: Any): Boolean =
+      (field(r, s"bw_$c"), field(r, "bloom_bits")) match {
+        case (Some(words: scala.collection.Seq[_]), Some(bits: java.lang.Number))
+            if bits.longValue > 0 =>
+          val m = bits.longValue
+          val wmap = words.collect {
+            case w: org.apache.spark.sql.Row =>
+              w.getAs[Long]("i").toInt -> w.getAs[Long]("w")
+          }.toMap
+          def maybe(x: Any): Boolean =
+            (0 until BloomK).forall { s =>
+              bloomPosDriver(x, s, m) match {
+                case Some(p) => (wmap.getOrElse(p / 64, 0L) & (1L << (p % 64))) != 0L
+                case None => true
+              }
+            }
+          op match {
+            case "="  => maybe(v)
+            case "in" => v match {
+              case vs: scala.collection.Seq[_] => vs.exists(maybe)
+              case _ => true
+            }
+            case _ => true
+          }
+        case _ => true
+      }
     val dataFiles = dataFileNames(fs, live).toSeq.map(n => s"$live/$n")
     val (statted, appended) =
       dataFiles.partition(f => byName.contains(new Path(f).getName))
     val kept = statted.filter { f =>
       val row = byName(new Path(f).getName)
-      bounds.forall { case (c, op, v) => survives(row, c, op, v) }
+      bounds.forall { case (c, op, v) =>
+        survives(row, c, op, v) && bloomSurvives(row, c, op, v)
+      }
     } ++ appended // no stats row -> appended after the pass -> always read
     // appended-but-unstatted files may carry columns the stats-time schema
     // never saw (insertMany widens the schema when it CAN stat the batch;

@@ -226,6 +226,52 @@ class DocStoreSpec extends SparkTestBase {
     assert(qComp.select("id").as[Long].collect().sorted.toSeq == (100L until 150L))
   }
 
+  test("bloom skipping: equality probes prune where min/max ranges all overlap") {
+    val path = freshPath()
+    DocStore.insertMany((0L until 1000L).map(i => (i, s"doc-$i"))
+      .toDF("id", "text"), path)
+    // cluster by id % 8: every file's [min,max] id range spans nearly the
+    // whole key space, so range stats CANNOT prune an id equality — the
+    // exact scenario blooms exist for
+    assert(DocStore.cluster(spark, path, col("id") % 8, targetFiles = 8,
+      statsCols = Seq("id"), bloomCols = Seq("id", "text")) == 1000L)
+    val all = DocStore.find(spark, path).inputFiles.length
+    assert(all == 8, s"expected 8 files, got $all")
+    val eq = DocStore.find(spark, path, Some(col("id") === 500L))
+    assert(eq.inputFiles.length <= 2,
+      s"bloom should prune an id probe to ~1 file, read ${eq.inputFiles.length}")
+    assert(eq.select("id").as[Long].collect().toSeq == Seq(500L))
+    // the same probe via min/max alone would read everything — prove the
+    // ranges really do overlap by checking a range query can't prune
+    val range = DocStore.find(spark, path,
+      Some(col("id") >= 500L && col("id") < 510L))
+    assert(range.inputFiles.length == all,
+      "test premise broken: ranges were supposed to overlap every file")
+    // IN-list: union of the matching files' blooms
+    val in = DocStore.find(spark, path, Some(col("id").isin(5L, 500L)))
+    assert(in.inputFiles.length <= 3 && in.count() == 2)
+    // string column blooms prune too
+    val s = DocStore.find(spark, path, Some(col("text") === "doc-42"))
+    assert(s.inputFiles.length <= 2 && s.count() == 1)
+    // a value present nowhere prunes every file, and the read stays typed
+    val none = DocStore.find(spark, path, Some(col("id") === 777777L))
+    assert(none.count() == 0 && none.columns.contains("text"))
+    // appended files get blooms via the incremental stat pass: probing a
+    // duplicated id reads the owning file + the appended one, nothing more
+    DocStore.insertMany(Seq((313L, "dup")).toDF("id", "text"), path)
+    val dup = DocStore.find(spark, path, Some(col("id") === 313L))
+    assert(dup.count() == 2)
+    assert(dup.inputFiles.length <= 3,
+      s"append degraded bloom pruning to ${dup.inputFiles.length} files")
+    // compaction preserves the bloom configuration
+    DocStore.compact(spark, path, targetFiles = 4)
+    val afterAll = DocStore.find(spark, path).inputFiles.length
+    val eqC = DocStore.find(spark, path, Some(col("id") === 500L))
+    assert(eqC.inputFiles.length < afterAll,
+      "compacted store lost its bloom skipping")
+    assert(eqC.select("id").as[Long].collect().toSeq == Seq(500L))
+  }
+
   test("interleaved appends between reads keep pruning exact, through compact") {
     val path = freshPath()
     DocStore.insertMany((0L until 400L).map(i => (i, s"base-$i"))

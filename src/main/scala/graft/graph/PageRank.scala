@@ -49,8 +49,12 @@ object PageRank {
       .select("src", "dst", "outdeg")
       .localCheckpoint(true)
 
+  /** One synchronous round. `nodes` carries a per-node restart mass `b`
+    * — constant `base` for uniform PageRank, base-on-seeds/0-elsewhere
+    * for the personalized variant.
+    */
   private def step(e: DataFrame, nodes: DataFrame, pr: DataFrame,
-                   base: Long, dampNum: Long, dampDen: Long): DataFrame = {
+                   dampNum: Long, dampDen: Long): DataFrame = {
     val contrib = e.join(pr, e("src") === pr("id"))
       .select(col("dst").as("id"), expr("r div outdeg").as("c"))
       .groupBy("id").agg(sum("c").as("s"))
@@ -63,7 +67,7 @@ object PageRank {
     nodes
       .join(contrib, Seq("id"), "left")
       .select(col("id"),
-        (lit(base) +
+        (col("b") +
           expr(s"(coalesce(s, 0L) div $dampDen) * $dampNum" +
                s" + ((coalesce(s, 0L) % $dampDen) * $dampNum) div $dampDen"))
           .as("r"))
@@ -78,13 +82,45 @@ object PageRank {
     val e = prepEdges(edges)
     // materialize the node set once: it is re-joined every round, and
     // recomputing it from source scans k times buys nothing
-    val n = nodes.select("id").localCheckpoint(true)
+    val n = nodes.select(col("id"), lit(base).as("b")).localCheckpoint(true)
     var pr = n.select(col("id"), lit(scale).as("r"))
     for (round <- 1 to iters) {
-      pr = step(e, n, pr, base, dampNum, dampDen)
+      pr = step(e, n, pr, dampNum, dampDen)
       // materialize every second round (and the last): enough to keep the
       // plan from growing superlinearly, half the action round-trips of
       // checkpointing every round
+      if (round % 2 == 0 || round == iters) pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** Personalized PageRank (random walk with restart to the seed set,
+    * Haveliwala WWW'02): the restart mass — both the initial rank and
+    * the per-round base — lands ONLY on `seeds` (col `id`), so ranks
+    * measure proximity to the seeds rather than global authority. The
+    * graph-retrieval / related-items primitive ("documents close to this
+    * trusted set"). Same integer arithmetic, join shape, checkpoint
+    * discipline and overflow bound as [[ranks]] (total seeded mass <=
+    * |seeds| * scale only shrinks).
+    */
+  def personalizedRanks(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+                        iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+                        scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampNum > 0 && dampDen > dampNum, s"need 0 < dampNum < dampDen")
+    val base = (dampDen - dampNum) * scale / dampDen
+    val e = prepEdges(edges)
+    // distinct: a duplicated seed id must not fan out the node set
+    val n = nodes.select("id")
+      .join(seeds.select("id").distinct().withColumn("__seed", lit(1)),
+        Seq("id"), "left")
+      .select(col("id"),
+        when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)).as("b"),
+        when(col("__seed").isNotNull, lit(scale)).otherwise(lit(0L)).as("r0"))
+      .localCheckpoint(true)
+    var pr = n.select(col("id"), col("r0").as("r"))
+    for (round <- 1 to iters) {
+      pr = step(e, n, pr, dampNum, dampDen)
       if (round % 2 == 0 || round == iters) pr = pr.localCheckpoint(true)
     }
     pr
@@ -112,12 +148,12 @@ object PageRank {
     require(dampNum > 0 && dampDen > dampNum, s"need 0 < dampNum < dampDen")
     val base = (dampDen - dampNum) * scale / dampDen
     val e = prepEdges(edges)
-    val n = nodes.select("id").localCheckpoint(true)
+    val n = nodes.select(col("id"), lit(base).as("b")).localCheckpoint(true)
     var pr = n.select(col("id"), lit(scale).as("r")).localCheckpoint(true)
     var round = 0
     var maxDelta = Long.MaxValue
     while (round < maxIters && maxDelta > tolUnits) {
-      val next = step(e, n, pr, base, dampNum, dampDen).localCheckpoint(true)
+      val next = step(e, n, pr, dampNum, dampDen).localCheckpoint(true)
       maxDelta = next.as("n").join(pr.as("o"), "id")
         .agg(max(abs(col("n.r") - col("o.r"))))
         .head().getLong(0)

@@ -76,6 +76,47 @@ object DedupSim {
        |SELECT id, r FROM pr6 ORDER BY id""".stripMargin
   }
 
+  /** pr2's oracle: pr1's unroll with the restart mass (initial rank AND
+    * per-round base) confined to the seed set.
+    */
+  private def pr2Oracle: String = {
+    val rounds = (1 to 6).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS id, CAST(sum(p.r // d.outdeg) AS BIGINT) AS s
+         |  FROM pr${k - 1} p
+         |  JOIN edges e ON p.id = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |pr$k AS (
+         |  SELECT n.id,
+         |         CAST((CASE WHEN sd.id IS NOT NULL THEN 150000000 ELSE 0 END)
+         |              + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN seeds sd ON sd.id = n.id
+         |  LEFT JOIN c$k c ON c.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+       |  FROM lineitem),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM li
+       |  UNION ALL
+       |  SELECT b, a FROM li),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |nodes AS (
+       |  SELECT s_suppkey * 2 AS id FROM supplier
+       |  UNION ALL
+       |  SELECT p_partkey * 2 + 1 FROM part),
+       |seeds AS (SELECT s_suppkey * 2 AS id FROM supplier WHERE s_suppkey <= 5),
+       |pr0 AS (SELECT n.id,
+       |               CAST(CASE WHEN sd.id IS NOT NULL THEN 1000000000 ELSE 0 END
+       |                    AS BIGINT) AS r
+       |        FROM nodes n LEFT JOIN seeds sd ON sd.id = n.id),
+       |$rounds
+       |SELECT id, r FROM pr6 ORDER BY id""".stripMargin
+  }
+
   val defs: Seq[(String, Entry)] = Seq(
 
     // ---- MinHash+LSH near-dup grouping: every doc gets its component's
@@ -317,6 +358,27 @@ object DedupSim {
     // because damping 0.85 contracts at 0.85^k — tight tolerances
     // honestly need ~50+ rounds, the wrong shape for a per-round bench.
     // pr1's fixed-round form is the benched surface.)
+
+    // ---- personalized PageRank: restart mass on a 5-supplier seed set
+    //      only — ranks measure proximity to the seeds (graph retrieval /
+    //      related-items), not global authority. Same integer-exact
+    //      round algebra as pr1; oracle = 6 unrolled CTE rounds with the
+    //      seeded base.
+    "pr2_ppr" -> withOracle(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+          .distinct()
+        val edges = li.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
+        val nodes = Tables.supplier(s, d).select((col("s_suppkey") * 2).as("id"))
+          .unionAll(Tables.part(s, d).select((col("p_partkey") * 2 + 1).as("id")))
+        val seeds = Tables.supplier(s, d).filter(col("s_suppkey") <= 5)
+          .select((col("s_suppkey") * 2).as("id"))
+        graft.graph.PageRank.personalizedRanks(edges, nodes, seeds, iters = 6)
+          .orderBy("id")
+      },
+      pr2Oracle),
 
     // ---- SimHash signatures + per-doc near-neighbor count within
     //      Hamming radius (banded blocking, never all-pairs)

@@ -27,7 +27,8 @@ object Plans {
         "j10_bloom_semi","j11_bloom_anti","j12_salted_join","sd1_dup_spans","t10_cooc_lift","d3_snapshot_diff","e5_ann_pq",
         "ld1_line_dedup","a14_cms_counts","z1_zorder_key","w10_session_window","t13_html_strip","smp3_weighted",
         "w6_ntile","a16_heavy_hitters","pk2_pack_rows","smp4_split","e6_ann_ivfpq",
-        "a18_equidepth_hist","a19_group_orderstats","dc2_overlap_frac","mm5_image_phash").foreach(show)
+        "a18_equidepth_hist","a19_group_orderstats","dc2_overlap_frac","mm5_image_phash",
+        "tc1_triangles","rrf1_hybrid","nb1_nb_classify","coh1_retention","pr2_ppr").foreach(show)
     spark.stop()
   }
 }

@@ -67,4 +67,35 @@ class PageRankSpec extends SparkTestBase {
     assert(total <= nodes.size * 1000000000L)
     assert(total > 0L)
   }
+
+  /** Driver-side personalized reference: restart mass only on seeds. */
+  private def refP(edges: Seq[(Long, Long)], nodes: Seq[Long], seeds: Set[Long],
+                   iters: Int): Map[Long, Long] = {
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(n => n -> (if (seeds(n)) 1000000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (u, v) => contrib(v) += r(u) / outdeg(u) }
+      r = nodes.map(n =>
+        n -> ((if (seeds(n)) 150000000L else 0L) + 85L * contrib(n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalized ranks match the driver reference; seeding everything = uniform PageRank") {
+    val e = edges.toDF("src", "dst")
+    val n = nodes.toDF("id")
+    val seeds = Set(1L, 5L)
+    val got = PageRank.personalizedRanks(e, n, Seq(1L, 5L).toDF("id"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refP(edges, nodes, seeds, 5))
+    // a node unreachable from the seeds holds rank exactly 0
+    assert(got(4L) == 0L)
+    // seeding every node reduces to the uniform algorithm, bit for bit
+    val all = PageRank.personalizedRanks(e, n, n, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uni = PageRank.ranks(e, n, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == uni)
+  }
 }

@@ -14,6 +14,21 @@ object TextImpls {
 
   private val Space = UTF8String.fromString(" ")
 
+  /** Unicode NFC normalization (canonical composition). Fast path: pure
+    * ASCII bytes are NFC by definition and skip the String round-trip
+    * entirely — on a mostly-ASCII corpus the kernel is a byte scan.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
+
   /** Space-joined word n-grams of a token array. Null tokens are skipped
     * inside a gram (concat_ws semantics); arrays shorter than `n` yield an
     * empty result; `distinct` keeps first occurrences in order

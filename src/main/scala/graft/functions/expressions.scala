@@ -345,10 +345,32 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC normalization as a codegen'd expression — the standard
+  * corpus-prep canonicalization ("é" as one codepoint vs "e"+combining
+  * accent must hash/dedup/join identically). A Scala UDF would close over
+  * nothing and still pay serialization + interpreted eval; this inherits
+  * `defineCodeGen` null handling and stays inside whole-stage codegen,
+  * with an ASCII fast path that skips the String round-trip. DuckDB's
+  * nfc_normalize is the cross-engine oracle (t20).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpls.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextImpls.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API. */
 object functions {
   private def expr(c: Column): Expression = GraftShims.expression(c)
   private def toCol(e: Expression): Column = GraftShims.column(e)
+
+  /** Unicode NFC normalization (codegen'd; ASCII fast path). */
+  def nfc_normalize(s: Column): Column = toCol(NfcNormalize(expr(s)))
 
   def minhash_sig(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
     toCol(MinHashSig(expr(tokens), numHashes, seed))

@@ -209,6 +209,42 @@ object Behavior {
         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1, 2, 3
-        |ORDER BY cnt DESC, e1, e2, e3 LIMIT 15""".stripMargin)
+        |ORDER BY cnt DESC, e1, e2, e3 LIMIT 15""".stripMargin),
+
+    // ---- last-touch attribution: each purchase credited to the user's
+    //      most recent preceding (inclusive-tie) non-purchase event —
+    //      ops.AsOf's carry-forward composition, so the cost is ONE
+    //      user-keyed shuffle instead of the naive join-then-max that
+    //      materializes every (purchase, earlier touch) pair.
+    //      Deterministic because (user_id, ts) is unique in the data
+    //      (scd1's pinned premise). The oracle IS the naive formulation —
+    //      a different algorithm computing the same answer.
+    "att1_last_touch" -> withOracle(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id")
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts"),
+            struct(col("event_id").as("eid"), col("event_type").as("etype"))
+              .as("touch"))
+        graft.ops.AsOf.joinAsOf(purchases, touches, Seq("user_id"),
+            "ts", "ts", "touch", "t")
+          .select(col("event_id"), col("t.eid").as("touch_event_id"),
+            col("t.etype").as("touch_type"))
+          .orderBy("event_id")
+      },
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_id, event_type FROM events
+        |      WHERE event_type <> 'purchase'),
+        |j AS (SELECT p.event_id, t.event_id AS touch_event_id,
+        |             t.event_type AS touch_type,
+        |             row_number() OVER (PARTITION BY p.event_id
+        |                 ORDER BY t.ts DESC) AS rk
+        |      FROM p JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts)
+        |SELECT p.event_id, j.touch_event_id, j.touch_type
+        |FROM p LEFT JOIN (SELECT * FROM j WHERE rk = 1) j USING (event_id)
+        |ORDER BY event_id""".stripMargin)
   )
 }

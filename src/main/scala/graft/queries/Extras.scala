@@ -613,6 +613,59 @@ object Extras {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- declarative data-quality expectations (ops.Expect): all
+    //      row-local rules fold into ONE aggregate over ONE scan;
+    //      uniqueness is a (count, count-distinct) pair; referential
+    //      rules are anti-join counts. Two rules fail by construction
+    //      (l_orderkey repeats across lines; the shrunk part dimension
+    //      misses most keys) so the pass/fail path is exercised, not just
+    //      the all-green one.
+    "ex1_expectations" -> withOracle(
+      (s, d) => {
+        import graft.ops.Expect._
+        val li = Tables.lineitem(s, d)
+        check(li, Seq(
+            NotNull("l_returnflag"),
+            InRange("l_quantity", 1, 50),
+            InSet("l_returnflag", Seq("A", "N", "R")),
+            Satisfies("price_positive", col("l_extendedprice") > 0),
+            Unique(Seq("l_orderkey")),
+            RefIntegrity("ref_orders", "l_orderkey",
+              Tables.orders(s, d), "o_orderkey"),
+            RefIntegrity("ref_small_part", "l_partkey",
+              Tables.part(s, d).filter(col("p_partkey") <= 300), "p_partkey")))
+          .orderBy("rule")
+      },
+      """WITH t AS (SELECT count(*) AS total FROM lineitem)
+        |SELECT rule, CAST(violations AS BIGINT) AS violations,
+        |       CAST(total AS BIGINT) AS total,
+        |       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass
+        |FROM (
+        |  SELECT 'not_null_l_returnflag' AS rule,
+        |         (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL) AS violations,
+        |         total FROM t
+        |  UNION ALL SELECT 'range_l_quantity',
+        |         (SELECT count(*) FROM lineitem
+        |          WHERE NOT COALESCE(l_quantity >= 1 AND l_quantity <= 50, false)), total FROM t
+        |  UNION ALL SELECT 'in_set_l_returnflag',
+        |         (SELECT count(*) FROM lineitem
+        |          WHERE NOT COALESCE(l_returnflag IN ('A','N','R'), false)), total FROM t
+        |  UNION ALL SELECT 'price_positive',
+        |         (SELECT count(*) FROM lineitem
+        |          WHERE NOT COALESCE(l_extendedprice > 0, false)), total FROM t
+        |  UNION ALL SELECT 'unique_l_orderkey',
+        |         (SELECT count(*) - count(DISTINCT l_orderkey) FROM lineitem), total FROM t
+        |  UNION ALL SELECT 'ref_orders',
+        |         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |          ON l.l_orderkey = o.o_orderkey
+        |          WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL), total FROM t
+        |  UNION ALL SELECT 'ref_small_part',
+        |         (SELECT count(*) FROM lineitem
+        |          WHERE l_partkey IS NOT NULL
+        |            AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey <= 300)),
+        |         total FROM t)
+        |ORDER BY rule""".stripMargin),
+
     // ---- SCD2 interval building: each event is valid until the user's
     //      next event (open-ended null for the latest). (user_id, ts) is
     //      unique in the data and event_id breaks any future tie, so the

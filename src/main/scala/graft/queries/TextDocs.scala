@@ -307,6 +307,29 @@ object TextDocs {
         |           c.vec_id)
         |           AS rk
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
-        |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
+        |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // ---- Unicode NFC normalization (graft.functions.NfcNormalize — a
+    //      codegen'd Catalyst expression, not a UDF): "e"+COMBINING ACUTE
+    //      and precomposed "é" must hash/dedup/join identically, the
+    //      standard corpus canonicalization step. The corpus text is
+    //      ASCII, so the query synthesizes decomposed suffixes (the x7
+    //      raw-input pattern); character counts shrink under composition
+    //      and both engines count codepoints.
+    "t20_nfc_normalize" -> withOracle(
+      (s, d) => {
+        val decomposed = concat(lower(col("n_name")), lit("éÅ"))
+        Tables.nation(s, d).select(col("n_nationkey"),
+            graft.functions.functions.nfc_normalize(decomposed).as("norm"),
+            length(decomposed).as("len_raw"),
+            length(graft.functions.functions.nfc_normalize(decomposed)).as("len_norm"))
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey,
+        |       nfc_normalize(lower(n_name) || 'e' || chr(769) || 'A' || chr(778)) AS norm,
+        |       CAST(length(lower(n_name) || 'e' || chr(769) || 'A' || chr(778)) AS INTEGER) AS len_raw,
+        |       CAST(length(nfc_normalize(lower(n_name) || 'e' || chr(769) || 'A' || chr(778))) AS INTEGER)
+        |         AS len_norm
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
   )
 }

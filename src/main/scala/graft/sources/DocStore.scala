@@ -435,8 +435,11 @@ object DocStore {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
         .getOrElse(return None)
     }
-    val bounds = org.apache.spark.sql.GraftShims.predicateBounds(filter)
-    if (bounds.isEmpty) return None
+    // DNF: a file survives when ANY disjunct's conjuncts all survive —
+    // so `id = 5 OR id = 999` prunes to the union of the two matching
+    // file sets instead of falling back to the full scan
+    val dnf = org.apache.spark.sql.GraftShims.predicateDnf(filter)
+    if (dnf.isEmpty) return None
     val stats =
       try spark.read.json(statsPath.toString).collect()
       catch { case _: org.apache.spark.sql.AnalysisException => return None }
@@ -515,9 +518,9 @@ object DocStore {
       dataFiles.partition(f => byName.contains(new Path(f).getName))
     val kept = statted.filter { f =>
       val row = byName(new Path(f).getName)
-      bounds.forall { case (c, op, v) =>
+      dnf.exists(_.forall { case (c, op, v) =>
         survives(row, c, op, v) && bloomSurvives(row, c, op, v)
-      }
+      })
     } ++ appended // no stats row -> appended after the pass -> always read
     // appended-but-unstatted files may carry columns the stats-time schema
     // never saw (insertMany widens the schema when it CAN stat the batch;

@@ -38,36 +38,72 @@ object GraftShims {
     * them as unprunable, never as false). Lives here because the
     * node-layer matchers are `private[sql]`.
     */
+  private def flipOp(op: String): String = op match {
+    case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+    case other => other
+  }
+  private def nodeAttr(n: internal.ColumnNode): Option[String] = n match {
+    case internal.UnresolvedAttribute(parts, _, _, _) => Some(parts.mkString("."))
+    case _ => None
+  }
+  private def nodeLit(n: internal.ColumnNode): Option[Any] = n match {
+    case internal.Literal(v, _, _) => Some(v)
+    case _ => None
+  }
+  /** A single recognizable attr-vs-literal comparison, else None. */
+  private def leafBound(n: internal.ColumnNode): Option[(String, String, Any)] = n match {
+    case internal.UnresolvedFunction(op @ ("<" | "<=" | ">" | ">=" | "="),
+        scala.collection.Seq(x, y), _, _, _, _) =>
+      (nodeAttr(x), nodeLit(y), nodeAttr(y), nodeLit(x)) match {
+        case (Some(a), Some(v), _, _) => Some((a, op, v))
+        case (_, _, Some(a), Some(v)) => Some((a, flipOp(op), v))
+        case _ => None
+      }
+    case internal.UnresolvedFunction("in", args, _, _, _, _)
+        if args.nonEmpty && nodeAttr(args.head).isDefined =>
+      val vs = args.tail.map(nodeLit)
+      if (vs.forall(_.isDefined)) Some((nodeAttr(args.head).get, "in", vs.flatten))
+      else None
+    case _ => None
+  }
+
   def predicateBounds(c: Column): Seq[(String, String, Any)] = {
-    def flip(op: String): String = op match {
-      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
-      case other => other
-    }
-    def attr(n: internal.ColumnNode): Option[String] = n match {
-      case internal.UnresolvedAttribute(parts, _, _, _) => Some(parts.mkString("."))
-      case _ => None
-    }
-    def lit(n: internal.ColumnNode): Option[Any] = n match {
-      case internal.Literal(v, _, _) => Some(v)
-      case _ => None
-    }
     def go(n: internal.ColumnNode): Seq[(String, String, Any)] = n match {
       case internal.UnresolvedFunction("and", scala.collection.Seq(l, r), _, _, _, _) =>
         go(l) ++ go(r)
-      case internal.UnresolvedFunction(op @ ("<" | "<=" | ">" | ">=" | "="),
-          scala.collection.Seq(x, y), _, _, _, _) =>
-        (attr(x), lit(y), attr(y), lit(x)) match {
-          case (Some(a), Some(v), _, _) => Seq((a, op, v))
-          case (_, _, Some(a), Some(v)) => Seq((a, flip(op), v))
-          case _ => Nil
-        }
-      case internal.UnresolvedFunction("in", args, _, _, _, _)
-          if args.nonEmpty && attr(args.head).isDefined =>
-        val vs = args.tail.map(lit)
-        if (vs.forall(_.isDefined)) Seq((attr(args.head).get, "in", vs.flatten))
-        else Nil
-      case _ => Nil
+      case leaf => leafBound(leaf).toSeq
     }
     go(c.node)
+  }
+
+  /** Disjunctive normal form of a filter over recognizable comparisons:
+    * Seq of disjuncts, each a conjunct list — the predicate implies
+    * "some disjunct holds". Soundness asymmetry, load-bearing for data
+    * skipping: an unrecognizable CONJUNCT may be dropped (weakens the
+    * predicate — more files survive), but an unrecognizable DISJUNCT
+    * poisons its whole OR (dropping it would strengthen the predicate and
+    * prune files it might match) — the OR collapses to "unknown". Returns
+    * Nil when nothing prunable remains; cross-product growth beyond 64
+    * disjuncts also degrades to Nil rather than exploding the probe.
+    */
+  def predicateDnf(c: Column): Seq[Seq[(String, String, Any)]] = {
+    type Dnf = Seq[Seq[(String, String, Any)]]
+    def go(n: internal.ColumnNode): Option[Dnf] = n match {
+      case internal.UnresolvedFunction("and", scala.collection.Seq(l, r), _, _, _, _) =>
+        (go(l), go(r)) match {
+          case (None, x) => x
+          case (x, None) => x
+          case (Some(a), Some(b)) =>
+            val cross = for { x <- a; y <- b } yield x ++ y
+            if (cross.size > 64) None else Some(cross)
+        }
+      case internal.UnresolvedFunction("or", scala.collection.Seq(l, r), _, _, _, _) =>
+        (go(l), go(r)) match {
+          case (Some(a), Some(b)) if a.size + b.size <= 64 => Some(a ++ b)
+          case _ => None
+        }
+      case leaf => leafBound(leaf).map(b => Seq(Seq(b)))
+    }
+    go(c.node).getOrElse(Nil)
   }
 }

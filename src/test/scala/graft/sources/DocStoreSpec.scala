@@ -209,10 +209,21 @@ class DocStoreSpec extends SparkTestBase {
     val tagQ = DocStore.find(spark, path,
       Some(col("id") >= 2500L && col("tag") === "fresh"))
     assert(tagQ.select("id").as[Long].collect().toSeq == Seq(3000L))
-    // predicates the pruner can't analyze (OR) fall back to the full scan
+    // OR of recognizable disjuncts prunes to the UNION of matching files
     val or = DocStore.find(spark, path,
       Some(col("id") === 5L || col("id") === 999L))
     assert(or.count() == 2)
+    assert(or.inputFiles.length <= 3,
+      s"OR should prune to the disjunct union, read ${or.inputFiles.length}")
+    // an unanalyzable disjunct poisons its OR (dropping it would prune
+    // files the predicate might match): full scan, correct rows
+    val orOpaque = DocStore.find(spark, path,
+      Some(col("id") === 5L || col("text").endsWith("c-999")))
+    assert(orOpaque.count() == 2) // id 5 plus doc-999's text
+    // ... but an unanalyzable CONJUNCT under AND still lets its sibling prune
+    val andOpaque = DocStore.find(spark, path,
+      Some(col("id") === 500L && col("text").contains("doc")))
+    assert(andOpaque.count() == 1 && andOpaque.inputFiles.length <= 3)
     // IN-lists prune to the union of matching files
     val in = DocStore.find(spark, path, Some(col("id").isin(5L, 6L, 7L)))
     assert(in.inputFiles.length < allFiles && in.count() == 3)

@@ -1,5 +1,39 @@
 package graft.text
 
+import graft.SparkTestBase
+
+class NfcNormalizeSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.functions.functions.nfc_normalize
+  import org.apache.spark.sql.functions.col
+
+  test("composes combining sequences; idempotent; ASCII passes through; null stays null") {
+    val rows = Seq(
+      (1L, Some("é")),          // -> é (U+00E9)
+      (2L, Some("Å")),          // -> Å (U+00C5)
+      (3L, Some("plain ascii!")),
+      (4L, Some("é")),           // already composed
+      (5L, None: Option[String]))
+      .toDF("id", "s")
+    val got = rows.select(col("id"), nfc_normalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("é") && got(2L).contains("Å"))
+    assert(got(3L).contains("plain ascii!"))
+    assert(got(4L).contains("é"))
+    assert(got(5L).isEmpty)
+    // idempotence: normalizing the normalized output changes nothing
+    val twice = rows.select(col("id"),
+        nfc_normalize(nfc_normalize(col("s"))).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(twice == got)
+    // SQL surface (GraftExtensions) matches the Column API
+    rows.createOrReplaceTempView("nfc_in")
+    val sqlGot = spark.sql("SELECT id, nfc_normalize(s) AS n FROM nfc_in")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(sqlGot == got)
+  }
+}
+
 import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 import graft.functions.functions.ngrams

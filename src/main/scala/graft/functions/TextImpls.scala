@@ -19,11 +19,13 @@ object TextImpls {
     * entirely — on a mostly-ASCII corpus the kernel is a byte scan.
     */
   def nfc(s: UTF8String): UTF8String = {
+    // getByte, not getBytes: an UnsafeRow-backed string rarely spans its
+    // full backing array, so getBytes would copy per row — the fast path
+    // must stay allocation-free to be a fast path
     val n = s.numBytes()
-    val bytes = s.getBytes
     var i = 0
     var ascii = true
-    while (ascii && i < n) { if (bytes(i) < 0) ascii = false; i += 1 }
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
     if (ascii) s
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))

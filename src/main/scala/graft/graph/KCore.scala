@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * more (contrast with h-index coreness iterations that materialize
   * per-node neighbor multisets). Rounds are data-bounded (longest
   * peeling chain); each round's result is localCheckpointed to cut
-  * lineage, Components' discipline. Convergence is detected by an edge
-  * checksum (count + hash sum) — one cheap aggregate per round.
+  * lineage, Components' discipline. Convergence is just the edge COUNT:
+  * peeling strictly shrinks the edge set, so equal counts prove equal
+  * sets — one cheap aggregate per round, no content hash.
   *
   * The peel operator is monotone and idempotent past its fixpoint:
   * peeling an already-peeled core changes nothing. That is what makes
@@ -35,13 +36,12 @@ object KCore {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // Peeling only DELETES edges (next ⊆ cur), so equal counts imply
+    // equal sets — the count alone is an exact convergence test, no
+    // content hash needed (unlike Components, whose star contractions
+    // REWRITE edges and can preserve cardinality across a change).
     var cur = edges.select("a", "b").localCheckpoint(true)
-    var cs = checksum(cur)
+    var cs = cur.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -51,7 +51,7 @@ object KCore {
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint(true)
-      val csN = checksum(next)
+      val csN = next.count()
       converged = csN == cs
       cur = next
       cs = csN

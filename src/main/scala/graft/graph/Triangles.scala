@@ -39,6 +39,14 @@ object Triangles {
     * 2*tri / (deg*(deg-1)) in integer parts-per-billion (exact integer
     * division — no float ever enters the result, so cross-engine
     * comparison is hash-exact). Isolated corners (deg == 1) report 0.
+    *
+    * Precision ceiling (the PageRank-style overflow contract): the ppb
+    * numerator 2*tri*1e9 is bounded by deg*(deg-1)*1e9, so Long holds it
+    * while per-node degree <= ~96,000 (deg*(deg-1) < 2^63/1e9). Beyond
+    * that — a hub whose NEIGHBORHOOD closure you genuinely enumerate —
+    * the counts (deg, tri) stay exact; recompute the coefficient at a
+    * coarser grid (ppm buys degree <= ~3M) or in floating point
+    * downstream. The enumeration itself has no such bound.
     */
   def perNode(edges: DataFrame): DataFrame = {
     val tri = enumerate(edges)

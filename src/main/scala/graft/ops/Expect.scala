@@ -61,10 +61,19 @@ object Expect {
       case _ => false
     }
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // one materialized (rule-count + total) row shared by everything that
+    // needs the table's cardinality — referential rules must NOT each
+    // re-scan df for a total (checkpointed: a one-row frame, one scan)
+    lazy val totalDf: DataFrame =
+      df.agg(count(lit(1)).as("total")).localCheckpoint(true)
     if (rowLocal.nonEmpty) {
+      // coalesce: sum() over ZERO rows is NULL, and an empty batch
+      // violates nothing — without it every rule on an empty frame
+      // reports (NULL, 0, fail)
       val aggs = count(lit(1)).as("__total") +:
         rowLocal.zipWithIndex.map { case (r, i) =>
-          sum(when(violationCond(r), 1L).otherwise(0L)).as(s"__v$i")
+          coalesce(sum(when(violationCond(r), 1L).otherwise(0L)), lit(0L))
+            .as(s"__v$i")
         }
       val one = df.agg(aggs.head, aggs.tail: _*)
       frames += one.select(explode(array(rowLocal.zipWithIndex.map { case (r, i) =>
@@ -80,15 +89,15 @@ object Expect {
         // combos. groupBy treats null as a value, which is what "this
         // combination must not repeat" means.
         frames += df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
-          .agg(sum("__c").as("total"), count(lit(1)).as("__d"))
+          .agg(coalesce(sum("__c"), lit(0L)).as("total"),
+            count(lit(1)).as("__d"))
           .select(lit(u.name).as("rule"),
             (col("total") - col("__d")).as("violations"), col("total"))
       case r @ RefIntegrity(_, c, dim, dimCol) =>
-        val total = df.agg(count(lit(1)).as("total"))
         val orphans = df.filter(col(c).isNotNull)
           .join(dim.select(col(dimCol).as(c)).distinct(), Seq(c), "left_anti")
           .agg(count(lit(1)).as("violations"))
-        frames += orphans.crossJoin(total)
+        frames += orphans.crossJoin(totalDf)
           .select(lit(r.name).as("rule"), col("violations"), col("total"))
       case _ => () // row-local, handled above
     }

@@ -245,6 +245,85 @@ object Behavior {
         |      FROM p JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts)
         |SELECT p.event_id, j.touch_event_id, j.touch_type
         |FROM p LEFT JOIN (SELECT * FROM j WHERE rk = 1) j USING (event_id)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin),
+
+    // ---- seasonal-naive forecast backtest: predict each hour's event
+    //      count by the SAME hour one day earlier (the standard baseline
+    //      any real forecaster must beat), score by MAE per event type.
+    //      Joined on (type, hour - 24h) — NOT lag(24 rows), which silently
+    //      misaligns across gap hours. Counts are integers, so the MAE
+    //      numerator is exact and the final mean is one exact division.
+    "fc1_seasonal_naive" -> withOracle(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val prev = hourly.select(col("event_type"),
+          (col("h") + expr("interval 24 hours")).as("h"), col("cnt").as("pred"))
+        hourly.join(prev, Seq("event_type", "h"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"),
+            sum(abs(col("cnt") - col("pred"))).as("mae_num"))
+          .withColumn("mae", col("mae_num").cast("double") / col("n_hours"))
+          .orderBy("event_type")
+      },
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |       CAST(sum(abs(a.cnt - p.cnt)) AS BIGINT) AS mae_num,
+        |       CAST(sum(abs(a.cnt - p.cnt)) AS DOUBLE) / count(*) AS mae
+        |FROM hourly a JOIN hourly p
+        |  ON a.event_type = p.event_type AND p.h = a.h - INTERVAL 24 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- CUSUM changepoint detection, integer-exact: for each type's
+    //      hourly series, S_k = n*prefix_k - k*total (the mean-centered
+    //      cumulative sum scaled by n to stay in integers — no rational
+    //      mean is ever materialized); the changepoint is the hour
+    //      maximizing |S_k| (tie -> earliest). One group window pass.
+    "cp1_cusum" -> withOracle(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val wcum = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wall = Window.partitionBy("event_type")
+        val scored = hourly
+          .withColumn("cum", sum("cnt").over(wcum))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type").orderBy("h")))
+          .withColumn("n", count(lit(1)).over(wall))
+          .withColumn("total", sum("cnt").over(wall))
+          .withColumn("s_abs", abs(col("n") * col("cum") - col("rk") * col("total")))
+        scored.withColumn("pick", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("s_abs").desc, col("h"))))
+          .filter(col("pick") === 1)
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm").as("cp_hour"),
+            col("s_abs"))
+          .orderBy("event_type")
+      },
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, h,
+        |         abs(CAST(count(*) OVER w2 AS BIGINT)
+        |               * CAST(sum(cnt) OVER w1 AS BIGINT)
+        |             - CAST(row_number() OVER w0 AS BIGINT)
+        |               * CAST(sum(cnt) OVER w2 AS BIGINT)) AS s_abs
+        |  FROM hourly
+        |  WINDOW w0 AS (PARTITION BY event_type ORDER BY h),
+        |         w1 AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         w2 AS (PARTITION BY event_type))
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M') AS cp_hour,
+        |       CAST(s_abs AS BIGINT) AS s_abs
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |          ORDER BY s_abs DESC, h) AS pick FROM scored)
+        |WHERE pick = 1 ORDER BY event_type""".stripMargin)
   )
 }

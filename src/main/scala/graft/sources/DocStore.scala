@@ -287,7 +287,11 @@ object DocStore {
 
   /** One row per `__f`: min/max for `present`, Bloom word lists for
     * `bloomPresent` (`bw_<col>` = sorted array of {i, w} non-zero 64-bit
-    * words), plus the filter geometry (`bloom_bits`).
+    * words), plus the filter geometry (`bloom_bits`). At most TWO scans
+    * of the data regardless of column counts: one aggregate pass for all
+    * min/max columns, one tagged-explode pass for ALL Bloom columns
+    * (positions carry their column name and pivot back to `bw_<col>`
+    * fields) — not a pass per Bloom column.
     */
   private def statsFrame(docs: DataFrame, present: Seq[String],
                          bloomPresent: Seq[String], bloomBits: Int): DataFrame = {
@@ -297,17 +301,24 @@ object DocStore {
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
         docs.groupBy("__f").agg(aggs.head, aggs.tail: _*)
       } else docs.groupBy("__f").agg(count(lit(1)).as("__rows"))
-    val withBlooms = bloomPresent.foldLeft(base) { (acc, c) =>
-      val positions = array((0 until BloomK).map(s =>
-        bloomPosCol(col(c), s, bloomBits)): _*)
-      val words = docs.select(col("__f"), explode(positions).as("pos"))
-        .selectExpr("__f", "CAST(pos / 64 AS INT) AS i",
-          "shiftleft(CAST(1 AS BIGINT), pos % 64) AS b")
-        .groupBy("__f", "i").agg(expr("bit_or(b)").as("w"))
-        .groupBy("__f")
-        .agg(sort_array(collect_list(struct(col("i"), col("w")))).as(s"bw_$c"))
-      acc.join(words, Seq("__f"))
-    }
+    val withBlooms =
+      if (bloomPresent.isEmpty) base
+      else {
+        val tagged = docs.select(col("__f"), explode(array(
+            bloomPresent.flatMap(c => (0 until BloomK).map(s =>
+              struct(lit(c).as("c"),
+                bloomPosCol(col(c), s, bloomBits).as("pos")))): _*)).as("e"))
+          .selectExpr("__f", "e.c AS c", "CAST(e.pos / 64 AS INT) AS i",
+            "shiftleft(CAST(1 AS BIGINT), e.pos % 64) AS b")
+        val words = tagged
+          .groupBy("__f", "c", "i").agg(expr("bit_or(b)").as("w"))
+          .groupBy("__f", "c")
+          .agg(sort_array(collect_list(struct(col("i"), col("w")))).as("bw"))
+          .groupBy("__f").pivot("c", bloomPresent).agg(first("bw"))
+        val renamed = bloomPresent.foldLeft(words)(
+          (acc, c) => acc.withColumnRenamed(c, s"bw_$c"))
+        base.join(renamed, Seq("__f"))
+      }
     if (bloomPresent.nonEmpty)
       withBlooms.withColumn("bloom_bits", lit(bloomBits.toLong))
     else withBlooms
@@ -486,6 +497,27 @@ object DocStore {
     // value is provably absent when ANY of its k bits is unset. Missing
     // bloom fields, unsupported value types, or a zero geometry keep the
     // file — like min/max, the check errs to reading more, never less.
+    //
+    // TYPE GATE (soundness): the stored bits hash Spark's string-cast of
+    // the COLUMN value; the probe hashes the predicate LITERAL's
+    // toString. Those agree only when the stats-time column type and the
+    // literal type render integers-as-integers / strings-as-strings —
+    // a double column probed with an integer literal matches rows under
+    // Spark's numeric coercion ("5" vs stored "5.0") but would miss every
+    // bloom bit and falsely prune the owning file. So the probe applies
+    // ONLY to (integral column, integral literal) and (string column,
+    // string literal); any other pairing keeps the file.
+    def bloomTypeOk(c: String, v: Any): Boolean =
+      stored.fields.find(_.name == c).map(_.dataType) match {
+        case Some(_: org.apache.spark.sql.types.LongType |
+                  _: org.apache.spark.sql.types.IntegerType |
+                  _: org.apache.spark.sql.types.ShortType |
+                  _: org.apache.spark.sql.types.ByteType) =>
+          v.isInstanceOf[java.lang.Integer] || v.isInstanceOf[java.lang.Long] ||
+            v.isInstanceOf[java.lang.Short] || v.isInstanceOf[java.lang.Byte]
+        case Some(_: org.apache.spark.sql.types.StringType) => v.isInstanceOf[String]
+        case _ => false
+      }
     def bloomSurvives(r: org.apache.spark.sql.Row, c: String, op: String,
                       v: Any): Boolean =
       (field(r, s"bw_$c"), field(r, "bloom_bits")) match {
@@ -497,7 +529,7 @@ object DocStore {
               w.getAs[Long]("i").toInt -> w.getAs[Long]("w")
           }.toMap
           def maybe(x: Any): Boolean =
-            (0 until BloomK).forall { s =>
+            !bloomTypeOk(c, x) || (0 until BloomK).forall { s =>
               bloomPosDriver(x, s, m) match {
                 case Some(p) => (wmap.getOrElse(p / 64, 0L) & (1L << (p % 64))) != 0L
                 case None => true

@@ -67,15 +67,6 @@ object GraftShims {
     case _ => None
   }
 
-  def predicateBounds(c: Column): Seq[(String, String, Any)] = {
-    def go(n: internal.ColumnNode): Seq[(String, String, Any)] = n match {
-      case internal.UnresolvedFunction("and", scala.collection.Seq(l, r), _, _, _, _) =>
-        go(l) ++ go(r)
-      case leaf => leafBound(leaf).toSeq
-    }
-    go(c.node)
-  }
-
   /** Disjunctive normal form of a filter over recognizable comparisons:
     * Seq of disjuncts, each a conjunct list — the predicate implies
     * "some disjunct holds". Soundness asymmetry, load-bearing for data

@@ -49,4 +49,17 @@ class ExpectSpec extends SparkTestBase {
     assert(got("not_null_id") == ((0L, 4L, 1)))
     intercept[IllegalArgumentException] { Expect.check(df, Seq.empty) }
   }
+
+  test("an empty batch violates nothing: every rule passes with 0/0") {
+    val empty = df.filter(col("id") < 0)
+    val dim = Seq(1L).toDF("k")
+    val got = Expect.check(empty, Seq(
+        Expect.NotNull("label"),
+        Expect.InRange("v", 0, 50),
+        Expect.Unique(Seq("id")),
+        Expect.RefIntegrity("ref_ids", "id", dim, "k")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    got.foreach { case (rule, t) => assert(t == ((0L, 0L, 1)), rule) }
+  }
 }

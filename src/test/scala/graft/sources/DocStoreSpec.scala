@@ -283,6 +283,23 @@ class DocStoreSpec extends SparkTestBase {
     assert(eqC.select("id").as[Long].collect().toSeq == Seq(500L))
   }
 
+  test("bloom probing is type-gated: cross-type equality must not falsely prune") {
+    val path = freshPath()
+    // a DOUBLE column: stored bloom bits hash "1.5"/"5.0"-style renderings
+    DocStore.insertMany((0L until 100L).map(i => (i, i.toDouble))
+      .toDF("id", "score"), path)
+    DocStore.cluster(spark, path, col("id") % 4, targetFiles = 4,
+      statsCols = Seq.empty, bloomCols = Seq("score", "id"))
+    // integer literal vs double column: Spark's coercion matches rows
+    // (5.0 = 5) but "5" never hashed — the probe must NOT prune
+    val crossTyped = DocStore.find(spark, path, Some(col("score") === 5))
+    assert(crossTyped.count() == 1,
+      "cross-type bloom probe pruned a file containing a matching row")
+    // same-type probe on the long column still prunes and still finds
+    val sameTyped = DocStore.find(spark, path, Some(col("id") === 5L))
+    assert(sameTyped.count() == 1 && sameTyped.inputFiles.length <= 2)
+  }
+
   test("interleaved appends between reads keep pruning exact, through compact") {
     val path = freshPath()
     DocStore.insertMany((0L until 400L).map(i => (i, s"base-$i"))

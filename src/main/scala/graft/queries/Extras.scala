@@ -179,6 +179,34 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
+  /** Streaming conversion-window funnel drained to completion
+    * ([[graft.streaming.Streams.funnelStream]]): 25-day window anchored at
+    * first signup, 10-minute watermark. Users whose window provably
+    * closed (final watermark past t1 + 25d) emit exactly once; younger
+    * anchors are withheld — the st9 holdback discipline, restated by the
+    * oracle from the data's own max timestamp.
+    */
+  def funnel(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = withStatePartitions(s) {
+    import s.implicits._
+    val events = streamEvents(s, d)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[graft.streaming.Streams.Event]
+    val name = "st10_out"
+    val q = graft.streaming.Streams
+      .funnelStream(events, windowMs = 25L * 24 * 3600 * 1000)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    def fmt(c: String) =
+      graft.ops.Dates.formatMs23(expr(s"timestamp_millis($c)")).as(c)
+    s.table(name)
+      .select(col("user_id"), col("stage"), fmt("t1"), fmt("t2"), fmt("t3"), fmt("t4"))
+      .orderBy("user_id")
+      .localCheckpoint(true)
+  }
+
   /** Stream-stream interval join drained to completion: every event paired
     * with the same user's error events from the preceding 5 minutes. Two
     * independent readers over the same staged directory play the two
@@ -969,6 +997,43 @@ object Extras {
         |WHERE e.ts < wm.w
         |  AND e.event_id NOT IN (SELECT event_id FROM matched)
         |ORDER BY event_id, err_event_id NULLS FIRST""".stripMargin),
+
+    // ---- streaming conversion-window funnel (custom funnel state machine
+    //      over flatMapGroupsWithState): exact vs the batch restatement
+    //      for every user whose window provably closed; the oracle derives
+    //      the emission boundary (final watermark) from the data, st9's
+    //      discipline. All stage math on ms-floored timestamps (getTime ==
+    //      epoch_ms), strict > chaining, stages within t1 + 25 days.
+    "st10_stream_funnel" -> withOracle(
+      (s, d) => StreamingQuery.funnel(s, d),
+      """WITH ms AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+        |wm AS (SELECT epoch_ms(date_trunc('milliseconds', max(ts))) - 600000 AS w
+        |       FROM events),
+        |a AS (SELECT user_id, min(t) AS t1 FROM ms
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT m.user_id, min(t) AS t2 FROM ms m JOIN a USING (user_id)
+        |       WHERE event_type = 'view' AND t > t1 AND t <= t1 + 2160000000
+        |       GROUP BY 1),
+        |s3 AS (SELECT m.user_id, min(t) AS t3
+        |       FROM ms m JOIN a USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND t > t2 AND t <= t1 + 2160000000
+        |       GROUP BY 1),
+        |s4 AS (SELECT m.user_id, min(t) AS t4
+        |       FROM ms m JOIN a USING (user_id) JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t3 AND t <= t1 + 2160000000
+        |       GROUP BY 1)
+        |SELECT a.user_id,
+        |       CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0
+        |                     WHEN s3.t3 IS NULL THEN 1
+        |                     WHEN s4.t4 IS NULL THEN 2 ELSE 3 END AS INTEGER) AS stage,
+        |       strftime(epoch_ms(a.t1), '%Y-%m-%d %H:%M:%S.%g') AS t1,
+        |       strftime(epoch_ms(s2.t2), '%Y-%m-%d %H:%M:%S.%g') AS t2,
+        |       strftime(epoch_ms(s3.t3), '%Y-%m-%d %H:%M:%S.%g') AS t3,
+        |       strftime(epoch_ms(s4.t4), '%Y-%m-%d %H:%M:%S.%g') AS t4
+        |FROM a LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |       LEFT JOIN s4 USING (user_id), wm
+        |WHERE a.t1 + 2160000000 < wm.w
+        |ORDER BY a.user_id""".stripMargin),
 
     // ---- streaming session windows: the SAME sessionAgg statement and the
     //      SAME oracle as w10, shared by reference — the equivalence

@@ -371,4 +371,97 @@ object Streams {
   def fileStream(spark: SparkSession, path: String,
                  schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /** Per-user conversion-window state: first-signup anchor (Long.MaxValue
+    * while unanchored), pending stage events (ms, stageCode 2/3/4), max
+    * event time seen.
+    */
+  final case class FunnelBuf(t1: Long, buf: List[(Long, Int)], lastMs: Long)
+  final case class FunnelResult(user_id: Long, stage: Int,
+                                t1: Long, t2: Option[Long],
+                                t3: Option[Long], t4: Option[Long])
+
+  /** Streaming conversion-window funnel: signup -> view -> click ->
+    * purchase, each stage STRICTLY after the previous and all within
+    * `windowMs` of the user's FIRST signup. Emits exactly one row per
+    * anchored user, when the watermark proves the window closed — at that
+    * point no admissible event can change the answer, so the result is
+    * EXACT for any micro-batch cut and any (watermark-admissible) event
+    * order. This is the piece the min-per-stage batch funnel (fn1) cannot
+    * give a stream: incremental evaluation with bounded state.
+    *
+    * Why buffering is necessary for exactness: the stage recurrence
+    * t2 = min(view > t1) is NOT order-insensitive — a late-arriving
+    * earlier signup lowers t1 and can admit a view that was already seen
+    * and would have been discarded. So stage events are buffered until
+    * the window provably closed. State stays bounded: the buffer only
+    * holds events inside [min(watermark, t1), t1 + windowMs] — pruning
+    * below min(wm, t1) is sound because the final anchor satisfies
+    * t1_final >= min(t1_now, wm) (late signups below the watermark are
+    * dropped by Spark before reaching the operator), and anything above
+    * t1 + windowMs can never join the funnel. Per-user cost is one
+    * window's worth of stage events, the same bound any conversion-window
+    * system pays.
+    *
+    * Emission boundary (restated by the st10 oracle): a user emits iff
+    * final_watermark > t1 + windowMs; younger anchors are withheld at
+    * end-of-drain — st9's holdback semantics, deterministic for fixed
+    * data because the watermark derives from event timestamps.
+    */
+  def funnelStream(events: Dataset[Event], windowMs: Long): Dataset[FunnelResult] = {
+    import events.sparkSession.implicits._
+    val stageOf = Map("view" -> 2, "click" -> 3, "purchase" -> 4)
+
+    def finalize(uid: Long, st: FunnelBuf): FunnelResult = {
+      val sorted = st.buf.filter(p => p._1 > st.t1 && p._1 <= st.t1 + windowMs).sorted
+      var t2 = -1L; var t3 = -1L; var t4 = -1L
+      sorted.foreach { case (t, c) =>
+        c match {
+          case 2 if t2 < 0 => t2 = t
+          case 3 if t3 < 0 && t2 > 0 && t > t2 => t3 = t
+          case 4 if t4 < 0 && t3 > 0 && t > t3 => t4 = t
+          case _ => ()
+        }
+      }
+      val stage = 1 + Seq(t2, t3, t4).takeWhile(_ > 0).size
+      FunnelResult(uid, stage, st.t1,
+        Option(t2).filter(_ > 0), Option(t3).filter(_ > 0), Option(t4).filter(_ > 0))
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelBuf]) =>
+          if (!it.hasNext && state.hasTimedOut) {
+            val st = state.getOption
+            state.remove()
+            st.filter(_.t1 != Long.MaxValue).map(finalize(uid, _)).iterator
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val prev = state.getOption.getOrElse(FunnelBuf(Long.MaxValue, Nil, 0L))
+            var t1 = prev.t1
+            var last = prev.lastMs
+            val add = List.newBuilder[(Long, Int)]
+            it.foreach { e =>
+              val t = e.ts.getTime
+              if (t > last) last = t
+              if (e.event_type == "signup") { if (t < t1) t1 = t }
+              else stageOf.get(e.event_type).foreach(c => add += ((t, c)))
+            }
+            val lower = math.min(wm, t1) // t1 == MaxValue while unanchored -> wm
+            val buf = (prev.buf ++ add.result()).filter(p =>
+              p._1 >= lower && (t1 == Long.MaxValue || p._1 <= t1 + windowMs))
+            if (t1 != Long.MaxValue && wm > t1 + windowMs) {
+              // window already provably closed inside this batch
+              state.remove()
+              Iterator.single(finalize(uid, FunnelBuf(t1, buf, last)))
+            } else {
+              state.update(FunnelBuf(t1, buf, last))
+              state.setTimeoutTimestamp(math.max(wm + 1,
+                if (t1 != Long.MaxValue) t1 + windowMs + 1 else last + windowMs))
+              Iterator.empty
+            }
+          }
+      }
+  }
 }

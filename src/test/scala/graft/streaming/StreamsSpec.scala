@@ -341,4 +341,42 @@ class StreamsSpec extends SparkTestBase {
     val out = Streams.windowedCounts(batch).collect()
     assert(out.length == 1 && out(0).getAs[Long]("cnt") == 2L)
   }
+
+  test("funnelStream: partial funnels, out-of-order batches, withheld young anchor") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val windowMs = 60_000L // 1-minute conversion window
+    val q = Streams.funnelStream(
+        mem.toDF().withWatermark("ts", "5 seconds").as[Event], windowMs)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("fu").start()
+    // user 1: full funnel, but the anchor signup arrives in a LATER batch
+    // than the view (out-of-order across batches) — buffering must admit
+    // the view retroactively.
+    // user 2: signup + click only (skips view) -> stage stays 1: the
+    // click cannot chain without a view.
+    // user 3: signup then view AFTER the window -> stage 1.
+    // user 4: view only, never anchored -> no row.
+    mem.addData(Event(1, ts(10), "view", 0), Event(2, ts(0), "signup", 0),
+                Event(4, ts(5), "view", 0))
+    q.processAllAvailable()
+    // signup at ts(7): AFTER batch 1's watermark (ts(10) - 5s = ts(5), at
+    // which boundary Spark's late filter would drop it) yet BEFORE the
+    // already-arrived view at ts(10) — the retroactive-anchor case
+    mem.addData(Event(1, ts(7), "signup", 0), Event(1, ts(20), "click", 0),
+                Event(1, ts(30), "purchase", 0), Event(2, ts(10), "click", 0),
+                Event(3, ts(15), "signup", 0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(90), "view", 0)) // outside 3's window
+    q.processAllAvailable()
+    // advance the watermark far past every window to force emission
+    mem.addData(Event(9, ts(500), "signup", 0))
+    q.processAllAvailable()
+    val out = spark.table("fu")
+      .select("user_id", "stage").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q.stop()
+    assert(out == Map(1L -> 4, 2L -> 1, 3L -> 1),
+      s"got $out") // user 4 unanchored, user 9 withheld (young anchor)
+  }
 }

@@ -142,7 +142,8 @@ object Behavior {
     //      (never rounded — IEEE ops are exactly rounded, so identical
     //      integer inputs through the identical expression tree give the
     //      bit-identical double in both engines; rounding it would
-    //      re-introduce the boundary problem, CLAUDE.md's oracle rule).
+    //      re-introduce the boundary problem — the oracle-writing rule
+    //      in .claude/skills/verify/SKILL.md).
     //      Two distinct-count aggregates over users — no per-event state.
     "ab1_ab_test" -> withOracle(
       (s, d) => {

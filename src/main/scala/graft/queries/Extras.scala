@@ -179,6 +179,50 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
+  private val ivfIndexModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Ann.IvfModel]()
+
+  /** Streaming ANN index maintenance drained to completion
+    * ([[graft.streaming.Streams.ingestToIvfIndex]]): embeddings stream
+    * into a cell-partitioned parquet index (assignment is a broadcast
+    * projection from the fit-once model), then the standard fitted-path
+    * search serves against the streamed index. Results are row-identical
+    * to e3_ann_ivf (same model cache key shape, same search) — the
+    * streamed index must be indistinguishable from the batch-assigned
+    * corpus, which StreamsSpec pins directly.
+    */
+  def ivfIngest(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = withStatePartitions(s) {
+    val batchEmb = graft.core.Tables.embeddings(s, d)
+    val model = ivfIndexModels.computeIfAbsent(d, _ =>
+      graft.sim.Ann.fitIvf(batchEmb, nCells = 16, lloydIters = 2))
+    // stage the parquet into a landing directory (streamEvents discipline)
+    val stage = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-st11-${Integer.toHexString(d.hashCode)}")
+    java.nio.file.Files.createDirectories(stage)
+    val source = java.nio.file.Paths.get(s"$d/embeddings.parquet")
+    val target = stage.resolve("embeddings.parquet")
+    val fresh = java.nio.file.Files.exists(target) &&
+      java.nio.file.Files.size(target) == java.nio.file.Files.size(source) &&
+      java.nio.file.Files.getLastModifiedTime(target)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(source)) == 0
+    if (!fresh)
+      java.nio.file.Files.copy(source, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    val stream = s.readStream.schema(batchEmb.schema).parquet(stage.toString)
+    val index = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    val q = graft.streaming.Streams.ingestToIvfIndex(stream, model, index).start()
+    try q.processAllAvailable() finally q.stop()
+    val cells = s.read.parquet(index)
+    graft.sim.Ann.ivfSearch(model, cells,
+        batchEmb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+      .select("q_id", "rk", "vec_id")
+      .orderBy("q_id", "rk")
+      .localCheckpoint(true)
+  }
+
   /** Streaming conversion-window funnel drained to completion
     * ([[graft.streaming.Streams.funnelStream]]): 25-day window anchored at
     * first signup, 10-minute watermark. Users whose window provably
@@ -997,6 +1041,14 @@ object Extras {
         |WHERE e.ts < wm.w
         |  AND e.event_id NOT IN (SELECT event_id FROM matched)
         |ORDER BY event_id, err_event_id NULLS FIRST""".stripMargin),
+
+    // ---- streaming IVF index maintenance: embeddings stream into a
+    //      cell-partitioned index; the fitted-path search over it must be
+    //      row-identical to e3 (directly comparable in the verify dump;
+    //      streamed==batch equality pinned in StreamsSpec). rows-only:
+    //      ANN is approximate by contract, the e3 justification.
+    "st11_stream_ivf" -> rowsOnly(
+      (s, d) => StreamingQuery.ivfIngest(s, d)),
 
     // ---- streaming conversion-window funnel (custom funnel state machine
     //      over flatMapGroupsWithState): exact vs the batch restatement

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -371,6 +371,32 @@ object Streams {
   def fileStream(spark: SparkSession, path: String,
                  schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /** Streaming ANN index maintenance: each micro-batch of embeddings is
+    * assigned to its IVF cell (a pure broadcast projection —
+    * [[graft.sim.Ann.IvfModel.assign]] is a codegen'd argmax over the
+    * fitted centroids, no shuffle) and appended to a CELL-PARTITIONED
+    * parquet index, so probe-time reads touch only the probed cells'
+    * directories. This closes the fit-rarely / ingest-continuously /
+    * query-often loop: Lloyd runs once offline ([[graft.sim.Ann.fitIvf]]),
+    * the stream keeps the index current, [[graft.sim.Ann.ivfSearch]]
+    * serves against the growing index.
+    *
+    * Delivery is at-least-once (foreachBatch can replay a batch after a
+    * failure); replays cannot corrupt RESULTS because ivfSearch
+    * deduplicates candidate rows before the exact re-rank — they cost
+    * only index bytes. For exactly-once-sized storage, dedup upstream
+    * ([[dedupStream]]) or route ids through [[ingestToDocStore]]'s
+    * seen-key anti-join.
+    */
+  def ingestToIvfIndex(stream: DataFrame, model: graft.sim.Ann.IvfModel,
+                       path: String, embCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.withColumn("cell", model.assign(col(embCol)))
+          .write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
+      }
 
   /** Per-user conversion-window state: first-signup anchor (Long.MaxValue
     * while unanchored), pending stage events (ms, stageCode 2/3/4), max

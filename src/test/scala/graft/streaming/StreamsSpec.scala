@@ -342,6 +342,39 @@ class StreamsSpec extends SparkTestBase {
     assert(out.length == 1 && out(0).getAs[Long]("cnt") == 2L)
   }
 
+  test("ingestToIvfIndex: search over the streamed index equals the batch-assigned path") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // deterministic synthetic embeddings: 3 loose clusters in 4-d
+    def vec(i: Long): Array[Float] = {
+      val c = (i % 3).toInt
+      Array.tabulate(4)(j =>
+        (if (j == c) 10f else 0f) + ((i * 31 + j * 7) % 5) * 0.1f)
+    }
+    val all = (0L until 40L).map(i => (i, vec(i)))
+    val corpus = all.toDF("vec_id", "embedding")
+    val model = graft.sim.Ann.fitIvf(corpus, nCells = 3, lloydIters = 2)
+    val index = java.nio.file.Files.createTempDirectory("ivf-ingest").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.ingestToIvfIndex(
+      mem.toDF().toDF("vec_id", "embedding"), model, index).start()
+    mem.addData(all.take(15): _*); q.processAllAvailable()
+    mem.addData(all.slice(15, 30): _*); q.processAllAvailable()
+    // a replayed slice: at-least-once appends may duplicate index rows...
+    mem.addData(all.slice(25, 40): _*); q.processAllAvailable()
+    q.stop()
+    val queries = corpus.filter(col("vec_id") < 5)
+    def run(cells: org.apache.spark.sql.DataFrame) =
+      graft.sim.Ann.ivfSearch(model, cells, queries, k = 3, nProbe = 2)
+        .select("q_id", "rk", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val streamed = run(spark.read.parquet(index))
+    val batch = run(corpus.withColumn("cell", model.assign(col("embedding"))))
+    // ...but results are identical: ivfSearch dedupes candidates before
+    // the exact re-rank
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("funnelStream: partial funnels, out-of-order batches, withheld young anchor") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

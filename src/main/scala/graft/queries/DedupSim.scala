@@ -23,13 +23,8 @@ object DedupSim {
   private val ivfPqModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sim.IvfPq.IvfPqModel]()
 
-  /** Same fit-once discipline for e3's plain IVF: the registered query
-    * serves probes against a cached model instead of re-running Lloyd's
-    * collect rounds per bench rep. Fit is deterministic (hash-spread seed,
-    * fixed iteration count), so cached and fresh runs return identical rows.
-    */
-  private val ivfModels =
-    new java.util.concurrent.ConcurrentHashMap[String, Ann.IvfModel]()
+  // (e3's plain-IVF fit-once cache moved to Ann.cachedIvf so st11's
+  // streamed index provably serves the SAME model object.)
 
   /** e9's fit-once state: the PCA whitening model and an IVF index fitted
     * in the whitened space. Serving then pays two shuffle-free projections
@@ -463,8 +458,7 @@ object DedupSim {
     "e3_ann_ivf" -> rowsOnly(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val model = ivfModels.computeIfAbsent(d, _ =>
-          Ann.fitIvf(emb, nCells = 16, lloydIters = 2))
+        val model = Ann.cachedIvf(d, emb, nCells = 16, lloydIters = 2)
         val cells = emb.select(col("vec_id"), col("embedding"),
           model.assign(col("embedding")).as("cell"))
         Ann.ivfSearch(model, cells, emb.filter(col("vec_id") < 10),

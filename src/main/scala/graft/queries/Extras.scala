@@ -12,27 +12,23 @@ import Registry._
   * unified semantics, exercised end-to-end).
   */
 object StreamingQuery {
-  /** Stage events.parquet into a per-source landing directory and open it
-    * as a file stream (shared by every st* query).
+  /** Stage `<d>/<table>.parquet` into a deterministic landing directory
+    * (file-stream sources require a DIRECTORY — this simulates the
+    * landing layout of a real feed) and return the directory path.
+    * Repeat runs skip the copy, but only while size+mtime still match
+    * the source: a regenerated table must never be shadowed by a stale
+    * staged copy (this is a correctness-gate input). COPY_ATTRIBUTES
+    * preserves the source mtime so a fresh copy matches EXACTLY; a `>=`
+    * freshness test would keep serving a stale copy when the source was
+    * restored from an archive with an older-or-equal mtime.
     */
-  private def streamEvents(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    // file-stream sources require a DIRECTORY; stage the single parquet
-    // file into one (simulates the landing-directory layout of a real
-    // feed). Deterministic per-source path so repeat runs skip the copy —
-    // but only while size+mtime still match the source: a regenerated
-    // events.parquet must never be shadowed by a stale staged copy (this
-    // is a correctness-gate input).
+  private def stageParquet(d: String, table: String): String = {
     val stage = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-st1-${Integer.toHexString(d.hashCode)}")
+      s"graft-stage-$table-${Integer.toHexString(d.hashCode)}")
     java.nio.file.Files.createDirectories(stage)
-    val source = java.nio.file.Paths.get(s"$d/events.parquet")
-    val target = stage.resolve("events.parquet")
-    // COPY_ATTRIBUTES preserves the source mtime, so a fresh copy matches
-    // EXACTLY; >= would keep serving a stale copy when the source was
-    // restored from an archive with an older-or-equal mtime
+    val source = java.nio.file.Paths.get(s"$d/$table.parquet")
+    val target = stage.resolve(s"$table.parquet")
     val fresh = java.nio.file.Files.exists(target) &&
       java.nio.file.Files.size(target) == java.nio.file.Files.size(source) &&
       java.nio.file.Files.getLastModifiedTime(target)
@@ -41,7 +37,16 @@ object StreamingQuery {
       java.nio.file.Files.copy(source, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-    val raw = s.readStream.schema(batchSchema).parquet(stage.toString)
+    stage.toString
+  }
+
+  /** Open the staged events table as a file stream (shared by the st*
+    * event queries).
+    */
+  private def streamEvents(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(batchSchema).parquet(stageParquet(d, "events"))
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
@@ -179,40 +184,27 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
-  private val ivfIndexModels =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Ann.IvfModel]()
-
   /** Streaming ANN index maintenance drained to completion
     * ([[graft.streaming.Streams.ingestToIvfIndex]]): embeddings stream
     * into a cell-partitioned parquet index (assignment is a broadcast
     * projection from the fit-once model), then the standard fitted-path
-    * search serves against the streamed index. Results are row-identical
-    * to e3_ann_ivf (same model cache key shape, same search) — the
-    * streamed index must be indistinguishable from the batch-assigned
-    * corpus, which StreamsSpec pins directly.
+    * search serves against the streamed index. The model comes from the
+    * SAME process-wide cache e3_ann_ivf uses (Ann.cachedIvf), making
+    * their row identity structural; StreamsSpec pins streamed==batch
+    * directly. The index dir is deterministic per dataset and rebuilt
+    * per run (deleted first) — repeated bench reps cannot accumulate
+    * index copies.
     */
   def ivfIngest(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = withStatePartitions(s) {
     val batchEmb = graft.core.Tables.embeddings(s, d)
-    val model = ivfIndexModels.computeIfAbsent(d, _ =>
-      graft.sim.Ann.fitIvf(batchEmb, nCells = 16, lloydIters = 2))
-    // stage the parquet into a landing directory (streamEvents discipline)
-    val stage = java.nio.file.Paths.get(
+    val model = graft.sim.Ann.cachedIvf(d, batchEmb, nCells = 16, lloydIters = 2)
+    val stream = s.readStream.schema(batchEmb.schema)
+      .parquet(stageParquet(d, "embeddings"))
+    val index = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-st11-${Integer.toHexString(d.hashCode)}")
-    java.nio.file.Files.createDirectories(stage)
-    val source = java.nio.file.Paths.get(s"$d/embeddings.parquet")
-    val target = stage.resolve("embeddings.parquet")
-    val fresh = java.nio.file.Files.exists(target) &&
-      java.nio.file.Files.size(target) == java.nio.file.Files.size(source) &&
-      java.nio.file.Files.getLastModifiedTime(target)
-        .compareTo(java.nio.file.Files.getLastModifiedTime(source)) == 0
-    if (!fresh)
-      java.nio.file.Files.copy(source, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-    val stream = s.readStream.schema(batchEmb.schema).parquet(stage.toString)
-    val index = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      s"graft-ivf-index-${Integer.toHexString(d.hashCode)}").toString
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(index))
     val q = graft.streaming.Streams.ingestToIvfIndex(stream, model, index).start()
     try q.processAllAvailable() finally q.stop()
     val cells = s.read.parquet(index)

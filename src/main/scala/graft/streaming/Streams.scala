@@ -400,9 +400,12 @@ object Streams {
 
   /** Per-user conversion-window state: first-signup anchor (Long.MaxValue
     * while unanchored), pending stage events (ms, stageCode 2/3/4), max
-    * event time seen.
+    * event time seen, and a post-emission tombstone (`done`) so a
+    * re-signup after the window closed cannot re-anchor and emit a
+    * second row for the user.
     */
-  final case class FunnelBuf(t1: Long, buf: List[(Long, Int)], lastMs: Long)
+  final case class FunnelBuf(t1: Long, buf: List[(Long, Int)], lastMs: Long,
+                             done: Boolean = false)
   final case class FunnelResult(user_id: Long, stage: Int,
                                 t1: Long, t2: Option[Long],
                                 t3: Option[Long], t4: Option[Long])
@@ -460,32 +463,54 @@ object Streams {
         (uid: Long, it: Iterator[Event], state: GroupState[FunnelBuf]) =>
           if (!it.hasNext && state.hasTimedOut) {
             val st = state.getOption
-            state.remove()
-            st.filter(_.t1 != Long.MaxValue).map(finalize(uid, _)).iterator
+            st match {
+              case Some(s) if s.t1 != Long.MaxValue && !s.done =>
+                // emit once, then TOMBSTONE rather than remove: a later
+                // re-signup must not re-anchor and emit a second row for
+                // the user. One tombstone per emitted user is the price
+                // of exactly-once keyed output (the dropDuplicates
+                // state-shape); removing it is a retention policy choice
+                // the caller can layer on.
+                state.update(FunnelBuf(s.t1, Nil, s.lastMs, done = true))
+                Iterator.single(finalize(uid, s))
+              case Some(_) => state.remove(); Iterator.empty // unanchored GC
+              case None => Iterator.empty
+            }
           } else {
             val wm = state.getCurrentWatermarkMs()
             val prev = state.getOption.getOrElse(FunnelBuf(Long.MaxValue, Nil, 0L))
-            var t1 = prev.t1
-            var last = prev.lastMs
-            val add = List.newBuilder[(Long, Int)]
-            it.foreach { e =>
-              val t = e.ts.getTime
-              if (t > last) last = t
-              if (e.event_type == "signup") { if (t < t1) t1 = t }
-              else stageOf.get(e.event_type).foreach(c => add += ((t, c)))
-            }
-            val lower = math.min(wm, t1) // t1 == MaxValue while unanchored -> wm
-            val buf = (prev.buf ++ add.result()).filter(p =>
-              p._1 >= lower && (t1 == Long.MaxValue || p._1 <= t1 + windowMs))
-            if (t1 != Long.MaxValue && wm > t1 + windowMs) {
-              // window already provably closed inside this batch
-              state.remove()
-              Iterator.single(finalize(uid, FunnelBuf(t1, buf, last)))
-            } else {
-              state.update(FunnelBuf(t1, buf, last))
-              state.setTimeoutTimestamp(math.max(wm + 1,
-                if (t1 != Long.MaxValue) t1 + windowMs + 1 else last + windowMs))
+            if (prev.done) {
+              it.foreach(_ => ()) // drain; post-emission events are irrelevant
+              state.update(prev)  // keep the tombstone, set no timeout
               Iterator.empty
+            } else {
+              var t1 = prev.t1
+              var last = prev.lastMs
+              val add = List.newBuilder[(Long, Int)]
+              it.foreach { e =>
+                val t = e.ts.getTime
+                if (t > last) last = t
+                if (e.event_type == "signup") { if (t < t1) t1 = t }
+                else stageOf.get(e.event_type).foreach(c => add += ((t, c)))
+              }
+              val lower = math.min(wm, t1) // t1 == MaxValue while unanchored -> wm
+              val buf = (prev.buf ++ add.result()).filter(p =>
+                p._1 >= lower && (t1 == Long.MaxValue || p._1 <= t1 + windowMs))
+              if (t1 != Long.MaxValue && wm > t1 + windowMs) {
+                // window already provably closed inside this batch
+                state.update(FunnelBuf(t1, Nil, last, done = true))
+                Iterator.single(finalize(uid, FunnelBuf(t1, buf, last)))
+              } else {
+                state.update(FunnelBuf(t1, buf, last))
+                // Spark fires an event-time timeout when timeoutTs <
+                // watermark (STRICT), so timeoutTs = t1 + windowMs fires
+                // exactly when wm > t1 + windowMs — the same boundary the
+                // inline check and the st10 oracle state. (+1 here would
+                // withhold a user the oracle emits at the exact boundary.)
+                state.setTimeoutTimestamp(math.max(wm + 1,
+                  if (t1 != Long.MaxValue) t1 + windowMs else last + windowMs))
+                Iterator.empty
+              }
             }
           }
       }

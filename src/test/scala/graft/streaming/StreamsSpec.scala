@@ -405,11 +405,22 @@ class StreamsSpec extends SparkTestBase {
     // advance the watermark far past every window to force emission
     mem.addData(Event(9, ts(500), "signup", 0))
     q.processAllAvailable()
-    val out = spark.table("fu")
+    // user 3 re-signs-up AFTER its funnel emitted: the tombstone must
+    // swallow the re-anchor — no second row for user 3 even after the
+    // new window also closes
+    mem.addData(Event(3, ts(496), "signup", 0), Event(3, ts(497), "view", 0))
+    q.processAllAvailable()
+    mem.addData(Event(10, ts(1000), "signup", 0))
+    q.processAllAvailable()
+    val rows = spark.table("fu")
       .select("user_id", "stage").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
     q.stop()
-    assert(out == Map(1L -> 4, 2L -> 1, 3L -> 1),
-      s"got $out") // user 4 unanchored, user 9 withheld (young anchor)
+    assert(rows.map(_._1).distinct.size == rows.size,
+      s"duplicate user emission: $rows")
+    val out = rows.toMap
+    // user 4 never anchored; user 9's window closed once ts(1000) moved
+    // the watermark (stage 1); user 10 withheld (young anchor)
+    assert(out == Map(1L -> 4, 2L -> 1, 3L -> 1, 9L -> 1), s"got $out")
   }
 }

@@ -264,6 +264,24 @@ object Learn {
       """SELECT doc_id, source, n_chars,
         |       CAST(row_number() OVER (PARTITION BY source
         |            ORDER BY n_chars, doc_id) AS INTEGER) AS rn
-        |FROM documents ORDER BY rn, source, doc_id""".stripMargin)
+        |FROM documents ORDER BY rn, source, doc_id""".stripMargin),
+
+    // ---- seeded epoch shuffle: the training-order permutation as a
+    //      DETERMINISTIC function of (doc_id, epoch seed) — md5 rank, no
+    //      RNG state (smp1's discipline), so every worker, restart, and
+    //      engine derives the identical order for an epoch, and different
+    //      epochs decorrelate. The "shuffle" is a range-partitioned sort
+    //      on the hash — no single-partition stage.
+    "trn1_epoch_shuffle" -> withOracle(
+      (s, d) => {
+        val epoch = 3
+        val key = md5(concat_ws(":", lit(epoch.toString), col("doc_id").cast("string"))
+          .cast("binary"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), key.as("shuffle_key"))
+          .orderBy("shuffle_key", "doc_id")
+      },
+      """SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)
   )
 }

@@ -31,4 +31,15 @@ object Files {
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** ORC round-trip — the other columnar format warehouse estates feed
+    * us; Spark's native reader gives the same pushdown/pruning story as
+    * parquet (PushedFilters/ReadSchema reach the scan).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
 }

@@ -40,4 +40,19 @@ class FilesSpec extends graft.SparkTestBase {
     assert(df.count() == 2)
     assert(df.agg(org.apache.spark.sql.functions.sum("IMPORTE")).head().getDouble(0) == 200.5)
   }
+
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/t"
+    val src = (1L to 500L).map(i => (i, s"row-$i", i % 7)).toDF("id", "name", "grp")
+    graft.sources.Files.writeOrc(src, dir)
+    val back = graft.sources.Files.orc(spark, dir)
+    assert(back.count() == 500)
+    assert(back.filter(org.apache.spark.sql.functions.col("id") === 42L)
+      .select("name").head().getString(0) == "row-42")
+    // the filter must reach the ORC scan as a pushed filter
+    val plan = back.filter(org.apache.spark.sql.functions.col("id") > 400L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,400)"), plan)
+  }
 }

@@ -40,14 +40,22 @@ object PageRank {
     * it), so the caller's contract is `nodes * scale < 2^63` — about
     * 9.2e9 nodes at the default scale. Lower `scale` for larger graphs.
     */
-  /** Degree-annotated edges: one join key (src) serves both the rank
-    * lookup and the degree division.
+  /** Degree-annotated, materialized edges: one join key (src) serves both
+    * the rank lookup and the degree division. Callers running SEVERAL
+    * rank computations over one graph (pr1 + pr2 share the supplier-part
+    * graph) should call this once and pass the result to [[ranks]] /
+    * [[personalizedRanks]], which detect the `outdeg` column and skip the
+    * re-prep — the degree groupBy + join + materialization is paid once
+    * per graph, not once per variant.
     */
-  private def prepEdges(edges: DataFrame): DataFrame =
+  def prepareEdges(edges: DataFrame): DataFrame =
     edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .select("src", "dst", "outdeg")
       .localCheckpoint(true)
+
+  private def prepEdges(edges: DataFrame): DataFrame =
+    if (edges.columns.contains("outdeg")) edges else prepareEdges(edges)
 
   /** One synchronous round. `nodes` carries a per-node restart mass `b`
     * — constant `base` for uniform PageRank, base-on-seeds/0-elsewhere

@@ -32,9 +32,13 @@ object Expect {
   final case class InSet(colName: String, values: Seq[String]) extends Rule {
     val name = s"in_set_$colName"
   }
-  /** `cols` combinations must not repeat: violations = rows - distinct. */
+  /** `cols` combinations must not repeat: violations = rows - distinct.
+    * The column list joins with "·" (not "_", which can appear inside
+    * identifiers): Unique(Seq("a","b")) and Unique(Seq("a_b")) must not
+    * collapse to the same rule name.
+    */
   final case class Unique(cols: Seq[String]) extends Rule {
-    val name = s"unique_${cols.mkString("_")}"
+    val name = s"unique_${cols.mkString("·")}"
   }
   /** Every non-null `colName` must exist in `dim.dimCol`: violations =
     * rows whose key finds no partner (anti-join count).
@@ -56,6 +60,10 @@ object Expect {
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules given")
+    // rule names key the output — two rules sharing one produce rows a
+    // consumer cannot tell apart, so reject the call outright
+    val dup = rules.groupBy(_.name).collect { case (n, rs) if rs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate rule names: ${dup.mkString(", ")}")
     val rowLocal = rules.filter {
       case _: Satisfies | _: NotNull | _: InRange | _: InSet => true
       case _ => false

@@ -20,11 +20,45 @@ object DedupSim {
     * costs). Keyed by data dir; the model is bounded driver state and the
     * fit is deterministic, so cached and fresh runs return identical rows.
     */
-  private val ivfPqModels =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.IvfPq.IvfPqModel]()
+  private val ivfPqModels = new graft.core.FitCache[graft.sim.IvfPq.IvfPqModel]
 
   // (e3's plain-IVF fit-once cache moved to Ann.cachedIvf so st11's
   // streamed index provably serves the SAME model object.)
+
+  /** e5's fit-once cache: the PQ codebooks, like every other benched ANN
+    * path, are fitted once per dataset and the registered query measures
+    * the serving shape (encode projection + ADC scan + exact refine).
+    * Cached and one-shot serving are row-identical because [[Pq.fitPq]]
+    * is deterministic — pinned in PqSpec.
+    */
+  private val pqModels = new graft.core.FitCache[Pq.PqModel]
+
+  /** pr1/pr2 share ONE degree-annotated, materialized edge table and node
+    * set per (session, dataset): both walk the same supplier-part graph,
+    * and the distinct-pair shuffle + degree groupBy + checkpoint is graph
+    * prep, not per-variant work. Keyed by the session too — a
+    * localCheckpointed frame is pinned to its session's executors and
+    * must not outlive it.
+    */
+  private val graphPrep =
+    new graft.core.FitCache[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  /** (degree-annotated edges, node ids) for the bipartite supplier-part
+    * graph: ids 2*suppkey / 2*partkey+1 (parity-disjoint at any SF).
+    */
+  private def suppPartGraph(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    graphPrep.getOrFit(("supp-part-graph", s), d) {
+      val li = Tables.lineitem(s, d)
+        .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = li.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
+      val nodes = Tables.supplier(s, d).select((col("s_suppkey") * 2).as("id"))
+        .unionAll(Tables.part(s, d).select((col("p_partkey") * 2 + 1).as("id")))
+        .localCheckpoint(true)
+      (graft.graph.PageRank.prepareEdges(edges), nodes)
+    }
 
   /** e9's fit-once state: the PCA whitening model and an IVF index fitted
     * in the whitened space. Serving then pays two shuffle-free projections
@@ -32,8 +66,7 @@ object DedupSim {
     * retrieval deployment runs per query batch. Brute-force-in-whitened-
     * space remains the recall oracle inside PcaSpec.
     */
-  private val whitenedAnnModels =
-    new java.util.concurrent.ConcurrentHashMap[String, (Pca.PcaModel, Ann.IvfModel)]()
+  private val whitenedAnnModels = new graft.core.FitCache[(Pca.PcaModel, Ann.IvfModel)]
 
   /** pr1's DuckDB restatement, generated: 6 power-iteration rounds
     * unrolled as chained CTEs (recursive CTEs forbid the GROUP BY the
@@ -313,12 +346,12 @@ object DedupSim {
     "e9_ann_whitened" -> rowsOnly(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val (pca, ivf) = whitenedAnnModels.computeIfAbsent(d, _ => {
+        val (pca, ivf) = whitenedAnnModels.getOrFit("whitened", d) {
           val m = Pca.fit(emb, k = 16)
           val w = Pca.whiten(emb, m).toDF()
             .select(col("vec_id"), col("white").as("embedding"))
           (m, Ann.fitIvf(w, nCells = 16, lloydIters = 2))
-        })
+        }
         val white = Pca.whiten(emb, pca).toDF()
           .select(col("vec_id"), col("white").as("embedding"))
         val cells = white.select(col("vec_id"), col("embedding"),
@@ -337,13 +370,7 @@ object DedupSim {
     //      Node ids: 2*suppkey / 2*partkey+1 (parity-disjoint at any SF).
     "pr1_pagerank" -> withOracle(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
-          .distinct()
-        val edges = li.select(col("a").as("src"), col("b").as("dst"))
-          .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
-        val nodes = Tables.supplier(s, d).select((col("s_suppkey") * 2).as("id"))
-          .unionAll(Tables.part(s, d).select((col("p_partkey") * 2 + 1).as("id")))
+        val (edges, nodes) = suppPartGraph(s, d)
         graft.graph.PageRank.ranks(edges, nodes, iters = 6).orderBy("id")
       },
       pr1Oracle),
@@ -361,13 +388,7 @@ object DedupSim {
     //      seeded base.
     "pr2_ppr" -> withOracle(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select((col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
-          .distinct()
-        val edges = li.select(col("a").as("src"), col("b").as("dst"))
-          .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
-        val nodes = Tables.supplier(s, d).select((col("s_suppkey") * 2).as("id"))
-          .unionAll(Tables.part(s, d).select((col("p_partkey") * 2 + 1).as("id")))
+        val (edges, nodes) = suppPartGraph(s, d)
         val seeds = Tables.supplier(s, d).filter(col("s_suppkey") <= 5)
           .select((col("s_suppkey") * 2).as("id"))
         graft.graph.PageRank.personalizedRanks(edges, nodes, seeds, iters = 6)
@@ -467,12 +488,17 @@ object DedupSim {
           .orderBy("q_id", "rk")
       }),
 
-    // ---- product-quantization ANN: 8-byte codes + ADC scan + exact
-    //      refine (recall vs e1_knn_brute pinned in PqSpec)
+    // ---- product-quantization ANN: 16-byte codes + ADC scan + exact
+    //      refine (recall vs e1_knn_brute pinned in PqSpec). Codebooks
+    //      are fitted once per dataset (pqModels) — the query measures
+    //      the serving path, row-identical to the one-shot pqTopK
+    //      (PqSpec pins it).
     "e5_ann_pq" -> rowsOnly(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        val model = pqModels.getOrFit("pq", d)(Pq.fitPq(emb))
+        Pq.pqSearch(model, Pq.encodeCorpus(model, emb), emb,
+            emb.filter(col("vec_id") < 10), k = 5)
           .select("q_id", "rk", "vec_id")
           .orderBy("q_id", "rk")
       }),
@@ -484,7 +510,7 @@ object DedupSim {
     "e6_ann_ivfpq" -> rowsOnly(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val model = ivfPqModels.computeIfAbsent(d, _ => IvfPq.fitIvfPq(emb))
+        val model = ivfPqModels.getOrFit("ivfpq", d)(IvfPq.fitIvfPq(emb))
         IvfPq.search(model, IvfPq.encodeCorpus(model, emb), emb,
             emb.filter(col("vec_id") < 10), k = 5)
           .select("q_id", "rk", "vec_id")

@@ -154,19 +154,20 @@ object Ann {
              idCol: String = "vec_id", embCol: String = "embedding"): IvfModel =
     IvfModel(lloydCentroids(corpus, nCells, lloydIters, idCol, embCol))
 
-  private val fittedIvf =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IvfModel]()
+  private val fittedIvf = new graft.core.FitCache[IvfModel]
 
-  /** Process-wide fit-once cache keyed by (dataset key, geometry): every
-    * consumer of the same corpus serves from ONE Lloyd fit, which also
-    * makes cross-query row-identity claims (e3 == st11) structural
-    * rather than coincidental. `corpus` is by-name — only evaluated on
-    * the first fit.
+  /** Process-wide fit-once cache keyed by (dataset key, geometry) plus a
+    * content fingerprint of the dataset dir (see [[graft.core.FitCache]]:
+    * regenerating the dir within one JVM invalidates the entry, and the
+    * fit runs outside the map's locks). Every consumer of the same corpus
+    * serves from ONE Lloyd fit, which also makes cross-query row-identity
+    * claims (e3 == st11) structural rather than coincidental. `corpus` is
+    * by-name — only evaluated on a fit.
     */
   def cachedIvf(key: String, corpus: => DataFrame, nCells: Int = 16,
                 lloydIters: Int = 2): IvfModel =
-    fittedIvf.computeIfAbsent((key, nCells, lloydIters),
-      _ => fitIvf(corpus, nCells, lloydIters))
+    fittedIvf.getOrFit((key, nCells, lloydIters), key)(
+      fitIvf(corpus, nCells, lloydIters))
 
   /** Serve one query batch against a pre-assigned corpus (`cells` =
     * corpus + a `cell` column from [[IvfModel.assign]]): queries probe

@@ -505,9 +505,16 @@ object Streams {
                 // Spark fires an event-time timeout when timeoutTs <
                 // watermark (STRICT), so timeoutTs = t1 + windowMs fires
                 // exactly when wm > t1 + windowMs — the same boundary the
-                // inline check and the st10 oracle state. (+1 here would
-                // withhold a user the oracle emits at the exact boundary.)
-                state.setTimeoutTimestamp(math.max(wm + 1,
+                // inline check and the st10 oracle state. The clamp floor
+                // is wm, NOT wm + 1: setTimeoutTimestamp accepts equality
+                // with the current watermark (GroupStateImpl rejects only
+                // timeoutTs < wm), so when this batch observes
+                // wm == t1 + windowMs the timeout stays at t1 + windowMs
+                // and still fires at the exact oracle boundary — a +1
+                // floor would push it to t1 + windowMs + 1 and withhold a
+                // user whose final watermark lands exactly on
+                // t1 + windowMs + 1, which the oracle emits.
+                state.setTimeoutTimestamp(math.max(wm,
                   if (t1 != Long.MaxValue) t1 + windowMs else last + windowMs))
                 Iterator.empty
               }

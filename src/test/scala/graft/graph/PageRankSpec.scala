@@ -32,6 +32,19 @@ class PageRankSpec extends SparkTestBase {
     }
   }
 
+  test("prepared (degree-annotated) edges give identical ranks to raw edges") {
+    // the pr1/pr2 sharing path: prepareEdges once, pass to both variants
+    val e = edges.toDF("src", "dst")
+    val n = nodes.toDF("id")
+    val prepped = PageRank.prepareEdges(e)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(PageRank.ranks(prepped, n, iters = 5)) == m(PageRank.ranks(e, n, iters = 5)))
+    val seeds = Seq(1L).toDF("id")
+    assert(m(PageRank.personalizedRanks(prepped, n, seeds, iters = 4)) ==
+           m(PageRank.personalizedRanks(e, n, seeds, iters = 4)))
+  }
+
   test("node with no in-edges gets exactly the base; zero iterations is the init") {
     val got = PageRank.ranks(edges.toDF("src", "dst"), nodes.toDF("id"), iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -39,9 +39,20 @@ class ExpectSpec extends SparkTestBase {
       Expect.Unique(Seq("id", "label")),
       Expect.RefIntegrity("ref_ids", "id", dim, "k")))
     assert(got("unique_id") == ((1L, 4L, 0)))     // id 3 twice
-    assert(got("unique_id_label") == ((0L, 4L, 1))) // (id,label) pairs distinct
+    assert(got("unique_id·label") == ((0L, 4L, 1))) // (id,label) pairs distinct
     // both id=3 rows are orphans; null keys would be ignored
     assert(got("ref_ids") == ((2L, 4L, 0)))
+  }
+
+  test("colliding rule names are rejected, and Unique names cannot collide") {
+    // Unique(a,b) vs Unique(a_b) produce distinct names (the "·" joiner)
+    assert(Expect.Unique(Seq("a", "b")).name != Expect.Unique(Seq("a_b")).name)
+    // two rules that DO share a name refuse outright
+    intercept[IllegalArgumentException] {
+      Expect.check(df, Seq(
+        Expect.Satisfies("dup", col("id") > 0),
+        Expect.Satisfies("dup", col("v") > 0)))
+    }
   }
 
   test("all-green rules report pass=1 and empty rule list refuses") {

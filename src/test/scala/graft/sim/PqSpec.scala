@@ -87,6 +87,22 @@ class PqSpec extends SparkTestBase {
     assert(r.count() == 50)
   }
 
+  test("registered e5 (cached fit-once serving) is row-identical to one-shot pqTopK") {
+    // fitPq is deterministic, so the dataset-cached model the registered
+    // query serves from must reproduce the one-shot path bit-for-bit —
+    // run the registered query twice (second run is a guaranteed cache
+    // hit) and compare both to pqTopK with the same projection
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val registered = graft.SparkEntry.queries("e5_ann_pq")
+    val first = rows(registered(spark, sf001))
+    val cachedHit = rows(registered(spark, sf001))
+    val oneShot = rows(Pq.pqTopK(emb, queries, k = 5)
+      .select("q_id", "rk", "vec_id").orderBy("q_id", "rk"))
+    assert(first == oneShot)
+    assert(cachedHit == oneShot)
+  }
+
   test("compression: 64-dim float32 (256 B) -> 16-byte codes") {
     val model = Pq.fitPq(emb, m = 16, k = 32, iters = 1)
     assert(model.m == 16 && model.k == 32 && model.subdim == 4)

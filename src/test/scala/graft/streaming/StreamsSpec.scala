@@ -423,4 +423,40 @@ class StreamsSpec extends SparkTestBase {
     // the watermark (stage 1); user 10 withheld (young anchor)
     assert(out == Map(1L -> 4, 2L -> 1, 3L -> 1, 9L -> 1), s"got $out")
   }
+
+  test("funnelStream: exact-boundary emission when wm lands on t1+W then t1+W+1") {
+    // The two adversarial watermark landings around the window close:
+    //  - a batch observes wm == t1 + W exactly (the timeout clamp case —
+    //    setTimeoutTimestamp accepts equality with the watermark, so the
+    //    timeout must stay at t1 + W, not slip to t1 + W + 1);
+    //  - the FINAL watermark then lands on exactly t1 + W + 1, the first
+    //    ms the oracle emits (final_wm > t1 + W). A +1 clamp floor would
+    //    withhold this user forever.
+    implicit val sqlCtx = spark.sqlContext
+    def at(ms: Long) = new Timestamp(1700000000000L + ms)
+    val mem = MemoryStream[Event]
+    val windowMs = 60_000L
+    val q = Streams.funnelStream(
+        mem.toDF().withWatermark("ts", "5 seconds").as[Event], windowMs)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("fub").start()
+    // batch 1: anchor at 0 (t1+W = 60_000); driver event at 65_000 makes
+    // the NEXT batch's watermark exactly 60_000 == t1 + W
+    mem.addData(Event(20, at(0), "signup", 0), Event(20, at(10_000), "view", 0),
+                Event(99, at(65_000), "signup", 0))
+    q.processAllAvailable()
+    // batch 2 runs with wm == t1 + W: user 20's post-window click forces a
+    // state update in exactly the clamp branch (inline wm > t1+W is false)
+    mem.addData(Event(20, at(70_000), "click", 0))
+    q.processAllAvailable()
+    // batch 3: driver event at 65_001 -> final watermark 60_001 == t1+W+1,
+    // the first emitting ms; the timeout (60_000 < 60_001) must fire now
+    mem.addData(Event(98, at(65_001), "signup", 0))
+    q.processAllAvailable()
+    val rows = spark.table("fub")
+      .select("user_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    q.stop()
+    assert(rows == Seq((20L, 2)), s"got $rows") // signup + in-window view
+  }
 }

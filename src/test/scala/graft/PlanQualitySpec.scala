@@ -72,6 +72,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(rs.contains("l_quantity") && !rs.contains("l_extendedprice"), rs)
   }
 
+  test("pipe_dn_details: nest shuffle + output sort only; re-agg reuses partitioning") {
+    // nest (groupBy l_orderkey) is one hash exchange; the post-explode
+    // group-sum keys on (REFER_ID, ITEM_ID, NUMERO_REMITO) but REFER_ID
+    // IS l_orderkey, so hash-partitioning by it already satisfies the
+    // clustered distribution — NO exchange between Generate and the
+    // re-aggregation. Plus the oracle's range exchange: exactly 2 total.
+    val p = plan01("pipe_dn_details")
+    assert(exchanges(p) == 2, p)
+    assert(p.contains("partial_collect_list"), p)   // map-side combine, nest
+    assert(p.contains("partial_sum"), p)            // map-side combine, re-agg
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("l_quantity") && !rs.contains("l_extendedprice"), rs)
+  }
+
   test("g8 two-level nest: two nest shuffles, orders broadcast, no SMJ") {
     val p = plan01("g8_two_level")
     assert(p.contains("BroadcastHashJoin"), p)

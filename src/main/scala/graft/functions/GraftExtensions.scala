@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$name must be a long literal, got $other")
   }
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
@@ -91,5 +97,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(a, b) - intersection size of two sorted " +
           "duplicate-free string arrays (merge walk)"),
       (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))))
+
+    // ---- table-valued functions: the two most differentiated WHOLE-
+    // OPERATOR surfaces (exact set-similarity join, as-of join) reachable
+    // from SQL like every scalar above. The builder runs at analysis time
+    // with the active session, resolves the named tables/views, builds the
+    // operator's DataFrame through the SAME Column-API code path, and
+    // hands its logical plan to the analyzer — so SQL and Column paths are
+    // one implementation, not two (row identity pinned in SqlSurfaceSpec).
+
+    ext.injectTableFunction((FunctionIdentifier("setsim_self_join"),
+      info("setsim_self_join",
+        "setsim_self_join(table, idCol, textCol, num, den) - exact " +
+          "Jaccard-threshold self-join (J >= num/den) via AllPairs/PPJoin " +
+          "prefix filtering; returns (id_a, id_b, inter, uni, jaccard)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args.head, "table"))
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          graft.dedup.SetSimJoin.selfJoin(df,
+            strArg(args(1), "idCol"), strArg(args(2), "textCol"),
+            intArg(args(3), "num"), intArg(args(4), "den")))
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("asof_join"),
+      info("asof_join",
+        "asof_join(leftTable, rightTable, keys, leftTs, rightTs, valueCol, " +
+          "outCol) - most-recent-prior join: each left row gets valueCol " +
+          "from the right row with the greatest rightTs <= leftTs per key " +
+          "(keys comma-separated; ties resolve to the right row)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          graft.ops.AsOf.joinAsOf(
+            spark.table(strArg(args.head, "leftTable")),
+            spark.table(strArg(args(1), "rightTable")),
+            strArg(args(2), "keys").split(",").map(_.trim).toSeq,
+            leftTs = strArg(args(3), "leftTs"),
+            rightTs = strArg(args(4), "rightTs"),
+            valueCol = strArg(args(5), "valueCol"),
+            outCol = strArg(args(6), "outCol")))
+      }))
   }
 }

@@ -1126,6 +1126,59 @@ object Extras {
             |FROM docs_v ORDER BY doc_id""".stripMargin)
       }),
 
+    // ---- SQL surface for the exact set-similarity join: the
+    //      setsim_self_join TABLE function (GraftExtensions
+    //      injectTableFunction) resolves the view and builds the SAME
+    //      AllPairs/PPJoin plan the Column API builds — j14 from pure SQL,
+    //      same oracle. (Materialize-then-sort stays outside the SQL for
+    //      the j14 reason: a global ORDER BY above the candidate+verify
+    //      subtree would re-execute it through the range sampler.)
+    "x26_sql_setsim_join" -> withOracle(
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("docs_setsim_v")
+        s.sql(
+          "SELECT * FROM setsim_self_join('docs_setsim_v', 'doc_id', 'text', 9, 10)")
+          .localCheckpoint()
+          .orderBy("id_a", "id_b")
+      },
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |         CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS BIGINT) AS uni
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id)
+        |SELECT id_a, id_b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM p WHERE inter * 10 >= uni * 9
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // ---- SQL surface for the as-of join: the asof_join TABLE function —
+    //      j8 from pure SQL (DuckDB states it natively with ASOF JOIN, the
+    //      engine's TVF builds the carry-forward plan), same oracle.
+    "x27_sql_asof_join" -> withOracle(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.createOrReplaceTempView("events_asof_v")
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("err_ts"))
+          .createOrReplaceTempView("errors_asof_v")
+        s.sql(
+          """SELECT event_id,
+            |       date_format(last_err, 'yyyy-MM-dd HH:mm:ss') AS last_error_at
+            |FROM asof_join('events_asof_v', 'errors_asof_v', 'user_id',
+            |               'ts', 'err_ts', 'err_ts', 'last_err')
+            |ORDER BY event_id""".stripMargin)
+      },
+      """SELECT l.event_id,
+        |       strftime(r.err_ts, '%Y-%m-%d %H:%M:%S') AS last_error_at
+        |FROM events l
+        |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts FROM events
+        |                WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
+        |ORDER BY l.event_id""".stripMargin),
+
     // ---- as-of join: each event matched to the user's most recent
     //      prior-or-equal error event (composed from built-ins; DuckDB
     //      states it natively with ASOF JOIN)

@@ -55,31 +55,41 @@ object DocStore {
     * scan of ONLY the new files) so the skip rate never degrades across
     * appends; the stored schema is widened if the batch brings new columns.
     *
-    * SINGLE WRITER: like every DocStore mutation (the manifest swing is
-    * last-writer-wins), appends assume one writer per collection at a
-    * time. The incremental statting diffs directory listings taken around
-    * the write, so a CONCURRENT append could be captured in this writer's
-    * after-listing and statted twice. Sequentially interleaved appends
-    * from any number of writers are fine (pinned in DocStoreSpec); for
-    * parallel ingest, partition the stream BEFORE the store (one
-    * collection per writer) or funnel through [[graft.streaming.Streams
-    * .ingestToDocStore]]'s per-batch serialization.
+    * CONCURRENT APPENDS ARE SAFE: the batch is written to a private
+    * staging dir inside the generation (underscore-prefixed — invisible
+    * to data scans) and its part files renamed into the live dir, so the
+    * new-file set comes from THE WRITE ITSELF, never from diffing
+    * directory listings — a concurrent append can neither be captured in
+    * this writer's set nor statted twice (each file is statted exactly
+    * once, by the writer that renamed it; part names embed the job UUID,
+    * so renames cannot collide). Schema widening is additive (per-append
+    * sidecar files, merged at read time), so concurrent widenings cannot
+    * lose each other's columns. The OTHER mutations (update/delete/
+    * compact/cluster) remain single-writer: their manifest swing is
+    * last-writer-wins.
     */
   def insertMany(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, path)
     val n = df.count()
     val live = liveDir(fs, spark, path, createIfMissing = true)
-    val statsPath = new Path(live, StatsDir)
-    val before: Set[String] =
-      if (fs.exists(statsPath)) dataFileNames(fs, live) else Set.empty
-    df.write.mode(SaveMode.Append).json(live)
-    if (fs.exists(statsPath)) {
-      val added = (dataFileNames(fs, live) -- before).toSeq
-        .map(name => s"$live/$name")
-      if (added.nonEmpty) appendStats(spark, fs, live, added)
-    }
-    n
+    val staging = new Path(live, s"_append-${java.util.UUID.randomUUID()}")
+    try {
+      df.write.mode(SaveMode.Overwrite).json(staging.toString)
+      val added = fs.listStatus(staging).toSeq.filter { st =>
+        val nm = st.getPath.getName
+        st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+      }.map { st =>
+        val target = new Path(live, st.getPath.getName)
+        if (!fs.rename(st.getPath, target))
+          throw new java.io.IOException(
+            s"docstore: cannot publish appended file ${st.getPath} -> $target")
+        target.toString
+      }
+      if (fs.exists(new Path(live, StatsDir)) && added.nonEmpty)
+        appendStats(spark, fs, live, added)
+      n
+    } finally fs.delete(staging, true)
   }
 
   /** S7: scan with an optional query filter (None = full collection). An
@@ -397,28 +407,75 @@ object DocStore {
     val present = cols.filter(docs0.columns.contains)
     val bloomPresent = bloomCols.filter(docs0.columns.contains)
     if (present.nonEmpty || bloomPresent.nonEmpty) {
-      statsFrame(docs0.withColumn("__f", input_file_name()),
-          present, bloomPresent, bloomBits)
-        .withColumn("file", element_at(split(col("__f"), "/"), -1))
-        .drop("__f")
-        .coalesce(1).write.mode(SaveMode.Append).json(statsPath.toString)
+      // stage-and-rename, like the data files: two concurrent appends
+      // writing Spark jobs into the SAME output dir would fight over its
+      // shared `_temporary` structure (one job's commit deletes it under
+      // the other), so each writer gets a private staging dir and renames
+      // its part files in under collision-free names
+      val stage = new Path(live, s"_stats-stage-${java.util.UUID.randomUUID()}")
+      try {
+        statsFrame(docs0.withColumn("__f", input_file_name()),
+            present, bloomPresent, bloomBits)
+          .withColumn("file", element_at(split(col("__f"), "/"), -1))
+          .drop("__f")
+          .coalesce(1).write.mode(SaveMode.Overwrite).json(stage.toString)
+        fs.listStatus(stage).iterator.filter { st =>
+          val nm = st.getPath.getName
+          st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+        }.zipWithIndex.foreach { case (st, i) =>
+          val target = new Path(statsPath,
+            s"append-${java.util.UUID.randomUUID()}-$i.json")
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"docstore: cannot publish stats file ${st.getPath} -> $target")
+        }
+      } finally fs.delete(stage, true)
     }
-    val schemaFile = new Path(statsPath, "_schema.json")
-    if (fs.exists(schemaFile)) {
-      val in = fs.open(schemaFile)
+    // ADDITIVE schema widening: write the batch's schema as its own
+    // sidecar (`_schema-append-<uuid>.json`) instead of read-merge-
+    // rewriting the base `_schema.json` — merge is commutative and
+    // associative, so concurrent appends each contribute a sidecar and
+    // the read-time merge ([[storedSchema]]) sees every widening; a
+    // read-modify-write here could lose a concurrent writer's columns.
+    // collectStats rewrites the base and clears sidecars. Underscore
+    // names keep all of them invisible to the stats JSON read.
+    if (fs.exists(new Path(statsPath, "_schema.json"))) {
+      val sidecar = new Path(statsPath,
+        s"_schema-append-${java.util.UUID.randomUUID()}.json")
+      val out = fs.create(sidecar, true)
+      try out.write(docs0.schema.json.getBytes(UTF_8)) finally out.close()
+    }
+  }
+
+  /** The generation's stats-time schema: the base `_schema.json` merged
+    * with every `_schema-append-*.json` sidecar (one per concurrent-safe
+    * append that widened it). None when there is no base (pre-schema
+    * stats) or any piece is unreadable/unmergeable — callers then skip
+    * pruning, which is always sound.
+    */
+  private def storedSchema(fs: FileSystem, statsPath: Path)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    def read(p: Path): Option[org.apache.spark.sql.types.StructType] = {
+      val in = fs.open(p)
       val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
                 finally in.close()
-      scala.util.Try {
-        val prev = org.apache.spark.sql.types.DataType.fromJson(txt)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        org.apache.spark.sql.GraftShims.mergeSchemas(prev, docs0.schema)
-      } match {
-        case scala.util.Success(merged) =>
-          val out = fs.create(schemaFile, true)
-          try out.write(merged.json.getBytes(UTF_8)) finally out.close()
-        case scala.util.Failure(_) =>
-          fs.delete(schemaFile, false)
-      }
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+    }
+    val base = new Path(statsPath, "_schema.json")
+    if (!fs.exists(base)) return None
+    val sidecars = fs.listStatus(statsPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_schema-append-"))
+      .map(_.getPath)
+    (Option(base) ++ sidecars).foldLeft(
+        Option(new org.apache.spark.sql.types.StructType())) {
+      case (accOpt, p) =>
+        for {
+          acc <- accOpt
+          s <- read(p)
+          merged <- scala.util.Try(
+            org.apache.spark.sql.GraftShims.mergeSchemas(acc, s)).toOption
+        } yield merged
     }
   }
 
@@ -436,16 +493,9 @@ object DocStore {
       : Option[(Seq[String], org.apache.spark.sql.types.StructType)] = {
     val statsPath = new Path(live, StatsDir)
     if (!fs.exists(statsPath)) return None
-    val schemaFile = new Path(statsPath, "_schema.json")
-    if (!fs.exists(schemaFile)) return None // pre-schema stats: don't prune
-    val stored = {
-      val in = fs.open(schemaFile)
-      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
-                finally in.close()
-      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(txt)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .getOrElse(return None)
-    }
+    // base schema + every append sidecar, merged; absent/unreadable ->
+    // don't prune (pre-schema stats, or drift)
+    val stored = storedSchema(fs, statsPath).getOrElse(return None)
     // DNF: a file survives when ANY disjunct's conjuncts all survive —
     // so `id = 5 OR id = 999` prunes to the union of the two matching
     // file sets instead of falling back to the full scan

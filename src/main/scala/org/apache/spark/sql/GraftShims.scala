@@ -30,6 +30,14 @@ object GraftShims {
   def mergeSchemas(a: types.StructType, b: types.StructType): types.StructType =
     a.merge(b)
 
+  /** The logical plan behind a DataFrame — the table-valued-function
+    * bridge: an `injectTableFunction` builder must return a LogicalPlan,
+    * and graft's whole-operator surfaces (set-sim join, as-of join) build
+    * DataFrames. Classic-mode only (like everything in this shim).
+    */
+  def logicalPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical
+
   /** Flatten a filter Column into its recognizable
     * (attribute, op, literal) conjuncts, where op is one of
     * "<" "<=" ">" ">=" "=" with an external JVM value, or "in" with a

@@ -37,6 +37,37 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(fast.count() == b.count() && fast.exceptAll(b).isEmpty)
   }
 
+  test("setsim_self_join TVF (SQL surface) is row-identical to the Column path") {
+    Tables.documents(spark, sf001).createOrReplaceTempView("ssj_docs_v")
+    val sql = spark.sql(
+        "SELECT * FROM setsim_self_join('ssj_docs_v', 'doc_id', 'text', 3, 4)")
+      .orderBy("id_a", "id_b").collect().toSeq
+    val column = SetSimJoin
+      .selfJoin(Tables.documents(spark, sf001), "doc_id", "text", 3, 4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(sql.nonEmpty && sql == column)
+  }
+
+  test("asof_join TVF (SQL surface) is row-identical to the Column path") {
+    val ev = Tables.events(spark, sf001)
+    ev.createOrReplaceTempView("asof_ev_v")
+    ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"))
+      .createOrReplaceTempView("asof_err_v")
+    val sql = spark.sql(
+        """SELECT event_id, last_err
+          |FROM asof_join('asof_ev_v', 'asof_err_v', 'user_id',
+          |               'ts', 'err_ts', 'err_ts', 'last_err')
+          |ORDER BY event_id""".stripMargin).collect().toSeq
+    val column = graft.ops.AsOf.joinAsOf(ev,
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("err_ts")),
+        Seq("user_id"), leftTs = "ts", rightTs = "err_ts",
+        valueCol = "err_ts", outCol = "last_err")
+      .select("event_id", "last_err").orderBy("event_id").collect().toSeq
+    assert(sql.nonEmpty && sql == column)
+  }
+
   test("joinBetween == self-join restricted to cross-slice pairs") {
     val docs = Tables.documents(spark, sf001)
     val incr = SetSimJoin.joinBetween(

@@ -338,6 +338,53 @@ class DocStoreSpec extends SparkTestBase {
     assert(afterQ.select("id").as[Long].collect().sorted.toSeq == (100L until 120L))
   }
 
+  test("concurrent appends: every file statted exactly once, no widening lost") {
+    val path = freshPath()
+    DocStore.insertMany((0L until 200L).map(i => (i, s"base-$i"))
+      .toDF("id", "text"), path)
+    DocStore.cluster(spark, path, col("id"), targetFiles = 2,
+      statsCols = Seq("id"))
+    // 6 appends from 6 threads at once; two of them bring a NEW column so
+    // concurrent schema widening is exercised too (additive sidecars: a
+    // read-modify-write of one schema file could lose a writer's columns)
+    val ranges = Seq(1000L, 2000L, 3000L, 4000L, 5000L, 6000L)
+    val threads = ranges.zipWithIndex.map { case (lo, i) =>
+      new Thread(() => {
+        val df =
+          if (i < 2) (lo until lo + 30L).map(j => (j, s"x-$j", s"extra$i-$j"))
+            .toDF("id", "text", s"extra$i")
+          else (lo until lo + 30L).map(j => (j, s"x-$j")).toDF("id", "text")
+        DocStore.insertMany(df, path)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // all docs present, readable, and the union schema carries BOTH
+    // concurrently-added columns
+    val all = DocStore.find(spark, path)
+    assert(all.count() == 200 + 6 * 30)
+    assert(Set("extra0", "extra1").subsetOf(all.columns.toSet), all.columns.toSeq)
+    // every data file has EXACTLY one stats row (no double-statting), and
+    // every appended file is statted (skip rate never degrades)
+    val live = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-")).map(_.toString)
+      .sorted.last
+    val statRows = spark.read.json(s"$live/_STATS")
+      .select("file").as[String].collect().toSeq
+    assert(statRows.distinct.size == statRows.size,
+      s"double-statted: ${statRows.diff(statRows.distinct)}")
+    val dataFiles = new java.io.File(live).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    assert(dataFiles == statRows.toSet, "unstatted or phantom stats rows")
+    // pruning still exact across the concurrent appends
+    val got = DocStore.find(spark, path, Some(col("id") >= 3000L && col("id") < 3030L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (3000L until 3030L))
+    val pruned = DocStore.find(spark, path,
+      Some(col("id") >= 50L && col("id") < 60L)).inputFiles.length
+    assert(pruned < DocStore.find(spark, path).inputFiles.length)
+  }
+
   test("pruned reads keep the FULL collection schema, not the surviving files' subset") {
     val path = freshPath()
     // heterogeneous docs: low ids carry only c, high ids only b — after

@@ -1,0 +1,197 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Sessions
+
+/** Adversarial skew/scale probes: every "100 TB-safe" design argument in
+  * the Scaladoc (prefix filtering bounds candidate fan-out, degree-ordered
+  * orientation kills hub wedge blow-up, star contraction converges in log
+  * rounds regardless of diameter, bucket caps make hot LSH buckets
+  * observable drops, map-side combine absorbs hot aggregation keys) turned
+  * into a MEASUREMENT on synthetic data ~10x the sf0.1 row counts with a
+  * deliberately planted hot spot:
+  *
+  *  - setsim: 50k docs x 30 tokens; skew = 20% of docs share one token
+  *    (a naive token equi-join would generate ~50M candidate pairs from
+  *    that token alone; rarest-first prefixes should never select it)
+  *  - minhash: near-dup corpus with a 3000-copy cluster; the identical
+  *    band keys form buckets over the cap — drops must be NONZERO and
+  *    counted by BucketDrops, runtime must not blow up
+  *  - graph: 2M edges / 200k nodes; skew = 10% of edges rewired onto one
+  *    hub (in-degree ~200k) — Components and PageRank are O(edges)/round
+  *    regardless; triangles (300k edges, hub degree ~30k) must stay flat
+  *    because orientation bounds out-degree by ~sqrt(m)
+  *  - hotkey: 6M-row aggregation and fact-dim join; skew = 30% of rows on
+  *    one key — partial aggregation and broadcast-hash respectively make
+  *    the hot key a non-event
+  *
+  * Every generator is seeded by xxhash64 of the row id (deterministic,
+  * RNG-free). Prints one `[stress]` line per (probe, variant) with
+  * wall-clock seconds and the result cardinality, then a ratio summary.
+  * A ratio within ~2x of uniform is "the skew argument holds"; the r7
+  * NOTES table records the adjudicated numbers.
+  */
+object StressBench {
+
+  /** min-of-2: the first rep of the first probe otherwise absorbs
+    * codegen/classload warm-up and biases the skew/uniform ratio.
+    */
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    val d0 = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    f
+    val d1 = (System.nanoTime() - t1) / 1e9
+    (r, math.min(d0, d1))
+  }
+
+  private def report(probe: String, variant: String, n: Long, sec: Double,
+                     extra: String = ""): Double = {
+    println(f"[stress] $probe%-10s $variant%-8s rows=$n%-10d sec=$sec%7.2f $extra")
+    sec
+  }
+
+  /** id, text: `nTokens` tokens per doc from a `vocab`-sized universe;
+    * `hotEvery` > 0 plants the shared token on every hotEvery-th doc.
+    */
+  private def docs(spark: SparkSession, n: Long, nTokens: Int, vocab: Int,
+                   hotEvery: Int): DataFrame = {
+    val base = spark.range(n).select(col("id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(nTokens)),
+        j => concat(lit("t"), pmod(xxhash64(col("id") * 31 + j), lit(vocab)))))
+        .as("text"))
+    if (hotEvery > 0)
+      base.withColumn("text",
+        when(col("id") % hotEvery === 0, concat(col("text"), lit(" hotspot")))
+          .otherwise(col("text")))
+    else base
+  }
+
+  private def edges(spark: SparkSession, m: Long, nodes: Long,
+                    hubFrac: Int): DataFrame = {
+    val e = spark.range(m).select(
+      pmod(xxhash64(col("id") * 7 + 1), lit(nodes)).as("src"),
+      pmod(xxhash64(col("id") * 13 + 5), lit(nodes)).as("dst"))
+    val skewed =
+      if (hubFrac > 0) e.withColumn("dst",
+        when(pmod(xxhash64(col("src") * 17 + col("dst")), lit(hubFrac)) === 0, lit(0L))
+          .otherwise(col("dst")))
+      else e
+    skewed.filter(col("src") =!= col("dst"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(appName = "graft-stress")
+    val which = if (args.isEmpty) Set("setsim", "minhash", "graph", "hotkey")
+                else args.toSet
+    val ratios = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+    if (which("setsim")) {
+      // 10x sf0.1 documents; J >= 0.8. Uniform docs share ~no tokens, so
+      // both variants measure the candidate/prefix machinery, not output.
+      def run(hotEvery: Int): (Long, Double) = time {
+        graft.dedup.SetSimJoin
+          .selfJoin(docs(spark, 50000, 30, 200000, hotEvery), "id", "text", 8, 10)
+          .count()
+      }
+      val (n0, t0) = run(0)
+      val u = report("setsim", "uniform", n0, t0)
+      val (n1, t1) = run(5) // 20% of docs carry the hot token
+      val s = report("setsim", "hot-tok", n1, t1)
+      ratios += (("setsim", s / u))
+    }
+
+    if (which("minhash")) {
+      // one 3000-copy cluster (identical texts -> identical band keys ->
+      // buckets over the 1000 cap) + long tail of unique docs
+      def corpus(cluster: Int): DataFrame =
+        docs(spark, 50000, 30, 200000, 0).withColumn("text",
+          when(col("id") < cluster, lit("copy " * 29 + "copy")).otherwise(col("text")))
+      def run(cluster: Int): (Long, Double) = time {
+        graft.dedup.MinHashDedup
+          .nearDupGroups(corpus(cluster), "id", "text", k = 3,
+            bands = 16, rowsPerBand = 4, threshold = 0.7)
+          .filter(col("group_size") > 1).count()
+      }
+      val (n0, t0) = run(0)
+      val u = report("minhash", "uniform", n0, t0)
+      val dropsBefore = graft.dedup.BucketDrops.totalDroppedRows
+      val (n1, t1) = run(3000)
+      val drops = graft.dedup.BucketDrops.totalDroppedRows - dropsBefore
+      val s = report("minhash", "hot-bkt", n1, t1, s"droppedRows=$drops")
+      require(drops > 0, "hot bucket produced NO observable drops — cap not exercised")
+      ratios += (("minhash", s / u))
+    }
+
+    if (which("graph")) {
+      // components + 3-round pagerank at 2M edges; triangles at 300k
+      def pairs(hubFrac: Int) =
+        edges(spark, 2000000, 200000, hubFrac)
+          .select(col("src").as("id_a"), col("dst").as("id_b"))
+      def runCC(hubFrac: Int): (Long, Double) =
+        time(graft.dedup.Components.labels(pairs(hubFrac))
+          .agg(countDistinct("label")).head().getLong(0))
+      val (c0, ct0) = runCC(0)
+      val cu = report("cc", "uniform", c0, ct0)
+      val (c1, ct1) = runCC(10) // ~10% of edges onto the hub
+      val cs = report("cc", "hub", c1, ct1)
+      ratios += (("cc", cs / cu))
+
+      def runPR(hubFrac: Int): (Long, Double) = time {
+        val e = edges(spark, 2000000, 200000, hubFrac)
+        val nodes = spark.range(200000).select(col("id"))
+        graft.graph.PageRank.ranks(e, nodes, iters = 3)
+          .agg(sum("r")).head().getLong(0)
+      }
+      val (_, pt0) = runPR(0)
+      val pu = report("pagerank", "uniform", 200000, pt0)
+      val (_, pt1) = runPR(10)
+      val ps = report("pagerank", "hub", 200000, pt1)
+      ratios += (("pagerank", ps / pu))
+
+      def runTri(hubFrac: Int): (Long, Double) = time {
+        val e = edges(spark, 300000, 60000, hubFrac)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        graft.graph.Triangles.perNode(e).agg(sum("tri")).head().getLong(0)
+      }
+      val (_, tt0) = runTri(0)
+      val tu = report("triangles", "uniform", 300000, tt0)
+      val (_, tt1) = runTri(10) // hub degree ~30k: naive wedges ~450M
+      val ts = report("triangles", "hub", 300000, tt1)
+      ratios += (("triangles", ts / tu))
+    }
+
+    if (which("hotkey")) {
+      def fact(hot: Boolean) = spark.range(6000000).select(
+        (if (hot) when(col("id") % 10 < 3, lit(0L))
+            .otherwise(pmod(xxhash64(col("id")), lit(100000)))
+         else pmod(xxhash64(col("id")), lit(100000))).as("k"),
+        (col("id") % 97).as("v"))
+      def runAgg(hot: Boolean): (Long, Double) =
+        time(fact(hot).groupBy("k").agg(sum("v"), count(lit(1))).count())
+      val (a0, at0) = runAgg(false)
+      val au = report("agg", "uniform", a0, at0)
+      val (a1, at1) = runAgg(true)
+      val as_ = report("agg", "hot-key", a1, at1)
+      ratios += (("agg", as_ / au))
+
+      val dim = spark.range(100000).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("label"))
+      def runJoin(hot: Boolean): (Long, Double) =
+        time(fact(hot).join(dim, "k").count())
+      val (j0, jt0) = runJoin(false)
+      val ju = report("join", "uniform", j0, jt0)
+      val (j1, jt1) = runJoin(true)
+      val js = report("join", "hot-key", j1, jt1)
+      ratios += (("join", js / ju))
+    }
+
+    println("[stress] ---- skew/uniform ratios (arg holds if ~<= 2x) ----")
+    ratios.foreach { case (p, r) => println(f"[stress] ratio $p%-10s ${r}%5.2fx") }
+    spark.stop()
+  }
+}

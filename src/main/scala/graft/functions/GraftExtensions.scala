@@ -120,6 +120,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intArg(args(3), "num"), intArg(args(4), "den")))
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("docstore"),
+      info("docstore",
+        "docstore(path[, generation]) - read a DocStore collection from " +
+          "SQL: the live snapshot, or time travel to a retained generation"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = strArg(args.head, "path")
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          if (args.length > 1)
+            graft.sources.DocStore.findAsOf(spark, path, intArg(args(1), "generation"))
+          else graft.sources.DocStore.find(spark, path))
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("asof_join"),
       info("asof_join",
         "asof_join(leftTable, rightTable, keys, leftTs, rightTs, valueCol, " +

@@ -156,6 +156,58 @@ object DocStore {
     }
   }
 
+  /** Change-data-capture between two retained generations: one row per
+    * key that was `inserted`, `deleted`, or `updated` going `fromGen` ->
+    * `toGen` (the time-travel surface turned into a diff — what Delta/
+    * Iceberg call table CDF, over the same snapshots [[findAsOf]] serves).
+    * Both snapshots resolve through [[findAsOf]], so pruned or
+    * never-committed generations fail loudly rather than diffing wrong
+    * data.
+    *
+    * Plan shape: ONE full-outer join on `keyCol` (null-safe), change type
+    * decided by side-presence, `updated` by comparing the row structs
+    * with null-safe equality over the UNION schema (a column added by
+    * schema evolution reads as null on the old side, so a doc whose new
+    * column is non-null correctly reports `updated`). Output:
+    * (key, change, before, after) — before/after are full-row structs,
+    * null on the absent side. Requires `keyCol` to be unique per
+    * generation (enforced with a one-pass count check — a duplicated key
+    * would silently fan out the join).
+    */
+  def diffGenerations(spark: SparkSession, path: String, fromGen: Int,
+                      toGen: Int, keyCol: String): DataFrame = {
+    val a = findAsOf(spark, path, fromGen)
+    val b = findAsOf(spark, path, toGen)
+    // align on the union schema so struct compare is column-by-column
+    // even across schema evolution
+    val allCols = (a.columns ++ b.columns).distinct.sorted
+    def conform(df: DataFrame, other: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      val widened = allCols.foldLeft(df)((d, c) =>
+        if (have(c)) d
+        else d.withColumn(c, lit(null).cast(other.schema(c).dataType)))
+      widened.select(allCols.map(col): _*)
+    }
+    val av = conform(a, b)
+    val bv = conform(b, a)
+    def keyed(df: DataFrame, side: String): DataFrame = {
+      val dup = df.groupBy(col(keyCol)).count().filter(col("count") > 1).limit(1)
+      require(dup.isEmpty,
+        s"docstore diff: $keyCol is not unique in generation ($side side)")
+      df.select(col(keyCol).as(s"__k_$side"), struct(allCols.map(col): _*).as(s"__$side"))
+    }
+    keyed(av, "before").join(keyed(bv, "after"),
+        col("__k_before") <=> col("__k_after"), "full_outer")
+      .select(
+        coalesce(col("__k_before"), col("__k_after")).as(keyCol),
+        when(col("__before").isNull, lit("inserted"))
+          .when(col("__after").isNull, lit("deleted"))
+          .when(!(col("__before") <=> col("__after")), lit("updated"))
+          .otherwise(lit("unchanged")).as("change"),
+        col("__before").as("before"), col("__after").as("after"))
+      .filter(col("change") =!= "unchanged")
+  }
+
   /** $set-style conditional update; returns matched-document count. Fields
     * in `set` that don't exist yet are added (null for unmatched docs) —
     * document-store schema evolution. A new field keeps the $set value's

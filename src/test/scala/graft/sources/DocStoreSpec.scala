@@ -405,6 +405,48 @@ class DocStoreSpec extends SparkTestBase {
     assert(none.columns.toSet == Set("id", "b", "c"))
   }
 
+  test("diffGenerations: CDC between retained snapshots, incl. schema evolution") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)
+    // rewrite 1 (update) creates gen 2; keep 3 generations so gen diff
+    // has room
+    DocStore.updateMany(spark, path, col("id") === 2L,
+      Map("v" -> lit("B"), "tag" -> lit("new")), retain = 3)
+    val gens = DocStore.generations(spark, path)
+    assert(gens.size >= 2)
+    val d = DocStore.diffGenerations(spark, path, gens.head, gens.last, "id")
+      .orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    // id 2 changed (v and the evolved column tag); 1 and 3 gained a null
+    // tag column only — null == null under the union schema, unchanged
+    assert(d == Seq(2L -> "updated"), s"got $d")
+    // delete 3 -> next generation: diff shows the deletion
+    DocStore.deleteMany(spark, path, Some(col("id") === 3L), retain = 3)
+    val gens2 = DocStore.generations(spark, path)
+    val d2 = DocStore.diffGenerations(spark, path, gens2(gens2.size - 2),
+        gens2.last, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(d2 == Seq(3L -> "deleted"), s"got $d2")
+    // a pruned generation fails loudly through findAsOf
+    intercept[IllegalArgumentException] {
+      DocStore.diffGenerations(spark, path, 999, gens2.last, "id")
+    }
+  }
+
+  test("docstore TVF: SQL reads the live snapshot and time-travels") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    DocStore.updateMany(spark, path, col("id") === 1L,
+      Map("v" -> lit("A")), retain = 3)
+    val live = spark.sql(s"SELECT id, v FROM docstore('$path') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(live == Seq((1L, "A"), (2L, "b")))
+    val g0 = DocStore.generations(spark, path).head
+    val old = spark.sql(s"SELECT id, v FROM docstore('$path', $g0) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(old == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("deleteMany refuses the empty query unless protection is off") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), path)

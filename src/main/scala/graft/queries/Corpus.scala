@@ -932,6 +932,30 @@ object Corpus {
           .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"))
           .orderBy("l_returnflag")),
 
+    // ---- STORED mergeable quantile sketch (functions.QuantileSketch:
+    //      deterministic MRL-style multi-level collapse): per-flag
+    //      sketches built once (the bytes are a storable column), merged
+    //      WITHOUT rescanning rows, probed for global quantiles — the
+    //      build-once/query-many percentile shape at 100 TB, completing
+    //      the stored-sketch family (a20/a21 HLL, a14 CMS, a16 MG).
+    //      Values are merge-order-sensitive by contract (like a13's GK),
+    //      so rows-only; QuantileSketchSpec pins rank error <= 1% vs the
+    //      exact sort at two partitionings, merged-n exactness, and
+    //      byte determinism on a fixed partitioning.
+    "a23_quantile_sketch" -> rowsOnly(
+      (s, d) => {
+        import graft.functions.QuantileSketch._
+        val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(quantile_sketch(col("l_extendedprice"), 256).as("sk"))
+          .agg(quantile_sketch_merge(col("sk")).as("all"))
+          .select(posexplode(sketch_quantiles(col("all"), probs)))
+          .select((element_at(typedLit(probs), col("pos") + 1)).as("p"),
+            round(col("col"), 2).as("est"))
+          .orderBy("p")
+      }),
+
     // ---- per-group approximate quantiles over a STORED histogram sketch
     //      (Ranks.groupQuantileHistogram + groupApproxQuantiles): the
     //      per-language length-quantile shape a corpus-mixing pipeline

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.QuantileSketch._
+
+class QuantileSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val li = graft.core.Tables.lineitem(spark, sf001)
+    .select(col("l_extendedprice").cast("double").as("v"))
+
+  private lazy val exact: (Long, Double => Double) = {
+    val arr = li.as[Double].collect().sorted
+    (arr.length.toLong, (p: Double) =>
+      arr(math.max(0, math.ceil(p * arr.length).toInt - 1)))
+  }
+
+  /** rank error of estimate e at prob p: |rank(e) - p*n| / n */
+  private def rankErr(sortedRef: Array[Double], p: Double, e: Double): Double = {
+    val idx = {
+      val i = java.util.Arrays.binarySearch(sortedRef, e)
+      if (i >= 0) i else -(i + 1)
+    }
+    math.abs(idx.toDouble - p * sortedRef.length) / sortedRef.length
+  }
+
+  test("small input (n < k): sketch quantiles are the exact order statistics") {
+    val b = new QuantileSketch.Buffer(256)
+    val vals = (1 to 100).map(_.toDouble)
+    vals.foreach(b.add)
+    assert(b.quantile(0.5) == 50.0)
+    assert(b.quantile(0.01) == 1.0)
+    assert(b.quantile(1.0) == 100.0)
+  }
+
+  test("rank error <= 1% of n at k=256 on the bench table, two partitionings") {
+    val sortedRef = li.as[Double].collect().sorted
+    for (df <- Seq(li.repartition(7), li.repartition(32, col("v")))) {
+      val bytes = df.agg(quantile_sketch(col("v"), 256).as("s"))
+        .head().getAs[Array[Byte]](0)
+      val b = QuantileSketch.deserialize(bytes)
+      assert(b.n == sortedRef.length)
+      for (p <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+        val err = rankErr(sortedRef, p, b.quantile(p))
+        assert(err <= 0.01, s"p=$p rank error $err")
+      }
+    }
+  }
+
+  test("stored per-group sketches merge to a within-bound global answer") {
+    val sortedRef = li.as[Double].collect().sorted
+    val grouped = graft.core.Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag")
+      .agg(quantile_sketch(col("l_extendedprice"), 256).as("sk"))
+    assert(grouped.count() >= 2) // genuinely merging several sketches
+    val merged = grouped.agg(quantile_sketch_merge(col("sk")).as("all"))
+      .select(sketch_quantiles(col("all"), Seq(0.1, 0.5, 0.9)).as("q"),
+        col("all"))
+    val row = merged.head()
+    val qs = row.getSeq[Double](0)
+    val b = QuantileSketch.deserialize(row.getAs[Array[Byte]](1))
+    assert(b.n == sortedRef.length) // no row lost or double-counted
+    Seq(0.1, 0.5, 0.9).zip(qs).foreach { case (p, e) =>
+      val err = rankErr(sortedRef, p, e)
+      assert(err <= 0.015, s"merged p=$p rank error $err")
+    }
+  }
+
+  test("deterministic: identical bytes on a fixed partitioning; roundtrip stable") {
+    val df = li.repartition(4, col("v"))
+    def bytes() = df.agg(quantile_sketch(col("v"), 64).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val a = bytes(); val b = bytes()
+    assert(java.util.Arrays.equals(a, b))
+    val rt = QuantileSketch.deserialize(a).serialize()
+    assert(java.util.Arrays.equals(a, rt))
+  }
+
+  test("nulls are skipped; empty input yields an n=0 sketch") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val b = QuantileSketch.deserialize(
+      df.agg(quantile_sketch(col("v"), 16).as("s")).head().getAs[Array[Byte]](0))
+    assert(b.n == 2)
+    val empty = QuantileSketch.deserialize(
+      df.filter(col("v") > 100).agg(quantile_sketch(col("v"), 16).as("s"))
+        .head().getAs[Array[Byte]](0))
+    assert(empty.n == 0)
+    intercept[IllegalArgumentException](empty.quantile(0.5))
+  }
+}

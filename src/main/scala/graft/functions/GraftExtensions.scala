@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$name must be a long literal, got $other")
   }
+  private def doubleSeqArg(e: Expression, name: String): Seq[Double] = {
+    val cast = Cast(e, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    if (!cast.foldable) throw new IllegalArgumentException(
+      s"$name must be a foldable array literal, got $e")
+    cast.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray().toSeq
+  }
   private def strArg(e: Expression, name: String): String = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
       v.toString
@@ -97,6 +105,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(a, b) - intersection size of two sorted " +
           "duplicate-free string arrays (merge walk)"),
       (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))))
+
+    // ---- stored mergeable quantile sketch, SQL surface (aggregates
+    // register like scalars: the analyzer wraps a returned
+    // AggregateFunction itself)
+    ext.injectFunction((FunctionIdentifier("quantile_sketch"),
+      info("quantile_sketch",
+        "quantile_sketch(col[, k]) - storable mergeable quantile sketch bytes"),
+      (args: Seq[Expression]) => QuantileSketchAgg(
+        Cast(args.head, org.apache.spark.sql.types.DoubleType),
+        if (args.length > 1) intArg(args(1), "k") else 256)))
+
+    ext.injectFunction((FunctionIdentifier("quantile_sketch_merge"),
+      info("quantile_sketch_merge",
+        "quantile_sketch_merge(sketch) - merge stored quantile sketches"),
+      (args: Seq[Expression]) => QuantileSketchMergeAgg(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("sketch_quantiles"),
+      info("sketch_quantiles",
+        "sketch_quantiles(sketch, array(p1, p2, ...)) - quantile estimates"),
+      (args: Seq[Expression]) => SketchQuantiles(args.head,
+        doubleSeqArg(args(1), "probs"))))
 
     // ---- table-valued functions: the two most differentiated WHOLE-
     // OPERATOR surfaces (exact set-similarity join, as-of join) reachable

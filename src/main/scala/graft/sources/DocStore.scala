@@ -178,18 +178,36 @@ object DocStore {
                       toGen: Int, keyCol: String): DataFrame = {
     val a = findAsOf(spark, path, fromGen)
     val b = findAsOf(spark, path, toGen)
-    // align on the union schema so struct compare is column-by-column
-    // even across schema evolution
-    val allCols = (a.columns ++ b.columns).distinct.sorted
-    def conform(df: DataFrame, other: DataFrame): DataFrame = {
+    // align on a WIDENED union schema (names AND types) so the struct
+    // compare is column-by-column even across schema evolution —
+    // including numeric type drift (JSON infers long in one generation,
+    // double in the next): struct types must be identical on both sides
+    // or the null-safe equality fails analysis. Catalyst's tightest-
+    // common-type rule does the widening (StructType.merge is parquet-
+    // strict and refuses long vs double); genuinely incompatible drift
+    // fails loudly here rather than diffing coerced garbage.
+    def fieldType(c: String): org.apache.spark.sql.types.DataType =
+      (a.schema.find(_.name == c).map(_.dataType),
+        b.schema.find(_.name == c).map(_.dataType)) match {
+        case (Some(x), Some(y)) if x == y => x
+        case (Some(x), Some(y)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findTightestCommonType(x, y).getOrElse(throw new IllegalArgumentException(
+              s"docstore diff: column $c has incompatible types $x vs $y"))
+        case (Some(x), None) => x
+        case (None, Some(y)) => y
+        case _ => throw new IllegalStateException(s"unreachable: $c")
+      }
+    val allCols = (a.columns ++ b.columns).distinct.sorted.toSeq
+    def conform(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
-      val widened = allCols.foldLeft(df)((d, c) =>
-        if (have(c)) d
-        else d.withColumn(c, lit(null).cast(other.schema(c).dataType)))
-      widened.select(allCols.map(col): _*)
+      df.select(allCols.map { c =>
+        val t = fieldType(c)
+        (if (have(c)) col(c).cast(t) else lit(null).cast(t)).as(c)
+      }: _*)
     }
-    val av = conform(a, b)
-    val bv = conform(b, a)
+    val av = conform(a)
+    val bv = conform(b)
     def keyed(df: DataFrame, side: String): DataFrame = {
       val dup = df.groupBy(col(keyCol)).count().filter(col("count") > 1).limit(1)
       require(dup.isEmpty,

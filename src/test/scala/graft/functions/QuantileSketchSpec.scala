@@ -77,6 +77,18 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(a, rt))
   }
 
+  test("SQL surface parity: quantile_sketch / merge / sketch_quantiles from SQL") {
+    li.createOrReplaceTempView("qs_li_v")
+    val sql = spark.sql(
+      """SELECT sketch_quantiles(quantile_sketch_merge(sk), array(0.25, 0.5, 0.75)) AS q
+        |FROM (SELECT quantile_sketch(v, 256) AS sk FROM qs_li_v GROUP BY v % 4)
+        |""".stripMargin).head().getSeq[Double](0)
+    val sortedRef = li.as[Double].collect().sorted
+    Seq(0.25, 0.5, 0.75).zip(sql).foreach { case (p, e) =>
+      assert(rankErr(sortedRef, p, e) <= 0.015, s"SQL p=$p est=$e")
+    }
+  }
+
   test("nulls are skipped; empty input yields an n=0 sketch") {
     val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
     val b = QuantileSketch.deserialize(

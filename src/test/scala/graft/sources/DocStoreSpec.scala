@@ -433,6 +433,20 @@ class DocStoreSpec extends SparkTestBase {
     }
   }
 
+  test("diffGenerations survives type drift (long -> double) between generations") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, 5L), (2L, 7L)).toDF("id", "v"), path)
+    // rewrite v as double: the next generation's inferred type drifts
+    DocStore.updateMany(spark, path, col("id") === 1L,
+      Map("v" -> lit(5.5)), retain = 3)
+    val gens = DocStore.generations(spark, path)
+    val d = DocStore.diffGenerations(spark, path, gens.head, gens.last, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    // id 1: 5 -> 5.5 updated; id 2: 7 -> 7.0 compares EQUAL under the
+    // merged (double) schema — type widening alone is not a change
+    assert(d == Seq(1L -> "updated"), s"got $d")
+  }
+
   test("docstore TVF: SQL reads the live snapshot and time-travels") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)

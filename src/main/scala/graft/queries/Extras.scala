@@ -342,6 +342,29 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
+  /** Streaming quantile sketch drained to completion: per-batch bounded
+    * sketches merged on the driver ([[graft.streaming.Streams
+    * .maintainQuantileSketch]]); the snapshot answers the full prob grid
+    * without ever re-reading the stream. Values are merge-order-sensitive
+    * (a23's contract) -> rows-only; StreamsSpec pins streamed n == batch
+    * n exactly and rank error vs the exact sort.
+    */
+  def streamQuantiles(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val events = streamEvents(s, d)
+    val (q, snap) = graft.streaming.Streams
+      .maintainQuantileSketch(events.select(col("value")), "value", k = 256)
+    try q.processAllAvailable() finally q.stop()
+    val b = snap()
+    Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      .map(p => (p, BigDecimal(b.quantile(p))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, b.n))
+      .toDF("p", "est", "n")
+      .orderBy("p")
+      .localCheckpoint(true)
+  }
+
   /** Streaming heavy hitters drained to completion, then verified: the
     * driver-held Misra-Gries summary folded across micro-batches provably
     * retains every key at the threshold (mergeable-summaries guarantee),
@@ -1114,6 +1137,11 @@ object Extras {
     //      register-max fold; see StreamingQuery.streamHll)
     "st8_stream_hll" -> rowsOnly(
       (s, d) => StreamingQuery.streamHll(s, d)),
+
+    // ---- incrementally maintained quantile sketch (per-batch bounded
+    //      sketch, additive driver fold; see StreamingQuery.streamQuantiles)
+    "st12_stream_quantiles" -> rowsOnly(
+      (s, d) => StreamingQuery.streamQuantiles(s, d)),
 
     // ---- custom expressions through the SQL surface (GraftExtensions):
     //      signature determinism is the contract — rows-only here, exact

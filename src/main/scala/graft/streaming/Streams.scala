@@ -221,6 +221,38 @@ object Streams {
     (q, () => snapshot())
   }
 
+  /** Incrementally maintained quantile sketch over a stream: each
+    * micro-batch aggregates into ONE bounded sketch
+    * ([[graft.functions.QuantileSketch]] — O(k log(n/k)) doubles whatever
+    * the batch size) and merges into a driver-held buffer. Merge is
+    * ADDITIVE, so like the CMS fold (and unlike HLL's idempotent register
+    * max) an at-least-once replay would double-count — production
+    * deployments dedupe by batchId in foreachBatch; the drained bench
+    * shape replays nothing, and the spec pins streamed n == batch n
+    * exactly plus the standard rank-error bound.
+    */
+  def maintainQuantileSketch(stream: DataFrame, valueCol: String, k: Int = 256)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         () => graft.functions.QuantileSketch.Buffer) = {
+    val holder = new graft.functions.QuantileSketch.Buffer(k)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bytes = batch
+          .agg(graft.functions.QuantileSketch
+            .quantile_sketch(col(valueCol), k).as("s"))
+          .head().getAs[Array[Byte]](0) // bounded: one sketch per batch
+        holder.synchronized {
+          holder.mergeIn(graft.functions.QuantileSketch.deserialize(bytes))
+        }
+        ()
+      }
+      .start()
+    // snapshots hand out defensive copies: the live buffer keeps merging
+    (q, () => holder.synchronized {
+      graft.functions.QuantileSketch.deserialize(holder.serialize())
+    })
+  }
+
   /** A point-in-time view of a streamed Misra-Gries summary: candidate
     * keys with their (under-)counts, the exact total row count folded in,
     * and the key's type for re-joining against stored data. The candidate

@@ -424,6 +424,33 @@ class StreamsSpec extends SparkTestBase {
     assert(out == Map(1L -> 4, 2L -> 1, 3L -> 1, 9L -> 1), s"got $out")
   }
 
+  test("maintainQuantileSketch: streamed fold matches batch n exactly, rank-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Double]
+    val vals = (1 to 4000).map(i => ((i * 2654435761L) % 10007).toDouble)
+    val (q, snap) = Streams.maintainQuantileSketch(
+      mem.toDF().toDF("value"), "value", k = 128)
+    // three micro-batches, including a tiny one (exercises merge of a
+    // below-k raw buffer into an already-collapsed sketch)
+    mem.addData(vals.take(1500): _*); q.processAllAvailable()
+    mem.addData(vals.slice(1500, 3995): _*); q.processAllAvailable()
+    mem.addData(vals.drop(3995): _*); q.processAllAvailable()
+    q.stop()
+    val b = snap()
+    assert(b.n == vals.length) // additive fold, nothing replayed: exact n
+    val sorted = vals.sorted.toArray
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val est = b.quantile(p)
+      val idx = {
+        val i = java.util.Arrays.binarySearch(sorted, est)
+        if (i >= 0) i else -(i + 1)
+      }
+      val err = math.abs(idx.toDouble - p * sorted.length) / sorted.length
+      assert(err <= 0.02, s"p=$p est=$est rank err $err")
+    }
+  }
+
   test("funnelStream: exact-boundary emission when wm lands on t1+W then t1+W+1") {
     // The two adversarial watermark landings around the window close:
     //  - a batch observes wm == t1 + W exactly (the timeout clamp case —

@@ -154,6 +154,34 @@ object Analytics {
         |       count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- semi-structured VARIANT column (Spark 4's columnar JSON twin
+    //      of x16): parse once into the binary variant encoding, extract
+    //      typed fields with variant_get — at scale this beats re-parsing
+    //      the JSON string per predicate (parse cost paid once per row,
+    //      extraction reads the encoded offsets). Oracle restates the
+    //      same arithmetic over DuckDB's JSON operators. Type check +
+    //      per-type percent via schema_of_variant, value math identical
+    //      to x16 so the two surfaces cross-check each other.
+    "x28_variant_extract" -> withOracle(
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("v", parse_json(col("props")))
+          .withColumn("k", variant_get(col("v"), "$.k", "long"))
+          .withColumn("vt", schema_of_variant(col("v")))
+          .groupBy("event_type")
+          .agg(sum("k").as("k_sum"),
+            min("k").as("k_min"), max("k").as("k_max"),
+            count(when(col("vt") === "OBJECT<k: BIGINT>", 1)).as("n_objects"),
+            count(lit(1)).as("cnt"))
+          .orderBy("event_type"),
+      """SELECT event_type,
+        |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_min,
+        |       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_max,
+        |       CAST(count(CASE WHEN json_valid(props) THEN 1 END) AS BIGINT) AS n_objects,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ---- G1: nest -> explode round-trip (sales doc split,
     //      /root/reference/dags/CotyData_IPN.py:251-275). Quantity totals
     //      must survive the round-trip exactly.

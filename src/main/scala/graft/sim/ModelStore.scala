@@ -1,0 +1,85 @@
+package graft.sim
+
+import java.io.{DataInputStream, DataOutputStream}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Cross-process persistence for the fitted ANN models. [[graft.core
+  * .FitCache]] makes fit-once/serve-many hold within a JVM; a 100 TB
+  * deployment also restarts drivers, and refitting Lloyd/PQ on every
+  * restart re-reads the corpus for no reason — the model is a few KB of
+  * centroids/codebooks. Save after fitting, load at startup, serve.
+  *
+  * Format: a small versioned binary blob (magic + dims + doubles) written
+  * through the Hadoop FileSystem API so it lands wherever the data lives
+  * (local disk here, object store on a cluster). Write is
+  * tmp-then-rename, the DocStore manifest discipline — a crashed save
+  * never leaves a torn model where a loader can trust it.
+  */
+object ModelStore {
+
+  private val IvfMagic = 0x47414956 // "GAIV"
+  private val PqMagic = 0x47415051 // "GAPQ"
+
+  private def writeBlob(spark: SparkSession, path: String)
+                       (body: DataOutputStream => Unit): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__tmp")
+    val out = new DataOutputStream(fs.create(tmp, true))
+    try body(out) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"modelstore: cannot commit $path")
+  }
+
+  private def readBlob[T](spark: SparkSession, path: String, magic: Int)
+                         (body: DataInputStream => T): T = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new DataInputStream(fs.open(p))
+    try {
+      val m = in.readInt()
+      require(m == magic, f"modelstore: $path has magic 0x$m%08x, want 0x$magic%08x")
+      val version = in.readInt()
+      require(version == 1, s"modelstore: $path has unknown version $version")
+      body(in)
+    } finally in.close()
+  }
+
+  private def writeMatrix(out: DataOutputStream, m: Seq[Seq[Double]]): Unit = {
+    out.writeInt(m.length)
+    out.writeInt(if (m.isEmpty) 0 else m.head.length)
+    m.foreach { row =>
+      require(row.length == m.head.length, "modelstore: ragged matrix")
+      row.foreach(out.writeDouble)
+    }
+  }
+
+  private def readMatrix(in: DataInputStream): Seq[Seq[Double]] = {
+    val rows = in.readInt(); val cols = in.readInt()
+    Seq.fill(rows)(Seq.fill(cols)(in.readDouble()))
+  }
+
+  def saveIvf(spark: SparkSession, path: String, model: Ann.IvfModel): Unit =
+    writeBlob(spark, path) { out =>
+      out.writeInt(IvfMagic); out.writeInt(1)
+      writeMatrix(out, model.centroids)
+    }
+
+  def loadIvf(spark: SparkSession, path: String): Ann.IvfModel =
+    readBlob(spark, path, IvfMagic)(in => Ann.IvfModel(readMatrix(in)))
+
+  def savePq(spark: SparkSession, path: String, model: Pq.PqModel): Unit =
+    writeBlob(spark, path) { out =>
+      out.writeInt(PqMagic); out.writeInt(1)
+      out.writeInt(model.codebooks.length)
+      model.codebooks.foreach(cb => writeMatrix(out, cb.map(_.toSeq).toSeq))
+    }
+
+  def loadPq(spark: SparkSession, path: String): Pq.PqModel =
+    readBlob(spark, path, PqMagic) { in =>
+      val m = in.readInt()
+      Pq.PqModel(Array.fill(m)(readMatrix(in).map(_.toArray).toArray))
+    }
+}

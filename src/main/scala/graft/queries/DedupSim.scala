@@ -60,24 +60,14 @@ object DedupSim {
       (graft.graph.PageRank.prepareEdges(edges), nodes)
     }
 
-  /** j14/d5 share ONE materialized exact-Jaccard pair table per (session,
-    * dataset): both need every J >= 0.9 pair over `documents`, and the
-    * AllPairs candidate+verify pipeline that builds it dwarfs what each
-    * query layers on top (j14: the output sort; d5: component grouping).
-    * The graphPrep rationale — shared derived dataset, not per-query
-    * work — and the same session-scoped key (localCheckpointed frames
-    * must not outlive their session).
-    */
-  private val setsimPairs =
-    new graft.core.FitCache[org.apache.spark.sql.DataFrame]
-
-  private def docPairs(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame =
-    setsimPairs.getOrFit(("setsim-pairs-9-10", s), d) {
-      SetSimJoin.selfJoin(Tables.documents(s, d), "doc_id", "text",
-          num = 9, den = 10)
-        .localCheckpoint()
-    }
+  // NOTE deliberately NOT shared: j14 and d5 both derive the exact
+  // J >= 0.9 pair table, and a production pipeline would materialize it
+  // once — but j14's registered semantics IS that join, so serving it
+  // from a cross-query cache would turn its bench number into a
+  // materialized-view read and hide the join's cost from the whole bench
+  // (min-of-reps discards the one build). The pr1/pr2 graphPrep sharing
+  // is different in kind: degree annotation is PREP, and each variant
+  // still pays its own six iteration rounds.
 
   /** e9's fit-once state: the PCA whitening model and an IVF index fitted
     * in the whitened space. Serving then pays two shuffle-free projections
@@ -773,12 +763,14 @@ object DedupSim {
     //      member of the near-dup family (m1/m2 are probabilistic), so it
     //      is fully oracle-checkable.
     "j14_setsim_join" -> withOracle(
-      // materialized before the output sort: the global orderBy's range
+      // materialize before the output sort: the global orderBy's range
       // sampler would otherwise re-execute the whole candidate+verify
       // pipeline a second time (measured 10.7 s -> 4.5 s isolated min at
-      // sf0.1; the pair table is small next to the work that built it).
-      // The pair table itself is shared with d5 (docPairs).
-      (s, d) => docPairs(s, d).orderBy("id_a", "id_b"),
+      // sf0.1; the pair table is small next to the work that built it)
+      (s, d) => SetSimJoin
+        .selfJoin(Tables.documents(s, d), "doc_id", "text", num = 9, den = 10)
+        .localCheckpoint()
+        .orderBy("id_a", "id_b"),
       """WITH s AS (
         |  SELECT doc_id,
         |         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
@@ -802,7 +794,9 @@ object DedupSim {
     "d5_setsim_groups" -> withOracle(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = docPairs(s, d).select("id_a", "id_b")
+        val pairs = SetSimJoin
+          .selfJoin(docs, "doc_id", "text", num = 9, den = 10)
+          .select("id_a", "id_b").localCheckpoint()
         val g = MinHashDedup.componentGroups(docs, pairs, "doc_id")
         val w = org.apache.spark.sql.expressions.Window.partitionBy("group_id")
         g.withColumn("group_size", count(lit(1)).over(w))

@@ -16,13 +16,21 @@ class QuantileSketchSpec extends SparkTestBase {
       arr(math.max(0, math.ceil(p * arr.length).toInt - 1)))
   }
 
-  /** rank error of estimate e at prob p: |rank(e) - p*n| / n */
+  /** Tie-aware rank error of estimate e at prob p: a repeated value
+    * occupies a RANGE of ranks [first occurrence, last occurrence]; the
+    * error is 0 when the target rank falls inside it (an all-constant
+    * input is answered exactly by the only value there is), else the
+    * distance to the nearer end, normalized by n.
+    */
   private def rankErr(sortedRef: Array[Double], p: Double, e: Double): Double = {
-    val idx = {
-      val i = java.util.Arrays.binarySearch(sortedRef, e)
-      if (i >= 0) i else -(i + 1)
-    }
-    math.abs(idx.toDouble - p * sortedRef.length) / sortedRef.length
+    val n = sortedRef.length
+    var lo = java.util.Arrays.binarySearch(sortedRef, e)
+    if (lo < 0) lo = -(lo + 1) else while (lo > 0 && sortedRef(lo - 1) == e) lo -= 1
+    var hi = lo
+    while (hi < n && sortedRef(hi) == e) hi += 1
+    val t = p * n
+    if (t >= lo && t <= hi) 0.0
+    else math.min(math.abs(t - lo), math.abs(t - hi)) / n
   }
 
   test("small input (n < k): sketch quantiles are the exact order statistics") {
@@ -86,6 +94,43 @@ class QuantileSketchSpec extends SparkTestBase {
     val sortedRef = li.as[Double].collect().sorted
     Seq(0.25, 0.5, 0.75).zip(sql).foreach { case (p, e) =>
       assert(rankErr(sortedRef, p, e) <= 0.015, s"SQL p=$p est=$e")
+    }
+  }
+
+  test("property: rank bound holds across random multisets, orders, and merge trees") {
+    // driver-side property sweep (no Spark): adversarial value
+    // distributions (heavy duplicates, negatives, constants, exponential
+    // skew), random ingestion order, and random merge-tree shapes — the
+    // three dimensions the bound must be independent of. Deterministic
+    // seed: a red run must reproduce.
+    val rnd = new scala.util.Random(20260814L)
+    def dist(kind: Int, n: Int): Array[Double] = kind match {
+      case 0 => Array.fill(n)(rnd.nextInt(50).toDouble)            // heavy dups
+      case 1 => Array.fill(n)(rnd.nextGaussian() * 1e6 - 5e5)      // negatives
+      case 2 => Array.fill(n)(math.exp(rnd.nextDouble() * 12))     // exp skew
+      case _ => Array.fill(n)(42.0)                                // constant
+    }
+    for (kind <- 0 to 3; trial <- 0 until 3) {
+      val n = 3000 + rnd.nextInt(12000)
+      val vals = dist(kind, n)
+      // random merge tree: split into 1..7 chunks, sketch each, fold in
+      // random order
+      val chunks = {
+        val nc = 1 + rnd.nextInt(7)
+        val shuffled = rnd.shuffle(vals.toSeq)
+        shuffled.grouped(math.max(1, shuffled.size / nc + 1)).toSeq
+      }
+      val parts = chunks.map { c =>
+        val b = new QuantileSketch.Buffer(128)
+        c.foreach(b.add); b
+      }
+      val total = parts.reduce { (x, y) => x.mergeIn(y); x }
+      assert(total.n == n, s"kind=$kind trial=$trial n")
+      val sorted = vals.sorted
+      for (p <- Seq(0.05, 0.25, 0.5, 0.75, 0.95)) {
+        val err = rankErr(sorted, p, total.quantile(p))
+        assert(err <= 0.03, s"kind=$kind trial=$trial p=$p err=$err n=$n")
+      }
     }
   }
 

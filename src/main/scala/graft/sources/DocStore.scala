@@ -226,6 +226,38 @@ object DocStore {
       .filter(col("change") =!= "unchanged")
   }
 
+  /** Incremental CDC consumption with a cursor: every change between the
+    * consumer's last-seen generation and the current head, tagged with
+    * the generation that introduced it — one [[diffGenerations]] per
+    * consecutive retained pair, unioned. The poll-and-checkpoint shape
+    * real CDC consumers run: read `changesSince(lastGen)`, process,
+    * persist `generations(...).last` as the new cursor.
+    *
+    * Retention governs how far a cursor may lag: mutations keep `retain`
+    * generations (default 2), so a consumer that falls further behind
+    * gets a LOUD failure here (its base generation is pruned) instead of
+    * silently missing intermediate changes — raise `retain` on the
+    * mutation side to buy lag headroom. A cursor already at the head
+    * returns an empty (but correctly-typed) frame.
+    */
+  def changesSince(spark: SparkSession, path: String, sinceGen: Int,
+                   keyCol: String): DataFrame = {
+    val gens = completeGens(fileSystem(spark, path), path)
+    require(gens.contains(sinceGen),
+      s"docstore: cursor generation $sinceGen of $path is no longer retained " +
+        s"(have: ${gens.mkString(", ")}); raise `retain` on mutations to " +
+        "allow slower consumers")
+    val steps = gens.dropWhile(_ < sinceGen)
+    steps.sliding(2).collect { case Seq(from, to) =>
+      diffGenerations(spark, path, from, to, keyCol)
+        .withColumn("generation", lit(to))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(
+        diffGenerations(spark, path, sinceGen, sinceGen, keyCol)
+          .withColumn("generation", lit(sinceGen))
+          .filter(lit(false)))
+  }
+
   /** $set-style conditional update; returns matched-document count. Fields
     * in `set` that don't exist yet are added (null for unmatched docs) —
     * document-store schema evolution. A new field keeps the $set value's

@@ -447,6 +447,31 @@ class DocStoreSpec extends SparkTestBase {
     assert(d == Seq(1L -> "updated"), s"got $d")
   }
 
+  test("changesSince: cursor-based CDC across several generations") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val g0 = DocStore.generations(spark, path).last
+    // two mutations -> two more generations (retain 4 keeps the chain)
+    DocStore.updateMany(spark, path, col("id") === 1L,
+      Map("v" -> lit("A")), retain = 4)
+    DocStore.deleteMany(spark, path, Some(col("id") === 2L), retain = 4)
+    val gens = DocStore.generations(spark, path)
+    val changes = DocStore.changesSince(spark, path, g0, "id")
+      .select("id", "change", "generation")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq.sorted
+    assert(changes == Seq(
+      (1L, "updated", gens(1)), (2L, "deleted", gens(2))), s"got $changes")
+    // a cursor at the head sees nothing, with the right schema
+    val atHead = DocStore.changesSince(spark, path, gens.last, "id")
+    assert(atHead.count() == 0)
+    assert(atHead.columns.toSet ==
+      Set("id", "change", "before", "after", "generation"))
+    // a pruned cursor fails loudly instead of silently skipping changes
+    intercept[IllegalArgumentException] {
+      DocStore.changesSince(spark, path, -5, "id")
+    }
+  }
+
   test("docstore TVF: SQL reads the live snapshot and time-travels") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)

@@ -27,14 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$name must be a long literal, got $other")
   }
-  private def doubleSeqArg(e: Expression, name: String): Seq[Double] = {
-    val cast = Cast(e, org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.DoubleType))
-    if (!cast.foldable) throw new IllegalArgumentException(
-      s"$name must be a foldable array literal, got $e")
-    cast.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .toDoubleArray().toSeq
-  }
   private def strArg(e: Expression, name: String): String = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
       v.toString
@@ -123,9 +115,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((FunctionIdentifier("sketch_quantiles"),
       info("sketch_quantiles",
-        "sketch_quantiles(sketch, array(p1, p2, ...)) - quantile estimates"),
+        "sketch_quantiles(sketch, probs) - quantile estimates; probs is " +
+          "any array<double> expression (literal or per-row column)"),
       (args: Seq[Expression]) => SketchQuantiles(args.head,
-        doubleSeqArg(args(1), "probs"))))
+        Cast(args(1), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))))
 
     // ---- table-valued functions: the two most differentiated WHOLE-
     // OPERATOR surfaces (exact set-similarity join, as-of join) reachable

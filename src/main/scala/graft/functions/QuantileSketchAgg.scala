@@ -50,6 +50,12 @@ object QuantileSketch {
     var buf0 = new java.util.ArrayList[Double](k)
     var levels: Array[Array[Double]] = Array.empty
     var flips: Array[Boolean] = Array.empty
+    /** buf0's own kept-parity toggle. Distinct from `flips(0)` so the
+      * weight-1 collapse and the level-1 collapse each alternate strictly
+      * within themselves — sharing one flag would interleave the toggles
+      * and break per-level alternation at the two lowest levels.
+      */
+    var flip0: Boolean = false
 
     private def ensureLevel(i: Int): Unit =
       if (levels.length < i) {
@@ -107,10 +113,9 @@ object QuantileSketch {
       while (i < arr.length) { arr(i) = buf0.get(i); i += 1 }
       java.util.Arrays.sort(arr)
       buf0.clear()
-      // level-0 collapse reuses flips(0) via compact at level index 0
       ensureLevel(1)
-      val start = if (flips(0)) 1 else 0
-      flips(0) = !flips(0)
+      val start = if (flip0) 1 else 0
+      flip0 = !flip0
       val half = new Array[Double]((arr.length - start + 1) / 2)
       var j = 0; var p = start
       while (p < arr.length) { half(j) = arr(p); j += 1; p += 2 }
@@ -166,6 +171,7 @@ object QuantileSketch {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
       out.writeInt(k); out.writeLong(n)
+      out.writeBoolean(flip0)
       out.writeInt(buf0.size)
       var i = 0
       while (i < buf0.size) { out.writeDouble(buf0.get(i)); i += 1 }
@@ -183,6 +189,7 @@ object QuantileSketch {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val b = new Buffer(in.readInt())
     b.n = in.readLong()
+    b.flip0 = in.readBoolean()
     val n0 = in.readInt()
     var i = 0
     while (i < n0) { b.buf0.add(in.readDouble()); i += 1 }
@@ -213,8 +220,22 @@ object QuantileSketch {
       .toAggregateExpression())
 
   /** `sketch_quantiles(sketch, probs)`: array of estimates, one per prob. */
-  def sketch_quantiles(sketch: Column, probs: Seq[Double]): Column =
-    GraftShims.column(SketchQuantiles(GraftShims.expression(sketch), probs))
+  def sketch_quantiles(sketch: Column, probs: Seq[Double]): Column = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0, 1], got $probs")
+    sketch_quantiles(sketch,
+      org.apache.spark.sql.functions.array(
+        probs.map(org.apache.spark.sql.functions.lit): _*))
+  }
+
+  /** Column-probed variant: `probs` is any array<double> expression — a
+    * per-row column, e.g. from joining a stored sketch table against a
+    * quantile-request table ("p99 by day for these 40 percentiles") — not
+    * only a literal list baked into the plan.
+    */
+  def sketch_quantiles(sketch: Column, probs: Column): Column =
+    GraftShims.column(SketchQuantiles(GraftShims.expression(sketch),
+      GraftShims.expression(probs.cast("array<double>"))))
 }
 
 /** Build aggregate: doubles in, sketch bytes out (null input rows skipped,
@@ -288,21 +309,38 @@ case class QuantileSketchMergeAgg(child: Expression,
     copy(child = c.head)
 }
 
-/** Decode a stored sketch and answer a fixed probe list — one eval per
-  * GROUP row, not per input row, so CodegenFallback is off the hot path
-  * by construction (the CountingCapFilter rationale).
+/** Decode a stored sketch and answer a probe list — one eval per GROUP
+  * row, not per input row, so CodegenFallback is off the hot path by
+  * construction (the CountingCapFilter rationale). `probs` is an
+  * array<double> EXPRESSION (a literal for the fixed-list API, or a
+  * per-row column for request-table joins); out-of-range or null probes
+  * fail loudly rather than estimating garbage.
   */
-case class SketchQuantiles(child: Expression, probs: Seq[Double])
-    extends UnaryExpression with CodegenFallback {
-  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
-    s"probs must be in [0, 1], got $probs")
+case class SketchQuantiles(sketch: Expression, probs: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
 
-  override def nullSafeEval(input: Any): Any = {
-    val b = QuantileSketch.deserialize(input.asInstanceOf[Array[Byte]])
-    new GenericArrayData(probs.map(b.quantile).toArray)
+  override def left: Expression = sketch
+  override def right: Expression = probs
+
+  override def nullSafeEval(sk: Any, ps: Any): Any = {
+    val b = QuantileSketch.deserialize(sk.asInstanceOf[Array[Byte]])
+    val arr = ps.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new Array[Double](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException("sketch_quantiles: null probe")
+      val p = arr.getDouble(i)
+      require(p >= 0.0 && p <= 1.0, s"sketch_quantiles: probe $p outside [0, 1]")
+      out(i) = b.quantile(p)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "sketch_quantiles"
-  override protected def withNewChildInternal(newChild: Expression): SketchQuantiles =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SketchQuantiles =
+    copy(sketch = newLeft, probs = newRight)
 }

@@ -51,11 +51,31 @@ object PageRank {
   def prepareEdges(edges: DataFrame): DataFrame =
     edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .select("src", "dst", "outdeg")
+      .select(col("src"), col("dst"),
+        // metadata marker: prepEdges accepts an `outdeg` column ONLY when
+        // it carries this stamp, so a caller's coincidental (or stale,
+        // from a different edge set) `outdeg` column cannot silently skip
+        // degree computation and produce wrong ranks — it fails loudly
+        // instead. Column metadata survives select/checkpoint, so the
+        // stamp travels with frames produced here and only here.
+        col("outdeg").as("outdeg", new org.apache.spark.sql.types.MetadataBuilder()
+          .putBoolean(PreparedMarker, value = true).build()))
       .localCheckpoint(true)
 
+  /** Metadata key stamped on `outdeg` by [[prepareEdges]]; `outdeg` is a
+    * reserved column name on this API's inputs.
+    */
+  private val PreparedMarker = "graft.pagerank.prepared"
+
   private def prepEdges(edges: DataFrame): DataFrame =
-    if (edges.columns.contains("outdeg")) edges else prepareEdges(edges)
+    edges.schema.find(_.name == "outdeg") match {
+      case Some(f) if f.metadata.contains(PreparedMarker) => edges
+      case Some(_) => throw new IllegalArgumentException(
+        "edges carry an `outdeg` column that was not produced by " +
+          "PageRank.prepareEdges; `outdeg` is reserved on this API — " +
+          "drop/rename the column, or pass edges through prepareEdges")
+      case None => prepareEdges(edges)
+    }
 
   /** One synchronous round. `nodes` carries a per-node restart mass `b`
     * — constant `base` for uniform PageRank, base-on-seeds/0-elsewhere

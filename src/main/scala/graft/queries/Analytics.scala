@@ -162,6 +162,15 @@ object Analytics {
     //      same arithmetic over DuckDB's JSON operators. Type check +
     //      per-type percent via schema_of_variant, value math identical
     //      to x16 so the two surfaces cross-check each other.
+    //      n_objects is a STRUCTURAL check on BOTH sides: Spark matches
+    //      schema_of_variant == OBJECT<k: BIGINT>; DuckDB matches the
+    //      same shape via json_type(props)='OBJECT', json_keys=['k'],
+    //      json_type($.k) an int64 (UBIGINT for >=0, BIGINT for <0 — both
+    //      render as Spark BIGINT). A variant-typing regression (extra
+    //      field, null/double k) now fails on the Spark side ONLY, which
+    //      is exactly what a typing oracle should do — unlike the old
+    //      json_valid(props) predicate, which coincided with the typed
+    //      check only because every generated row is exactly {"k": int}.
     "x28_variant_extract" -> withOracle(
       (s, d) =>
         Tables.events(s, d)
@@ -178,7 +187,10 @@ object Analytics {
         |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
         |       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_min,
         |       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_max,
-        |       CAST(count(CASE WHEN json_valid(props) THEN 1 END) AS BIGINT) AS n_objects,
+        |       CAST(count(CASE WHEN json_type(props::JSON) = 'OBJECT'
+        |                        AND json_keys(props::JSON) = ['k']
+        |                        AND json_type(props::JSON, '$.k') IN ('BIGINT', 'UBIGINT')
+        |                       THEN 1 END) AS BIGINT) AS n_objects,
         |       count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 

@@ -956,6 +956,35 @@ object Corpus {
           .orderBy("p")
       }),
 
+    // ---- COLUMN-driven sketch probes: the "p99 by day for these 40
+    //      percentiles" serve shape — stored per-group sketches joined
+    //      against a quantile-REQUEST table, probes read from the request
+    //      row (array<double> column), NOT a literal list baked into the
+    //      plan. The request side is driver-built and broadcast (it is
+    //      request-sized, never data-sized); the sketch side never
+    //      rescans the rows that built it. Rows-only for the same
+    //      merge-order reason as a23; QuantileSketchSpec pins the column
+    //      path identical to the literal path on equal probes.
+    "a24_sketch_probe_requests" -> rowsOnly(
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.QuantileSketch._
+        val sketches = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(quantile_sketch(col("l_extendedprice"), 256).as("sk"))
+        val requests = Seq(
+          ("A", Seq(0.5, 0.95)),
+          ("N", Seq(0.25, 0.75, 0.99)),
+          ("R", Seq(0.9))).toDF("l_returnflag", "probs")
+        sketches.join(broadcast(requests), "l_returnflag")
+          .select(col("l_returnflag"), col("probs"),
+            posexplode(sketch_quantiles(col("sk"), col("probs"))))
+          .select(col("l_returnflag"),
+            element_at(col("probs"), col("pos") + 1).as("p"),
+            round(col("col"), 2).as("est"))
+          .orderBy("l_returnflag", "p")
+      }),
+
     // ---- per-group approximate quantiles over a STORED histogram sketch
     //      (Ranks.groupQuantileHistogram + groupApproxQuantiles): the
     //      per-language length-quantile shape a corpus-mixing pipeline

@@ -64,9 +64,15 @@ object DocStore {
     * once, by the writer that renamed it; part names embed the job UUID,
     * so renames cannot collide). Schema widening is additive (per-append
     * sidecar files, merged at read time), so concurrent widenings cannot
-    * lose each other's columns. The OTHER mutations (update/delete/
-    * compact/cluster) remain single-writer: their manifest swing is
-    * last-writer-wins.
+    * lose each other's columns.
+    *
+    * SCOPE OF THE GUARANTEE: append-vs-append ONLY. An append racing a
+    * MUTATION (update/delete/compact/cluster — anything that swings the
+    * manifest to a new generation) can rename its files into the
+    * generation the mutation is superseding, losing them from the live
+    * view. Do not run appends concurrently with mutations; the mutations
+    * themselves are also single-writer among each other (their manifest
+    * swing is last-writer-wins).
     */
   def insertMany(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession

@@ -14,9 +14,11 @@ import graft.core.Sessions
   * min/median over N reps (SPARK_GRAFT_REPS, default 7).
   *
   * Use: a streaming query's bench time minus this floor is its actual
-  * data-dependent cost — `tools/bench_diff.py --floor <sec>` subtracts it
-  * from st* entries so a floor-dominated query can't read as a large
-  * percentage regression.
+  * data-dependent cost. `tools/bench_diff.py --floor <sec>` does NOT
+  * subtract the floor from st* timings — it SUPPRESSES st* deltas whose
+  * absolute size is within 0.5*floor, so run-to-run jitter in the fixed
+  * machinery can't read as a large percentage regression while real
+  * regressions (bigger than half the floor) still surface.
   */
 object StreamFloor {
   def main(args: Array[String]): Unit = {

@@ -134,6 +134,32 @@ class QuantileSketchSpec extends SparkTestBase {
     }
   }
 
+  test("column-driven probes: identical to the literal path; per-row request arrays") {
+    val probs = Seq(0.1, 0.5, 0.9)
+    val sk = li.repartition(4).agg(quantile_sketch(col("v"), 128).as("s"))
+    val lit0 = sk.select(sketch_quantiles(col("s"), probs).as("q")).head().getSeq[Double](0)
+    val colPath = sk.withColumn("probs", typedLit(probs))
+      .select(sketch_quantiles(col("s"), col("probs")).as("q")).head().getSeq[Double](0)
+    assert(lit0 == colPath) // same probes -> bit-identical estimates
+    // per-row DIFFERENT requests: each row answers its own probe list
+    val reqs = Seq((1, Seq(0.5)), (2, Seq(0.1, 0.9))).toDF("id", "probs")
+    val served = sk.crossJoin(broadcast(reqs))
+      .select(col("id"), sketch_quantiles(col("s"), col("probs")).as("q"))
+      .orderBy("id").collect()
+    assert(served(0).getSeq[Double](1) == Seq(lit0(1)))
+    assert(served(1).getSeq[Double](1) == Seq(lit0(0), lit0(2)))
+    // SQL surface takes a column too
+    sk.createOrReplaceTempView("qs_sk_v")
+    val sql = spark.sql(
+      """SELECT sketch_quantiles(s, probs) AS q
+        |FROM (SELECT s, array(0.1D, 0.5D, 0.9D) AS probs FROM qs_sk_v)
+        |""".stripMargin).head().getSeq[Double](0)
+    assert(sql == lit0)
+    // loud failure on garbage probes, not garbage estimates
+    intercept[Exception](
+      sk.select(sketch_quantiles(col("s"), typedLit(Seq(1.5)))).head())
+  }
+
   test("nulls are skipped; empty input yields an n=0 sketch") {
     val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
     val b = QuantileSketch.deserialize(

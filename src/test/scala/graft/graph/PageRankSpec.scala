@@ -45,6 +45,17 @@ class PageRankSpec extends SparkTestBase {
            m(PageRank.personalizedRanks(e, n, seeds, iters = 4)))
   }
 
+  test("a foreign `outdeg` column is rejected loudly, not treated as prepared") {
+    // `outdeg` is reserved: only prepareEdges' metadata-stamped column
+    // may skip the degree computation — a coincidental (or stale, from a
+    // different edge set) column must fail, not produce wrong ranks
+    val fake = edges.toDF("src", "dst")
+      .withColumn("outdeg", org.apache.spark.sql.functions.lit(1L))
+    val ex = intercept[IllegalArgumentException](
+      PageRank.ranks(fake, nodes.toDF("id"), iters = 2).collect())
+    assert(ex.getMessage.contains("reserved"))
+  }
+
   test("node with no in-edges gets exactly the base; zero iterations is the init") {
     val got = PageRank.ranks(edges.toDF("src", "dst"), nodes.toDF("id"), iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -37,6 +37,11 @@ final class FitCache[M <: AnyRef] {
       if (prev != null) prev else fitted
     }
   }
+
+  /** Test hook: simulate a fresh JVM (a driver restart) by dropping every
+    * in-memory entry, so the next getOrFit exercises the cold path.
+    */
+  private[graft] def clear(): Unit = models.clear()
 }
 
 object FitCache {

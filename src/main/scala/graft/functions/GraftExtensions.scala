@@ -113,6 +113,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "quantile_sketch_merge(sketch) - merge stored quantile sketches"),
       (args: Seq[Expression]) => QuantileSketchMergeAgg(args.head)))
 
+    ext.injectFunction((FunctionIdentifier("sketch_count"),
+      info("sketch_count",
+        "sketch_count(sketch) - rows summarized by a stored quantile sketch"),
+      (args: Seq[Expression]) => SketchCount(args.head)))
+
     ext.injectFunction((FunctionIdentifier("sketch_quantiles"),
       info("sketch_quantiles",
         "sketch_quantiles(sketch, probs) - quantile estimates; probs is " +

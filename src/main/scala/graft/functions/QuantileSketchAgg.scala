@@ -228,6 +228,12 @@ object QuantileSketch {
         probs.map(org.apache.spark.sql.functions.lit): _*))
   }
 
+  /** `sketch_count(sketch)`: the number of rows a stored sketch summarizes
+    * — the support count a serving query reports next to its estimates.
+    */
+  def sketch_count(sketch: Column): Column =
+    GraftShims.column(SketchCount(GraftShims.expression(sketch)))
+
   /** Column-probed variant: `probs` is any array<double> expression — a
     * per-row column, e.g. from joining a stored sketch table against a
     * quantile-request table ("p99 by day for these 40 percentiles") — not
@@ -307,6 +313,17 @@ case class QuantileSketchMergeAgg(child: Expression,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): QuantileSketchMergeAgg =
     copy(child = c.head)
+}
+
+/** Decode a stored sketch's row count (a header read — no level walk). */
+case class SketchCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def nullSafeEval(input: Any): Any =
+    QuantileSketch.deserialize(input.asInstanceOf[Array[Byte]]).n
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sketch_count"
+  override protected def withNewChildInternal(newChild: Expression): SketchCount =
+    copy(child = newChild)
 }
 
 /** Decode a stored sketch and answer a probe list — one eval per GROUP

@@ -365,6 +365,33 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
+  /** st12's read-side twin: the stream STORES one bounded sketch row per
+    * micro-batch ([[graft.streaming.Streams.storeQuantileSketches]]);
+    * serving is then PURE SQL over that table —
+    * `sketch_quantiles(quantile_sketch_merge(sk), probs)` +
+    * `sketch_count` — the build-once/query-many percentile shape as a
+    * registered query rather than a driver-held buffer: any session can
+    * answer any probe list later without rescanning the stream's rows.
+    */
+  def streamStoredQuantiles(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val events = streamEvents(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketchtab").toString
+    val q = graft.streaming.Streams
+      .storeQuantileSketches(events.select(col("value")), "value", dir, k = 256)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(dir).createOrReplaceTempView("sketch_table_v")
+    s.sql(
+      """SELECT element_at(array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D), i + 1) AS p,
+        |       round(est, 2) AS est, n
+        |FROM (
+        |  SELECT posexplode(sketch_quantiles(m, array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D))) AS (i, est),
+        |         sketch_count(m) AS n
+        |  FROM (SELECT quantile_sketch_merge(sk) AS m FROM sketch_table_v))
+        |ORDER BY p""".stripMargin)
+      .localCheckpoint(true)
+  }
+
   /** Streaming heavy hitters drained to completion, then verified: the
     * driver-held Misra-Gries summary folded across micro-batches provably
     * retains every key at the threshold (mergeable-summaries guarantee),
@@ -1142,6 +1169,12 @@ object Extras {
     //      sketch, additive driver fold; see StreamingQuery.streamQuantiles)
     "st12_stream_quantiles" -> rowsOnly(
       (s, d) => StreamingQuery.streamQuantiles(s, d)),
+
+    // ---- st12's read-side twin: per-batch sketches STORED as a table
+    //      (overwrite-by-batch = replay-idempotent), served by pure SQL
+    //      merge+probe — build once, query many, restart-safe
+    "st13_stream_sketch_table" -> rowsOnly(
+      (s, d) => StreamingQuery.streamStoredQuantiles(s, d)),
 
     // ---- custom expressions through the SQL surface (GraftExtensions):
     //      signature determinism is the contract — rows-only here, exact

@@ -156,6 +156,25 @@ object Ann {
 
   private val fittedIvf = new graft.core.FitCache[IvfModel]
 
+  private[graft] def clearIvfCacheForTest(): Unit = fittedIvf.clear()
+
+  /** Where a persisted IVF model for (`dataDir`, geometry) lives. The
+    * name embeds the dataset's CONTENT fingerprint, so a restart over
+    * regenerated data misses the stale blob and refits — the cross-
+    * process twin of [[graft.core.FitCache]]'s in-JVM staleness rule.
+    * `SPARK_GRAFT_MODEL_DIR` overrides the default tmpdir location (on a
+    * cluster, point it at the object store the data lives on).
+    */
+  private[graft] def ivfModelPath(dataDir: String, nCells: Int,
+                                  lloydIters: Int): String = {
+    val fp = graft.core.FitCache.fingerprint(dataDir)
+    val base = sys.env.getOrElse("SPARK_GRAFT_MODEL_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft-models")
+    val keyHash = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dataDir))
+    f"$base/ivf-$keyHash-$fp%016x-c$nCells-i$lloydIters.bin"
+  }
+
   /** Process-wide fit-once cache keyed by (dataset key, geometry) plus a
     * content fingerprint of the dataset dir (see [[graft.core.FitCache]]:
     * regenerating the dir within one JVM invalidates the entry, and the
@@ -163,11 +182,30 @@ object Ann {
     * serves from ONE Lloyd fit, which also makes cross-query row-identity
     * claims (e3 == st11) structural rather than coincidental. `corpus` is
     * by-name — only evaluated on a fit.
+    *
+    * The cold path is load-if-present -> fit-and-save through
+    * [[ModelStore]]: a RESTARTED driver (fresh JVM, empty FitCache)
+    * serves the saved centroids bit-identically instead of re-reading
+    * the corpus for a refit — doubles round-trip exactly through the
+    * blob, and AnnSpec pins a cleared-cache serve against a tampered
+    * store to prove it is the load, not a silent refit. Both store
+    * operations are best-effort: an unreadable/torn/stale blob refits,
+    * a failed save still serves the fitted model.
     */
   def cachedIvf(key: String, corpus: => DataFrame, nCells: Int = 16,
                 lloydIters: Int = 2): IvfModel =
-    fittedIvf.getOrFit((key, nCells, lloydIters), key)(
-      fitIvf(corpus, nCells, lloydIters))
+    fittedIvf.getOrFit((key, nCells, lloydIters), key) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val path = ivfModelPath(key, nCells, lloydIters)
+      (try Some(ModelStore.loadIvf(spark, path))
+       catch { case scala.util.control.NonFatal(_) => None })
+        .getOrElse {
+          val m = fitIvf(corpus, nCells, lloydIters)
+          try ModelStore.saveIvf(spark, path, m)
+          catch { case scala.util.control.NonFatal(_) => () }
+          m
+        }
+    }
 
   /** Serve one query batch against a pre-assigned corpus (`cells` =
     * corpus + a `cell` column from [[IvfModel.assign]]): queries probe

@@ -37,6 +37,17 @@ import org.apache.spark.sql.functions._
   * Matched/deleted counts ride the rewrite pass via `Dataset.observe`; no
   * separate count() scan. Pre-manifest (legacy flat-directory) collections
   * read as-is and migrate to generations on their first rewrite.
+  *
+  * READS ARE SINGLE-SCAN: JSON generations are read with the STORED
+  * stats-time schema (base `_schema.json` + per-append sidecars) whenever
+  * one exists, so no read — filtered or not — pays a schema-inference
+  * pass over the collection; inference remains only the no-stats
+  * fallback. Generations are also FORMAT-aware ([[genFormat]]):
+  * [[compact]] can emit a PARQUET generation (`format = Some("parquet")`)
+  * — the columnar migration riding the rewrite compaction already pays —
+  * after which scans are columnar (footer schema, column pruning),
+  * subsequent mutations stay parquet, and [[findAsOf]]/CDC read each
+  * retained generation in its own format.
   */
 object DocStore {
 
@@ -79,23 +90,93 @@ object DocStore {
     val fs = fileSystem(spark, path)
     val n = df.count()
     val live = liveDir(fs, spark, path, createIfMissing = true)
+    val fmt = genFormat(fs, live)
     val staging = new Path(live, s"_append-${java.util.UUID.randomUUID()}")
     try {
-      df.write.mode(SaveMode.Overwrite).json(staging.toString)
-      val added = fs.listStatus(staging).toSeq.filter { st =>
+      writeData(df, fmt, staging.toString)
+      val staged = fs.listStatus(staging).toSeq.filter { st =>
         val nm = st.getPath.getName
         st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
-      }.map { st =>
+      }
+      // schema sidecar BEFORE the renames, inferred from the staged files
+      // (same bytes as the published ones): the single-scan read path
+      // trusts the stored schema to cover every data file, and a crash
+      // after renames but before the sidecar would break that — published
+      // files whose new columns the stored schema silently drops. Writing
+      // the sidecar first can only OVER-describe (schema of files that
+      // never arrived), which widens the read schema harmlessly.
+      val statsPath = new Path(live, StatsDir)
+      if (staged.nonEmpty && fs.exists(new Path(statsPath, "_schema.json"))) {
+        val batchSchema =
+          readFiles(spark, fmt, None, staged.map(_.getPath.toString)).schema
+        val sidecar = new Path(statsPath,
+          s"_schema-append-${java.util.UUID.randomUUID()}.json")
+        val out = fs.create(sidecar, true)
+        try out.write(batchSchema.json.getBytes(UTF_8)) finally out.close()
+      }
+      val added = staged.map { st =>
         val target = new Path(live, st.getPath.getName)
         if (!fs.rename(st.getPath, target))
           throw new java.io.IOException(
             s"docstore: cannot publish appended file ${st.getPath} -> $target")
         target.toString
       }
-      if (fs.exists(new Path(live, StatsDir)) && added.nonEmpty)
-        appendStats(spark, fs, live, added)
+      if (fs.exists(statsPath) && added.nonEmpty)
+        appendStats(spark, fs, live, fmt, added)
       n
     } finally fs.delete(staging, true)
+  }
+
+  /** Data-file format of a generation dir, detected from the data files
+    * themselves: any `.parquet` data file means parquet; otherwise JSON
+    * (the default, and the legacy flat layout's only format). Detection
+    * beats a marker file because it is self-describing — there is no
+    * marker write whose ordering against `_SUCCESS`/manifest could leave
+    * a committed generation mislabeled after a crash. A generation's data
+    * is written by ONE job and appends adopt the live format, so mixed
+    * dirs cannot arise (an empty generation reads as json, and whichever
+    * format the first append writes becomes the detected format from
+    * then on).
+    */
+  private def genFormat(fs: FileSystem, dir: String): String = {
+    val p = new Path(dir)
+    val parquet = fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).exists { st =>
+        val nm = st.getPath.getName
+        st.isFile && !nm.startsWith("_") && !nm.startsWith(".") &&
+          nm.endsWith(".parquet")
+      }
+    if (parquet) "parquet" else "json"
+  }
+
+  private def writeData(df: DataFrame, fmt: String, dest: String): Unit =
+    if (fmt == "parquet") df.write.mode(SaveMode.Overwrite).parquet(dest)
+    else df.write.mode(SaveMode.Overwrite).json(dest)
+
+  /** Read specific data files (or a whole dir) in the generation's format
+    * with an optional explicit schema. JSON without a schema pays an
+    * inference pass; parquet without one merges footers — both are the
+    * fallback, not the normal path ([[readGen]] normally supplies the
+    * stored schema).
+    */
+  private def readFiles(spark: SparkSession, fmt: String,
+                        schema: Option[org.apache.spark.sql.types.StructType],
+                        files: Seq[String]): DataFrame = {
+    val r0 = spark.read
+    val r = schema.fold(if (fmt == "parquet") r0.option("mergeSchema", "true") else r0)(r0.schema)
+    if (fmt == "parquet") r.parquet(files: _*) else r.json(files: _*)
+  }
+
+  /** SINGLE-SCAN read of a whole generation dir: parquet reads schema
+    * from footers; JSON reuses the stored stats-time schema (base +
+    * append sidecars — [[insertMany]] guarantees every published file is
+    * covered while the base schema exists) so no schema-inference pass —
+    * a full extra read of the collection — is ever paid when stats have
+    * been collected. Inference remains only the no-stats fallback.
+    */
+  private def readGen(spark: SparkSession, fs: FileSystem, dir: String): DataFrame = {
+    val fmt = genFormat(fs, dir)
+    readFiles(spark, fmt, storedSchema(fs, new Path(dir, StatsDir)), Seq(dir))
   }
 
   /** S7: scan with an optional query filter (None = full collection). An
@@ -118,7 +199,8 @@ object DocStore {
     try {
       val fs = fileSystem(spark, path)
       val live = liveDir(fs, spark, path)
-      val docs = filter.flatMap(prunedFiles(spark, fs, live, _)) match {
+      val fmt = genFormat(fs, live)
+      val docs = filter.flatMap(prunedFiles(spark, fs, live, fmt, _)) match {
         case Some((files, schema)) if files.isEmpty =>
           // typed emptiness: the caller sees the collection's schema
           // whether or not pruning eliminated every file
@@ -129,8 +211,8 @@ object DocStore {
           // pruned read must resolve every column the full read would —
           // inferring from the surviving subset could drop fields the
           // filter references, turning a correct answer into an error
-          spark.read.schema(schema).json(files: _*)
-        case None => spark.read.json(live)
+          readFiles(spark, fmt, Some(schema), files)
+        case None => readGen(spark, fs, live)
       }
       filter.fold(docs)(docs.filter)
     } catch {
@@ -155,7 +237,7 @@ object DocStore {
         s"docstore: generation $generation of $path is not retained " +
           s"(have: ${completeGens(fs, path).mkString(", ")})")
     try {
-      val docs = spark.read.json(genPath(path, generation))
+      val docs = readGen(spark, fs, genPath(path, generation))
       filter.fold(docs)(docs.filter)
     } catch {
       case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
@@ -248,7 +330,8 @@ object DocStore {
     */
   def changesSince(spark: SparkSession, path: String, sinceGen: Int,
                    keyCol: String): DataFrame = {
-    val gens = completeGens(fileSystem(spark, path), path)
+    val fs = fileSystem(spark, path)
+    val gens = completeGens(fs, path)
     require(gens.contains(sinceGen),
       s"docstore: cursor generation $sinceGen of $path is no longer retained " +
         s"(have: ${gens.mkString(", ")}); raise `retain` on mutations to " +
@@ -258,10 +341,125 @@ object DocStore {
       diffGenerations(spark, path, from, to, keyCol)
         .withColumn("generation", lit(to))
     }.reduceOption(_ unionByName _)
-      .getOrElse(
-        diffGenerations(spark, path, sinceGen, sinceGen, keyCol)
-          .withColumn("generation", lit(sinceGen))
-          .filter(lit(false)))
+      .getOrElse(emptyChanges(spark, fs, path, sinceGen, keyCol))
+  }
+
+  /** A FILE-granular CDC cursor: the snapshot a consumer has fully
+    * processed, as (generation, data files seen in it). Capture with
+    * [[cursor]] after processing; poll with the cursor overload of
+    * [[changesSince]].
+    */
+  final case class DocCursor(generation: Int, files: Set[String])
+
+  /** The head cursor: the live generation and its current data files. */
+  def cursor(spark: SparkSession, path: String): DocCursor = {
+    val fs = fileSystem(spark, path)
+    val gens = completeGens(fs, path)
+    require(gens.nonEmpty,
+      s"docstore: $path has no committed generations (a legacy flat " +
+        "collection migrates on its first rewrite); cursor CDC needs the " +
+        "generational layout")
+    DocCursor(gens.last, dataFileNames(fs, genPath(path, gens.last)))
+  }
+
+  /** File-granular incremental CDC: every change since `cur`, plus the
+    * new cursor to checkpoint. The scale property this buys over the
+    * generation-only overload: data files WITHIN a generation are
+    * append-only and rename-published (the [[insertMany]] contract), so
+    * rows appended since the cursor are recovered by reading ONLY the new
+    * files — the common poll (head generation, a small append or nothing
+    * new) reads appended bytes or no bytes at all, never a full snapshot
+    * and never a join. Rewrite boundaries (update/delete/compact/cluster)
+    * still cost one full-outer join per retained pair — inherent, the
+    * rewrite really did touch every row. No extra manifest state is
+    * recorded for this: the file listing IS the membership delta (listing
+    * minus cursor), which is exactly as informative as a commit-time
+    * file-delta log would be and keeps appends coordination-free.
+    *
+    * Ordering contract: appended-file inserts for the cursor's generation
+    * come first (they happened before the next rewrite read them), then
+    * per-generation diffs oldest to newest; the `generation` column
+    * carries the provenance. A pruned cursor generation fails loudly
+    * (same retention rule as the generation overload). Requires schema
+    * stability across the covered span for the union (same as the
+    * generation overload).
+    */
+  def changesSince(spark: SparkSession, path: String, cur: DocCursor,
+                   keyCol: String): (DataFrame, DocCursor) = {
+    val fs = fileSystem(spark, path)
+    val gens = completeGens(fs, path)
+    require(gens.contains(cur.generation),
+      s"docstore: cursor generation ${cur.generation} of $path is no longer " +
+        s"retained (have: ${gens.mkString(", ")}); raise `retain` on " +
+        "mutations to allow slower consumers")
+    val genDir = genPath(path, cur.generation)
+    val nowFiles = dataFileNames(fs, genDir)
+    val missing = cur.files -- nowFiles
+    require(missing.isEmpty,
+      s"docstore: cursor files ${missing.mkString(", ")} vanished from " +
+        s"generation ${cur.generation} — generation dirs are append-only; " +
+        "this collection was mutated outside the DocStore API")
+    val appended = (nowFiles -- cur.files).toSeq.sorted.map(n => s"$genDir/$n")
+    val appendFrame: Option[DataFrame] =
+      if (appended.isEmpty) None
+      else {
+        val fmt = genFormat(fs, genDir)
+        val rows = readFiles(spark, fmt,
+          storedSchema(fs, new Path(genDir, StatsDir)), appended)
+        Some(asInserted(rows, keyCol, cur.generation))
+      }
+    val steps = gens.dropWhile(_ < cur.generation).sliding(2).collect {
+      case Seq(from, to) =>
+        diffGenerations(spark, path, from, to, keyCol)
+          .withColumn("generation", lit(to))
+    }.toSeq
+    val changes = (appendFrame.toSeq ++ steps).reduceOption(_ unionByName _)
+      .getOrElse(emptyChanges(spark, fs, path, cur.generation, keyCol))
+    val head = gens.last
+    (changes, DocCursor(head, dataFileNames(fs, genPath(path, head))))
+  }
+
+  /** Appended rows as CDC `inserted` events, shaped like
+    * [[diffGenerations]] output (sorted-column structs, null `before`).
+    */
+  private def asInserted(rows: DataFrame, keyCol: String, gen: Int): DataFrame = {
+    val allCols = rows.columns.sorted.toSeq
+    val structType = org.apache.spark.sql.types.StructType(
+      allCols.map(c => rows.schema(rows.schema.fieldIndex(c))))
+    rows.select(col(keyCol),
+      lit("inserted").as("change"),
+      lit(null).cast(structType).as("before"),
+      struct(allCols.map(col): _*).as("after"),
+      lit(gen).as("generation"))
+  }
+
+  /** A correctly-typed EMPTY change frame for a caught-up cursor —
+    * built directly from the generation's schema, NOT via a degenerate
+    * self-diff, which would pay the diff's two uniqueness-check scans of
+    * the snapshot just to return nothing (the no-change poll is the
+    * common case; it must cost metadata reads only).
+    */
+  private def emptyChanges(spark: SparkSession, fs: FileSystem, path: String,
+                           gen: Int, keyCol: String): DataFrame = {
+    val s = try readGen(spark, fs, genPath(path, gen)).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        new org.apache.spark.sql.types.StructType() } // emptied collection
+    val allCols = s.fieldNames.sorted.toSeq
+    val structType = org.apache.spark.sql.types.StructType(
+      allCols.map(c => s(s.fieldIndex(c))))
+    val keyField = s.find(_.name == keyCol).getOrElse(
+      org.apache.spark.sql.types.StructField(keyCol,
+        org.apache.spark.sql.types.StringType))
+    val out = org.apache.spark.sql.types.StructType(Seq(
+      keyField,
+      org.apache.spark.sql.types.StructField("change",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("before", structType),
+      org.apache.spark.sql.types.StructField("after", structType),
+      org.apache.spark.sql.types.StructField("generation",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
   }
 
   /** $set-style conditional update; returns matched-document count. Fields
@@ -274,7 +472,8 @@ object DocStore {
   def updateMany(spark: SparkSession, path: String, filter: Column,
                  set: Map[String, Column], retain: Int = 2): Long = {
     val fs = fileSystem(spark, path)
-    val docs = spark.read.json(liveDir(fs, spark, path))
+    val live = liveDir(fs, spark, path)
+    val docs = readGen(spark, fs, live)
     val matched = coalesce(filter, lit(false))
     // The observation sits BELOW the $set projections: `matched` must be
     // evaluated on pre-update values, or a $set that writes a column the
@@ -286,7 +485,7 @@ object DocStore {
       if (d.columns.contains(k)) d.withColumn(k, when(matched, v).otherwise(col(k)))
       else d.withColumn(k, when(matched, v))
     }
-    commitRewrite(fs, spark, updated, path, retain)
+    commitRewrite(fs, spark, updated, path, retain, format = genFormat(fs, live))
     obs.get("matched").asInstanceOf[Long]
   }
 
@@ -297,21 +496,23 @@ object DocStore {
                  deleteProtection: Boolean = true, retain: Int = 2): Long = {
     if (deleteProtection && filter.isEmpty) throw new DeleteProtectionException
     val fs = fileSystem(spark, path)
-    val docs = spark.read.json(liveDir(fs, spark, path))
+    val live = liveDir(fs, spark, path)
+    val fmt = genFormat(fs, live)
+    val docs = readGen(spark, fs, live)
     filter match {
       case None =>
         // Guard-off delete-all: the kept-set is provably empty, so the
         // optimizer prunes the scan (and any CollectMetrics on it) to an
         // empty LocalRelation — count directly, then commit emptiness.
         val n = docs.count()
-        commitRewrite(fs, spark, docs.filter(lit(false)), path, retain)
+        commitRewrite(fs, spark, docs.filter(lit(false)), path, retain, format = fmt)
         n
       case Some(f) =>
         val hit = coalesce(f, lit(false))
         val obs = Observation()
         commitRewrite(fs, spark,
           docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit),
-          path, retain)
+          path, retain, format = fmt)
         obs.get("deleted").asInstanceOf[Long]
     }
   }
@@ -323,9 +524,21 @@ object DocStore {
     * generation, committed by the same manifest swing as any mutation —
     * identical crash safety. Returns the document count (counted on the
     * same single pass via `observe`).
+    *
+    * `format = Some("parquet")` makes compaction ALSO the columnar
+    * migration: the rewrite it already pays emits a parquet generation,
+    * and from then on every read is columnar (schema from footers,
+    * column pruning at the scan) and every mutation stays parquet. The
+    * JSON document model is unchanged — subsequent generations carry the
+    * same rows, [[findAsOf]]/[[diffGenerations]] read each generation in
+    * its own format, so CDC works across the migration boundary.
+    * `Some("json")` converts back; `None` (default) keeps the current
+    * format.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
-              retain: Int = 2): Long = {
+              retain: Int = 2, format: Option[String] = None): Long = {
+    require(format.forall(Seq("json", "parquet").contains),
+      s"format must be json or parquet, got $format")
     val fs = fileSystem(spark, path)
     val live = liveDir(fs, spark, path)
     // stats survive compaction: remember which columns (and Bloom
@@ -333,10 +546,11 @@ object DocStore {
     // (they're freshly written and usually few — the rewrite already paid
     // the full read)
     val (statted, bloomed, bits) = statsConfig(spark, fs, live)
-    val docs = spark.read.json(live)
+    val docs = readGen(spark, fs, live)
     val obs = Observation()
     commitRewrite(fs, spark,
-      docs.observe(obs, count(lit(1)).as("n")).coalesce(targetFiles), path, retain)
+      docs.observe(obs, count(lit(1)).as("n")).coalesce(targetFiles), path, retain,
+      format = format.getOrElse(genFormat(fs, live)))
     if (statted.nonEmpty || bloomed.nonEmpty)
       collectStats(spark, path, statted, bloomed,
         if (bits > 0) bits else 1 << 16)
@@ -355,12 +569,14 @@ object DocStore {
               bloomCols: Seq[String] = Seq.empty,
               bloomBits: Int = 1 << 16): Long = {
     val fs = fileSystem(spark, path)
-    val docs = spark.read.json(liveDir(fs, spark, path))
+    val live = liveDir(fs, spark, path)
+    val docs = readGen(spark, fs, live)
     // no Dataset.observe here: repartitionByRange runs an extra sampling
     // pass over the child, which would double the observed count
     val n = docs.count()
     commitRewrite(fs, spark,
-      graft.ops.Zorder.clusterByKey(docs, key, targetFiles), path, retain)
+      graft.ops.Zorder.clusterByKey(docs, key, targetFiles), path, retain,
+      format = genFormat(fs, live))
     collectStats(spark, path, statsCols, bloomCols, bloomBits)
     n
   }
@@ -385,7 +601,9 @@ object DocStore {
       s"bloomBits must be positive when bloomCols are requested, got $bloomBits")
     val fs = fileSystem(spark, path)
     val live = liveDir(fs, spark, path)
-    val docs0 = spark.read.json(live)
+    // full inference/footer read on purpose: collectStats REFRESHES the
+    // stored schema from the actual data, so it must not trust it
+    val docs0 = readFiles(spark, genFormat(fs, live), None, Seq(live))
     val present = cols.filter(docs0.columns.contains)
     val bloomPresent = bloomCols.filter(docs0.columns.contains)
     if (present.isEmpty && bloomPresent.isEmpty) return
@@ -475,13 +693,6 @@ object DocStore {
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }.map(_.getPath.getName).toSet
 
-  /** Stat ONLY `files` (an append's new files) and add the rows to the
-    * generation's stats; widen the stored schema if the batch brought new
-    * columns. Best-effort: unreadable stats or a batch sharing no stats
-    * columns leave the files unstatted — pruning then reads them, which is
-    * always sound. Unmergeable schema drift deletes the stored schema,
-    * disabling pruning entirely until the next [[collectStats]].
-    */
   /** What a generation's `_STATS` sidecar covers: (min/max columns, Bloom
     * columns, Bloom bits). All empty/zero when there is no (readable)
     * sidecar.
@@ -504,14 +715,19 @@ object DocStore {
       }
       catch { case _: org.apache.spark.sql.AnalysisException => (Seq.empty, Seq.empty, 0) }
 
+  /** Stat ONLY `files` (an append's new files) and add the rows to the
+    * generation's stats. Best-effort: unreadable stats or a batch sharing
+    * no stats columns leave the files unstatted — pruning then reads
+    * them, which is always sound.
+    */
   private def appendStats(spark: SparkSession, fs: FileSystem, live: String,
-                          files: Seq[String]): Unit = {
+                          fmt: String, files: Seq[String]): Unit = {
     val statsPath = new Path(live, StatsDir)
     // reuse the original pass's column set and Bloom geometry so probe
     // positions keep matching the stored words
     val (cols, bloomCols, bloomBits) = statsConfig(spark, fs, live)
     if (cols.isEmpty && bloomCols.isEmpty) return
-    val docs0 = spark.read.json(files: _*)
+    val docs0 = readFiles(spark, fmt, None, files)
     val present = cols.filter(docs0.columns.contains)
     val bloomPresent = bloomCols.filter(docs0.columns.contains)
     if (present.nonEmpty || bloomPresent.nonEmpty) {
@@ -539,20 +755,12 @@ object DocStore {
         }
       } finally fs.delete(stage, true)
     }
-    // ADDITIVE schema widening: write the batch's schema as its own
-    // sidecar (`_schema-append-<uuid>.json`) instead of read-merge-
-    // rewriting the base `_schema.json` — merge is commutative and
-    // associative, so concurrent appends each contribute a sidecar and
-    // the read-time merge ([[storedSchema]]) sees every widening; a
-    // read-modify-write here could lose a concurrent writer's columns.
-    // collectStats rewrites the base and clears sidecars. Underscore
-    // names keep all of them invisible to the stats JSON read.
-    if (fs.exists(new Path(statsPath, "_schema.json"))) {
-      val sidecar = new Path(statsPath,
-        s"_schema-append-${java.util.UUID.randomUUID()}.json")
-      val out = fs.create(sidecar, true)
-      try out.write(docs0.schema.json.getBytes(UTF_8)) finally out.close()
-    }
+    // Schema widening is NOT done here: [[insertMany]] writes the batch's
+    // `_schema-append-<uuid>.json` sidecar BEFORE renaming the data files
+    // in (additive, so concurrent appends cannot lose each other's
+    // columns; pre-rename, so a crash cannot leave published files the
+    // stored schema does not cover). collectStats rewrites the base
+    // schema from a full read and clears the sidecars.
   }
 
   /** The generation's stats-time schema: the base `_schema.json` merged
@@ -597,7 +805,7 @@ object DocStore {
     * a pruned read resolves every column the full read would.
     */
   private def prunedFiles(spark: SparkSession, fs: FileSystem, live: String,
-                          filter: Column)
+                          fmt: String, filter: Column)
       : Option[(Seq[String], org.apache.spark.sql.types.StructType)] = {
     val statsPath = new Path(live, StatsDir)
     if (!fs.exists(statsPath)) return None
@@ -719,7 +927,7 @@ object DocStore {
       if (appended.isEmpty) stored
       else scala.util.Try(
         org.apache.spark.sql.GraftShims.mergeSchemas(stored,
-          spark.read.json(appended: _*).schema))
+          readFiles(spark, fmt, None, appended).schema))
         .getOrElse(return None) // unmergeable drift: fall back to full read
     Some((kept, schema))
   }
@@ -806,14 +1014,26 @@ object DocStore {
     * generations and (post-migration) legacy flat files are reclaimed.
     */
   private def commitRewrite(fs: FileSystem, spark: SparkSession, df: DataFrame,
-                            path: String, retain: Int = 2): Unit = {
+                            path: String, retain: Int = 2,
+                            format: String = "json"): Unit = {
     require(retain >= 2, s"retain must keep the live + previous generation, got $retain")
     val previous = readManifest(fs, path)
     val gens = completeGens(fs, path)
     val nextId = (gens.lastOption.getOrElse(0)) + 1
     val next = genPath(path, nextId)
     fs.delete(new Path(next), true)
-    df.write.mode(SaveMode.Overwrite).json(next)
+    writeData(df, format, next)
+    if (format == "parquet") {
+      // parquet reads back with EXACTLY the written types (unlike json,
+      // whose inference conventions differ from arbitrary df schemas), so
+      // the commit can persist the schema it just wrote — readGen then
+      // plans with zero jobs (no footer-merge pass) even when no stats
+      // pass ever runs, and appends widen it additively via sidecars
+      val stats = new Path(next, StatsDir)
+      fs.mkdirs(stats)
+      val out = fs.create(new Path(stats, "_schema.json"), true)
+      try out.write(df.schema.json.getBytes(UTF_8)) finally out.close()
+    }
     writeManifest(fs, path, new Path(next).getName)
     val all = completeGens(fs, path)
     val keep = all.takeRight(retain).map(id => f"gen-$id%06d").toSet ++ previous

@@ -253,6 +253,34 @@ object Streams {
     })
   }
 
+  /** STORED per-batch quantile sketches: each micro-batch aggregates to
+    * ONE bounded sketch row written to `sketchDir/batch_id=N/` — the
+    * read-side twin of [[maintainQuantileSketch]]. Where the driver-held
+    * fold answers only within this process, the stored table is the
+    * build-once/query-many warehouse shape: any later percentile
+    * question is `sketch_quantiles(quantile_sketch_merge(sk), probs)`
+    * over a table with one small row per batch — plain SQL, any session,
+    * surviving driver restarts — and never a rescan of the stream's rows.
+    *
+    * Replay-immune where the driver fold is not: the batch's OUTPUT
+    * PARTITION is keyed by batchId and written with overwrite, so an
+    * at-least-once redelivery rewrites the same row instead of
+    * double-counting (the foreachBatch idempotence idiom).
+    */
+  def storeQuantileSketches(stream: DataFrame, valueCol: String,
+                            sketchDir: String, k: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .agg(graft.functions.QuantileSketch
+            .quantile_sketch(col(valueCol), k).as("sk"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$sketchDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** A point-in-time view of a streamed Misra-Gries summary: candidate
     * keys with their (under-)counts, the exact total row count folded in,
     * and the key's type for re-joining against stored data. The candidate

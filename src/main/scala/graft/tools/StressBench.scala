@@ -56,7 +56,7 @@ object StressBench {
   /** id, text: `nTokens` tokens per doc from a `vocab`-sized universe;
     * `hotEvery` > 0 plants the shared token on every hotEvery-th doc.
     */
-  private def docs(spark: SparkSession, n: Long, nTokens: Int, vocab: Int,
+  private[graft] def docs(spark: SparkSession, n: Long, nTokens: Int, vocab: Int,
                    hotEvery: Int): DataFrame = {
     val base = spark.range(n).select(col("id"),
       concat_ws(" ", transform(sequence(lit(1), lit(nTokens)),
@@ -69,7 +69,7 @@ object StressBench {
     else base
   }
 
-  private def edges(spark: SparkSession, m: Long, nodes: Long,
+  private[graft] def edges(spark: SparkSession, m: Long, nodes: Long,
                     hubFrac: Int): DataFrame = {
     val e = spark.range(m).select(
       pmod(xxhash64(col("id") * 7 + 1), lit(nodes)).as("src"),

@@ -499,4 +499,163 @@ class DocStoreSpec extends SparkTestBase {
     assert(DocStore.deleteMany(spark, path, None, deleteProtection = false) == 1)
     assert(DocStore.find(spark, path).count() == 0)
   }
+
+  test("cursor CDC: a small append is served from ONLY the new files, no join") {
+    val path = freshPath()
+    DocStore.insertMany((1L to 500L).map(i => (i, s"d$i")).toDF("id", "v"), path)
+    // freeze the pre-append state as its own generation so the join-based
+    // diff below has a frozen "before" snapshot to compare against
+    DocStore.compact(spark, path, targetFiles = 4, retain = 4)
+    val cur = DocStore.cursor(spark, path)
+    // caught-up poll: typed empty, zero data rows read
+    val (none, same) = DocStore.changesSince(spark, path, cur, "id")
+    assert(none.isEmpty && none.columns.toSeq ==
+      Seq("id", "change", "before", "after", "generation"))
+    assert(same == cur)
+    // small append -> changes read ONLY the appended files
+    DocStore.insertMany(Seq((1001L, "new1"), (1002L, "new2")).toDF("id", "v"), path)
+    val snapshotFiles = DocStore.find(spark, path).inputFiles.length
+    val (changes, next) = DocStore.changesSince(spark, path, cur, "id")
+    assert(changes.inputFiles.length < snapshotFiles,
+      s"append poll read ${changes.inputFiles.length} of $snapshotFiles files")
+    assert(changes.inputFiles.length <= 2) // the one appended batch
+    val got = changes.orderBy("id")
+      .select("id", "change", "after.v", "generation").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSeq
+    assert(got == Seq((1001L, "inserted", "new1", cur.generation),
+                      (1002L, "inserted", "new2", cur.generation)))
+    // results identical to the join-based diff over the same state
+    // change: gen N-1 is the frozen pre-append snapshot, gen N (the
+    // cursor's) now carries the appended rows — the full-outer-join diff
+    // of that pair must report exactly what the file-level poll did
+    val gens = DocStore.generations(spark, path)
+    val viaJoin = DocStore
+      .diffGenerations(spark, path, gens.init.last, gens.last, "id")
+      .orderBy("id").select("id", "change", "after.v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(viaJoin == got.map(t => (t._1, t._2, t._3)))
+    // the advanced cursor is clean: nothing new
+    val (after2, _) = DocStore.changesSince(spark, path, next, "id")
+    assert(after2.filter(col("generation") <= next.generation).isEmpty)
+  }
+
+  test("cursor CDC across a rewrite: append-then-update composes in order") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val cur = DocStore.cursor(spark, path)
+    DocStore.insertMany(Seq((3L, "c")).toDF("id", "v"), path) // append after cursor
+    DocStore.updateMany(spark, path, col("id") === 3L, Map("v" -> lit("C")),
+      retain = 4) // rewrite touches the appended row
+    val (changes, next) = DocStore.changesSince(spark, path, cur, "id")
+    val got = changes.select("id", "change", "after.v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // insert of the original row FIRST, then the rewrite's update — a
+    // consumer replaying in order lands on the committed state
+    assert(got == Seq((3L, "inserted", "c"), (3L, "updated", "C")))
+    assert(next.generation == DocStore.generations(spark, path).last)
+    // a pruned cursor fails loudly, never silently skips
+    DocStore.updateMany(spark, path, col("id") === 1L, Map("v" -> lit("A")))
+    DocStore.updateMany(spark, path, col("id") === 2L, Map("v" -> lit("B")))
+    val stale = cur
+    val ex = intercept[IllegalArgumentException](
+      DocStore.changesSince(spark, path, stale, "id"))
+    assert(ex.getMessage.contains("no longer retained"))
+  }
+
+  /** Spark jobs launched while `body` runs (listener events are posted
+    * asynchronously; the short settle wait is generous for a local bus).
+    */
+  private def jobsDuring[A](body: => A): (A, Int) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { val a = body; Thread.sleep(600); (a, n.get()) }
+    finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("unfiltered read is single-scan: planning runs no inference job once stats exist") {
+    val path = freshPath()
+    DocStore.insertMany((1L to 200L).map(i => (i, s"d$i", i % 7)).toDF("id", "t", "g"), path)
+    // positive control FIRST: without a stored schema, merely CONSTRUCTING
+    // the frame pays a schema-inference job — proving the counter sees
+    // inference, so the zero below means something
+    val (_, inferJobs) = jobsDuring(DocStore.find(spark, path, None).schema)
+    assert(inferJobs >= 1, s"control: expected an inference job, saw $inferJobs")
+    DocStore.collectStats(spark, path, Seq("id"))
+    val (df, planJobs) = jobsDuring(DocStore.find(spark, path, None).schema)
+    assert(planJobs == 0,
+      s"stored schema present: construction must launch NO job, saw $planJobs")
+    // appends stay covered: the sidecar keeps the single-scan path exact
+    DocStore.insertMany(Seq((1000L, "x", 0L, 3.5)).toDF("id", "t", "g", "score"), path)
+    val (df2, planJobs2) = jobsDuring(DocStore.find(spark, path, None).schema)
+    assert(planJobs2 == 0, s"post-append construction launched $planJobs2 jobs")
+    val all = DocStore.find(spark, path, None)
+    assert(all.count() == 201)
+    assert(all.columns.contains("score"))
+    assert(all.filter(col("score").isNotNull).count() == 1)
+  }
+
+  test("parquet generations: compact migrates, reads/mutations/skipping stay columnar") {
+    val path = freshPath()
+    DocStore.insertMany((1L to 300L).map(i => (i, s"n$i", i % 5))
+      .toDF("id", "name", "grp"), path)
+    val before = DocStore.find(spark, path).orderBy("id").collect().toSeq
+    assert(DocStore.compact(spark, path, targetFiles = 2,
+      format = Some("parquet")) == 300)
+    val after = DocStore.find(spark, path)
+    // columnar now, same rows
+    assert(after.inputFiles.forall(_.endsWith(".parquet")))
+    assert(after.orderBy("id").collect().toSeq == before)
+    // construction of a parquet read launches no inference job either
+    val (_, planJobs) = jobsDuring(DocStore.find(spark, path, None).schema)
+    assert(planJobs == 0, s"parquet construction launched $planJobs jobs")
+    // mutations stay parquet: update rewrites the next generation columnar
+    assert(DocStore.updateMany(spark, path, col("grp") === 0L,
+      Map("name" -> lit("zeroed"))) == 60)
+    val updated = DocStore.find(spark, path)
+    assert(updated.inputFiles.forall(_.endsWith(".parquet")))
+    assert(updated.filter(col("name") === "zeroed").count() == 60)
+    // appends to a parquet generation write parquet and are read back
+    DocStore.insertMany(Seq((1000L, "new", 9L)).toDF("id", "name", "grp"), path)
+    assert(DocStore.find(spark, path).count() == 301)
+    assert(DocStore.find(spark, path).inputFiles.forall(_.endsWith(".parquet")))
+    // data skipping works on parquet generations: cluster + prune
+    DocStore.cluster(spark, path, col("id"), targetFiles = 6, statsCols = Seq("id"))
+    val full = DocStore.find(spark, path).inputFiles.length
+    val pruned = DocStore.find(spark, path, Some(col("id") <= 40L))
+    assert(pruned.inputFiles.length < full,
+      s"pruned ${pruned.inputFiles.length} vs $full")
+    assert(pruned.count() == 40)
+  }
+
+  test("CDC diffs across mixed-format generations; json round-trip back") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)
+    DocStore.updateMany(spark, path, col("id") === 1L, Map("v" -> lit("A")),
+      retain = 4) // json gen 2
+    DocStore.compact(spark, path, retain = 4, format = Some("parquet")) // parquet gen 3
+    DocStore.deleteMany(spark, path, Some(col("id") === 2L), retain = 4) // parquet gen 4
+    val gens = DocStore.generations(spark, path)
+    assert(gens.size >= 3)
+    // diff across the json -> parquet boundary: pure-format change is NO change
+    val Seq(g2, g3, g4) = gens.takeRight(3)
+    assert(DocStore.diffGenerations(spark, path, g2, g3, "id").count() == 0)
+    // and the mutation on the parquet side reports exactly the delete
+    val d = DocStore.diffGenerations(spark, path, g3, g4, "id").collect()
+    assert(d.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "deleted")))
+    // changesSince walks the mixed-format chain
+    val chain = DocStore.changesSince(spark, path, g2, "id")
+      .select("id", "change", "generation").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(chain == Seq((2L, "deleted", g4)))
+    // round-trip back to json keeps the rows
+    DocStore.compact(spark, path, format = Some("json"))
+    val back = DocStore.find(spark, path)
+    assert(back.inputFiles.forall(f => !f.endsWith(".parquet")))
+    assert(back.orderBy("id").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "A"), (3L, "c")))
+  }
 }

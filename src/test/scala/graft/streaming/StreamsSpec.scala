@@ -451,6 +451,45 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("storeQuantileSketches: one row per batch, replay-idempotent, SQL serve within bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vals = (1 to 4000).map(i => ((i * 2654435761L) % 10007).toDouble)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketchtab-spec").toString
+    def runStream(): Unit = {
+      val mem = MemoryStream[Double]
+      val q = Streams.storeQuantileSketches(
+        mem.toDF().toDF("value"), "value", dir, k = 128)
+      mem.addData(vals.take(1500): _*); q.processAllAvailable()
+      mem.addData(vals.slice(1500, 3995): _*); q.processAllAvailable()
+      mem.addData(vals.drop(3995): _*); q.processAllAvailable()
+      q.stop()
+    }
+    runStream()
+    val table = spark.read.parquet(dir)
+    assert(table.count() == 3) // one bounded row per micro-batch
+    // full REPLAY of the whole stream (fresh source, same batch ids):
+    // overwrite-by-batch rewrites rows instead of double-counting
+    runStream()
+    assert(spark.read.parquet(dir).count() == 3)
+    // serve by pure SQL: merged n is exact, estimates rank-bounded
+    spark.read.parquet(dir).createOrReplaceTempView("sketchtab_spec_v")
+    val served = spark.sql(
+      """SELECT sketch_count(m) AS n, sketch_quantiles(m, array(0.1D, 0.5D, 0.9D)) AS q
+        |FROM (SELECT quantile_sketch_merge(sk) AS m FROM sketchtab_spec_v)
+        |""".stripMargin).head()
+    assert(served.getLong(0) == vals.length)
+    val sorted = vals.sorted.toArray
+    Seq(0.1, 0.5, 0.9).zip(served.getSeq[Double](1)).foreach { case (p, est) =>
+      val idx = {
+        val i = java.util.Arrays.binarySearch(sorted, est)
+        if (i >= 0) i else -(i + 1)
+      }
+      val err = math.abs(idx.toDouble - p * sorted.length) / sorted.length
+      assert(err <= 0.02, s"p=$p est=$est rank err $err")
+    }
+  }
+
   test("funnelStream: exact-boundary emission when wm lands on t1+W then t1+W+1") {
     // The two adversarial watermark landings around the window close:
     //  - a batch observes wm == t1 + W exactly (the timeout clamp case —

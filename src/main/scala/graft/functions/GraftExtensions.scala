@@ -161,6 +161,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else graft.sources.DocStore.find(spark, path))
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("docstore_changes"),
+      info("docstore_changes",
+        "docstore_changes(path, sinceGeneration, keyCol) - CDC from SQL: " +
+          "every (key, change, before, after, generation) between a " +
+          "retained generation and the head, the changesSince surface"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          graft.sources.DocStore.changesSince(spark,
+            strArg(args.head, "path"), intArg(args(1), "sinceGeneration"),
+            strArg(args(2), "keyCol")))
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("asof_join"),
       info("asof_join",
         "asof_join(leftTable, rightTable, keys, leftTs, rightTs, valueCol, " +

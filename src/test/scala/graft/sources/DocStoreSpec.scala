@@ -484,6 +484,16 @@ class DocStoreSpec extends SparkTestBase {
     val old = spark.sql(s"SELECT id, v FROM docstore('$path', $g0) ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(old == Seq((1L, "a"), (2L, "b")))
+    // CDC from pure SQL: same rows as the Column-API changesSince
+    val sql = spark.sql(
+      s"SELECT id, change, after.v, generation FROM docstore_changes('$path', $g0, 'id') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSeq
+    val api = DocStore.changesSince(spark, path, g0, "id")
+      .select(col("id"), col("change"), col("after.v"), col("generation"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSeq
+    assert(sql == api)
+    assert(sql == Seq((1L, "updated", "A", DocStore.generations(spark, path).last)))
   }
 
   test("deleteMany refuses the empty query unless protection is off") {

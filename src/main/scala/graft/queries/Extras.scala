@@ -215,6 +215,45 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
+  /** Streaming near-dup detection drained over the documents table split
+    * into three file-batches ([[graft.streaming.Streams
+    * .ingestToNearDupIndex]]): each batch is matched against everything
+    * before it plus itself, then joins the slot-partitioned LSH index —
+    * arrival-time dedup for a continuously-fed corpus. The drained match
+    * set is batch-cut-invariant on under-cap data (StreamsSpec pins
+    * streamed == one-shot equality and replay idempotence), so the query
+    * output is deterministic.
+    */
+  def nearDupIngest(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = withStatePartitions(s) {
+    val docs = graft.core.Tables.documents(s, d).select("doc_id", "text")
+    // stage the table as THREE files (three micro-batches) once per
+    // dataset content — the fingerprint in the dir name skips the
+    // restage on every later run, the stageParquet freshness idiom
+    val stage = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-neardup-stage-${Integer.toHexString(d.hashCode)}-" +
+        java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d))).toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val index = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-neardup-idx-${Integer.toHexString(d.hashCode)}").toString
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(index))
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = graft.streaming.Streams
+      .ingestToNearDupIndex(stream, index, idCol = "doc_id", textCol = "text",
+        k = 3, threshold = 0.5)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$index/matches")
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+  }
+
   /** Streaming conversion-window funnel drained to completion
     * ([[graft.streaming.Streams.funnelStream]]): 25-day window anchored at
     * first signup, 10-minute watermark. Users whose window provably
@@ -1169,6 +1208,14 @@ object Extras {
     //      sketch, additive driver fold; see StreamingQuery.streamQuantiles)
     "st12_stream_quantiles" -> rowsOnly(
       (s, d) => StreamingQuery.streamQuantiles(s, d)),
+
+    // ---- streaming near-dup detection: arrival-time MinHash LSH against
+    //      a slot-partitioned index of everything ingested before (the
+    //      dedup twin of st11). rows-only: LSH banding has no DuckDB
+    //      twin; StreamsSpec pins drained-stream == one-shot-batch pair
+    //      equality and replay idempotence
+    "st14_stream_neardup" -> rowsOnly(
+      (s, d) => StreamingQuery.nearDupIngest(s, d)),
 
     // ---- st12's read-side twin: per-batch sketches STORED as a table
     //      (overwrite-by-batch = replay-idempotent), served by pure SQL

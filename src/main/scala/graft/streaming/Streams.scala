@@ -458,6 +458,172 @@ object Streams {
           .write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
       }
 
+  /** Streaming NEAR-DUP detection: the dedup twin of [[ingestToIvfIndex]]
+    * — documents stream in, each micro-batch is checked for near-
+    * duplicates against EVERYTHING ingested before it (and within
+    * itself), matches are emitted incrementally, and the batch then joins
+    * the index. This is the shape a continuously-fed training corpus
+    * needs: reject/flag a near-dup at ARRIVAL time instead of re-running
+    * the full O(corpus) MinHash job nightly.
+    *
+    * Index layout under `indexPath` (all plain parquet, no driver state —
+    * a restarted driver resumes from the directories):
+    *  - `keys/batch_id=N/slot=S/` — LSH band keys, slot =
+    *    xxhash64(band, band_hash) mod 256: a probe reads ONLY the slots
+    *    its batch touches (partition pruning), never the whole key set
+    *  - `shingles/batch_id=N/id_slot=S/` — shingle sets for exact
+    *    verification, id-sloted the same way, read only for candidate ids
+    *  - `matches/batch_id=N/` — verified (id_a, id_b, jaccard) emitted by
+    *    that batch
+    * Every per-batch write is OVERWRITE-by-batch-dir, so an at-least-once
+    * replay rewrites identical content instead of duplicating it (reads
+    * filter `batch_id < current`, so a replayed batch also cannot match
+    * against its own half-written previous attempt).
+    *
+    * Per-batch cost is bounded by the batch, not the corpus: band keys
+    * and shingles are batch-sized projections; the stored-key probe is a
+    * slot-pruned read semi-joined to batch buckets; bucket caps
+    * ([[graft.dedup.BucketDrops]], counted drops) bound pair fan-out with
+    * bucket sizes evaluated as-of arrival (a bucket that later exceeds
+    * the cap keeps its earlier, legitimately-emitted matches — arrival-
+    * time semantics, the streaming analogue of m1's cap; drained-stream
+    * == one-shot-batch pair equality on under-cap data is pinned in
+    * StreamsSpec). Shingle reads for verification are id-slot-pruned to
+    * the candidate set.
+    */
+  def ingestToNearDupIndex(stream: DataFrame, indexPath: String,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                           threshold: Double = 0.7, maxBucket: Int = 1000)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val Slots = 16L
+    stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+      // guard against an empty trigger: the whole per-batch pipeline
+      // (reads, joins, three writes) would run for nothing
+      if (!batch.isEmpty) nearDupBatch(batch, bid, indexPath, idCol, textCol,
+        k, bands, rowsPerBand, threshold, maxBucket, Slots)
+      ()
+    }
+  }
+
+  private def nearDupBatch(batch: Dataset[org.apache.spark.sql.Row], bid: Long,
+                           indexPath: String, idCol: String, textCol: String,
+                           k: Int, bands: Int, rowsPerBand: Int,
+                           threshold: Double, maxBucket: Int, Slots: Long): Unit = {
+    {
+      var tPrev = System.nanoTime()
+      def mark(stage: String): Unit = {
+        val now = System.nanoTime()
+        if (sys.env.contains("GRAFT_NEARDUP_TIMING"))
+          println(f"[neardup] b$bid $stage%-12s ${(now - tPrev) / 1e9}%6.2f s")
+        tPrev = now
+      }
+      val spark = batch.sparkSession
+      // ResolveWriteToStream force-disables AQE on the session for the
+      // streaming query; the work in THIS sink is plain batch actions
+      // (joins, aggregates, parquet writes) where AQE's broadcast
+      // conversion and partition coalescing are exactly what we want —
+      // without it every join in the candidate chain is a sort-merge at
+      // the fixed partition count (~2x slower per batch, measured)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def existing(dir: String): Boolean =
+        fs.exists(new org.apache.hadoop.fs.Path(dir))
+      val keysDir = s"$indexPath/keys"
+      val shDir = s"$indexPath/shingles"
+      val matchesDir = s"$indexPath/matches"
+
+      val sh = graft.dedup.MinHashDedup
+        .shingleSets(batch, idCol, textCol, k).cache()
+      val keys = graft.dedup.MinHashDedup
+        .bandKeysFromShingles(sh, idCol, bands, rowsPerBand)
+        .withColumn("slot", pmod(xxhash64(col("band"), col("band_hash")), lit(Slots)))
+        .cache()
+      // bounded driver collect: at most 256 slot ids
+      val slots = keys.select("slot").distinct().collect().map(_.getLong(0)).toSeq
+      mark("keys+slots")
+      val storedKeys =
+        if (existing(keysDir) && slots.nonEmpty)
+          spark.read.parquet(keysDir)
+            .filter(col("batch_id") < bid && col("slot").isin(slots: _*))
+            .select(col("band"), col("band_hash"), col(idCol))
+        else keys.select(col("band"), col("band_hash"), col(idCol)).limit(0)
+      val combined = storedKeys
+        .unionByName(keys.select(col("band"), col("band_hash"), col(idCol)))
+      // cap evaluated over stored+batch bucket membership (as-of arrival);
+      // candidatePairs counts drops via BucketDrops
+      val cands = graft.dedup.MinHashDedup
+        .candidatePairs(combined, idCol, maxBucket)
+      // keep only pairs touching THIS batch (old-old pairs were already
+      // reported when their second member arrived): two broadcast LEFT
+      // joins adding presence flags, one filter — no shuffle and no
+      // re-distinct (cands is already distinct), where a semi-join per
+      // side plus a union-distinct would cost three more stages
+      val newIds = batch.select(col(idCol)).distinct()
+      val candsNew = cands
+        .join(broadcast(newIds.select(col(idCol).as("id_a"), lit(true).as("__a"))),
+          Seq("id_a"), "left")
+        .join(broadcast(newIds.select(col(idCol).as("id_b"), lit(true).as("__b"))),
+          Seq("id_b"), "left")
+        .filter(coalesce(col("__a"), lit(false)) || coalesce(col("__b"), lit(false)))
+        .select("id_a", "id_b")
+        .cache()
+      // bounded driver collect again: candidate ids' slots, <= 256 values
+
+      val candSlots = candsNew
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .select(pmod(xxhash64(col("id")), lit(Slots)).as("s"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      mark("candidates")
+      val storedSh =
+        if (existing(shDir) && candSlots.nonEmpty)
+          spark.read.parquet(shDir)
+            .filter(col("batch_id") < bid && col("id_slot").isin(candSlots: _*))
+            .select(col(idCol), col("sh"))
+        else sh.select(col(idCol), col("sh")).limit(0)
+      val shAll = storedSh.unionByName(sh.select(col(idCol), col("sh")))
+      val verified = graft.dedup.MinHashDedup
+        .verifiedPairsFromShingles(shAll, candsNew, idCol, threshold)
+
+      // matches FIRST (they must not see this batch in the stores — the
+      // batch_id < bid read filter already guarantees it), then publish
+      // the batch into the index; each write overwrite-by-batch-dir
+      verified.write.mode(SaveMode.Overwrite)
+        .parquet(s"$matchesDir/batch_id=$bid")
+      mark("verify+write")
+      // repartition BY the partition column before a partitionBy write:
+      // otherwise every one of the N shuffle tasks opens a file in every
+      // slot dir (N x Slots tiny files + that many committer renames);
+      // clustered, each slot dir gets one file. The two index writes are
+      // independent (different dirs, both from cached batch-sized frames)
+      // and run CONCURRENTLY — the per-write cost here is committer and
+      // small-file fixed overhead, not bandwidth, so overlapping them
+      // nearly halves the publish phase of every micro-batch.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fKeys = Future {
+        keys.select(col(idCol), col("band"), col("band_hash"), col("slot"))
+          .repartition(col("slot"))
+          .write.mode(SaveMode.Overwrite).partitionBy("slot")
+          .parquet(s"$keysDir/batch_id=$bid")
+      }
+      val fSh = Future {
+        sh.withColumn("id_slot", pmod(xxhash64(col(idCol)), lit(Slots)))
+          .repartition(col("id_slot"))
+          .write.mode(SaveMode.Overwrite).partitionBy("id_slot")
+          .parquet(s"$shDir/batch_id=$bid")
+      }
+      Await.result(fKeys, scala.concurrent.duration.Duration.Inf)
+      Await.result(fSh, scala.concurrent.duration.Duration.Inf)
+      mark("index-write")
+      candsNew.unpersist()
+      keys.unpersist()
+      sh.unpersist()
+      ()
+    }
+  }
+
   /** Per-user conversion-window state: first-signup anchor (Long.MaxValue
     * while unanchored), pending stage events (ms, stageCode 2/3/4), max
     * event time seen, and a post-emission tombstone (`done`) so a

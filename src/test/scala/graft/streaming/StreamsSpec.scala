@@ -490,6 +490,65 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("ingestToNearDupIndex: streamed matches across batch cuts == one-shot batch pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.MinHashDedup
+    // 8 clusters of 3 near-dup variants (each variant mutates one token of
+    // a 12-token base -> high shingle overlap) + 24 unique docs; variants
+    // of each cluster are spread across DIFFERENT micro-batches below
+    def doc(c: Int, variant: Int): (Long, String) = {
+      val toks = (0 until 12).map(i =>
+        if (i == variant) s"x${c}_$variant" else s"w${c}_$i")
+      (c * 10L + variant, toks.mkString(" "))
+    }
+    val clustered = for (c <- 0 until 8; v <- 0 until 3) yield doc(c, v)
+    val unique = (0 until 24).map(u =>
+      (1000L + u, (0 until 12).map(i => s"u${u}_$i").mkString(" ")))
+    val all = clustered ++ unique
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-idx").toString
+    def runStream(): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = Streams.ingestToNearDupIndex(
+        mem.toDF().toDF("doc_id", "text"), dir,
+        idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+        .start()
+      // batch 0: variant 0 of every cluster + some uniques; batch 1:
+      // variant 1 + uniques; batch 2: variant 2 + uniques — every
+      // cluster pair therefore SPANS batch cuts
+      for (v <- 0 until 3) {
+        mem.addData((clustered.filter(_._1 % 10 == v) ++
+          unique.slice(v * 8, v * 8 + 8)): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+    }
+    runStream()
+    def streamedPairs() = spark.read.parquet(s"$dir/matches")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = streamedPairs()
+    // the one-shot batch job over the full corpus, same geometry
+    val shAll = MinHashDedup.shingleSets(
+      all.toDF("doc_id", "text"), "doc_id", "text", 3)
+    val batchRun = MinHashDedup.verifiedPairsFromShingles(shAll,
+        MinHashDedup.candidatePairs(
+          MinHashDedup.bandKeysFromShingles(shAll, "doc_id", 16, 4), "doc_id"),
+        "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batchRun)
+    assert(streamed.nonEmpty)
+    // every cluster's cross-batch pairs were found at arrival time
+    assert((0 until 8).forall(c =>
+      streamed.contains((c * 10L, c * 10L + 1,
+        streamed.find(p => p._1 == c * 10L && p._2 == c * 10L + 1).get._3))))
+    // full REPLAY into the same index: overwrite-by-batch keeps matches
+    // (and the index) identical instead of duplicated
+    runStream()
+    assert(streamedPairs() == streamed)
+    assert(spark.read.parquet(s"$dir/keys").count() == all.size * 16)
+  }
+
   test("funnelStream: exact-boundary emission when wm lands on t1+W then t1+W+1") {
     // The two adversarial watermark landings around the window close:
     //  - a batch observes wm == t1 + W exactly (the timeout clamp case —

@@ -419,6 +419,58 @@ object DocStore {
     (changes, DocCursor(head, dataFileNames(fs, genPath(path, head))))
   }
 
+  /** APPLY a CDC change frame (the [[changesSince]] output shape) to a
+    * collection — the consumer half of CDC, turning produce+apply into
+    * replication: `deleted` keys leave, `updated`/`inserted` rows land as
+    * their `after` image. Multiple changes per key collapse to the LATEST
+    * (by the `generation` column) first, so a chain like insert -> update
+    * -> delete applies as its net effect. One manifest-committed rewrite
+    * (a single scan of the target plus the change-sized frame, broadcast-
+    * friendly anti-join on the keys) with the usual crash safety; an
+    * empty change frame is a no-op that commits nothing. Re-applying the
+    * same changes is idempotent (replace-by-key).
+    */
+  def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
+                   keyCol: String, retain: Int = 2): Unit = {
+    if (changes.isEmpty) return
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("generation").desc)
+    val last = changes
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+    val upserts = last.filter(col("change") =!= "deleted").select("after.*")
+    val keys = last.select(col(keyCol)).distinct()
+    val fs = fileSystem(spark, path)
+    val live = find(spark, path)
+    val merged =
+      if (!live.columns.contains(keyCol)) upserts // empty/new target
+      else live.join(keys, Seq(keyCol), "left_anti")
+        .unionByName(upserts, allowMissingColumns = true)
+    val fmt = genFormat(fs, liveDir(fs, spark, path))
+    commitRewrite(fs, spark, merged, path, retain, format = fmt)
+  }
+
+  /** Maintain a FOLLOWER collection from a leader by cursor CDC:
+    * `None` seeds it (full snapshot copy; the returned cursor was
+    * captured BEFORE the copy, so anything appended mid-copy is
+    * re-delivered on the next poll and lands idempotently), `Some(cur)`
+    * polls [[changesSince]] and applies only the delta — for an
+    * append-mostly leader that is a read of the appended files, never
+    * the leader's full snapshot. Returns the cursor to persist for the
+    * next call.
+    */
+  def replicate(spark: SparkSession, srcPath: String, dstPath: String,
+                keyCol: String, cur: Option[DocCursor]): DocCursor = cur match {
+    case None =>
+      val c = cursor(spark, srcPath)
+      insertMany(find(spark, srcPath), dstPath)
+      c
+    case Some(c) =>
+      val (changes, next) = changesSince(spark, srcPath, c, keyCol)
+      applyChanges(spark, dstPath, changes, keyCol)
+      next
+  }
+
   /** Appended rows as CDC `inserted` events, shaped like
     * [[diffGenerations]] output (sorted-column structs, null `before`).
     */

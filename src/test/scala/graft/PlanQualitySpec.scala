@@ -17,6 +17,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("a24 sketch serving: request table broadcasts against the sketch side") {
+    // the request side is request-sized by construction; a sort-merge
+    // join here would shuffle the (small) sketch table for nothing
+    val p = plan("a24_sketch_probe_requests")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dual-dim star join: all five joins hash-based, none sort-merge") {
     val p = plan("j5_dual_dim")
     assert(!p.contains("SortMergeJoin"), p)

@@ -572,6 +572,41 @@ class DocStoreSpec extends SparkTestBase {
     assert(ex.getMessage.contains("no longer retained"))
   }
 
+  test("replicate: follower tracks leader through inserts/updates/deletes/appends") {
+    val leader = freshPath()
+    val follower = freshPath()
+    def snapshot(p: String) =
+      DocStore.find(spark, p).orderBy("id").collect().toSeq
+    DocStore.insertMany(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n"), leader)
+    // seed: full copy, cursor captured pre-copy
+    var cur = DocStore.replicate(spark, leader, follower, "id", None)
+    assert(snapshot(follower) == snapshot(leader))
+    // a no-change poll applies nothing (and commits no generation)
+    val gensBefore = DocStore.generations(spark, follower)
+    cur = DocStore.replicate(spark, leader, follower, "id", Some(cur))
+    assert(DocStore.generations(spark, follower) == gensBefore)
+    // mixed mutations on the leader: append, update, delete, then another
+    // append (lands in the post-rewrite live generation)
+    DocStore.insertMany(Seq((4L, "d", 40L)).toDF("id", "v", "n"), leader)
+    DocStore.updateMany(spark, leader, col("id") === 2L,
+      Map("v" -> lit("B")), retain = 4)
+    DocStore.deleteMany(spark, leader, Some(col("id") === 1L), retain = 4)
+    DocStore.insertMany(Seq((5L, "e", 50L)).toDF("id", "v", "n"), leader)
+    cur = DocStore.replicate(spark, leader, follower, "id", Some(cur))
+    assert(snapshot(follower) == snapshot(leader))
+    // idempotence: re-applying the SAME changes replaces rows in place
+    val (sameChanges, _) = DocStore.changesSince(spark, leader,
+      DocStore.DocCursor(cur.generation, Set.empty), "id")
+    DocStore.applyChanges(spark, follower, sameChanges, "id")
+    assert(snapshot(follower) == snapshot(leader))
+    // schema evolution rides through: leader gains a column
+    DocStore.insertMany(Seq((6L, "f", 60L, 1.5)).toDF("id", "v", "n", "score"), leader)
+    cur = DocStore.replicate(spark, leader, follower, "id", Some(cur))
+    assert(DocStore.find(spark, follower).columns.contains("score"))
+    assert(snapshot(follower).map(_.toString) == snapshot(leader).map(_.toString))
+  }
+
   /** Spark jobs launched while `body` runs (listener events are posted
     * asynchronously; the short settle wait is generous for a local bus).
     */

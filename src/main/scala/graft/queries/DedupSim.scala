@@ -13,25 +13,13 @@ import Registry._
   */
 object DedupSim {
 
-  /** Fit-once/serve-many cache for e6's registered query: real ANN usage
-    * fits rarely and serves many batches, so the benched shape should pay
-    * Lloyd + residual k-means once per dataset, not once per run (the
-    * fitted-path registration the round-5 verdict prescribed for e3-class
-    * costs). Keyed by data dir; the model is bounded driver state and the
-    * fit is deterministic, so cached and fresh runs return identical rows.
-    */
-  private val ivfPqModels = new graft.core.FitCache[graft.sim.IvfPq.IvfPqModel]
-
-  // (e3's plain-IVF fit-once cache moved to Ann.cachedIvf so st11's
-  // streamed index provably serves the SAME model object.)
-
-  /** e5's fit-once cache: the PQ codebooks, like every other benched ANN
-    * path, are fitted once per dataset and the registered query measures
-    * the serving shape (encode projection + ADC scan + exact refine).
-    * Cached and one-shot serving are row-identical because [[Pq.fitPq]]
-    * is deterministic — pinned in PqSpec.
-    */
-  private val pqModels = new graft.core.FitCache[Pq.PqModel]
+  // Fit-once/serve-many for the ANN family lives with the models now —
+  // Ann.cachedIvf (e3/st11), Pq.cachedPq (e5), IvfPq.cachedIvfPq (e6):
+  // each is the two-layer cache (in-JVM FitCache + cross-restart
+  // ModelStore load-if-present -> fit-and-save), so the benched serving
+  // shape pays the fit once per dataset CONTENT, surviving driver
+  // restarts, and cached vs fresh runs stay row-identical (deterministic
+  // fits; restart story pinned in ModelStoreSpec).
 
   /** pr1/pr2 share ONE degree-annotated, materialized edge table and node
     * set per (session, dataset): both walk the same supplier-part graph,
@@ -505,7 +493,7 @@ object DedupSim {
     "e5_ann_pq" -> rowsOnly(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val model = pqModels.getOrFit("pq", d)(Pq.fitPq(emb))
+        val model = Pq.cachedPq(d, emb)
         Pq.pqSearch(model, Pq.encodeCorpus(model, emb), emb,
             emb.filter(col("vec_id") < 10), k = 5)
           .select("q_id", "rk", "vec_id")
@@ -519,7 +507,7 @@ object DedupSim {
     "e6_ann_ivfpq" -> rowsOnly(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val model = ivfPqModels.getOrFit("ivfpq", d)(IvfPq.fitIvfPq(emb))
+        val model = IvfPq.cachedIvfPq(d, emb)
         IvfPq.search(model, IvfPq.encodeCorpus(model, emb), emb,
             emb.filter(col("vec_id") < 10), k = 5)
           .select("q_id", "rk", "vec_id")

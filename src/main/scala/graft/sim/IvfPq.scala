@@ -87,6 +87,40 @@ object IvfPq {
     * nCells*m*k*subdim rows. Codes that end a round empty keep their
     * previous centroid; cells the sample missed inherit the pooled sample.
     */
+  private val fittedIvfPq = new graft.core.FitCache[IvfPqModel]
+
+  private[graft] def clearIvfPqCacheForTest(): Unit = fittedIvfPq.clear()
+
+  private[graft] def ivfPqModelPath(dataDir: String, nCells: Int, m: Int,
+                                    k: Int): String = {
+    val fp = graft.core.FitCache.fingerprint(dataDir)
+    val base = sys.env.getOrElse("SPARK_GRAFT_MODEL_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft-models")
+    val keyHash = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dataDir))
+    f"$base/ivfpq-$keyHash-$fp%016x-c$nCells-m$m-k$k.bin"
+  }
+
+  /** Fit-once/serve-many for the residual IVF-PQ model — the
+    * [[Ann.cachedIvf]]/[[Pq.cachedPq]] two-layer cache (in-JVM FitCache +
+    * cross-restart [[ModelStore]] load-if-present -> fit-and-save),
+    * completing restart-safe serving across the whole ANN family.
+    */
+  def cachedIvfPq(key: String, corpus: => DataFrame, nCells: Int = 16,
+                  m: Int = 16, k: Int = 32): IvfPqModel =
+    fittedIvfPq.getOrFit((key, nCells, m, k), key) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val path = ivfPqModelPath(key, nCells, m, k)
+      (try Some(ModelStore.loadIvfPq(spark, path))
+       catch { case scala.util.control.NonFatal(_) => None })
+        .getOrElse {
+          val fitted = fitIvfPq(corpus, nCells = nCells, m = m, k = k)
+          try ModelStore.saveIvfPq(spark, path, fitted)
+          catch { case scala.util.control.NonFatal(_) => () }
+          fitted
+        }
+    }
+
   def fitIvfPq(corpus: DataFrame, nCells: Int = 16, m: Int = 16, k: Int = 32,
                iters: Int = 2, lloydIters: Int = 2,
                idCol: String = "vec_id", embCol: String = "embedding"): IvfPqModel = {

@@ -82,4 +82,27 @@ object ModelStore {
       val m = in.readInt()
       Pq.PqModel(Array.fill(m)(readMatrix(in).map(_.toArray).toArray))
     }
+
+  private val IvfPqMagic = 0x47414950 // "GAIP"
+
+  def saveIvfPq(spark: SparkSession, path: String, model: IvfPq.IvfPqModel): Unit =
+    writeBlob(spark, path) { out =>
+      out.writeInt(IvfPqMagic); out.writeInt(1)
+      writeMatrix(out, model.ivf.centroids)
+      out.writeInt(model.codebooks.length)
+      model.codebooks.foreach { cell =>
+        out.writeInt(cell.length)
+        cell.foreach(cb => writeMatrix(out, cb.map(_.toSeq).toSeq))
+      }
+    }
+
+  def loadIvfPq(spark: SparkSession, path: String): IvfPq.IvfPqModel =
+    readBlob(spark, path, IvfPqMagic) { in =>
+      val ivf = Ann.IvfModel(readMatrix(in))
+      val nCells = in.readInt()
+      IvfPq.IvfPqModel(ivf, Array.fill(nCells) {
+        val m = in.readInt()
+        Array.fill(m)(readMatrix(in).map(_.toArray).toArray)
+      })
+    }
 }

@@ -54,6 +54,45 @@ object Pq {
     if (n > 0.0) v.map(_ / n) else v
   }
 
+  private val fittedPq = new graft.core.FitCache[PqModel]
+
+  private[graft] def clearPqCacheForTest(): Unit = fittedPq.clear()
+
+  /** Persisted-model path for (`dataDir`, geometry) — the
+    * [[Ann.ivfModelPath]] convention (content fingerprint in the name,
+    * `SPARK_GRAFT_MODEL_DIR` override) for PQ codebooks.
+    */
+  private[graft] def pqModelPath(dataDir: String, m: Int, k: Int,
+                                 iters: Int): String = {
+    val fp = graft.core.FitCache.fingerprint(dataDir)
+    val base = sys.env.getOrElse("SPARK_GRAFT_MODEL_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft-models")
+    val keyHash = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dataDir))
+    f"$base/pq-$keyHash-$fp%016x-m$m-k$k-i$iters.bin"
+  }
+
+  /** Fit-once/serve-many PQ codebooks with the same two-layer cache as
+    * [[Ann.cachedIvf]]: in-JVM FitCache (content-fingerprinted), cold
+    * path load-if-present -> fit-and-save through [[ModelStore]] so a
+    * restarted driver serves saved codebooks bit-identically instead of
+    * re-reading the corpus. Both store operations are best-effort.
+    */
+  def cachedPq(key: String, corpus: => DataFrame, m: Int = 16, k: Int = 32,
+               iters: Int = 2): PqModel =
+    fittedPq.getOrFit((key, m, k, iters), key) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val path = pqModelPath(key, m, k, iters)
+      (try Some(ModelStore.loadPq(spark, path))
+       catch { case scala.util.control.NonFatal(_) => None })
+        .getOrElse {
+          val fitted = fitPq(corpus, m, k, iters)
+          try ModelStore.savePq(spark, path, fitted)
+          catch { case scala.util.control.NonFatal(_) => () }
+          fitted
+        }
+    }
+
   /** Per-subspace k-means. Init seeds every subspace from the same
     * hash-spread sample of `k` rows (deterministic, id-order-bias-free —
     * the [[Ann.lloydCentroids]] rationale); each refinement round is one

@@ -71,6 +71,39 @@ class ModelStoreSpec extends SparkTestBase {
     assert(refit.centroids != marker.centroids)
   }
 
+  test("cachedPq restart story: cleared cache serves the SAVED codebooks, not a refit") {
+    import spark.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-restart-pq").toString
+    (0L until 64L).map(i => (i, Array.tabulate(16)(j => ((i + j) % 7).toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dataDir/embeddings.parquet")
+    def corpus = spark.read.parquet(s"$dataDir/embeddings.parquet")
+    val first = Pq.cachedPq(dataDir, corpus, m = 4, k = 8, iters = 1)
+    val path = Pq.pqModelPath(dataDir, m = 4, k = 8, iters = 1)
+    assert(ModelStore.loadPq(spark, path).codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      first.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // tamper + clear: a served marker model proves the load path ran
+    val marker = Pq.PqModel(Array.fill(4)(Array.fill(8)(Array.fill(4)(0.5))))
+    ModelStore.savePq(spark, path, marker)
+    Pq.clearPqCacheForTest()
+    val served = Pq.cachedPq(dataDir, corpus, m = 4, k = 8, iters = 1)
+    assert(served.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      marker.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "cleared-cache call refit instead of loading the persisted codebooks")
+  }
+
+  test("IVF-PQ save/load round-trips bit-exactly (centroids + per-cell codebooks)") {
+    val fitted = IvfPq.fitIvfPq(emb, nCells = 4, m = 8, k = 8, iters = 1,
+      lloydIters = 1)
+    val p = tmp("ivfpq.bin")
+    ModelStore.saveIvfPq(spark, p, fitted)
+    val loaded = ModelStore.loadIvfPq(spark, p)
+    assert(loaded.ivf.centroids == fitted.ivf.centroids)
+    def deep(m: IvfPq.IvfPqModel) =
+      m.codebooks.map(_.map(_.map(_.toSeq).toSeq).toSeq).toSeq
+    assert(deep(loaded) == deep(fitted))
+  }
+
   test("a torn save never leaves a loadable model; wrong magic refuses") {
     val p = tmp("bad.bin")
     // simulate a crash mid-write: only the tmp file exists

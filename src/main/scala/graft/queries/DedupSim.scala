@@ -61,7 +61,10 @@ object DedupSim {
     * in the whitened space. Serving then pays two shuffle-free projections
     * (whiten, cell-assign) plus the probed search — the shape a real
     * retrieval deployment runs per query batch. Brute-force-in-whitened-
-    * space remains the recall oracle inside PcaSpec.
+    * space remains the recall oracle inside PcaSpec. The cold path loads
+    * the fitted PAIR from ModelStore (one blob — a torn pair could serve
+    * an index whose space no longer matches the whitener) and falls back
+    * to fit-and-save, like the rest of the ANN family.
     */
   private val whitenedAnnModels = new graft.core.FitCache[(Pca.PcaModel, Ann.IvfModel)]
 
@@ -344,10 +347,18 @@ object DedupSim {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val (pca, ivf) = whitenedAnnModels.getOrFit("whitened", d) {
-          val m = Pca.fit(emb, k = 16)
-          val w = Pca.whiten(emb, m).toDF()
-            .select(col("vec_id"), col("white").as("embedding"))
-          (m, Ann.fitIvf(w, nCells = 16, lloydIters = 2))
+          val path = graft.sim.ModelStore.whitenedAnnPath(d, k = 16, nCells = 16)
+          (try Some(graft.sim.ModelStore.loadWhitenedAnn(s, path))
+           catch { case scala.util.control.NonFatal(_) => None })
+            .getOrElse {
+              val m = Pca.fit(emb, k = 16)
+              val w = Pca.whiten(emb, m).toDF()
+                .select(col("vec_id"), col("white").as("embedding"))
+              val fitted = (m, Ann.fitIvf(w, nCells = 16, lloydIters = 2))
+              try graft.sim.ModelStore.saveWhitenedAnn(s, path, fitted._1, fitted._2)
+              catch { case scala.util.control.NonFatal(_) => () }
+              fitted
+            }
         }
         val white = Pca.whiten(emb, pca).toDF()
           .select(col("vec_id"), col("white").as("embedding"))

@@ -83,6 +83,53 @@ object ModelStore {
       Pq.PqModel(Array.fill(m)(readMatrix(in).map(_.toArray).toArray))
     }
 
+  private def writeVector(out: DataOutputStream, v: Array[Double]): Unit = {
+    out.writeInt(v.length); v.foreach(out.writeDouble)
+  }
+  private def readVector(in: DataInputStream): Array[Double] =
+    Array.fill(in.readInt())(in.readDouble())
+
+  private val WhitenedMagic = 0x47415748 // "GAWH"
+
+  /** Persisted-blob path for the whitened-ANN pair (content fingerprint in
+    * the name, `SPARK_GRAFT_MODEL_DIR` override — the Ann.ivfModelPath
+    * convention).
+    */
+  def whitenedAnnPath(dataDir: String, k: Int, nCells: Int): String = {
+    val fp = graft.core.FitCache.fingerprint(dataDir)
+    val base = sys.env.getOrElse("SPARK_GRAFT_MODEL_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft-models")
+    val keyHash = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dataDir))
+    f"$base/whitened-$keyHash-$fp%016x-k$k-c$nCells.bin"
+  }
+
+  /** e9's fitted pair — PCA whitening model + the IVF index fitted in the
+    * whitened space — as ONE blob: they are fitted together and must load
+    * together (two files could tear, serving an index whose space no
+    * longer matches the whitener).
+    */
+  def saveWhitenedAnn(spark: SparkSession, path: String,
+                      pca: Pca.PcaModel, ivf: Ann.IvfModel): Unit =
+    writeBlob(spark, path) { out =>
+      out.writeInt(WhitenedMagic); out.writeInt(1)
+      writeVector(out, pca.mean)
+      writeMatrix(out, pca.components.map(_.toSeq).toSeq)
+      writeVector(out, pca.eigenvalues)
+      out.writeDouble(pca.eps)
+      writeMatrix(out, ivf.centroids)
+    }
+
+  def loadWhitenedAnn(spark: SparkSession, path: String)
+      : (Pca.PcaModel, Ann.IvfModel) =
+    readBlob(spark, path, WhitenedMagic) { in =>
+      val mean = readVector(in)
+      val comps = readMatrix(in).map(_.toArray).toArray
+      val evs = readVector(in)
+      val eps = in.readDouble()
+      (Pca.PcaModel(mean, comps, evs, eps), Ann.IvfModel(readMatrix(in)))
+    }
+
   private val IvfPqMagic = 0x47414950 // "GAIP"
 
   def saveIvfPq(spark: SparkSession, path: String, model: IvfPq.IvfPqModel): Unit =

@@ -104,6 +104,22 @@ class ModelStoreSpec extends SparkTestBase {
     assert(deep(loaded) == deep(fitted))
   }
 
+  test("whitened-ANN pair saves/loads as ONE blob, bit-exactly") {
+    val pca = Pca.fit(emb, k = 8)
+    import spark.implicits._
+    val white = Pca.whiten(emb, pca).toDF()
+      .select(col("vec_id"), col("white").as("embedding"))
+    val ivf = Ann.fitIvf(white, nCells = 4, lloydIters = 1)
+    val p = tmp("whitened.bin")
+    ModelStore.saveWhitenedAnn(spark, p, pca, ivf)
+    val (lp, li) = ModelStore.loadWhitenedAnn(spark, p)
+    assert(lp.mean.toSeq == pca.mean.toSeq)
+    assert(lp.components.map(_.toSeq).toSeq == pca.components.map(_.toSeq).toSeq)
+    assert(lp.eigenvalues.toSeq == pca.eigenvalues.toSeq)
+    assert(lp.eps == pca.eps)
+    assert(li.centroids == ivf.centroids)
+  }
+
   test("a torn save never leaves a loadable model; wrong magic refuses") {
     val p = tmp("bad.bin")
     // simulate a crash mid-write: only the tmp file exists

@@ -609,6 +609,27 @@ object DocStore {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** The small-files POLICY as one call: compact only when the live
+    * generation's data-file count exceeds `maxDataFiles` (each append
+    * adds files; unchecked, a high-frequency ingest turns every scan into
+    * a thousand-file listing). Under the threshold this is a metadata
+    * listing and nothing else; over it, the usual [[compact]] rewrite.
+    * Returns whether a compaction ran. Same caveat as any mutation: must
+    * not run concurrently with appends (the rewrite supersedes the
+    * generation an in-flight append targets) — sequential micro-batch
+    * sinks ([[graft.streaming.Streams.ingestToDocStore]]) satisfy that by
+    * construction.
+    */
+  def maybeCompact(spark: SparkSession, path: String, maxDataFiles: Int,
+                   targetFiles: Int = 1, retain: Int = 2): Boolean = {
+    require(maxDataFiles >= 1, s"maxDataFiles must be >= 1, got $maxDataFiles")
+    val fs = fileSystem(spark, path)
+    val live = liveDir(fs, spark, path)
+    if (!fs.exists(new Path(live))) false
+    else if (dataFileNames(fs, live).size <= maxDataFiles) false
+    else { compact(spark, path, targetFiles, retain); true }
+  }
+
   /** Sort-rewrite the collection clustered by `key` (e.g. a column, or
     * [[graft.ops.Zorder.zkey]] for multi-column locality) into
     * `targetFiles` files, then record per-file min/max stats for

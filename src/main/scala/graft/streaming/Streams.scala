@@ -114,7 +114,8 @@ object Streams {
     * carried into streaming.
     */
   def ingestToDocStore(stream: DataFrame, path: String, key: String,
-                       expectedKeys: Long = 1000000L)
+                       expectedKeys: Long = 1000000L,
+                       autoCompactAt: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -131,6 +132,13 @@ object Streams {
               unique, existing.select(key), key, key, expectedKeys)
           else unique // first batch into an empty collection
         if (!fresh.isEmpty) graft.sources.DocStore.insertMany(fresh, path)
+        // the small-files policy rides the sink: every micro-batch appends
+        // files, so an unattended ingest needs the compaction built in.
+        // Safe HERE because foreachBatch serializes batches — no append
+        // can race the rewrite (the documented mutation hazard).
+        if (autoCompactAt > 0)
+          graft.sources.DocStore.maybeCompact(spark, path, autoCompactAt,
+            targetFiles = math.max(1, autoCompactAt / 4))
         ()
       }
       .start()

@@ -572,6 +572,24 @@ class DocStoreSpec extends SparkTestBase {
     assert(ex.getMessage.contains("no longer retained"))
   }
 
+  test("maybeCompact: no-op under the file threshold, one rewrite over it, lossless") {
+    val path = freshPath()
+    for (i <- 0 until 6)
+      DocStore.insertMany(Seq((i.toLong, s"d$i")).toDF("id", "v"), path)
+    val live = DocStore.find(spark, path)
+    assert(live.inputFiles.length >= 6)
+    val before = live.orderBy("id").collect().toSeq
+    val gens = DocStore.generations(spark, path)
+    // under threshold: metadata only, no generation committed
+    assert(!DocStore.maybeCompact(spark, path, maxDataFiles = 100))
+    assert(DocStore.generations(spark, path) == gens)
+    // over threshold: compacts once, then the next call is a no-op again
+    assert(DocStore.maybeCompact(spark, path, maxDataFiles = 3, targetFiles = 2))
+    assert(DocStore.find(spark, path).inputFiles.length <= 2)
+    assert(DocStore.find(spark, path).orderBy("id").collect().toSeq == before)
+    assert(!DocStore.maybeCompact(spark, path, maxDataFiles = 3, targetFiles = 2))
+  }
+
   test("replicate: follower tracks leader through inserts/updates/deletes/appends") {
     val leader = freshPath()
     val follower = freshPath()

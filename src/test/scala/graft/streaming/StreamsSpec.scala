@@ -254,6 +254,28 @@ class StreamsSpec extends SparkTestBase {
     assert(docs.select("k").distinct().count() == 3)
   }
 
+  test("ingestToDocStore autoCompactAt: file count stays bounded, rows exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("st-ac").toString + "/coll"
+    val mem = MemoryStream[Event]
+    val q = Streams.ingestToDocStore(
+      mem.toDF().withColumn("k", col("user_id")), dir, "k",
+      expectedKeys = 1000L, autoCompactAt = 4)
+    // ten single-row batches: unchecked, that is >= 10 data files
+    for (i <- 1 to 10) {
+      mem.addData(Seq(Event(i.toLong, ts(i % 5), "click", i.toDouble)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val docs = graft.sources.DocStore.find(spark, dir)
+    assert(docs.count() == 10)
+    assert(docs.select("k").distinct().count() == 10)
+    // the policy kept the live generation's file count at or under the
+    // threshold + one uncompacted tail batch
+    assert(docs.inputFiles.length <= 5,
+      s"auto-compaction did not bound files: ${docs.inputFiles.length}")
+  }
+
   test("maintainCms: sketch merged across micro-batches equals the batch-built sketch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

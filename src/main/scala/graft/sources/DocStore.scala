@@ -471,6 +471,61 @@ object DocStore {
       next
   }
 
+  /** Incrementally maintain a DERIVED collection: poll the source's
+    * cursor CDC, run `transform` over ONLY the changed rows' after
+    * images, and apply the result to `dstPath` (deletes propagate as
+    * deletes). This is the incremental-ETL contract at 100 TB: the
+    * transform cost is proportional to the DELTA, never the corpus, yet
+    * the derived table stays equal to `transform(full source)` for any
+    * row-wise transform (one output row per input row, key preserved) —
+    * the equivalence DocStoreSpec pins against a full rebuild.
+    * `transform` must be row-wise for that equality; aggregations over
+    * the whole corpus need a rebuild, not a delta.
+    */
+  def syncDerived(spark: SparkSession, srcPath: String, dstPath: String,
+                  keyCol: String, cur: Option[DocCursor])
+                 (transform: DataFrame => DataFrame): DocCursor = cur match {
+    case None =>
+      val c = cursor(spark, srcPath)
+      val out = transform(find(spark, srcPath))
+      require(out.columns.contains(keyCol),
+        s"syncDerived: transform must preserve key column $keyCol")
+      insertMany(out, dstPath)
+      c
+    case Some(c0) =>
+      val (changes, next) = changesSince(spark, srcPath, c0, keyCol)
+      if (!changes.isEmpty) {
+        // collapse to the LATEST change per key BEFORE transforming: an
+        // update followed by a delete in the same window must apply as a
+        // delete — transforming the update's after image and stamping it
+        // with a fresh generation would resurrect the deleted row
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col("generation").desc)
+        val last = changes
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__rn") === 1)
+        val ups = transform(last.filter(col("change") =!= "deleted")
+          .select("after.*"))
+        require(ups.columns.contains(keyCol),
+          s"syncDerived: transform must preserve key column $keyCol")
+        val outCols = ups.columns.sorted.toSeq
+        val structType = org.apache.spark.sql.types.StructType(
+          outCols.map(c => ups.schema(ups.schema.fieldIndex(c))))
+        // each key now appears once, so applyChanges' own collapse is a
+        // no-op and the constant generation stamp is harmless
+        val transformed = ups.select(col(keyCol),
+            lit("upserted").as("change"),
+            struct(outCols.map(col): _*).as("after"),
+            lit(next.generation).as("generation"))
+          .unionByName(last.filter(col("change") === "deleted")
+            .select(col(keyCol), col("change"),
+              lit(null).cast(structType).as("after"),
+              lit(next.generation).as("generation")))
+        applyChanges(spark, dstPath, transformed, keyCol)
+      }
+      next
+  }
+
   /** Appended rows as CDC `inserted` events, shaped like
     * [[diffGenerations]] output (sorted-column structs, null `before`).
     */

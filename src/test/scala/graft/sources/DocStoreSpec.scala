@@ -625,6 +625,41 @@ class DocStoreSpec extends SparkTestBase {
     assert(snapshot(follower).map(_.toString) == snapshot(leader).map(_.toString))
   }
 
+  test("syncDerived: delta-cost transform stays equal to a full rebuild") {
+    val src = freshPath()
+    val derived = freshPath()
+    def qscore = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("id"), col("text"),
+        (length(col("text")) * 2).as("score"))
+    def rebuilt = qscore(DocStore.find(spark, src))
+      .orderBy("id").collect().toSeq
+    def derivedState = DocStore.find(spark, derived)
+      .select("id", "text", "score").orderBy("id").collect().toSeq
+    DocStore.insertMany(Seq((1L, "alpha"), (2L, "bee"), (3L, "ceee"))
+      .toDF("id", "text"), src)
+    var cur = DocStore.syncDerived(spark, src, derived, "id", None)(qscore)
+    assert(derivedState == rebuilt)
+    // append + update + delete, then one delta sync
+    DocStore.insertMany(Seq((4L, "dddd")).toDF("id", "text"), src)
+    DocStore.updateMany(spark, src, col("id") === 2L,
+      Map("text" -> lit("bumblebee")), retain = 5)
+    DocStore.deleteMany(spark, src, Some(col("id") === 1L), retain = 5)
+    cur = DocStore.syncDerived(spark, src, derived, "id", Some(cur))(qscore)
+    assert(derivedState == rebuilt)
+    // update-then-delete of the SAME key within one window applies as a
+    // delete (the collapse-before-transform rule)
+    DocStore.updateMany(spark, src, col("id") === 3L,
+      Map("text" -> lit("changed")), retain = 5)
+    DocStore.deleteMany(spark, src, Some(col("id") === 3L), retain = 5)
+    cur = DocStore.syncDerived(spark, src, derived, "id", Some(cur))(qscore)
+    assert(derivedState == rebuilt)
+    assert(!derivedState.exists(_.getLong(0) == 3L))
+    // caught-up poll is a no-op (no generation committed on the derived side)
+    val gens = DocStore.generations(spark, derived)
+    cur = DocStore.syncDerived(spark, src, derived, "id", Some(cur))(qscore)
+    assert(DocStore.generations(spark, derived) == gens)
+  }
+
   /** Spark jobs launched while `body` runs (listener events are posted
     * asynchronously; the short settle wait is generous for a local bus).
     */

@@ -508,6 +508,14 @@ object DocStore {
           .select("after.*"))
         require(ups.columns.contains(keyCol),
           s"syncDerived: transform must preserve key column $keyCol")
+        // LOUD failure for a non-row-wise transform: duplicate output keys
+        // would make applyChanges' latest-per-key collapse pick one
+        // arbitrarily (same generation stamp — no order), silently
+        // breaking the full-rebuild equality. Delta-sized check.
+        require(ups.groupBy(col(keyCol)).count()
+            .filter(col("count") > 1).limit(1).isEmpty,
+          s"syncDerived: transform produced duplicate $keyCol rows — " +
+            "it must be row-wise (one output row per input row)")
         val outCols = ups.columns.sorted.toSeq
         val structType = org.apache.spark.sql.types.StructType(
           outCols.map(c => ups.schema(ups.schema.fieldIndex(c))))

@@ -532,8 +532,13 @@ object Streams {
       // (joins, aggregates, parquet writes) where AQE's broadcast
       // conversion and partition coalescing are exactly what we want —
       // without it every join in the candidate chain is a sort-merge at
-      // the fixed partition count (~2x slower per batch, measured)
+      // the fixed partition count (~2x slower per batch, measured). The
+      // prior value is RESTORED after the batch body (see the end of
+      // this method) so the streaming engine's own planning never sees a
+      // conf it decided to disable.
+      val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+      try {
       val fs = new org.apache.hadoop.fs.Path(indexPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def existing(dir: String): Boolean =
@@ -629,6 +634,7 @@ object Streams {
       keys.unpersist()
       sh.unpersist()
       ()
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     }
   }
 

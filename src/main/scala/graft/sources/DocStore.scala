@@ -462,6 +462,12 @@ object DocStore {
   def replicate(spark: SparkSession, srcPath: String, dstPath: String,
                 keyCol: String, cur: Option[DocCursor]): DocCursor = cur match {
     case None =>
+      // seeding APPENDS the full snapshot — into a non-empty target that
+      // would duplicate rows, so refuse loudly (resume with Some(cursor),
+      // or point at a fresh path)
+      require(find(spark, dstPath).isEmpty,
+        s"replicate: seeding (cur = None) requires an empty target, but " +
+          s"$dstPath already has documents — pass the saved cursor to resume")
       val c = cursor(spark, srcPath)
       insertMany(find(spark, srcPath), dstPath)
       c

@@ -477,7 +477,7 @@ object Streams {
     * Index layout under `indexPath` (all plain parquet, no driver state —
     * a restarted driver resumes from the directories):
     *  - `keys/batch_id=N/slot=S/` — LSH band keys, slot =
-    *    xxhash64(band, band_hash) mod 256: a probe reads ONLY the slots
+    *    xxhash64(band, band_hash) mod 16: a probe reads ONLY the slots
     *    its batch touches (partition pruning), never the whole key set
     *  - `shingles/batch_id=N/id_slot=S/` — shingle sets for exact
     *    verification, id-sloted the same way, read only for candidate ids
@@ -553,7 +553,7 @@ object Streams {
         .bandKeysFromShingles(sh, idCol, bands, rowsPerBand)
         .withColumn("slot", pmod(xxhash64(col("band"), col("band_hash")), lit(Slots)))
         .cache()
-      // bounded driver collect: at most 256 slot ids
+      // bounded driver collect: at most `Slots` ids
       val slots = keys.select("slot").distinct().collect().map(_.getLong(0)).toSeq
       mark("keys+slots")
       val storedKeys =
@@ -582,7 +582,7 @@ object Streams {
         .filter(coalesce(col("__a"), lit(false)) || coalesce(col("__b"), lit(false)))
         .select("id_a", "id_b")
         .cache()
-      // bounded driver collect again: candidate ids' slots, <= 256 values
+      // bounded driver collect again: candidate ids' slots, <= `Slots`
 
       val candSlots = candsNew
         .select(explode(array(col("id_a"), col("id_b"))).as("id"))

@@ -254,6 +254,45 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
+  /** Contamination check ([[graft.streaming.Streams.probeNearDupIndex]]):
+    * the mod-3 "training" split of the documents table is streamed into a
+    * near-dup index in ONE batch, then the held-out "eval" split is probed
+    * against it READ-ONLY — which eval documents are near-duplicates of
+    * the training corpus? The probe reuses the ingest path's slot-pruned
+    * key reads, bucket caps, and exact-Jaccard verify, but publishes
+    * nothing; probe-vs-probe pairs are excluded by construction.
+    * StreamsSpec pins probe == a batch LSH reference (including id-
+    * collision side resolution) and that the index is byte-untouched.
+    */
+  def nearDupProbe(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = withStatePartitions(s) {
+    val docs = graft.core.Tables.documents(s, d).select("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 3 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 3 === 0)
+    val stage = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-probe-stage-${Integer.toHexString(d.hashCode)}-" +
+        java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d))).toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      train.coalesce(1).write.mode("overwrite").parquet(stage)
+    val index = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-probe-idx-${Integer.toHexString(d.hashCode)}").toString
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(index))
+    val stream = s.readStream.schema(docs.schema).parquet(stage)
+    val q = graft.streaming.Streams
+      .ingestToNearDupIndex(stream, index, idCol = "doc_id", textCol = "text",
+        k = 3, threshold = 0.5)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams
+      .probeNearDupIndex(evalSet, index, idCol = "doc_id", textCol = "text",
+        k = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+  }
+
   /** Streaming conversion-window funnel drained to completion
     * ([[graft.streaming.Streams.funnelStream]]): 25-day window anchored at
     * first signup, 10-minute watermark. Users whose window provably
@@ -1216,6 +1255,13 @@ object Extras {
     //      equality and replay idempotence
     "st14_stream_neardup" -> rowsOnly(
       (s, d) => StreamingQuery.nearDupIngest(s, d)),
+
+    // ---- contamination check: the eval split probed READ-ONLY against a
+    //      near-dup index of the training split (st14's read-side twin).
+    //      rows-only for the st14 reason; StreamsSpec pins probe == batch
+    //      LSH reference and index immutability
+    "st15_neardup_probe" -> rowsOnly(
+      (s, d) => StreamingQuery.nearDupProbe(s, d)),
 
     // ---- st12's read-side twin: per-batch sketches STORED as a table
     //      (overwrite-by-batch = replay-idempotent), served by pure SQL

@@ -514,6 +514,100 @@ object Streams {
     }
   }
 
+  /** READ-ONLY probe of a near-dup index built by
+    * [[ingestToNearDupIndex]]: which of `docs` are near-duplicates of
+    * the INDEXED corpus? The contamination check an eval set runs
+    * against a training corpus — same slot-pruned key probe, bucket
+    * caps, and exact-Jaccard verify as the ingest path, but nothing is
+    * published (the index is untouched) and probe-vs-probe pairs are
+    * NOT reported (only probe-vs-corpus contamination; self-dedup the
+    * probe set separately if needed). Cap semantics: stored buckets over
+    * `maxBucket` are dropped AND counted ([[graft.dedup.BucketDrops]]),
+    * with `requirePair = false` — a probe reaches a bucket via its own
+    * key, so a SINGLE stored member still pairs.
+    *
+    * Returns (probe id as `id_a`, indexed id as `id_b`, jaccard),
+    * MATERIALIZED (`localCheckpoint`) — the result is bounded by verified
+    * matches, and materializing it lets the probe-side caches be released
+    * before returning instead of leaking them into the caller's session.
+    */
+  def probeNearDupIndex(docs: DataFrame, indexPath: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                        threshold: Double = 0.7, maxBucket: Int = 1000)
+      : DataFrame = {
+    val Slots = 16L
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keysDir = s"$indexPath/keys"
+    val shDir = s"$indexPath/shingles"
+    require(fs.exists(new org.apache.hadoop.fs.Path(keysDir)) &&
+        fs.exists(new org.apache.hadoop.fs.Path(shDir)),
+      s"probeNearDupIndex: $indexPath has no keys/shingles dirs — build " +
+        "the index with ingestToNearDupIndex first")
+    val sh = graft.dedup.MinHashDedup
+      .shingleSets(docs, idCol, textCol, k).cache()
+    val keys = graft.dedup.MinHashDedup
+      .bandKeysFromShingles(sh, idCol, bands, rowsPerBand)
+      .withColumn("slot", pmod(xxhash64(col("band"), col("band_hash")), lit(Slots)))
+      .cache()
+    def emptyResult = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        docs.schema(docs.schema.fieldIndex(idCol)).copy(name = "id_a"),
+        docs.schema(docs.schema.fieldIndex(idCol)).copy(name = "id_b"),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType))))
+    val slots = keys.select("slot").distinct().collect().map(_.getLong(0)).toSeq
+    if (slots.isEmpty) { // empty probe set
+      sh.unpersist(); keys.unpersist(); return emptyResult
+    }
+    val storedKeys = spark.read.parquet(keysDir)
+      .filter(col("slot").isin(slots: _*))
+      .select(col("band"), col("band_hash"), col(idCol))
+    // stored bucket sizes for the cap (the probe side cannot blow up a
+    // bucket it merely visits); requirePair=false per the BucketDrops
+    // contract — a single stored member still pairs with a probe
+    val counts = storedKeys.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n"))
+    val under = graft.dedup.BucketDrops
+      .keepUnderCap(counts, "__n", maxBucket, "neardup-probe",
+        requirePair = false)
+      .select("band", "band_hash")
+    val cands = keys.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+      .join(storedKeys.select(col("band"), col("band_hash"), col(idCol).as("id_b")),
+        Seq("band", "band_hash"))
+      .join(under, Seq("band", "band_hash"), "leftsemi")
+      .filter(col("id_a") =!= col("id_b")) // a doc probed against an index containing it
+      .select("id_a", "id_b").distinct()
+    val candSlots = cands
+      .select(pmod(xxhash64(col("id_b")), lit(Slots)).as("s"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (candSlots.isEmpty) { sh.unpersist(); keys.unpersist(); return emptyResult }
+    val storedSh = spark.read.parquet(shDir)
+      .filter(col("id_slot").isin(candSlots: _*))
+      .select(col(idCol), col("sh"))
+    // SIDE-CORRECT verify: id_a resolves from the PROBE shingles, id_b
+    // from the (slot-pruned) STORED shingles — a probe doc reusing an
+    // indexed id with different text must be compared against the
+    // INDEXED text on the b side, not its own
+    val out = cands
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(storedSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    // materialize BEFORE releasing the probe-side caches: the lazy frame
+    // still references sh/keys, and unpersisting first would silently
+    // recompute the whole candidate chain at the caller's first action
+    val result = out.localCheckpoint()
+    sh.unpersist(); keys.unpersist()
+    result
+  }
+
   private def nearDupBatch(batch: Dataset[org.apache.spark.sql.Row], bid: Long,
                            indexPath: String, idCol: String, textCol: String,
                            k: Int, bands: Int, rowsPerBand: Int,

@@ -571,6 +571,102 @@ class StreamsSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/keys").count() == all.size * 16)
   }
 
+  test("probeNearDupIndex: read-only contamination probe == batch reference, index untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.MinHashDedup
+    // corpus: 4 clusters of 3 near-dup variants + 6 unique docs
+    def doc(c: Int, variant: Int): (Long, String) = {
+      val toks = (0 until 12).map(i =>
+        if (i == variant) s"x${c}_$variant" else s"w${c}_$i")
+      (c * 10L + variant, toks.mkString(" "))
+    }
+    def uniq(u: Int): (Long, String) =
+      (1000L + u, (0 until 12).map(i => s"u${u}_$i").mkString(" "))
+    val corpus = (for (c <- 0 until 4; v <- 0 until 3) yield doc(c, v)) ++
+      (0 until 6).map(uniq)
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-probe").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestToNearDupIndex(
+      mem.toDF().toDF("doc_id", "text"), dir,
+      idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5).start()
+    mem.addData(corpus.take(10): _*); q.processAllAvailable()
+    mem.addData(corpus.drop(10): _*); q.processAllAvailable()
+    q.stop()
+
+    // probe set, adversarial shapes:
+    //  - 5000: near-dup of cluster 0 (plain contamination hit)
+    //  - 5001: near-dup of UNIQUE doc 1000 — its stored buckets have a
+    //    single member, so this pair only survives with requirePair=false
+    //  - 11: REUSES indexed id 11 (cluster 1) but carries cluster-2 text —
+    //    matches must come from the probe text (sh_a from the probe side)
+    //    and the identical-id pair (11,11) must not appear
+    //  - 30: reuses indexed id 30 (cluster 3) with UNRELATED text, while
+    //  - 5002 is near cluster 3 — the (5002, 30) verify must read 30's
+    //    STORED text (sh_b from the index side), not the probe's
+    //  - 6000/6001: near-dups of each other, unrelated to the corpus —
+    //    probe-vs-probe pairs are not reported
+    def mut(base: (Long, String), newId: Long, tokIdx: Int, tok: String): (Long, String) =
+      (newId, base._2.split(" ").updated(tokIdx, tok).mkString(" "))
+    val probe = Seq(
+      mut(doc(0, 0), 5000L, 1, "p0"),
+      mut(uniq(0), 5001L, 1, "p1"),
+      mut(doc(2, 0), 11L, 1, "p2"),
+      (30L, (0 until 12).map(i => s"z${i}_alien").mkString(" ")),
+      mut(doc(3, 0), 5002L, 1, "p3"),
+      (6000L, (0 until 12).map(i => s"q${i}_only").mkString(" ")),
+      mut((6000L, (0 until 12).map(i => s"q${i}_only").mkString(" ")), 6001L, 1, "p4"))
+    val probeDf = probe.toDF("doc_id", "text")
+
+    def indexState(): Set[(String, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val b = Set.newBuilder[(String, Long)]
+      while (it.hasNext) { val f = it.next(); b += ((f.getPath.toString, f.getLen)) }
+      b.result()
+    }
+    val before = indexState()
+    val got = Streams.probeNearDupIndex(probeDf, dir,
+        idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexState() == before, "probe must not touch the index")
+
+    // LSH-faithful reference: band hashes depend only on text, so the
+    // probe's candidates (probe keys ∩ stored keys) are exactly the cross
+    // pairs of a combined self-join. Rename probe ids into a disjoint
+    // space so id collisions (11, 30) resolve each side's text correctly.
+    val Off = 100000L
+    val combined = (corpus ++ probe.map(p => (p._1 + Off, p._2))).toDF("doc_id", "text")
+    val shAll = MinHashDedup.shingleSets(combined, "doc_id", "text", 3)
+    val ref = MinHashDedup.verifiedPairsFromShingles(shAll,
+        MinHashDedup.candidatePairs(
+          MinHashDedup.bandKeysFromShingles(shAll, "doc_id", 16, 4), "doc_id"),
+        "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => (p._1 >= Off) != (p._2 >= Off)) // exactly one probe side
+      .map { p => // orient: id_a = probe, id_b = indexed
+        if (p._1 >= Off) (p._1 - Off, p._2, p._3) else (p._2 - Off, p._1, p._3)
+      }
+      .filter(p => p._1 != p._2) // the doc-probed-against-itself exclusion
+      .toSet
+    assert(got == ref, s"probe=$got ref=$ref")
+    // the shapes above actually occurred (the reference isn't vacuous)
+    assert(got.exists(p => p._1 == 5000L && p._2 / 10 == 0 && p._2 < 1000))
+    assert(got.exists(p => p._1 == 5001L && p._2 == 1000L), "singleton stored bucket must pair")
+    assert(got.exists(p => p._1 == 11L && p._2 / 10 == 2 && p._2 < 1000),
+      "id-colliding probe must match via its PROBE text")
+    assert(!got.exists(p => p._1 == 11L && p._2 / 10 == 1 && p._2 < 1000),
+      "id-colliding probe must not match the indexed text's own cluster")
+    assert(got.exists(p => p._1 == 5002L && p._2 == 30L),
+      "verify must read the b side's STORED text")
+    assert(!got.exists(p => p._1 == 6000L || p._1 == 6001L),
+      "probe-vs-probe pairs are not reported")
+    // empty probe: typed empty frame, no jobs against the index needed
+    val empty = Streams.probeNearDupIndex(probeDf.limit(0), dir,
+      idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("id_a", "id_b", "jaccard"))
+  }
+
   test("funnelStream: exact-boundary emission when wm lands on t1+W then t1+W+1") {
     // The two adversarial watermark landings around the window close:
     //  - a batch observes wm == t1 + W exactly (the timeout clamp case —

@@ -33,7 +33,12 @@ import org.apache.spark.sql.functions._
   *    (`_SUCCESS`-marked), never an empty or partial one;
   *  - concurrent readers keep their planned file list valid: the previous
   *    generation is retained for one more mutation before cleanup
-  *    (snapshot isolation with a one-generation grace window).
+  *    (snapshot isolation with a one-generation grace window);
+  *  - concurrent APPENDS are safe, against each other and against
+  *    mutations: every rewrite commits the exact file list it read (the
+  *    `_SOURCE` record), so an append the rewrite never saw is
+  *    deterministically salvaged into the committed generation instead of
+  *    stranding in the superseded one (see [[insertMany]]).
   * Matched/deleted counts ride the rewrite pass via `Dataset.observe`; no
   * separate count() scan. Pre-manifest (legacy flat-directory) collections
   * read as-is and migrate to generations on their first rewrite.
@@ -66,7 +71,10 @@ object DocStore {
     * scan of ONLY the new files) so the skip rate never degrades across
     * appends; the stored schema is widened if the batch brings new columns.
     *
-    * CONCURRENT APPENDS ARE SAFE: the batch is written to a private
+    * CONCURRENT APPENDS ARE SAFE — against each other AND against
+    * mutations.
+    *
+    * Append-vs-append: the batch is written to a private
     * staging dir inside the generation (underscore-prefixed — invisible
     * to data scans) and its part files renamed into the live dir, so the
     * new-file set comes from THE WRITE ITSELF, never from diffing
@@ -77,23 +85,43 @@ object DocStore {
     * sidecar files, merged at read time), so concurrent widenings cannot
     * lose each other's columns.
     *
-    * SCOPE OF THE GUARANTEE: append-vs-append ONLY. An append racing a
-    * MUTATION (update/delete/compact/cluster — anything that swings the
-    * manifest to a new generation) can rename its files into the
-    * generation the mutation is superseding, losing them from the live
-    * view. Do not run appends concurrently with mutations; the mutations
-    * themselves are also single-writer among each other (their manifest
-    * swing is last-writer-wins).
+    * Append-vs-mutation (update/delete/compact/cluster — anything that
+    * swings the manifest to a new generation): every rewrite pins and
+    * COMMITS the exact file list it read (the generation's `_SOURCE`
+    * record), which makes the race determinate per file — a file the
+    * rewrite read linearizes the append BEFORE the mutation (its rows are
+    * in the new generation, transformed); a file it provably never saw
+    * linearizes the append AFTER (the file is moved into the committed
+    * generation untransformed — by the mutation's own salvage step, by
+    * [[healStragglers]] at the next write, and independently by this
+    * appender's post-publish visibility walk; all converge on the same
+    * atomic renames). The walk fails LOUDLY — never silently — in the one
+    * unresolvable case: several full rewrites plus their retention pruning
+    * all completing inside a single append. Mutations remain single-writer
+    * among THEMSELVES (their manifest swing is last-writer-wins).
     */
-  def insertMany(df: DataFrame, path: String): Long = {
+  def insertMany(df: DataFrame, path: String): Long =
+    insertManySeamed(df, path, () => (), () => ())
+
+  /** [[insertMany]] with test seams at the two windows a concurrent
+    * mutation can occupy: `afterStage` runs once the batch is staged but
+    * before any file is published; `beforeVisibilityCheck` runs after
+    * publish + stats but before the post-publish visibility walk.
+    * Production behavior (no-op seams) IS [[insertMany]].
+    */
+  private[sources] def insertManySeamed(df: DataFrame, path: String,
+                                        afterStage: () => Unit,
+                                        beforeVisibilityCheck: () => Unit): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, path)
+    healStragglers(spark, fs, path) // recover any crashed salvage first
     val n = df.count()
     val live = liveDir(fs, spark, path, createIfMissing = true)
     val fmt = genFormat(fs, live)
     val staging = new Path(live, s"_append-${java.util.UUID.randomUUID()}")
     try {
       writeData(df, fmt, staging.toString)
+      afterStage()
       val staged = fs.listStatus(staging).toSeq.filter { st =>
         val nm = st.getPath.getName
         st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
@@ -106,14 +134,9 @@ object DocStore {
       // the sidecar first can only OVER-describe (schema of files that
       // never arrived), which widens the read schema harmlessly.
       val statsPath = new Path(live, StatsDir)
-      if (staged.nonEmpty && fs.exists(new Path(statsPath, "_schema.json"))) {
-        val batchSchema =
-          readFiles(spark, fmt, None, staged.map(_.getPath.toString)).schema
-        val sidecar = new Path(statsPath,
-          s"_schema-append-${java.util.UUID.randomUUID()}.json")
-        val out = fs.create(sidecar, true)
-        try out.write(batchSchema.json.getBytes(UTF_8)) finally out.close()
-      }
+      if (staged.nonEmpty && fs.exists(new Path(statsPath, "_schema.json")))
+        writeSchemaSidecar(fs, statsPath,
+          readFiles(spark, fmt, None, staged.map(_.getPath.toString)).schema)
       val added = staged.map { st =>
         val target = new Path(live, st.getPath.getName)
         if (!fs.rename(st.getPath, target))
@@ -123,6 +146,11 @@ object DocStore {
       }
       if (fs.exists(statsPath) && added.nonEmpty)
         appendStats(spark, fs, live, fmt, added)
+      beforeVisibilityCheck()
+      // a mutation may have swung the manifest while this append was in
+      // flight; make the batch's visibility in the LIVE view determinate
+      // before returning (no-op when the generation is still live)
+      ensureVisible(spark, fs, path, live, added.map(p => new Path(p).getName))
       n
     } finally fs.delete(staging, true)
   }
@@ -136,7 +164,8 @@ object DocStore {
     * is written by ONE job and appends adopt the live format, so mixed
     * dirs cannot arise (an empty generation reads as json, and whichever
     * format the first append writes becomes the detected format from
-    * then on).
+    * then on; a salvaged straggler crossing a format boundary is
+    * CONVERTED by [[publishForward]], preserving purity).
     */
   private def genFormat(fs: FileSystem, dir: String): String = {
     val p = new Path(dir)
@@ -395,8 +424,20 @@ object DocStore {
     val genDir = genPath(path, cur.generation)
     val nowFiles = dataFileNames(fs, genDir)
     val missing = cur.files -- nowFiles
-    require(missing.isEmpty,
-      s"docstore: cursor files ${missing.mkString(", ")} vanished from " +
+    // A file may legitimately leave a SUPERSEDED generation: the salvage
+    // protocol moves an append a racing rewrite never read into the
+    // committed successor (possibly format-converted under
+    // `<name>.salv.*`). Tolerate exactly those — their rows re-enter this
+    // poll as inserts of the generation they moved to, which is
+    // idempotent under the replace-by-key [[applyChanges]] contract — and
+    // keep the loud failure for files that truly vanished.
+    val laterGens = gens.dropWhile(_ <= cur.generation)
+    val unexplained = missing.filterNot { n =>
+      laterGens.exists(g => dataFileNames(fs, genPath(path, g))
+        .exists(f => f == n || f.startsWith(n + ".salv.")))
+    }
+    require(unexplained.isEmpty,
+      s"docstore: cursor files ${unexplained.mkString(", ")} vanished from " +
         s"generation ${cur.generation} — generation dirs are append-only; " +
         "this collection was mutated outside the DocStore API")
     val appended = (nowFiles -- cur.files).toSeq.sorted.map(n => s"$genDir/$n")
@@ -441,13 +482,18 @@ object DocStore {
     val upserts = last.filter(col("change") =!= "deleted").select("after.*")
     val keys = last.select(col(keyCol)).distinct()
     val fs = fileSystem(spark, path)
-    val live = find(spark, path)
+    val (liveD, fmt, names) = pinLive(spark, fs, path)
+    val live =
+      try readPinned(spark, fs, liveD, fmt, names)
+      catch { // empty/new target with no schema — the find() behavior
+        case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
+      }
     val merged =
       if (!live.columns.contains(keyCol)) upserts // empty/new target
       else live.join(keys, Seq(keyCol), "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
-    val fmt = genFormat(fs, liveDir(fs, spark, path))
-    commitRewrite(fs, spark, merged, path, retain, format = fmt)
+    commitRewrite(fs, spark, merged, path, retain, format = fmt,
+      sourceNames = names)
   }
 
   /** Maintain a FOLLOWER collection from a leader by cursor CDC:
@@ -593,8 +639,8 @@ object DocStore {
   def updateMany(spark: SparkSession, path: String, filter: Column,
                  set: Map[String, Column], retain: Int = 2): Long = {
     val fs = fileSystem(spark, path)
-    val live = liveDir(fs, spark, path)
-    val docs = readGen(spark, fs, live)
+    val (live, fmt, names) = pinLive(spark, fs, path)
+    val docs = readPinned(spark, fs, live, fmt, names)
     val matched = coalesce(filter, lit(false))
     // The observation sits BELOW the $set projections: `matched` must be
     // evaluated on pre-update values, or a $set that writes a column the
@@ -606,7 +652,8 @@ object DocStore {
       if (d.columns.contains(k)) d.withColumn(k, when(matched, v).otherwise(col(k)))
       else d.withColumn(k, when(matched, v))
     }
-    commitRewrite(fs, spark, updated, path, retain, format = genFormat(fs, live))
+    commitRewrite(fs, spark, updated, path, retain, format = fmt,
+      sourceNames = names)
     obs.get("matched").asInstanceOf[Long]
   }
 
@@ -617,23 +664,23 @@ object DocStore {
                  deleteProtection: Boolean = true, retain: Int = 2): Long = {
     if (deleteProtection && filter.isEmpty) throw new DeleteProtectionException
     val fs = fileSystem(spark, path)
-    val live = liveDir(fs, spark, path)
-    val fmt = genFormat(fs, live)
-    val docs = readGen(spark, fs, live)
+    val (live, fmt, names) = pinLive(spark, fs, path)
+    val docs = readPinned(spark, fs, live, fmt, names)
     filter match {
       case None =>
         // Guard-off delete-all: the kept-set is provably empty, so the
         // optimizer prunes the scan (and any CollectMetrics on it) to an
         // empty LocalRelation — count directly, then commit emptiness.
         val n = docs.count()
-        commitRewrite(fs, spark, docs.filter(lit(false)), path, retain, format = fmt)
+        commitRewrite(fs, spark, docs.filter(lit(false)), path, retain,
+          format = fmt, sourceNames = names)
         n
       case Some(f) =>
         val hit = coalesce(f, lit(false))
         val obs = Observation()
         commitRewrite(fs, spark,
           docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit),
-          path, retain, format = fmt)
+          path, retain, format = fmt, sourceNames = names)
         obs.get("deleted").asInstanceOf[Long]
     }
   }
@@ -661,17 +708,17 @@ object DocStore {
     require(format.forall(Seq("json", "parquet").contains),
       s"format must be json or parquet, got $format")
     val fs = fileSystem(spark, path)
-    val live = liveDir(fs, spark, path)
+    val (live, fmt, names) = pinLive(spark, fs, path)
     // stats survive compaction: remember which columns (and Bloom
     // geometry) the generation statted and re-stat the compacted files
     // (they're freshly written and usually few — the rewrite already paid
     // the full read)
     val (statted, bloomed, bits) = statsConfig(spark, fs, live)
-    val docs = readGen(spark, fs, live)
+    val docs = readPinned(spark, fs, live, fmt, names)
     val obs = Observation()
     commitRewrite(fs, spark,
       docs.observe(obs, count(lit(1)).as("n")).coalesce(targetFiles), path, retain,
-      format = format.getOrElse(genFormat(fs, live)))
+      format = format.getOrElse(fmt), sourceNames = names)
     if (statted.nonEmpty || bloomed.nonEmpty)
       collectStats(spark, path, statted, bloomed,
         if (bits > 0) bits else 1 << 16)
@@ -683,11 +730,11 @@ object DocStore {
     * adds files; unchecked, a high-frequency ingest turns every scan into
     * a thousand-file listing). Under the threshold this is a metadata
     * listing and nothing else; over it, the usual [[compact]] rewrite.
-    * Returns whether a compaction ran. Same caveat as any mutation: must
-    * not run concurrently with appends (the rewrite supersedes the
-    * generation an in-flight append targets) — sequential micro-batch
-    * sinks ([[graft.streaming.Streams.ingestToDocStore]]) satisfy that by
-    * construction.
+    * Returns whether a compaction ran. Like any mutation it is safe
+    * against concurrent appends (an in-flight append's files are salvaged
+    * into the committed generation — see [[insertMany]]); sequential
+    * micro-batch sinks ([[graft.streaming.Streams.ingestToDocStore]])
+    * never even hit that path, their batches serialize by construction.
     */
   def maybeCompact(spark: SparkSession, path: String, maxDataFiles: Int,
                    targetFiles: Int = 1, retain: Int = 2): Boolean = {
@@ -711,14 +758,14 @@ object DocStore {
               bloomCols: Seq[String] = Seq.empty,
               bloomBits: Int = 1 << 16): Long = {
     val fs = fileSystem(spark, path)
-    val live = liveDir(fs, spark, path)
-    val docs = readGen(spark, fs, live)
+    val (live, fmt, names) = pinLive(spark, fs, path)
+    val docs = readPinned(spark, fs, live, fmt, names)
     // no Dataset.observe here: repartitionByRange runs an extra sampling
     // pass over the child, which would double the observed count
     val n = docs.count()
     commitRewrite(fs, spark,
       graft.ops.Zorder.clusterByKey(docs, key, targetFiles), path, retain,
-      format = genFormat(fs, live))
+      format = fmt, sourceNames = names)
     collectStats(spark, path, statsCols, bloomCols, bloomBits)
     n
   }
@@ -1149,15 +1196,265 @@ object DocStore {
       throw new java.io.IOException(s"docstore: cannot commit manifest for $path")
   }
 
+  // ---- append-vs-mutation concurrency ------------------------------------
+  //
+  // A rewrite and a concurrent append race on ONE question: did the
+  // rewrite's scan read the appended files? The answer is made determinate
+  // by pinning the rewrite's input as an explicit file list and COMMITTING
+  // that list with the generation (the `_SOURCE` record): a file present
+  // in the superseded generation but absent from the record was provably
+  // invisible to the rewrite and is salvaged forward (the append
+  // linearizes AFTER the mutation — its documents do not receive the
+  // rewrite's update/delete); a recorded file's rows are already in the
+  // new generation (the append linearized BEFORE). Salvage runs on the
+  // mutation side right after the commit, is re-run by [[healStragglers]]
+  // at the start of every later write (crash recovery), and the appender
+  // independently walks its own files forward ([[ensureVisible]]) — all
+  // three paths converge on the same deterministic targets via atomic
+  // renames, so racing each other is harmless.
+
+  private val SourceFile = "_SOURCE"
+
+  /** Record, inside a freshly committed generation, which data files of
+    * its predecessor the rewrite read (line 1 = predecessor dir name, ""
+    * for the legacy flat root; remaining lines = file names). Written
+    * tmp-then-rename so a torn write reads as ABSENT (no info — no
+    * salvage, today's pre-protocol behavior) rather than as an
+    * under-listing that would salvage already-read files and duplicate
+    * their rows.
+    */
+  private def writeSourceRecord(fs: FileSystem, genDir: String, from: String,
+                                files: Set[String]): Unit = {
+    val tmp = new Path(genDir, SourceFile + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write((from + "\n" + files.toSeq.sorted.mkString("\n")).getBytes(UTF_8))
+    finally out.close()
+    val dst = new Path(genDir, SourceFile)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"docstore: cannot write $dst")
+  }
+
+  private def readSourceRecord(fs: FileSystem, genDir: String)
+      : Option[(String, Set[String])] = {
+    val p = new Path(genDir, SourceFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+                finally in.close()
+      val lines = txt.split("\n", -1).toSeq
+      Some((lines.head.trim, lines.tail.map(_.trim).filter(_.nonEmpty).toSet))
+    }
+  }
+
+  private def writeSchemaSidecar(fs: FileSystem, statsPath: Path,
+                                 schema: org.apache.spark.sql.types.StructType): Unit = {
+    val sidecar = new Path(statsPath,
+      s"_schema-append-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(sidecar, true)
+    try out.write(schema.json.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** Idempotently publish straggler data files of `fromDir` (a superseded
+    * generation) into `toDir` (its committed successor), converting when
+    * the formats differ, with schema-sidecar and stats upkeep on the
+    * destination. Safe against a concurrent publisher of the SAME files
+    * (a mutation's salvage racing the appender's visibility walk): same
+    * source, same deterministic target, atomic rename — the loser sees
+    * the target present or the source gone and treats it as done. Returns
+    * the names the files carry in `toDir`.
+    */
+  private def publishForward(spark: SparkSession, fs: FileSystem,
+                             fromDir: String, toDir: String,
+                             names: Seq[String]): Seq[String] = {
+    if (names.isEmpty) return Nil
+    val toFmt =
+      if (dataFileNames(fs, toDir).nonEmpty) Some(genFormat(fs, toDir)) else None
+    val statsPath = new Path(toDir, StatsDir)
+    val hasBase = fs.exists(new Path(statsPath, "_schema.json"))
+    names.map { name =>
+      val src = new Path(fromDir, name)
+      val srcFmt = if (name.endsWith(".parquet")) "parquet" else "json"
+      // an empty destination adopts the straggler's own format (nothing
+      // there to stay pure against)
+      val dstFmt = toFmt.getOrElse(srcFmt)
+      if (srcFmt == dstFmt) {
+        val target = new Path(toDir, name)
+        if (fs.exists(src)) {
+          // sidecar BEFORE publish, the insertMany cover-first discipline
+          if (hasBase && fs.getFileStatus(src).getLen > 0)
+            writeSchemaSidecar(fs, statsPath,
+              readFiles(spark, srcFmt, None, Seq(src.toString)).schema)
+          if (fs.rename(src, target))
+            appendStats(spark, fs, toDir, dstFmt, Seq(target.toString))
+          // rename failure = the racing publisher won; done either way
+        }
+        name
+      } else {
+        // format boundary (the straggler raced a compact(format = ...)):
+        // rewrite the file into the destination format under a
+        // DETERMINISTIC name so racing publishers converge on one target
+        val tName = name + (if (dstFmt == "parquet") ".salv.parquet" else ".salv.json")
+        val target = new Path(toDir, tName)
+        if (!fs.exists(target) && fs.exists(src)) {
+          if (fs.getFileStatus(src).getLen == 0) fs.delete(src, false) // rowless
+          else {
+            val rows = readFiles(spark, srcFmt, None, Seq(src.toString))
+            if (hasBase) writeSchemaSidecar(fs, statsPath, rows.schema)
+            val stage = new Path(toDir, s"_salv-${java.util.UUID.randomUUID()}")
+            try {
+              writeData(rows.coalesce(1), dstFmt, stage.toString)
+              fs.listStatus(stage).toSeq.find { st =>
+                val nm = st.getPath.getName
+                st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+              }.foreach { st =>
+                if (fs.rename(st.getPath, target))
+                  appendStats(spark, fs, toDir, dstFmt, Seq(target.toString))
+              }
+            } finally fs.delete(stage, true)
+          }
+        }
+        // the source copy is superseded once the target exists; a crash
+        // between the two leaves a re-deletable source, never a double
+        if (fs.exists(target) && fs.exists(src)) fs.delete(src, false)
+        tName
+      }
+    }
+  }
+
+  /** Move data files that landed in `fromDir` after the committed rewrite
+    * pinned its source list — appends the rewrite never saw — into the
+    * committed generation, so they stay in the live view.
+    */
+  private def salvageInto(spark: SparkSession, fs: FileSystem, fromDir: String,
+                          toDir: String, sourceNames: Set[String]): Unit =
+    if (fs.exists(new Path(fromDir))) {
+      publishForward(spark, fs, fromDir, toDir,
+        (dataFileNames(fs, fromDir) -- sourceNames).toSeq.sorted)
+      ()
+    }
+
+  /** Re-run any salvage a crashed mutation never finished: walk the
+    * retained generation chain from the live one back through its
+    * [[SourceFile]] links and salvage each pending predecessor
+    * oldest-first. Runs at the start of every mutation (so the rewrite
+    * reads recovered rows) and every append; cheap when there is nothing
+    * to do (one manifest read, one small file, one listing diff).
+    */
+  private def healStragglers(spark: SparkSession, fs: FileSystem, path: String): Unit = {
+    val liveName = readManifest(fs, path).getOrElse(return)
+    var chain = List.empty[(String, String, Set[String])] // (child, parent, L)
+    var cur = s"$path/$liveName"
+    var hops = 0
+    while (hops < 64) {
+      readSourceRecord(fs, cur) match {
+        case Some((from, files)) =>
+          val parent = if (from.isEmpty) path else s"$path/$from"
+          chain ::= ((cur, parent, files))
+          if (from.nonEmpty && fs.exists(new Path(parent))) { cur = parent; hops += 1 }
+          else hops = 64
+        case None => hops = 64
+      }
+    }
+    chain.foreach { case (child, parent, l) => // oldest link first
+      if (parent != child) salvageInto(spark, fs, parent, child, l)
+    }
+  }
+
+  /** Post-publish visibility walk for an append: if the generation the
+    * batch was published into is no longer live, a mutation raced it. Per
+    * file the outcome is determinate via the successor's [[SourceFile]]
+    * record — listed means the rewrite read it (rows already in the
+    * successor), unlisted means move it forward. Loops in case several
+    * mutations landed; throws LOUDLY (never silent loss) if the chain is
+    * unresolvable, reachable only when multiple full rewrites and their
+    * retention pruning all complete inside this one append.
+    */
+  private def ensureVisible(spark: SparkSession, fs: FileSystem, path: String,
+                            publishedDir: String, names: Seq[String]): Unit = {
+    var dir = publishedDir
+    var remaining = names
+    var hops = 0
+    while (remaining.nonEmpty) {
+      val liveNow = liveDir(fs, spark, path)
+      if (dir == liveNow) return
+      hops += 1
+      require(hops <= 64,
+        s"docstore: append visibility walk did not converge for $path")
+      // successor of `dir` on the live chain (walked from live backwards,
+      // so orphaned never-committed generations are never consulted)
+      var succ: Option[(String, Set[String])] = None
+      var cur = liveNow
+      var guard = 0
+      while (succ.isEmpty && guard < 64) {
+        readSourceRecord(fs, cur) match {
+          case Some((from, files)) =>
+            val parent = if (from.isEmpty) path else s"$path/$from"
+            if (parent == dir) succ = Some((cur, files))
+            else if (fs.exists(new Path(parent))) { cur = parent; guard += 1 }
+            else guard = 64
+          case None => guard = 64
+        }
+      }
+      succ match {
+        case Some((sDir, l)) =>
+          val stragglers = remaining.filterNot(l.contains) // rest carried as rows
+          remaining = publishForward(spark, fs, dir, sDir, stragglers)
+          dir = sDir
+        case None =>
+          throw new IllegalStateException(
+            s"docstore: an append into $dir raced mutations of $path and the " +
+              "superseding chain is no longer resolvable (multiple rewrites " +
+              "plus pruning completed mid-append); the batch's visibility is " +
+              "indeterminate — inspect the collection before retrying")
+      }
+    }
+  }
+
+  /** Pin the live generation for a rewrite: heal pending salvages first
+    * (their rows must be read), then list the data files ONCE — the
+    * rewrite reads exactly this list and commits it as the generation's
+    * [[SourceFile]] record, which is what makes concurrent appends
+    * determinate.
+    */
+  private def pinLive(spark: SparkSession, fs: FileSystem, path: String)
+      : (String, String, Set[String]) = {
+    healStragglers(spark, fs, path)
+    val live = liveDir(fs, spark, path)
+    val p = new Path(live)
+    val names =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) dataFileNames(fs, live)
+      else Set.empty[String]
+    (live, genFormat(fs, live), names)
+  }
+
+  /** [[readGen]] over a pinned file list (same stored-schema discipline,
+    * same no-files behavior).
+    */
+  private def readPinned(spark: SparkSession, fs: FileSystem, live: String,
+                         fmt: String, names: Set[String]): DataFrame = {
+    val schema = storedSchema(fs, new Path(live, StatsDir))
+    if (names.isEmpty) schema match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => readFiles(spark, fmt, None, Seq(live))
+    }
+    else readFiles(spark, fmt, schema, names.toSeq.sorted.map(n => s"$live/$n"))
+  }
+
   /** One-scan rewrite into the next generation, manifest commit, then
     * cleanup. The newest `retain` generations survive (the previous live
     * one always does, so concurrent readers' planned file lists stay
     * valid; retain > 2 buys [[findAsOf]] time travel further back); older
     * generations and (post-migration) legacy flat files are reclaimed.
+    * `sourceNames` is the pinned file list the rewrite's `df` was read
+    * from ([[pinLive]]) — committed as the [[SourceFile]] record and used
+    * to salvage late concurrent appends forward before anything is pruned.
     */
   private def commitRewrite(fs: FileSystem, spark: SparkSession, df: DataFrame,
-                            path: String, retain: Int = 2,
-                            format: String = "json"): Unit = {
+                            path: String, retain: Int, format: String,
+                            sourceNames: Set[String]): Unit = {
     require(retain >= 2, s"retain must keep the live + previous generation, got $retain")
     val previous = readManifest(fs, path)
     val gens = completeGens(fs, path)
@@ -1176,18 +1473,32 @@ object DocStore {
       val out = fs.create(new Path(stats, "_schema.json"), true)
       try out.write(df.schema.json.getBytes(UTF_8)) finally out.close()
     }
+    writeSourceRecord(fs, next, previous.getOrElse(""), sourceNames)
     writeManifest(fs, path, new Path(next).getName)
+    // salvage BEFORE pruning: files that landed in the superseded
+    // generation after the source list was pinned are concurrent appends
+    // this rewrite never read — move them into the committed generation
+    val fromDir = previous match {
+      case Some(g) if g.startsWith("gen-") => s"$path/$g"
+      case _ => path
+    }
+    if (fromDir != next) salvageInto(spark, fs, fromDir, next, sourceNames)
     val all = completeGens(fs, path)
     val keep = all.takeRight(retain).map(id => f"gen-$id%06d").toSet ++ previous
     all.map(id => genPath(path, id))
       .filterNot(p => keep.contains(new Path(p).getName))
       .foreach(p => fs.delete(new Path(p), true))
     if (previous.isEmpty || !previous.exists(_.startsWith("gen-"))) {
-      // migration from the flat layout: drop the old part files (dirs named
-      // gen-* and the manifest stay)
+      // migration from the flat layout: drop the old part files the
+      // rewrite READ (plus housekeeping markers); a data file outside the
+      // pinned source list is a concurrent append — salvage above already
+      // moved it, and if it landed even later the appender's own
+      // visibility walk will (deleting it here would lose it)
       val root = new Path(path)
       if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-        if (st.isFile && st.getPath.getName != Manifest)
+        val nm = st.getPath.getName
+        if (st.isFile && nm != Manifest &&
+            (sourceNames.contains(nm) || nm.startsWith("_") || nm.startsWith(".")))
           fs.delete(st.getPath, false)
       }
     }

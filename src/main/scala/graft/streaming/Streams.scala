@@ -134,8 +134,9 @@ object Streams {
         if (!fresh.isEmpty) graft.sources.DocStore.insertMany(fresh, path)
         // the small-files policy rides the sink: every micro-batch appends
         // files, so an unattended ingest needs the compaction built in.
-        // Safe HERE because foreachBatch serializes batches — no append
-        // can race the rewrite (the documented mutation hazard).
+        // foreachBatch serializes batches, so the rewrite never even races
+        // an append here (and if it did, DocStore's salvage protocol would
+        // carry the raced batch into the committed generation).
         if (autoCompactAt > 0)
           graft.sources.DocStore.maybeCompact(spark, path, autoCompactAt,
             targetFiles = math.max(1, autoCompactAt / 4))

@@ -1,0 +1,205 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Append-vs-mutation concurrency: the `_SOURCE`-record salvage protocol.
+  *
+  * Interleavings are made DETERMINISTIC with [[DocStore.insertManySeamed]]:
+  * `afterStage` occupies the window before any file is published (a
+  * mutation pinning there provably never reads the batch -> the append
+  * linearizes AFTER it), `beforeVisibilityCheck` the window after publish
+  * (the mutation's pin lists the batch -> the append linearizes BEFORE).
+  * A real-thread stress test covers the interleavings the seams can't
+  * enumerate.
+  */
+class DocStoreConcurrencySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshPath() = {
+    val d = java.nio.file.Files.createTempDirectory("graft-ds-conc").toString
+    new java.io.File(d).delete()
+    d
+  }
+
+  private def rows(path: String): Set[(Long, String)] =
+    DocStore.find(spark, path).select("id", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("append racing updateMany: unseen batch is salvaged, linearized after the update") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "pending"), (2L, "pending")).toDF("id", "status"), path)
+    var matched = -1L
+    val n = DocStore.insertManySeamed(
+      Seq((3L, "pending"), (4L, "pending")).toDF("id", "status"), path,
+      afterStage = () => { // mutation pins BEFORE the batch publishes
+        matched = DocStore.updateMany(spark, path,
+          col("status") === "pending", Map("status" -> lit("done")))
+      },
+      beforeVisibilityCheck = () => ())
+    assert(n == 2 && matched == 2) // the rewrite saw only the base docs
+    // base docs updated; the raced append linearized AFTER the update —
+    // present exactly once, NOT transformed by it
+    assert(rows(path) ==
+      Set((1L, "done"), (2L, "done"), (3L, "pending"), (4L, "pending")))
+    assert(DocStore.find(spark, path).count() == 4)
+  }
+
+  test("append racing delete-all: unseen batch survives the emptying") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "a")).toDF("id", "status"), path)
+    var deleted = -1L
+    DocStore.insertManySeamed(Seq((3L, "a")).toDF("id", "status"), path,
+      afterStage = () =>
+        deleted = DocStore.deleteMany(spark, path, None, deleteProtection = false),
+      beforeVisibilityCheck = () => ())
+    assert(deleted == 2)
+    assert(rows(path) == Set((3L, "a")))
+  }
+
+  test("append published before the mutation pins: linearized before (rows transformed once)") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "keep")).toDF("id", "status"), path)
+    DocStore.insertManySeamed(Seq((2L, "drop"), (3L, "keep")).toDF("id", "status"), path,
+      afterStage = () => (),
+      beforeVisibilityCheck = () => { // pin happens AFTER publish: batch in scope
+        assert(DocStore.deleteMany(spark, path, Some(col("status") === "drop")) == 1)
+      })
+    // the delete read the batch — doc 2 is gone, nothing duplicated
+    assert(rows(path) == Set((1L, "keep"), (3L, "keep")))
+  }
+
+  test("append racing compact(format=parquet): straggler is converted, generation stays pure") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "status"), path)
+    DocStore.insertManySeamed(Seq((3L, "c")).toDF("id", "status"), path,
+      afterStage = () => {
+        assert(DocStore.compact(spark, path, format = Some("parquet")) == 2)
+      },
+      beforeVisibilityCheck = () => ())
+    assert(rows(path) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the live generation holds ONLY parquet data files (the json
+    // straggler was rewritten, not renamed across the format boundary)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveGen = DocStore.generations(spark, path).last
+    val dataFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(f"$path/gen-$liveGen%06d"))
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(dataFiles.nonEmpty && dataFiles.forall(_.endsWith(".parquet")),
+      s"mixed generation: ${dataFiles.mkString(", ")}")
+    // and the converted rows keep working through further mutations
+    assert(DocStore.updateMany(spark, path, col("id") === 3L,
+      Map("status" -> lit("z"))) == 1)
+    assert(rows(path) == Set((1L, "a"), (2L, "b"), (3L, "z")))
+  }
+
+  test("append racing TWO mutations (retain=3): the visibility walk crosses both hops") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "x")).toDF("id", "status"), path)
+    DocStore.insertManySeamed(Seq((2L, "y")).toDF("id", "status"), path,
+      afterStage = () => {
+        DocStore.updateMany(spark, path, col("id") === 1L,
+          Map("status" -> lit("x1")), retain = 3)
+        DocStore.updateMany(spark, path, col("id") === 1L,
+          Map("status" -> lit("x2")), retain = 3)
+      },
+      beforeVisibilityCheck = () => ())
+    assert(rows(path) == Set((1L, "x2"), (2L, "y")))
+    assert(DocStore.find(spark, path).count() == 2)
+  }
+
+  test("flat-layout migration racing an append: straggler follows into the first generation") {
+    val path = freshPath()
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "part-0.json"),
+      "{\"id\": 1, \"status\": \"old\"}".getBytes)
+    DocStore.insertManySeamed(Seq((2L, "new")).toDF("id", "status"), path,
+      afterStage = () => { // first rewrite migrates flat -> generations
+        DocStore.updateMany(spark, path, col("id") === 1L,
+          Map("status" -> lit("mig")))
+      },
+      beforeVisibilityCheck = () => ())
+    assert(rows(path) == Set((1L, "mig"), (2L, "new")))
+  }
+
+  test("healStragglers: a crash-stranded straggler is recovered by the next write") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a")).toDF("id", "status"), path)
+    DocStore.updateMany(spark, path, col("id") === 1L, Map("status" -> lit("b")))
+    // simulate a mutation that crashed between commit and salvage (or an
+    // appender that died mid-walk): a data file in the SUPERSEDED
+    // generation that its successor's _SOURCE record does not list
+    val prevGen = DocStore.generations(spark, path).head
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, f"gen-$prevGen%06d", "part-straggler.json"),
+      "{\"id\": 9, \"status\": \"lost\"}".getBytes)
+    // reads are read-only: the straggler is NOT in the live view yet
+    assert(rows(path) == Set((1L, "b")))
+    // ... but the next write heals it before doing its own work
+    DocStore.insertMany(Seq((2L, "c")).toDF("id", "status"), path)
+    assert(rows(path) == Set((1L, "b"), (9L, "lost"), (2L, "c")))
+    // and a mutation then reads it like any other doc (no duplicates)
+    assert(DocStore.updateMany(spark, path, col("id") === 9L,
+      Map("status" -> lit("found"))) == 1)
+    assert(rows(path) == Set((1L, "b"), (9L, "found"), (2L, "c")))
+  }
+
+  test("cursor CDC tolerates a salvaged file leaving a superseded generation") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a")).toDF("id", "status"), path)
+    DocStore.updateMany(spark, path, col("id") === 1L, Map("status" -> lit("b")))
+    val gens = DocStore.generations(spark, path)
+    val (prev, live) = (gens.head, gens.last)
+    // manufacture the race's on-disk shape: a straggler in the superseded
+    // generation, seen by a consumer's cursor, then salvaged forward
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, f"gen-$prev%06d", "part-straggler.json"),
+      "{\"id\": 9, \"status\": \"raced\"}".getBytes)
+    val cur = DocStore.DocCursor(prev, // the consumer saw the straggler
+      new java.io.File(f"$path/gen-$prev%06d").list().toSet
+        .filter((n: String) => !n.startsWith("_") && !n.startsWith(".")))
+    DocStore.insertMany(Seq((2L, "c")).toDF("id", "status"), path) // heals
+    // ...the straggler moved to the live generation: the poll must not
+    // fail the append-only check, and must redeliver its rows (idempotent
+    // under replace-by-key apply), not lose them
+    val (changes, _) = DocStore.changesSince(spark, path, cur, "id")
+    val changed = changes.select("id", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changed.exists(c => c._1 == 9L && c._2 == "inserted"),
+      s"straggler rows must re-enter the poll, got $changed")
+    assert(changed.exists(c => c._1 == 2L && c._2 == "inserted"))
+  }
+
+  test("threaded stress: appends racing sequential mutations, exactly-once") {
+    val path = freshPath()
+    DocStore.insertMany(
+      (0 until 4).map(i => (i.toLong, "base")).toDF("id", "status"), path)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try {
+          for (b <- 0 until 3)
+            DocStore.insertMany(
+              Seq((1000L + t * 10 + b, s"app$t")).toDF("id", "status"), path)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    // mutations are single-writer among themselves: run them sequentially
+    // HERE, racing the appender threads (filters never match appended ids,
+    // so every appended row must survive whatever interleaving happened)
+    for (_ <- 0 until 3)
+      DocStore.updateMany(spark, path, col("id") < 4L,
+        Map("status" -> lit("mut")))
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"appender failed: ${Option(errs.peek())}")
+    val all = DocStore.find(spark, path).select("id").as[Long].collect().sorted
+    val expected = ((0 until 4).map(_.toLong) ++
+      (for (t <- 0 until 4; b <- 0 until 3) yield 1000L + t * 10 + b)).sorted
+    assert(all.toSeq == expected.toSeq, // every append exactly once
+      s"got ${all.mkString(",")}")
+    assert(rows(path).filter(_._1 < 4L).forall(_._2 == "mut"))
+  }
+}

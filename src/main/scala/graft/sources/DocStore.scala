@@ -60,6 +60,17 @@ object DocStore {
     "deleteMany without a filter would delete every document; " +
       "pass deleteProtection = false to allow it")
 
+  /** Thrown when a mutation detects that another mutation committed
+    * between its snapshot pin and its own commit: the rewrite is based on
+    * a STALE snapshot, and swinging the manifest would silently discard
+    * the other mutation's effect (a classic lost update). The contract
+    * stays single-writer for mutations; this turns a contract violation
+    * from silent data loss into a loud, cleanly-retryable failure.
+    * Detection is best-effort (the final check and the swing are not one
+    * atomic step), never a correctness downgrade.
+    */
+  final class ConcurrentMutationException(msg: String) extends RuntimeException(msg)
+
   private val Manifest = "_MANIFEST"
   private val StatsDir = "_STATS"
   private val GenName = "gen-(\\d{6})".r
@@ -98,7 +109,9 @@ object DocStore {
     * atomic renames). The walk fails LOUDLY — never silently — in the one
     * unresolvable case: several full rewrites plus their retention pruning
     * all completing inside a single append. Mutations remain single-writer
-    * among THEMSELVES (their manifest swing is last-writer-wins).
+    * among THEMSELVES; a violated mutation race is detected at commit time
+    * and fails loudly ([[ConcurrentMutationException]]) instead of losing
+    * the earlier rewrite.
     */
   def insertMany(df: DataFrame, path: String): Long =
     insertManySeamed(df, path, () => (), () => ())
@@ -493,7 +506,7 @@ object DocStore {
       else live.join(keys, Seq(keyCol), "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
     commitRewrite(fs, spark, merged, path, retain, format = fmt,
-      sourceNames = names)
+      sourceNames = names, pinnedLive = liveD)
   }
 
   /** Maintain a FOLLOWER collection from a leader by cursor CDC:
@@ -637,9 +650,19 @@ object DocStore {
     * numeric values to string under when/otherwise type widening).
     */
   def updateMany(spark: SparkSession, path: String, filter: Column,
-                 set: Map[String, Column], retain: Int = 2): Long = {
+                 set: Map[String, Column], retain: Int = 2): Long =
+    updateManySeamed(spark, path, filter, set, retain, () => ())
+
+  /** [[updateMany]] with a test seam between the snapshot pin and the
+    * commit — the window a competing mutation would occupy. Production
+    * behavior (no-op seam) IS [[updateMany]].
+    */
+  private[sources] def updateManySeamed(spark: SparkSession, path: String,
+                                        filter: Column, set: Map[String, Column],
+                                        retain: Int, afterPin: () => Unit): Long = {
     val fs = fileSystem(spark, path)
     val (live, fmt, names) = pinLive(spark, fs, path)
+    afterPin()
     val docs = readPinned(spark, fs, live, fmt, names)
     val matched = coalesce(filter, lit(false))
     // The observation sits BELOW the $set projections: `matched` must be
@@ -653,7 +676,7 @@ object DocStore {
       else d.withColumn(k, when(matched, v))
     }
     commitRewrite(fs, spark, updated, path, retain, format = fmt,
-      sourceNames = names)
+      sourceNames = names, pinnedLive = live)
     obs.get("matched").asInstanceOf[Long]
   }
 
@@ -673,14 +696,14 @@ object DocStore {
         // empty LocalRelation — count directly, then commit emptiness.
         val n = docs.count()
         commitRewrite(fs, spark, docs.filter(lit(false)), path, retain,
-          format = fmt, sourceNames = names)
+          format = fmt, sourceNames = names, pinnedLive = live)
         n
       case Some(f) =>
         val hit = coalesce(f, lit(false))
         val obs = Observation()
         commitRewrite(fs, spark,
           docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit),
-          path, retain, format = fmt, sourceNames = names)
+          path, retain, format = fmt, sourceNames = names, pinnedLive = live)
         obs.get("deleted").asInstanceOf[Long]
     }
   }
@@ -718,7 +741,7 @@ object DocStore {
     val obs = Observation()
     commitRewrite(fs, spark,
       docs.observe(obs, count(lit(1)).as("n")).coalesce(targetFiles), path, retain,
-      format = format.getOrElse(fmt), sourceNames = names)
+      format = format.getOrElse(fmt), sourceNames = names, pinnedLive = live)
     if (statted.nonEmpty || bloomed.nonEmpty)
       collectStats(spark, path, statted, bloomed,
         if (bits > 0) bits else 1 << 16)
@@ -765,7 +788,7 @@ object DocStore {
     val n = docs.count()
     commitRewrite(fs, spark,
       graft.ops.Zorder.clusterByKey(docs, key, targetFiles), path, retain,
-      format = fmt, sourceNames = names)
+      format = fmt, sourceNames = names, pinnedLive = live)
     collectStats(spark, path, statsCols, bloomCols, bloomBits)
     n
   }
@@ -1454,9 +1477,23 @@ object DocStore {
     */
   private def commitRewrite(fs: FileSystem, spark: SparkSession, df: DataFrame,
                             path: String, retain: Int, format: String,
-                            sourceNames: Set[String]): Unit = {
+                            sourceNames: Set[String], pinnedLive: String): Unit = {
     require(retain >= 2, s"retain must keep the live + previous generation, got $retain")
-    val previous = readManifest(fs, path)
+    // LOUD lost-update detection ([[ConcurrentMutationException]]): checked
+    // before the rewrite job and again right before the swing (the rewrite
+    // can be long — the widest window for a competing mutation to land)
+    def validatedPrevious(): Option[String] = {
+      val previous = readManifest(fs, path)
+      val current = previous.map(g => s"$path/$g").getOrElse(path)
+      if (current != pinnedLive)
+        throw new ConcurrentMutationException(
+          s"docstore: the live generation of $path moved while this mutation " +
+            s"ran ($pinnedLive -> $current) — mutations are single-writer; this " +
+            "rewrite is based on a stale snapshot and committing it would " +
+            "discard the other mutation's effect. Re-run this mutation.")
+      previous
+    }
+    val previous = validatedPrevious()
     val gens = completeGens(fs, path)
     val nextId = (gens.lastOption.getOrElse(0)) + 1
     val next = genPath(path, nextId)
@@ -1472,6 +1509,13 @@ object DocStore {
       fs.mkdirs(stats)
       val out = fs.create(new Path(stats, "_schema.json"), true)
       try out.write(df.schema.json.getBytes(UTF_8)) finally out.close()
+    }
+    // re-validate after the rewrite; on failure drop the just-written
+    // generation so a later manifest-loss recovery can never resolve to
+    // the aborted stale rewrite
+    try validatedPrevious()
+    catch { case e: ConcurrentMutationException =>
+      fs.delete(new Path(next), true); throw e
     }
     writeSourceRecord(fs, next, previous.getOrElse(""), sourceNames)
     writeManifest(fs, path, new Path(next).getName)

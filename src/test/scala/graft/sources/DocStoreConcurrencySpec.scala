@@ -172,6 +172,32 @@ class DocStoreConcurrencySpec extends SparkTestBase {
     assert(changed.exists(c => c._1 == 2L && c._2 == "inserted"))
   }
 
+  test("mutation racing a mutation fails LOUDLY instead of losing the earlier update") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b")).toDF("id", "status"), path)
+    val e = intercept[DocStore.ConcurrentMutationException] {
+      DocStore.updateManySeamed(spark, path, col("id") === 1L,
+        Map("status" -> lit("outer")), 2,
+        afterPin = () => { // a competing mutation lands inside the window
+          DocStore.updateMany(spark, path, col("id") === 2L,
+            Map("status" -> lit("inner")))
+          ()
+        })
+    }
+    assert(e.getMessage.contains("single-writer"))
+    // the inner mutation's effect SURVIVES; the stale outer rewrite never
+    // landed (last-writer-wins would have silently discarded "inner")
+    assert(rows(path) == Set((1L, "a"), (2L, "inner")))
+    // and the aborted rewrite left no committed generation a manifest-loss
+    // recovery could resolve to
+    val gens = DocStore.generations(spark, path)
+    assert(gens == gens.sorted && gens.size == 2, s"stray generation: $gens")
+    // the failed mutation retries cleanly against the fresh snapshot
+    assert(DocStore.updateMany(spark, path, col("id") === 1L,
+      Map("status" -> lit("outer"))) == 1)
+    assert(rows(path) == Set((1L, "outer"), (2L, "inner")))
+  }
+
   test("threaded stress: appends racing sequential mutations, exactly-once") {
     val path = freshPath()
     DocStore.insertMany(

@@ -5,13 +5,17 @@ import graft.SparkTestBase
 
 /** Model-based property test: a seeded-random sequence of DocStore
   * operations (insert / update / delete / compact / maybeCompact /
-  * format migration) runs against BOTH the store and a driver-side
-  * reference map; after every mutation the live view must equal the
-  * model exactly, and a CDC-replicated FOLLOWER (cursor polls applied
-  * via [[DocStore.applyChanges]]) must converge to the same state. This
-  * is the interleaving coverage the scenario tests can't enumerate —
-  * e.g. update-after-append-after-parquet-migration, delete-to-empty
-  * then re-insert. Deterministic seed: a red run reproduces.
+  * format migration / an append RACING a mutation) runs against BOTH the
+  * store and a driver-side reference map; after every mutation the live
+  * view must equal the model exactly, and a CDC-replicated FOLLOWER
+  * (cursor polls applied via [[DocStore.applyChanges]]) must converge to
+  * the same state. This is the interleaving coverage the scenario tests
+  * can't enumerate — e.g. update-after-append-after-parquet-migration,
+  * delete-to-empty then re-insert, a salvaged straggler later updated,
+  * compacted, and CDC-diffed. The raced append's model semantics are the
+  * salvage protocol's linearization: the mutation applies to the
+  * PRE-append state, the appended rows then land untransformed.
+  * Deterministic seed: a red run reproduces.
   */
 class DocStoreModelSpec extends SparkTestBase {
   import spark.implicits._
@@ -48,7 +52,7 @@ class DocStoreModelSpec extends SparkTestBase {
     cursor = Some(DocStore.replicate(spark, path, follower, "id", None))
 
     for (step <- 1 to 30) {
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 | 1 => // append 1-3 docs
           val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
             nextId += 1; (nextId, s"v$nextId", nextId * 10)
@@ -76,6 +80,31 @@ class DocStoreModelSpec extends SparkTestBase {
           }
           DocStore.compact(spark, path, targetFiles = 1 + rnd.nextInt(3),
             retain = 6, format = fmt)
+        case 5 => // append RACING a mutation: the salvage protocol's
+          // linearization, model-exact — the mutation sees the pre-append
+          // state; the appended rows land untransformed after it
+          val rows = (0 until 1 + rnd.nextInt(2)).map { _ =>
+            nextId += 1; (nextId, s"v$nextId", nextId * 10)
+          }
+          val mutId = if (model.isEmpty) None
+            else Some(model.keys.toSeq.sorted.apply(rnd.nextInt(model.size)))
+          val doUpdate = rnd.nextBoolean()
+          DocStore.insertManySeamed(df(rows), path,
+            afterStage = () => mutId.foreach { id =>
+              if (doUpdate) {
+                assert(DocStore.updateMany(spark, path, col("id") === id,
+                  Map("v" -> lit(s"r$step")), retain = 6) == 1)
+              } else {
+                assert(DocStore.deleteMany(spark, path,
+                  Some(col("id") === id), retain = 6) == 1)
+              }
+            },
+            beforeVisibilityCheck = () => ())
+          mutId.foreach { id =>
+            if (doUpdate) model += id -> ((s"r$step", model(id)._2))
+            else model -= id
+          }
+          model ++= rows.map(t => t._1 -> ((t._2, t._3)))
         case _ => // small-files policy (often a no-op)
           DocStore.maybeCompact(spark, path, maxDataFiles = 4,
             targetFiles = 2, retain = 6)

@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$name must be a string literal, got $other")
   }
+  private def doubleArg(e: Expression, name: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue // SQL 0.5 parses decimal
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name must be a numeric literal, got $other")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
@@ -172,6 +180,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.sources.DocStore.changesSince(spark,
             strArg(args.head, "path"), intArg(args(1), "sinceGeneration"),
             strArg(args(2), "keyCol")))
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("neardup_probe"),
+      info("neardup_probe",
+        "neardup_probe(table, indexPath, idCol, textCol, k, threshold) - " +
+          "read-only contamination probe: which docs of `table` are " +
+          "near-duplicates of the corpus indexed by ingestToNearDupIndex " +
+          "at indexPath; returns (id_a = probe id, id_b = indexed id, " +
+          "jaccard). The index is untouched; probe-vs-probe pairs are " +
+          "not reported."),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args.head, "table"))
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          graft.streaming.Streams.probeNearDupIndex(df,
+            strArg(args(1), "indexPath"),
+            idCol = strArg(args(2), "idCol"),
+            textCol = strArg(args(3), "textCol"),
+            k = intArg(args(4), "k"),
+            threshold = doubleArg(args(5), "threshold")))
       }))
 
     ext.injectTableFunction((FunctionIdentifier("asof_join"),

@@ -261,23 +261,26 @@ object DocStore {
       case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
     }
 
-  /** Complete (committed) generation ids still on disk, oldest first —
-    * the time-travel surface. How many survive is the mutations' `retain`.
+  /** COMMITTED generation ids still on disk, oldest first — the
+    * time-travel surface (the live chain; crash-orphaned aborted rewrites
+    * are excluded, see [[committedGens]]). How many survive is the
+    * mutations' `retain`.
     */
   def generations(spark: SparkSession, path: String): Seq[Int] =
-    completeGens(fileSystem(spark, path), path)
+    committedGens(fileSystem(spark, path), path)
 
   /** Time travel: read the collection as of a retained generation id
     * (from [[generations]]). Fails loudly on a pruned or never-committed
-    * generation rather than returning wrong data.
+    * generation (including a crash-orphaned aborted rewrite) rather than
+    * returning wrong data.
     */
   def findAsOf(spark: SparkSession, path: String, generation: Int,
                filter: Option[Column] = None): DataFrame = {
     val fs = fileSystem(spark, path)
-    if (!completeGens(fs, path).contains(generation))
+    if (!committedGens(fs, path).contains(generation))
       throw new IllegalArgumentException(
         s"docstore: generation $generation of $path is not retained " +
-          s"(have: ${completeGens(fs, path).mkString(", ")})")
+          s"(have: ${committedGens(fs, path).mkString(", ")})")
     try {
       val docs = readGen(spark, fs, genPath(path, generation))
       filter.fold(docs)(docs.filter)
@@ -373,7 +376,7 @@ object DocStore {
   def changesSince(spark: SparkSession, path: String, sinceGen: Int,
                    keyCol: String): DataFrame = {
     val fs = fileSystem(spark, path)
-    val gens = completeGens(fs, path)
+    val gens = committedGens(fs, path)
     require(gens.contains(sinceGen),
       s"docstore: cursor generation $sinceGen of $path is no longer retained " +
         s"(have: ${gens.mkString(", ")}); raise `retain` on mutations to " +
@@ -396,7 +399,7 @@ object DocStore {
   /** The head cursor: the live generation and its current data files. */
   def cursor(spark: SparkSession, path: String): DocCursor = {
     val fs = fileSystem(spark, path)
-    val gens = completeGens(fs, path)
+    val gens = committedGens(fs, path)
     require(gens.nonEmpty,
       s"docstore: $path has no committed generations (a legacy flat " +
         "collection migrates on its first rewrite); cursor CDC needs the " +
@@ -429,7 +432,7 @@ object DocStore {
   def changesSince(spark: SparkSession, path: String, cur: DocCursor,
                    keyCol: String): (DataFrame, DocCursor) = {
     val fs = fileSystem(spark, path)
-    val gens = completeGens(fs, path)
+    val gens = committedGens(fs, path)
     require(gens.contains(cur.generation),
       s"docstore: cursor generation ${cur.generation} of $path is no longer " +
         s"retained (have: ${gens.mkString(", ")}); raise `retain` on " +
@@ -1162,6 +1165,37 @@ object DocStore {
           case _ => None
         }
     }.flatten.sorted
+  }
+
+  /** COMMITTED generation ids, oldest first: the live chain walked
+    * backward through [[SourceFile]] links. A crash between a rewrite's
+    * data write and its manifest swing leaves an ORPHAN — a
+    * `_SUCCESS`-complete generation that never became live; it must stay
+    * on disk for id-collision avoidance ([[completeGens]] feeds the next
+    * id) but it was never a committed state, so the time-travel/CDC
+    * surfaces must not serve it: [[findAsOf]] of an aborted rewrite would
+    * return data no reader ever saw, and a CDC poll would deliver its
+    * phantom intermediate changes. Falls back to [[completeGens]] when
+    * the live generation predates the `_SOURCE` protocol (no record).
+    */
+  private def committedGens(fs: FileSystem, path: String): Seq[Int] = {
+    val liveId = readManifest(fs, path).collect { case GenName(id) => id.toInt }
+    liveId match {
+      case Some(id) if readSourceRecord(fs, genPath(path, id)).isDefined =>
+        var ids = List(id)
+        var cur = id
+        var hops = 0
+        while (hops < 10000) {
+          readSourceRecord(fs, genPath(path, cur)) match {
+            case Some((GenName(from), _))
+                if fs.exists(new Path(genPath(path, from.toInt), "_SUCCESS")) =>
+              cur = from.toInt; ids ::= cur; hops += 1
+            case _ => hops = 10000 // flat root, pruned parent, or no record
+          }
+        }
+        ids
+      case _ => completeGens(fs, path) // pre-protocol store (or no manifest)
+    }
   }
 
   /** Resolve the live data directory.

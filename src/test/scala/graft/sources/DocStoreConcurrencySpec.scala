@@ -198,6 +198,38 @@ class DocStoreConcurrencySpec extends SparkTestBase {
     assert(rows(path) == Set((1L, "outer"), (2L, "inner")))
   }
 
+  test("crash-orphaned generations are invisible to time travel, cursors, and CDC") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a")).toDF("id", "status"), path)
+    DocStore.updateMany(spark, path, col("id") === 1L, Map("status" -> lit("b")))
+    assert(DocStore.generations(spark, path) == Seq(1, 2))
+    val c1 = DocStore.DocCursor(1,
+      new java.io.File(s"$path/gen-000001").list().toSet
+        .filter((n: String) => !n.startsWith("_") && !n.startsWith(".")))
+    // manufacture an ORPHAN: a rewrite that wrote its generation (data +
+    // _SUCCESS) but crashed before the manifest swing — a complete dir
+    // that was never a committed state
+    val orphan = java.nio.file.Paths.get(path, "gen-000003")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.json"),
+      "{\"id\": 66, \"status\": \"aborted\"}".getBytes)
+    java.nio.file.Files.write(orphan.resolve("_SUCCESS"), Array.empty[Byte])
+    // the aborted state is served NOWHERE
+    assert(DocStore.generations(spark, path) == Seq(1, 2))
+    intercept[IllegalArgumentException] { DocStore.findAsOf(spark, path, 3) }
+    assert(DocStore.cursor(spark, path).generation == 2)
+    val poll = DocStore.changesSince(spark, path, 1, "id")
+      .select("id").as[Long].collect().toSet
+    assert(poll == Set(1L), s"phantom orphan changes delivered: $poll")
+    val (curPoll, _) = DocStore.changesSince(spark, path, c1, "id")
+    assert(curPoll.select("id").as[Long].collect().toSet == Set(1L))
+    // the next mutation must NOT reuse (and thereby resurrect) the orphan
+    // id; the committed chain walks around it
+    DocStore.updateMany(spark, path, col("id") === 1L, Map("status" -> lit("c")))
+    assert(DocStore.generations(spark, path) == Seq(2, 4))
+    assert(rows(path) == Set((1L, "c")))
+  }
+
   test("threaded stress: appends racing sequential mutations, exactly-once") {
     val path = freshPath()
     DocStore.insertMany(

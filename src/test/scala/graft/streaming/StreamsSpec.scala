@@ -661,6 +661,13 @@ class StreamsSpec extends SparkTestBase {
       "verify must read the b side's STORED text")
     assert(!got.exists(p => p._1 == 6000L || p._1 == 6001L),
       "probe-vs-probe pairs are not reported")
+    // SQL surface: the neardup_probe table function resolves the view and
+    // builds the SAME probe — row-identical to the Column path
+    probeDf.createOrReplaceTempView("ndp_probe_v")
+    val sqlGot = spark.sql(
+        s"SELECT * FROM neardup_probe('ndp_probe_v', '$dir', 'doc_id', 'text', 3, 0.5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sqlGot == got, "SQL TVF must match the Column path")
     // empty probe: typed empty frame, no jobs against the index needed
     val empty = Streams.probeNearDupIndex(probeDf.limit(0), dir,
       idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)

@@ -116,15 +116,18 @@ object DocStore {
   def insertMany(df: DataFrame, path: String): Long =
     insertManySeamed(df, path, () => (), () => ())
 
-  /** [[insertMany]] with test seams at the two windows a concurrent
-    * mutation can occupy: `afterStage` runs once the batch is staged but
-    * before any file is published; `beforeVisibilityCheck` runs after
-    * publish + stats but before the post-publish visibility walk.
-    * Production behavior (no-op seams) IS [[insertMany]].
+  /** [[insertMany]] with test seams at the windows a concurrent
+    * mutation/stats pass can occupy: `afterStage` runs once the batch is
+    * staged but before any file is published; `afterCover` between the
+    * schema-sidecar write and the publishing renames; and
+    * `beforeVisibilityCheck` after publish + stats but before the
+    * post-publish visibility walk. Production behavior (no-op seams) IS
+    * [[insertMany]].
     */
   private[sources] def insertManySeamed(df: DataFrame, path: String,
                                         afterStage: () => Unit,
-                                        beforeVisibilityCheck: () => Unit): Long = {
+                                        beforeVisibilityCheck: () => Unit,
+                                        afterCover: () => Unit = () => ()): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, path)
     healStragglers(spark, fs, path) // recover any crashed salvage first
@@ -147,9 +150,12 @@ object DocStore {
       // the sidecar first can only OVER-describe (schema of files that
       // never arrived), which widens the read schema harmlessly.
       val statsPath = new Path(live, StatsDir)
-      if (staged.nonEmpty && fs.exists(new Path(statsPath, "_schema.json")))
-        writeSchemaSidecar(fs, statsPath,
-          readFiles(spark, fmt, None, staged.map(_.getPath.toString)).schema)
+      val sidecar: Option[Path] =
+        if (staged.nonEmpty && fs.exists(new Path(statsPath, "_schema.json")))
+          Some(writeSchemaSidecar(fs, statsPath,
+            readFiles(spark, fmt, None, staged.map(_.getPath.toString)).schema))
+        else None
+      afterCover()
       val added = staged.map { st =>
         val target = new Path(live, st.getPath.getName)
         if (!fs.rename(st.getPath, target))
@@ -159,6 +165,19 @@ object DocStore {
       }
       if (fs.exists(statsPath) && added.nonEmpty)
         appendStats(spark, fs, live, fmt, added)
+      // RE-COVER check: a concurrent [[collectStats]] rewrites the stats
+      // dir wholesale — deleting our sidecar — and its own read may have
+      // listed the generation before our renames, so its fresh base
+      // schema would not cover the published files. If a base exists now
+      // but our cover is gone (or was never written because no base
+      // existed then), cover the published bytes again; between this and
+      // collectStats' post-write reconciliation, every ordering leaves
+      // published files schema-covered. The common case (sidecar intact)
+      // costs one exists() call.
+      if (added.nonEmpty && fs.exists(new Path(statsPath, "_schema.json")) &&
+          sidecar.forall(p => !fs.exists(p)))
+        writeSchemaSidecar(fs, statsPath,
+          readFiles(spark, fmt, None, added).schema)
       beforeVisibilityCheck()
       // a mutation may have swung the manifest while this append was in
       // flight; make the batch's visibility in the LIVE view determinate
@@ -811,14 +830,30 @@ object DocStore {
     */
   def collectStats(spark: SparkSession, path: String, cols: Seq[String],
                    bloomCols: Seq[String] = Seq.empty,
-                   bloomBits: Int = 1 << 16): Unit = {
+                   bloomBits: Int = 1 << 16): Unit =
+    collectStatsSeamed(spark, path, cols, bloomCols, bloomBits, () => ())
+
+  /** [[collectStats]] with a test seam between the pinned read and the
+    * stats-dir rewrite — the window a concurrent append can occupy.
+    * Production behavior (no-op seam) IS [[collectStats]].
+    */
+  private[sources] def collectStatsSeamed(spark: SparkSession, path: String,
+                                          cols: Seq[String], bloomCols: Seq[String],
+                                          bloomBits: Int, afterPin: () => Unit): Unit = {
     require(bloomCols.isEmpty || bloomBits > 0,
       s"bloomBits must be positive when bloomCols are requested, got $bloomBits")
     val fs = fileSystem(spark, path)
     val live = liveDir(fs, spark, path)
+    val fmt = genFormat(fs, live)
+    // PIN the file list: the post-write reconciliation below needs to know
+    // exactly which files this pass statted and schema'd
+    val pinned = dataFileNames(fs, live)
     // full inference/footer read on purpose: collectStats REFRESHES the
     // stored schema from the actual data, so it must not trust it
-    val docs0 = readFiles(spark, genFormat(fs, live), None, Seq(live))
+    val docs0 =
+      if (pinned.isEmpty) readFiles(spark, fmt, None, Seq(live))
+      else readFiles(spark, fmt, None, pinned.toSeq.sorted.map(n => s"$live/$n"))
+    afterPin()
     val present = cols.filter(docs0.columns.contains)
     val bloomPresent = bloomCols.filter(docs0.columns.contains)
     if (present.isEmpty && bloomPresent.isEmpty) return
@@ -834,6 +869,17 @@ object DocStore {
     // files happen to infer (underscore name -> invisible to data scans)
     val out = fs.create(new Path(statsPath, "_schema.json"), true)
     try out.write(docs0.schema.json.getBytes(UTF_8)) finally out.close()
+    // RECONCILE concurrent appends: files that landed after the pin are
+    // not covered by the base schema just written (and this rewrite wiped
+    // any sidecar they wrote) — re-cover and re-stat exactly those. The
+    // appender's own re-cover check handles the mirror ordering (append
+    // publishing after this listing sees the new base and covers itself).
+    val extras = (dataFileNames(fs, live) -- pinned).toSeq.sorted
+    if (extras.nonEmpty) {
+      val paths = extras.map(n => s"$live/$n")
+      writeSchemaSidecar(fs, statsPath, readFiles(spark, fmt, None, paths).schema)
+      appendStats(spark, fs, live, fmt, paths)
+    }
   }
 
   /** One row per `__f`: min/max for `present`, Bloom word lists for
@@ -1306,11 +1352,12 @@ object DocStore {
   }
 
   private def writeSchemaSidecar(fs: FileSystem, statsPath: Path,
-                                 schema: org.apache.spark.sql.types.StructType): Unit = {
+                                 schema: org.apache.spark.sql.types.StructType): Path = {
     val sidecar = new Path(statsPath,
       s"_schema-append-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(sidecar, true)
     try out.write(schema.json.getBytes(UTF_8)) finally out.close()
+    sidecar
   }
 
   /** Idempotently publish straggler data files of `fromDir` (a superseded

@@ -198,6 +198,44 @@ class DocStoreConcurrencySpec extends SparkTestBase {
     assert(rows(path) == Set((1L, "outer"), (2L, "inner")))
   }
 
+  test("append racing collectStats (stats rewrite wins the sidecar): batch re-covers itself") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a")).toDF("id", "v"), path)
+    DocStore.collectStats(spark, path, Seq("id"))
+    // batch brings a NEW column; the concurrent stats pass pins its read
+    // BEFORE the batch publishes, then wipes the batch's pre-rename
+    // sidecar — without the post-publish re-cover, the stored schema
+    // would silently DROP the new column from every single-scan read
+    DocStore.insertManySeamed(Seq((2L, "b", 7L)).toDF("id", "v", "extra"), path,
+      afterStage = () => (),
+      beforeVisibilityCheck = () => (),
+      afterCover = () => DocStore.collectStats(spark, path, Seq("id")))
+    val all = DocStore.find(spark, path)
+    assert(all.columns.contains("extra"), "schema coverage lost the raced column")
+    assert(all.filter(col("extra") === 7L).count() == 1)
+    assert(all.count() == 2)
+  }
+
+  test("collectStats racing an append (append publishes inside the window): reconciliation covers it") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a")).toDF("id", "v"), path)
+    DocStore.collectStats(spark, path, Seq("id"))
+    // the append completes ENTIRELY inside the stats pass's window: its
+    // sidecar is wiped by the rewrite and the new base schema comes from
+    // a read that never listed it — the post-write reconciliation must
+    // re-cover (and re-stat) exactly the raced files
+    DocStore.collectStatsSeamed(spark, path, Seq("id"), Seq.empty, 1 << 16,
+      afterPin = () =>
+        DocStore.insertMany(Seq((2L, "b", 7L)).toDF("id", "v", "extra"), path))
+    val all = DocStore.find(spark, path)
+    assert(all.columns.contains("extra"), "schema coverage lost the raced column")
+    assert(all.filter(col("extra") === 7L).count() == 1)
+    // the raced file is statted too: an id-range probe that excludes it
+    // stays a PRUNED read and still returns the right rows
+    assert(DocStore.find(spark, path, Some(col("id") === 2L))
+      .select("v").collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("crash-orphaned generations are invisible to time travel, cursors, and CDC") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "a")).toDF("id", "status"), path)

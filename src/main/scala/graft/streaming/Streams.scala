@@ -609,6 +609,96 @@ object Streams {
     result
   }
 
+  /** TAKEDOWN for a near-dup index built by [[ingestToNearDupIndex]]:
+    * purge `ids` from the index so no FUTURE ingest batch or
+    * [[probeNearDupIndex]] call can ever match against them — the
+    * right-to-be-forgotten operation a training-corpus index needs.
+    * Returns how many indexed documents were actually removed (0 = the
+    * ids were never indexed; loud no-op signal).
+    *
+    * Cost is bounded by the AFFECTED ingest batches, not the index: the
+    * id-slot-pruned shingle read locates each id's batch, and only those
+    * batches' keys/shingles dirs (plus the match dirs that mention the
+    * ids — found by one scan of the pair-sized matches table) are
+    * rewritten, with the same overwrite-by-batch-dir layout the ingest
+    * writes. Frames are materialized (`localCheckpoint`) before each
+    * overwrite — Spark cannot lazily read the path it is replacing.
+    *
+    * Single-writer like the ingest itself: do not run while a batch is in
+    * flight (a DRAINED stream between triggers is fine — empty triggers
+    * write nothing). REPLAY CAVEAT: an at-least-once replay of an
+    * ingest batch rewrites that batch's original content — including any
+    * ids this call removed from it. Quiesce the stream (no pending
+    * replays) before a takedown, or re-run the takedown after a replay.
+    */
+  def removeFromNearDupIndex(spark: SparkSession, indexPath: String,
+                             ids: DataFrame, idCol: String = "doc_id"): Long = {
+    val Slots = 16L
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keysDir = s"$indexPath/keys"
+    val shDir = s"$indexPath/shingles"
+    val matchesDir = s"$indexPath/matches"
+    require(fs.exists(new org.apache.hadoop.fs.Path(keysDir)) &&
+        fs.exists(new org.apache.hadoop.fs.Path(shDir)),
+      s"removeFromNearDupIndex: $indexPath has no keys/shingles dirs")
+    val idDf = ids.select(col(idCol)).distinct().cache()
+    // bounded collects throughout: slot values (<= Slots) and affected
+    // batch ids (<= batches the removed docs were ingested in) — never ids
+    val idSlots = idDf.select(pmod(xxhash64(col(idCol)), lit(Slots)).as("s"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (idSlots.isEmpty) { idDf.unpersist(); return 0L }
+    val hit = spark.read.parquet(shDir)
+      .filter(col("id_slot").isin(idSlots: _*))
+      .join(idDf, Seq(idCol), "leftsemi")
+      .select(col(idCol), col("batch_id")).cache()
+    val removedDocs = hit.select(idCol).distinct().count()
+    if (removedDocs == 0L) { hit.unpersist(); idDf.unpersist(); return 0L }
+    // partition-dir values infer as int: cast before the typed collect
+    val docBatches = hit.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    hit.unpersist()
+    for (b <- docBatches) {
+      val kept = spark.read.parquet(s"$keysDir/batch_id=$b")
+        .join(idDf, Seq(idCol), "left_anti")
+        .localCheckpoint() // materialize BEFORE overwriting the source dir
+      // static overwrite explicitly: the whole batch dir must be REPLACED
+      // (a dynamic session conf would leave removed ids' slot dirs behind)
+      kept.repartition(col("slot"))
+        .write.mode(SaveMode.Overwrite).partitionBy("slot")
+        .option("partitionOverwriteMode", "static")
+        .parquet(s"$keysDir/batch_id=$b")
+      val keptSh = spark.read.parquet(s"$shDir/batch_id=$b")
+        .join(idDf, Seq(idCol), "left_anti")
+        .localCheckpoint()
+      keptSh.repartition(col("id_slot"))
+        .write.mode(SaveMode.Overwrite).partitionBy("id_slot")
+        .option("partitionOverwriteMode", "static")
+        .parquet(s"$shDir/batch_id=$b")
+    }
+    // matches carry removed ids on either side, in ANY batch (a later
+    // batch's doc matching an earlier removed one); one scan of the
+    // pair-sized table finds the dirs to rewrite
+    if (fs.exists(new org.apache.hadoop.fs.Path(matchesDir))) {
+      val m = spark.read.parquet(matchesDir)
+      val tainted = m
+        .join(idDf.select(col(idCol).as("id_a")), Seq("id_a"), "leftsemi")
+        .select(col("batch_id").cast("long"))
+        .union(m.join(idDf.select(col(idCol).as("id_b")), Seq("id_b"), "leftsemi")
+          .select(col("batch_id").cast("long")))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      for (b <- tainted) {
+        val kept = spark.read.parquet(s"$matchesDir/batch_id=$b")
+          .join(idDf.select(col(idCol).as("id_a")), Seq("id_a"), "left_anti")
+          .join(idDf.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
+          .localCheckpoint()
+        kept.write.mode(SaveMode.Overwrite).parquet(s"$matchesDir/batch_id=$b")
+      }
+    }
+    idDf.unpersist()
+    removedDocs
+  }
+
   private def nearDupBatch(batch: Dataset[org.apache.spark.sql.Row], bid: Long,
                            indexPath: String, idCol: String, textCol: String,
                            k: Int, bands: Int, rowsPerBand: Int,
@@ -710,16 +800,20 @@ object Streams {
       // nearly halves the publish phase of every micro-batch.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
+      // static overwrite explicitly: replay idempotence needs the whole
+      // batch dir REPLACED, whatever the session's partitionOverwriteMode
       val fKeys = Future {
         keys.select(col(idCol), col("band"), col("band_hash"), col("slot"))
           .repartition(col("slot"))
           .write.mode(SaveMode.Overwrite).partitionBy("slot")
+          .option("partitionOverwriteMode", "static")
           .parquet(s"$keysDir/batch_id=$bid")
       }
       val fSh = Future {
         sh.withColumn("id_slot", pmod(xxhash64(col(idCol)), lit(Slots)))
           .repartition(col("id_slot"))
           .write.mode(SaveMode.Overwrite).partitionBy("id_slot")
+          .option("partitionOverwriteMode", "static")
           .parquet(s"$shDir/batch_id=$bid")
       }
       Await.result(fKeys, scala.concurrent.duration.Duration.Inf)

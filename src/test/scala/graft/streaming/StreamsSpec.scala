@@ -674,6 +674,68 @@ class StreamsSpec extends SparkTestBase {
     assert(empty.isEmpty && empty.columns.toSeq == Seq("id_a", "id_b", "jaccard"))
   }
 
+  test("removeFromNearDupIndex: takedown purges ids from keys/shingles/matches, future-proof") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def doc(c: Int, variant: Int): (Long, String) = {
+      val toks = (0 until 12).map(i =>
+        if (i == variant) s"x${c}_$variant" else s"w${c}_$i")
+      (c * 10L + variant, toks.mkString(" "))
+    }
+    // 3 clusters of 3; variants 0+1 ingested across two batches
+    val b0 = (0 until 3).map(c => doc(c, 0))
+    val b1 = (0 until 3).map(c => doc(c, 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-rm").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestToNearDupIndex(
+      mem.toDF().toDF("doc_id", "text"), dir,
+      idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5).start()
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    def matches() = spark.read.parquet(s"$dir/matches")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = matches()
+    assert((0 until 3).forall(c => before.contains((c * 10L, c * 10L + 1))))
+
+    // remove doc 0 (cluster 0, batch 0) and doc 11 (cluster 1, batch 1);
+    // the stream is DRAINED (no batch in flight) — the quiesced window a
+    // real deployment runs takedowns in
+    val removed = Streams.removeFromNearDupIndex(spark, dir,
+      Seq(0L, 11L).toDF("doc_id"))
+    assert(removed == 2L)
+    // matches mentioning removed ids are gone; all others intact
+    assert(matches() == before.filterNot(p =>
+      Set(p._1, p._2).exists(Set(0L, 11L))))
+    // keys and shingles no longer carry the ids
+    assert(spark.read.parquet(s"$dir/keys")
+      .filter(col("doc_id").isin(0L, 11L)).isEmpty)
+    assert(spark.read.parquet(s"$dir/shingles")
+      .filter(col("doc_id").isin(0L, 11L)).isEmpty)
+    // a probe near-dup of removed doc 0 matches the SURVIVING cluster-0
+    // member only, never the removed id
+    val nearC0 = doc(0, 0)._2.split(" ").updated(0, "probe0").mkString(" ")
+    val probe = Streams.probeNearDupIndex(
+      Seq((9000L, nearC0)).toDF("doc_id", "text"), dir,
+      idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(probe == Set(1L), s"probe saw $probe")
+    // the CONTINUING stream's next batch, near-dup of cluster 0, matches
+    // survivor 1 only — the takedown holds against future ingests
+    mem.addData((9001L, nearC0)); q.processAllAvailable()
+    q.stop()
+    val newPairs = matches() -- before
+    assert(newPairs.nonEmpty && newPairs.forall(p =>
+      !Set(p._1, p._2).exists(Set(0L, 11L))), s"takedown leaked into $newPairs")
+    assert(newPairs.contains((1L, 9001L)) || newPairs.contains((9001L, 1L)))
+    // idempotent: removing again is a counted no-op
+    assert(Streams.removeFromNearDupIndex(spark, dir,
+      Seq(0L, 11L).toDF("doc_id")) == 0L)
+    // unknown ids: loud zero, index untouched
+    assert(Streams.removeFromNearDupIndex(spark, dir,
+      Seq(424242L).toDF("doc_id")) == 0L)
+  }
+
   test("funnelStream: exact-boundary emission when wm lands on t1+W then t1+W+1") {
     // The two adversarial watermark landings around the window close:
     //  - a batch observes wm == t1 + W exactly (the timeout clamp case —

@@ -140,7 +140,9 @@ object DocStore {
       afterStage()
       val staged = fs.listStatus(staging).toSeq.filter { st =>
         val nm = st.getPath.getName
-        st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+        // 0-byte parts (json writers emit one per empty partition) carry
+        // no rows and no inferable schema — never publish them
+        st.isFile && !nm.startsWith("_") && !nm.startsWith(".") && st.getLen > 0
       }
       // schema sidecar BEFORE the renames, inferred from the staged files
       // (same bytes as the published ones): the single-scan read path
@@ -875,6 +877,7 @@ object DocStore {
     // appender's own re-cover check handles the mirror ordering (append
     // publishing after this listing sees the new base and covers itself).
     val extras = (dataFileNames(fs, live) -- pinned).toSeq.sorted
+      .filter(n => fs.getFileStatus(new Path(live, n)).getLen > 0) // rowless: no schema
     if (extras.nonEmpty) {
       val paths = extras.map(n => s"$live/$n")
       writeSchemaSidecar(fs, statsPath, readFiles(spark, fmt, None, paths).schema)
@@ -1386,11 +1389,14 @@ object DocStore {
       if (srcFmt == dstFmt) {
         val target = new Path(toDir, name)
         if (fs.exists(src)) {
+          // rowless (0-byte) parts carry no rows and no inferable schema:
+          // rename them for listing fidelity but skip sidecar and stats
+          val hasRows = fs.getFileStatus(src).getLen > 0
           // sidecar BEFORE publish, the insertMany cover-first discipline
-          if (hasBase && fs.getFileStatus(src).getLen > 0)
+          if (hasBase && hasRows)
             writeSchemaSidecar(fs, statsPath,
               readFiles(spark, srcFmt, None, Seq(src.toString)).schema)
-          if (fs.rename(src, target))
+          if (fs.rename(src, target) && hasRows)
             appendStats(spark, fs, toDir, dstFmt, Seq(target.toString))
           // rename failure = the racing publisher won; done either way
         }

@@ -236,6 +236,25 @@ class DocStoreConcurrencySpec extends SparkTestBase {
       .select("v").collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("appends with empty partitions or empty frames never publish rowless parts") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a")).toDF("id", "v"), path)
+    DocStore.collectStats(spark, path, Seq("id"))
+    // 1 row spread over 8 partitions: rowless parts must not publish
+    assert(DocStore.insertMany(
+      Seq((2L, "b")).toDF("id", "v").repartition(8), path) == 1)
+    // a fully empty frame with stats present: clean no-op, never an
+    // inference error
+    assert(DocStore.insertMany(
+      Seq.empty[(Long, String)].toDF("id", "v"), path) == 0)
+    assert(DocStore.find(spark, path).count() == 2)
+    val gen = DocStore.generations(spark, path).last
+    val live = new java.io.File(f"$path/gen-$gen%06d")
+    assert(live.listFiles().filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .forall(_.length > 0), "rowless data file published")
+  }
+
   test("crash-orphaned generations are invisible to time travel, cursors, and CDC") {
     val path = freshPath()
     DocStore.insertMany(Seq((1L, "a")).toDF("id", "status"), path)

@@ -67,7 +67,9 @@ object DocStore {
     * stays single-writer for mutations; this turns a contract violation
     * from silent data loss into a loud, cleanly-retryable failure.
     * Detection is best-effort (the final check and the swing are not one
-    * atomic step), never a correctness downgrade.
+    * atomic step, and two racing rewrites that claim the SAME next
+    * generation id can still resolve last-writer-wins — the pre-protocol
+    * behavior), never a correctness downgrade.
     */
   final class ConcurrentMutationException(msg: String) extends RuntimeException(msg)
 
@@ -468,10 +470,12 @@ object DocStore {
     // poll as inserts of the generation they moved to, which is
     // idempotent under the replace-by-key [[applyChanges]] contract — and
     // keep the loud failure for files that truly vanished.
-    val laterGens = gens.dropWhile(_ <= cur.generation)
+    // list each later generation ONCE, not once per missing file — the
+    // poll is documented metadata-cheap
+    val laterListings = gens.dropWhile(_ <= cur.generation)
+      .map(g => dataFileNames(fs, genPath(path, g)))
     val unexplained = missing.filterNot { n =>
-      laterGens.exists(g => dataFileNames(fs, genPath(path, g))
-        .exists(f => f == n || f.startsWith(n + ".salv.")))
+      laterListings.exists(_.exists(f => f == n || f.startsWith(n + ".salv.")))
     }
     require(unexplained.isEmpty,
       s"docstore: cursor files ${unexplained.mkString(", ")} vanished from " +
@@ -1409,7 +1413,7 @@ object DocStore {
         val target = new Path(toDir, tName)
         if (!fs.exists(target) && fs.exists(src)) {
           if (fs.getFileStatus(src).getLen == 0) fs.delete(src, false) // rowless
-          else {
+          else try {
             val rows = readFiles(spark, srcFmt, None, Seq(src.toString))
             if (hasBase) writeSchemaSidecar(fs, statsPath, rows.schema)
             val stage = new Path(toDir, s"_salv-${java.util.UUID.randomUUID()}")
@@ -1423,6 +1427,12 @@ object DocStore {
                   appendStats(spark, fs, toDir, dstFmt, Seq(target.toString))
               }
             } finally fs.delete(stage, true)
+          } catch { case e: Exception =>
+            // the exists-checks above ran at PLAN time but the conversion
+            // read runs at job time — the racing publisher can win (and
+            // delete src) in between. If the target exists now, the race's
+            // outcome is exactly what we wanted; anything else rethrows.
+            if (!fs.exists(target)) throw e
           }
         }
         // the source copy is superseded once the target exists; a crash
@@ -1474,50 +1484,73 @@ object DocStore {
 
   /** Post-publish visibility walk for an append: if the generation the
     * batch was published into is no longer live, a mutation raced it. Per
-    * file the outcome is determinate via the successor's [[SourceFile]]
-    * record — listed means the rewrite read it (rows already in the
-    * successor), unlisted means move it forward. Loops in case several
-    * mutations landed; throws LOUDLY (never silent loss) if the chain is
-    * unresolvable, reachable only when multiple full rewrites and their
-    * retention pruning all complete inside this one append.
+    * file the outcome is determinate via the successors' [[SourceFile]]
+    * records — listed means a rewrite read it (rows then flow through
+    * every later generation), unlisted means move it forward. Racing
+    * salvagers can move a file FURTHER than one hop and retention pruning
+    * can delete a directory out from under the walk, so after every hop
+    * the file's presence is VERIFIED and a miss is re-resolved by
+    * scanning the committed chain (same or `.salv.`-converted name, or
+    * carried in some source record). A file that resolves nowhere throws
+    * — the append NEVER silently loses rows.
     */
   private def ensureVisible(spark: SparkSession, fs: FileSystem, path: String,
-                            publishedDir: String, names: Seq[String]): Unit = {
-    var dir = publishedDir
-    var remaining = names
+                            publishedDir: String, names: Seq[String]): Unit =
+    if (names.nonEmpty && publishedDir != liveDir(fs, spark, path))
+      names.foreach(ensureFileVisible(spark, fs, path, publishedDir, _))
+
+  /** The committed chain, live-first: (genDir, (from, sourceFiles)). */
+  private def liveChain(fs: FileSystem, spark: SparkSession, path: String)
+      : Seq[(String, (String, Set[String]))] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, (String, Set[String]))]
+    var cur = liveDir(fs, spark, path)
     var hops = 0
-    while (remaining.nonEmpty) {
-      val liveNow = liveDir(fs, spark, path)
-      if (dir == liveNow) return
+    while (hops < 64) {
+      readSourceRecord(fs, cur) match {
+        case Some(rec) =>
+          out += ((cur, rec))
+          val parent = if (rec._1.isEmpty) path else s"$path/${rec._1}"
+          if (rec._1.nonEmpty && fs.exists(new Path(parent))) { cur = parent; hops += 1 }
+          else hops = 64
+        case None => hops = 64
+      }
+    }
+    out.toList
+  }
+
+  private def ensureFileVisible(spark: SparkSession, fs: FileSystem, path: String,
+                                startDir: String, name0: String): Unit = {
+    var dir = startDir
+    var name = name0
+    var hops = 0
+    while (dir != liveDir(fs, spark, path)) {
       hops += 1
       require(hops <= 64,
         s"docstore: append visibility walk did not converge for $path")
-      // successor of `dir` on the live chain (walked from live backwards,
-      // so orphaned never-committed generations are never consulted)
-      var succ: Option[(String, Set[String])] = None
-      var cur = liveNow
-      var guard = 0
-      while (succ.isEmpty && guard < 64) {
-        readSourceRecord(fs, cur) match {
-          case Some((from, files)) =>
-            val parent = if (from.isEmpty) path else s"$path/$from"
-            if (parent == dir) succ = Some((cur, files))
-            else if (fs.exists(new Path(parent))) { cur = parent; guard += 1 }
-            else guard = 64
-          case None => guard = 64
+      val chain = liveChain(fs, spark, path)
+      // carried in any chain generation's source record: its rows were
+      // read by that rewrite and flow through every later one — done
+      if (chain.exists(_._2._2.contains(name))) return
+      def rescan(): Unit =
+        chain.reverseIterator // oldest-first: resume from the EARLIEST copy
+          .map { case (g, _) => g -> dataFileNames(fs, g)
+            .find(f => f == name || f.startsWith(name + ".salv.")) }
+          .collectFirst { case (g, Some(f)) => (g, f) } match {
+          case Some((vDir, vName)) => dir = vDir; name = vName
+          case None => throw new IllegalStateException(
+            s"docstore: appended file $name of $dir raced mutations of $path " +
+              "and can no longer be found on the committed chain (rewrites " +
+              "plus retention pruning completed mid-append) — the batch was " +
+              "NOT fully published; retry the append for its missing rows")
         }
-      }
-      succ match {
-        case Some((sDir, l)) =>
-          val stragglers = remaining.filterNot(l.contains) // rest carried as rows
-          remaining = publishForward(spark, fs, dir, sDir, stragglers)
-          dir = sDir
-        case None =>
-          throw new IllegalStateException(
-            s"docstore: an append into $dir raced mutations of $path and the " +
-              "superseding chain is no longer resolvable (multiple rewrites " +
-              "plus pruning completed mid-append); the batch's visibility is " +
-              "indeterminate — inspect the collection before retrying")
+      chain.find { case (_, (from, _)) =>
+        (if (from.isEmpty) path else s"$path/$from") == dir
+      } match {
+        case Some((sDir, _)) =>
+          name = publishForward(spark, fs, dir, sDir, Seq(name)).head
+          if (fs.exists(new Path(sDir, name))) dir = sDir
+          else rescan() // a racing salvager moved it further, or pruning hit
+        case None => rescan() // `dir` itself fell off the chain (pruned)
       }
     }
   }
@@ -1599,10 +1632,19 @@ object DocStore {
     }
     // re-validate after the rewrite; on failure drop the just-written
     // generation so a later manifest-loss recovery can never resolve to
-    // the aborted stale rewrite
+    // the aborted stale rewrite. GUARD: two contract-violating mutations
+    // that raced the SAME next id can interleave so that the competitor
+    // already committed this very directory (its swing named `next`, our
+    // writeData clobbered its content) — deleting it then would leave the
+    // manifest dangling at a nonexistent dir and the collection silently
+    // reading as empty. If the manifest names `next`, leave it in place:
+    // the outcome degrades to the pre-protocol last-writer-wins, never to
+    // dangling emptiness.
     try validatedPrevious()
     catch { case e: ConcurrentMutationException =>
-      fs.delete(new Path(next), true); throw e
+      if (!readManifest(fs, path).contains(new Path(next).getName))
+        fs.delete(new Path(next), true)
+      throw e
     }
     writeSourceRecord(fs, next, previous.getOrElse(""), sourceNames)
     writeManifest(fs, path, new Path(next).getName)
@@ -1614,9 +1656,14 @@ object DocStore {
       case _ => path
     }
     if (fromDir != next) salvageInto(spark, fs, fromDir, next, sourceNames)
-    val all = completeGens(fs, path)
-    val keep = all.takeRight(retain).map(id => f"gen-$id%06d").toSet ++ previous
-    all.map(id => genPath(path, id))
+    // retention counts COMMITTED generations only: a crash-orphaned
+    // complete dir must not consume a retention slot (it would prune a
+    // committed generation one mutation early and break a CDC consumer
+    // inside its promised lag headroom). Orphans themselves are pruned
+    // immediately — they were never a served state.
+    val chain = committedGens(fs, path)
+    val keep = chain.takeRight(retain).map(id => f"gen-$id%06d").toSet ++ previous
+    completeGens(fs, path).map(id => genPath(path, id))
       .filterNot(p => keep.contains(new Path(p).getName))
       .foreach(p => fs.delete(new Path(p), true))
     if (previous.isEmpty || !previous.exists(_.startsWith("gen-"))) {

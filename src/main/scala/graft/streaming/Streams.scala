@@ -515,6 +515,49 @@ object Streams {
     }
   }
 
+  /** The index's LSH geometry, persisted as `indexPath/_META` by the
+    * first ingest batch (write-if-absent, tmp-then-rename): band hashes
+    * are only comparable when shingle size and banding match, so a probe
+    * or a later ingest run with different parameters would silently
+    * produce garbage candidates (usually: no matches at all — "the eval
+    * set is clean" when it is not). Every entry point validates against
+    * the stored geometry and fails loudly on a mismatch; an index built
+    * before `_META` existed validates nothing (documented legacy gap).
+    */
+  private def writeNearDupMeta(fs: org.apache.hadoop.fs.FileSystem,
+                               indexPath: String, k: Int, bands: Int,
+                               rowsPerBand: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_META")
+    if (!fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(indexPath,
+        s"_META.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(s"k=$k\nbands=$bands\nrowsPerBand=$rowsPerBand\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false) // a racer wrote it first
+    }
+  }
+
+  private def requireNearDupGeometry(fs: org.apache.hadoop.fs.FileSystem,
+                                     indexPath: String, k: Int, bands: Int,
+                                     rowsPerBand: Int, what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_META")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val stored = txt.split("\n").iterator.map(_.trim).filter(_.contains("="))
+        .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
+      def chk(nm: String, v: Int): Unit = stored.get(nm).foreach(s =>
+        require(s.trim.toInt == v,
+          s"$what: $nm=$v does not match the geometry this index was built " +
+            s"with ($nm=${s.trim}, from $indexPath/_META) — band hashes are " +
+            "only comparable under identical shingling and banding"))
+      chk("k", k); chk("bands", bands); chk("rowsPerBand", rowsPerBand)
+    }
+  }
+
   /** READ-ONLY probe of a near-dup index built by
     * [[ingestToNearDupIndex]]: which of `docs` are near-duplicates of
     * the INDEXED corpus? The contamination check an eval set runs
@@ -547,6 +590,7 @@ object Streams {
         fs.exists(new org.apache.hadoop.fs.Path(shDir)),
       s"probeNearDupIndex: $indexPath has no keys/shingles dirs — build " +
         "the index with ingestToNearDupIndex first")
+    requireNearDupGeometry(fs, indexPath, k, bands, rowsPerBand, "probeNearDupIndex")
     val sh = graft.dedup.MinHashDedup
       .shingleSets(docs, idCol, textCol, k).cache()
     val keys = graft.dedup.MinHashDedup
@@ -621,8 +665,12 @@ object Streams {
     * batches' keys/shingles dirs (plus the match dirs that mention the
     * ids — found by one scan of the pair-sized matches table) are
     * rewritten, with the same overwrite-by-batch-dir layout the ingest
-    * writes. Frames are materialized (`localCheckpoint`) before each
-    * overwrite — Spark cannot lazily read the path it is replacing.
+    * writes. Each rewrite is STAGE-THEN-SWAP (materialized with
+    * `localCheckpoint`, written to a dot-prefixed staging dir, then
+    * swapped in): a crash can never lose the surviving docs' rows for a
+    * batch — the old dir stays intact until the staged replacement is
+    * complete, and the next takedown call heals the one remaining
+    * delete->rename metadata gap from the staging dirs.
     *
     * Single-writer like the ingest itself: do not run while a batch is in
     * flight (a DRAINED stream between triggers is fine — empty triggers
@@ -642,6 +690,40 @@ object Streams {
     require(fs.exists(new org.apache.hadoop.fs.Path(keysDir)) &&
         fs.exists(new org.apache.hadoop.fs.Path(shDir)),
       s"removeFromNearDupIndex: $indexPath has no keys/shingles dirs")
+    // crash recovery for OUR OWN swap protocol (below): a leftover
+    // `.takedown-b<N>-*` staging dir whose `batch_id=N` sibling is gone
+    // means the previous takedown crashed between its delete and rename —
+    // complete the swap; with the sibling present the staging is stale
+    def healSwaps(parent: String): Unit =
+      if (fs.exists(new org.apache.hadoop.fs.Path(parent)))
+        fs.listStatus(new org.apache.hadoop.fs.Path(parent)).foreach { st =>
+          val nm = st.getPath.getName
+          if (st.isDirectory && nm.startsWith(".takedown-b")) {
+            val batch = nm.stripPrefix(".takedown-b").takeWhile(_ != '-')
+            val target = new org.apache.hadoop.fs.Path(parent, s"batch_id=$batch")
+            if (!fs.exists(target)) {
+              if (!fs.rename(st.getPath, target))
+                throw new java.io.IOException(
+                  s"removeFromNearDupIndex: cannot recover ${st.getPath} -> $target")
+            } else fs.delete(st.getPath, true)
+          }
+        }
+    healSwaps(keysDir); healSwaps(shDir); healSwaps(matchesDir)
+    // stage-then-swap: the in-place alternative (Overwrite on the live
+    // dir) would, on a crash mid-rewrite, lose the SURVIVING docs' rows
+    // for that batch with no replay that restores them sans the removed
+    // ids. This narrows the loss window to the delete->rename metadata
+    // gap, and healSwaps above closes even that.
+    def swapIn(parent: String, b: Long)(write: String => Unit): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(parent,
+        s".takedown-b$b-${java.util.UUID.randomUUID()}")
+      write(tmp.toString)
+      val target = new org.apache.hadoop.fs.Path(parent, s"batch_id=$b")
+      fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(
+          s"removeFromNearDupIndex: cannot swap $tmp -> $target")
+    }
     val idDf = ids.select(col(idCol)).distinct().cache()
     // bounded collects throughout: slot values (<= Slots) and affected
     // batch ids (<= batches the removed docs were ingested in) — never ids
@@ -661,20 +743,20 @@ object Streams {
     for (b <- docBatches) {
       val kept = spark.read.parquet(s"$keysDir/batch_id=$b")
         .join(idDf, Seq(idCol), "left_anti")
-        .localCheckpoint() // materialize BEFORE overwriting the source dir
-      // static overwrite explicitly: the whole batch dir must be REPLACED
-      // (a dynamic session conf would leave removed ids' slot dirs behind)
-      kept.repartition(col("slot"))
-        .write.mode(SaveMode.Overwrite).partitionBy("slot")
-        .option("partitionOverwriteMode", "static")
-        .parquet(s"$keysDir/batch_id=$b")
+        .localCheckpoint() // materialize BEFORE replacing the source dir
+      swapIn(keysDir, b) { tmp =>
+        kept.repartition(col("slot"))
+          .write.mode(SaveMode.Overwrite).partitionBy("slot")
+          .parquet(tmp)
+      }
       val keptSh = spark.read.parquet(s"$shDir/batch_id=$b")
         .join(idDf, Seq(idCol), "left_anti")
         .localCheckpoint()
-      keptSh.repartition(col("id_slot"))
-        .write.mode(SaveMode.Overwrite).partitionBy("id_slot")
-        .option("partitionOverwriteMode", "static")
-        .parquet(s"$shDir/batch_id=$b")
+      swapIn(shDir, b) { tmp =>
+        keptSh.repartition(col("id_slot"))
+          .write.mode(SaveMode.Overwrite).partitionBy("id_slot")
+          .parquet(tmp)
+      }
     }
     // matches carry removed ids on either side, in ANY batch (a later
     // batch's doc matching an earlier removed one); one scan of the
@@ -692,7 +774,9 @@ object Streams {
           .join(idDf.select(col(idCol).as("id_a")), Seq("id_a"), "left_anti")
           .join(idDf.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
           .localCheckpoint()
-        kept.write.mode(SaveMode.Overwrite).parquet(s"$matchesDir/batch_id=$b")
+        swapIn(matchesDir, b) { tmp =>
+          kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
       }
     }
     idDf.unpersist()
@@ -731,6 +815,11 @@ object Streams {
       val keysDir = s"$indexPath/keys"
       val shDir = s"$indexPath/shingles"
       val matchesDir = s"$indexPath/matches"
+      // geometry contract: resuming an index with different parameters
+      // would write incomparable band hashes — fail loudly instead
+      requireNearDupGeometry(fs, indexPath, k, bands, rowsPerBand,
+        "ingestToNearDupIndex")
+      writeNearDupMeta(fs, indexPath, k, bands, rowsPerBand)
 
       val sh = graft.dedup.MinHashDedup
         .shingleSets(batch, idCol, textCol, k).cache()

@@ -285,6 +285,39 @@ class DocStoreConcurrencySpec extends SparkTestBase {
     DocStore.updateMany(spark, path, col("id") === 1L, Map("status" -> lit("c")))
     assert(DocStore.generations(spark, path) == Seq(2, 4))
     assert(rows(path) == Set((1L, "c")))
+    // the orphan does not consume a retention slot (retention counts the
+    // COMMITTED chain) and is itself reclaimed by the mutation's pruning
+    assert(!java.nio.file.Files.exists(orphan), "orphan dir must be pruned")
+    assert(new java.io.File(s"$path/gen-000002").isDirectory,
+      "committed previous generation must survive retention")
+  }
+
+  test("an appended file destroyed mid-race (pruning simulation) fails LOUDLY, never silently") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a")).toDF("id", "status"), path)
+    val e = intercept[IllegalStateException] {
+      DocStore.insertManySeamed(Seq((2L, "b")).toDF("id", "status"), path,
+        afterStage = () => { // the rewrite pins BEFORE the batch publishes
+          DocStore.updateMany(spark, path, col("id") === 1L,
+            Map("status" -> lit("m")))
+        },
+        beforeVisibilityCheck = () => {
+          // destroy the just-published straggler files (what retention
+          // pruning would do if enough rewrites completed mid-append):
+          // data files of the superseded gen not listed in its
+          // successor's _SOURCE record are exactly the appended batch
+          val src = scala.io.Source.fromFile(s"$path/gen-000002/_SOURCE")
+          val listed = try src.getLines().drop(1).toSet finally src.close()
+          new java.io.File(s"$path/gen-000001").listFiles().foreach { f =>
+            if (f.isFile && !f.getName.startsWith("_") &&
+                !f.getName.startsWith(".") && !listed.contains(f.getName))
+              assert(f.delete())
+          }
+        })
+    }
+    assert(e.getMessage.contains("NOT fully published"), e.getMessage)
+    // the base data and the mutation's effect are intact
+    assert(rows(path) == Set((1L, "m")))
   }
 
   test("threaded stress: appends racing sequential mutations, exactly-once") {

@@ -734,6 +734,38 @@ class StreamsSpec extends SparkTestBase {
     // unknown ids: loud zero, index untouched
     assert(Streams.removeFromNearDupIndex(spark, dir,
       Seq(424242L).toDF("doc_id")) == 0L)
+
+    // geometry contract: probing with parameters the index was not built
+    // with would silently produce garbage candidates — fail loudly instead
+    val geomErr = intercept[IllegalArgumentException] {
+      Streams.probeNearDupIndex(Seq((1L, "a b c d")).toDF("doc_id", "text"),
+        dir, idCol = "doc_id", textCol = "text", k = 4, threshold = 0.5)
+    }
+    assert(geomErr.getMessage.contains("geometry"))
+    intercept[IllegalArgumentException] {
+      Streams.probeNearDupIndex(Seq((1L, "a b c d")).toDF("doc_id", "text"),
+        dir, idCol = "doc_id", textCol = "text", k = 3, bands = 32,
+        rowsPerBand = 2, threshold = 0.5)
+    }
+
+    // crash recovery of the takedown swap: simulate dying between the
+    // delete and the rename (staging present, live batch dir gone) and a
+    // stale staging next to an intact batch dir — the next call heals both
+    val kfs = new java.io.File(s"$dir/keys")
+    assert(new java.io.File(kfs, "batch_id=0")
+      .renameTo(new java.io.File(kfs, ".takedown-b0-crash")))
+    new java.io.File(kfs, ".takedown-b2-stale").mkdirs()
+    assert(Streams.removeFromNearDupIndex(spark, dir,
+      Seq(424242L).toDF("doc_id")) == 0L)
+    assert(new java.io.File(kfs, "batch_id=0").isDirectory)
+    assert(!new java.io.File(kfs, ".takedown-b0-crash").exists())
+    assert(!new java.io.File(kfs, ".takedown-b2-stale").exists())
+    // the healed index still serves: survivor 1 plus the later-ingested
+    // 9001 (same text), never the removed doc 0
+    assert(Streams.probeNearDupIndex(
+        Seq((9000L, nearC0)).toDF("doc_id", "text"), dir,
+        idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+      .select("id_b").collect().map(_.getLong(0)).toSet == Set(1L, 9001L))
   }
 
   test("funnelStream: exact-boundary emission when wm lands on t1+W then t1+W+1") {

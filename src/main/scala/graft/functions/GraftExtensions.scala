@@ -121,6 +121,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "quantile_sketch_merge(sketch) - merge stored quantile sketches"),
       (args: Seq[Expression]) => QuantileSketchMergeAgg(args.head)))
 
+    ext.injectFunction((FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(hash, k) - KMV distinct sketch: ascending array of " +
+          "the k smallest distinct long values (pair with a deterministic " +
+          "hash; see ops.Kmv for the estimators)"),
+      (args: Seq[Expression]) => KmvAgg(
+        Cast(args.head, LongType), intArg(args(1), "k"))))
+
     ext.injectFunction((FunctionIdentifier("sketch_count"),
       info("sketch_count",
         "sketch_count(sketch) - rows summarized by a stored quantile sketch"),

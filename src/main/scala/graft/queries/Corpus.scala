@@ -1154,6 +1154,103 @@ object Corpus {
           .orderBy("event_type")
       }),
 
+    // ---- KMV (k-minimum-values) distinct sketch (ops.Kmv): per-source
+    //      distinct-3-shingle estimates WITHOUT a distinct shuffle — the
+    //      build ships at most k=256 longs per source per task (bounded
+    //      TypedImperativeAggregate, map-side combined), estimates read
+    //      the sketch only. ORACLED: the hash is an md5 prefix (13 hex
+    //      chars = 52 bits, double-exact) and the Beyer et al. estimator
+    //      is one exact-integer division — DuckDB restates bottom-k +
+    //      estimate verbatim. Unsaturated sources fall back to exact
+    //      counts in both engines.
+    "a25_kmv_distinct" -> withOracle(
+      (s, d) => {
+        val t = toks(col("text"))
+        val sh = Tables.spreadForCpu(Tables.documents(s, d))
+          .select(col("source"), explode(ngrams(t, 3)).as("g"))
+        val sk = graft.ops.Kmv.build(sh, col("source"), col("g"), k = 256)
+        graft.ops.Kmv.estimateDistinct(sk, k = 256)
+          .withColumnRenamed("grp", "source")
+          .orderBy("source")
+      },
+      """WITH sh AS (
+        |  SELECT DISTINCT source,
+        |         CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS hv
+        |  FROM (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+        |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |        FROM (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |              FROM documents))),
+        |ranked AS (
+        |  SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+        |  FROM sh),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS INTEGER) AS n_sketch, max(hv) AS kth
+        |  FROM ranked WHERE rk <= 256 GROUP BY source)
+        |SELECT source, n_sketch, kth,
+        |       CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+        |            ELSE CAST(1148417904979476480 AS DOUBLE) / CAST(kth AS DOUBLE)
+        |       END AS est_distinct
+        |FROM agg ORDER BY source""".stripMargin),
+
+    // ---- cross-source overlap matrix from the SAME stored KMV sketches
+    //      (ops.Kmv.pairwiseOverlap): estimated shared-shingle count for
+    //      every source pair — the contamination/redundancy diagnostic a
+    //      pipeline runs before mixing sources. HLL registers can't
+    //      express intersections (union-only; inclusion-exclusion error
+    //      scales with the union); a merged KMV bottom-k is a uniform
+    //      sample of A ∪ B whose members witness side membership, so
+    //      est(∩) = (shared share) x est(∪). The 45-pair join reads 10
+    //      sketch rows, never the data. ORACLED end to end (exact-integer
+    //      hash order + IEEE-exact estimator arithmetic on both engines).
+    "a26_kmv_overlap" -> withOracle(
+      (s, d) => {
+        val t = toks(col("text"))
+        val sh = Tables.spreadForCpu(Tables.documents(s, d))
+          .select(col("source"), explode(ngrams(t, 3)).as("g"))
+        val sk = graft.ops.Kmv.build(sh, col("source"), col("g"), k = 256)
+        graft.ops.Kmv.pairwiseOverlap(sk, k = 256)
+          .orderBy("grp_a", "grp_b")
+      },
+      """WITH sh AS (
+        |  SELECT DISTINCT source,
+        |         CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS hv
+        |  FROM (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+        |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |        FROM (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |              FROM documents))),
+        |ranked AS (
+        |  SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+        |  FROM sh),
+        |mins AS (SELECT source, hv FROM ranked WHERE rk <= 256),
+        |prs AS (SELECT a.source AS grp_a, b.source AS grp_b
+        |        FROM (SELECT DISTINCT source FROM mins) a
+        |        JOIN (SELECT DISTINCT source FROM mins) b ON a.source < b.source),
+        |u AS (
+        |  SELECT grp_a, grp_b, hv, max(ina) AS ina, max(inb) AS inb
+        |  FROM (SELECT p.grp_a, p.grp_b, m.hv,
+        |               CASE WHEN m.source = p.grp_a THEN 1 ELSE 0 END AS ina,
+        |               CASE WHEN m.source = p.grp_b THEN 1 ELSE 0 END AS inb
+        |        FROM prs p JOIN mins m ON m.source = p.grp_a OR m.source = p.grp_b)
+        |  GROUP BY grp_a, grp_b, hv),
+        |mg AS (SELECT grp_a, grp_b, hv, ina, inb,
+        |              row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY hv) AS rk
+        |       FROM u),
+        |agg AS (SELECT grp_a, grp_b, CAST(count(*) AS INTEGER) AS n_u,
+        |               CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+        |                 AS INTEGER) AS c,
+        |               max(hv) AS kth
+        |        FROM mg WHERE rk <= 256 GROUP BY grp_a, grp_b)
+        |SELECT grp_a, grp_b, n_u, c,
+        |       CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+        |            ELSE CAST(1148417904979476480 AS DOUBLE) / CAST(kth AS DOUBLE)
+        |       END AS est_union,
+        |       CAST(c AS DOUBLE) / CAST(n_u AS DOUBLE) AS est_jaccard,
+        |       (CAST(c AS DOUBLE) / CAST(n_u AS DOUBLE)) *
+        |       (CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+        |             ELSE CAST(1148417904979476480 AS DOUBLE) / CAST(kth AS DOUBLE)
+        |        END) AS est_intersect
+        |FROM agg ORDER BY grp_a, grp_b""".stripMargin),
+
     // ---- exact GLOBAL order statistics via the distributed rank
     //      (ops.Ranks): the rows at ranks ceil(p*n) — quantile_disc
     //      semantics with exact VALUES, no single-partition sort anywhere

@@ -318,6 +318,43 @@ object DedupSim {
         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS c2
         |FROM embeddings ORDER BY vec_id""".stripMargin),
 
+    // ---- SQ8 int8-quantized ANN (Ann.sq8Encode/sq8Search): the corpus
+    //      at a quarter of the bytes, scored by integer dot products and
+    //      dequantized by per-vector constants. Encoding is a pure
+    //      projection (no fit pass, no model state — at 100 TB it rides
+    //      the ingest scan). FULLY ORACLED, uniquely in the ANN family:
+    //      round/floor and IEEE mul/div are engine-exact, so DuckDB
+    //      restates quantization, integer scoring, and the dequantized
+    //      ranking verbatim. Recall vs float brute force pinned in
+    //      Sq8Spec.
+    "e10_ann_sq8" -> withOracle(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val codes = graft.sim.Ann.sq8Encode(emb)
+        graft.sim.Ann.sq8Search(codes, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy("q_id", "rk")
+      },
+      """WITH enc AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+        |             greatest(list_max(list_transform(embedding,
+        |               y -> abs(CAST(y AS DOUBLE)))), 1e-300) + 0.5) AS BIGINT)) AS q8,
+        |         greatest(list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE)))), 1e-300) AS m,
+        |         greatest(sqrt(list_aggregate(list_transform(embedding,
+        |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 1e-300) AS nrm
+        |  FROM embeddings)
+        |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, qdot FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> q.q8[i] * c.q8[i])) AS BIGINT) AS qdot,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           (CAST(list_sum(list_transform(range(1, 65),
+        |              i -> q.q8[i] * c.q8[i])) AS DOUBLE) * c.m / c.nrm) DESC,
+        |           c.vec_id) AS rk
+        |  FROM enc q JOIN enc c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
     // ---- PCA whitening of the embedding column (sim.Pca): decorrelate +
     //      variance-equalize before quantization/LSH — one bounded-state
     //      fit pass (count/sum/gram partials, d x d Jacobi on the driver),

@@ -255,4 +255,61 @@ object Ann {
     val cells = corpus.select(col(idCol), col(embCol), model.assign(col(embCol)).as("cell"))
     ivfSearch(model, cells, queries, k, nProbe, idCol, embCol)
   }
+
+  // -------------------------------------------------------------------
+  // SQ8: per-vector symmetric int8 scalar quantization (the FAISS
+  // ScalarQuantizer-QT_8bit shape). Unlike PQ there is no codebook to
+  // fit: encoding is a pure projection, so a 100 TB corpus quantizes on
+  // its ingest scan with no fit pass, no model state, and no staleness
+  // story. 4x smaller than the float column, integer dot products in the
+  // scan, and — because round/floor and IEEE ops are engine-exact — the
+  // whole search ranking crosses the DuckDB oracle gate (e10), which no
+  // other ANN family here can (their fitted state is engine-specific).
+
+  /** Quantize an embedding column to int8 codes: c_i = round(x_i * 127 /
+    * m) with m = max|x_i| per vector (half-up via floor(v + 0.5), the
+    * engine-neutral rounding). Emits the codes plus the two per-vector
+    * dequantization constants ranking needs: `sq8_scale` (m) and
+    * `sq8_norm` (the ORIGINAL float norm, so approximate-cosine ranking
+    * does not drift as quantization error accumulates in the norm).
+    */
+  def sq8Encode(df: DataFrame, idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    val v = col(embCol)
+    // 1e-300 guards the all-zero vector (codes 0/0 -> NaN otherwise);
+    // any real magnitude dwarfs it, so non-degenerate vectors see m as-is
+    val m = greatest(array_max(transform(v, x => abs(x.cast("double")))), lit(1e-300))
+    val nrm = greatest(sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x)), lit(1e-300))
+    df.select(col(idCol), v.as("__emb"), m.as("sq8_scale"), nrm.as("sq8_norm"))
+      .select(col(idCol),
+        transform(col("__emb"),
+          x => floor(x.cast("double") * 127.0 / col("sq8_scale") + 0.5).cast("byte"))
+          .as("sq8"),
+        col("sq8_scale"), col("sq8_norm"))
+  }
+
+  /** Exact top-k over the QUANTIZED corpus: integer dot products (the
+    * int8-SIMD kernel shape) dequantized by the corpus side's constants —
+    * score = qdot * m_c / |x_c|; the query side's constants are rank-
+    * invariant per query and never computed. Queries broadcast, the codes
+    * column streams: the e1 scan at a quarter of the bytes and integer
+    * multiplies. Composes with IVF (assign cells on the FLOAT column at
+    * encode time, probe cells, then this scoring within probed cells) —
+    * Sq8Spec pins the composition's row identity against post-filtering.
+    */
+  def sq8Search(codes: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = sq8Encode(queries, idCol, embCol)
+      .select(col(idCol).as("q_id"), col("sq8").as("q_sq8"))
+    val qdot = aggregate(zip_with(col("q_sq8"), col("sq8"),
+        (a, b) => a.cast("long") * b.cast("long")), lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col(idCol))
+    codes.join(broadcast(q), col("q_id") =!= col(idCol))
+      .withColumn("qdot", qdot)
+      .withColumn("score", col("qdot").cast("double") * col("sq8_scale") / col("sq8_norm"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col(idCol), col("qdot"))
+  }
 }

@@ -69,6 +69,20 @@ object Kmv {
         .as("est_distinct"))
   }
 
+  /** Merge a stored sketch table with several rows per group (e.g. one
+    * per micro-batch from [[graft.streaming.Streams.storeKmvSketches]],
+    * or one per day from a sketch store) back to one row per group:
+    * re-sketching the stored members IS the merge, because bottom-k of
+    * bottom-k's == bottom-k of the union (pinned in KmvSpec) — state
+    * stays bounded at k and the result is bit-identical to building one
+    * sketch over all the data.
+    */
+  def mergeSketches(stored: DataFrame, k: Int): DataFrame = {
+    requireK(k)
+    stored.select(col("grp"), explode(col("mins")).as("hv"))
+      .groupBy("grp").agg(kmv_sketch(col("hv"), k).as("mins"))
+  }
+
   /** All-pairs overlap estimates over the SKETCH table (groups x k longs —
     * the pair join never touches data; the sketch side broadcasts).
     * Emits per (grp_a < grp_b): merged-sample size, shared-member count,

@@ -470,6 +470,41 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
+  /** Streamed KMV sketch store served after the drain: documents arrive
+    * in three micro-batches, each writes one bounded (source, mins)
+    * sketch row per group ([[graft.streaming.Streams.storeKmvSketches]]),
+    * and the read side merges per group + estimates. Because KMV merge
+    * is a pure set operation, the merged estimate is BIT-IDENTICAL to
+    * the one-shot batch build — so this streaming query carries a25's
+    * full DuckDB oracle, which no order-sensitive sketch (quantiles,
+    * st13) can.
+    */
+  def streamStoredKmv(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = graft.core.Tables.documents(s, d).select("source", "text")
+    val stage = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-kmv-stage-${Integer.toHexString(d.hashCode)}-" +
+        java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d))).toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmvtab").toString
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .select(col("source"), explode(graft.functions.functions.ngrams(
+        split(lower(trim(col("text"))), "\\s+"), 3)).as("g"))
+      .select(col("source"), graft.ops.Kmv.hashKey(col("g")).as("hv"))
+    val q = graft.streaming.Streams
+      .storeKmvSketches(stream, "source", "hv", dir, k = 256)
+    try q.processAllAvailable() finally q.stop()
+    val merged = graft.ops.Kmv.mergeSketches(
+      s.read.parquet(dir).select("grp", "mins"), k = 256)
+    graft.ops.Kmv.estimateDistinct(merged, k = 256)
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+      .localCheckpoint(true)
+  }
+
   /** Streaming heavy hitters drained to completion, then verified: the
     * driver-held Misra-Gries summary folded across micro-batches provably
     * retains every key at the threshold (mergeable-summaries guarantee),
@@ -1268,6 +1303,33 @@ object Extras {
     //      merge+probe — build once, query many, restart-safe
     "st13_stream_sketch_table" -> rowsOnly(
       (s, d) => StreamingQuery.streamStoredQuantiles(s, d)),
+
+    // ---- streamed KMV sketch store, served after the drain: per-batch
+    //      bottom-k rows merged by re-sketching (merge == one-shot build
+    //      bit-for-bit, KmvSpec) — so THIS streaming sketch is fully
+    //      ORACLED with a25's SQL, the only sketch family whose streamed
+    //      result can cross the hash-exact gate (its merge is a set
+    //      operation, not order-sensitive buffer folding)
+    "st16_stream_kmv" -> withOracle(
+      (s, d) => StreamingQuery.streamStoredKmv(s, d),
+      """WITH sh AS (
+        |  SELECT DISTINCT source,
+        |         CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS hv
+        |  FROM (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+        |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |        FROM (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |              FROM documents))),
+        |ranked AS (
+        |  SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+        |  FROM sh),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS INTEGER) AS n_sketch, max(hv) AS kth
+        |  FROM ranked WHERE rk <= 256 GROUP BY source)
+        |SELECT source, n_sketch, kth,
+        |       CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+        |            ELSE CAST(1148417904979476480 AS DOUBLE) / CAST(kth AS DOUBLE)
+        |       END AS est_distinct
+        |FROM agg ORDER BY source""".stripMargin),
 
     // ---- custom expressions through the SQL surface (GraftExtensions):
     //      signature determinism is the contract — rows-only here, exact

@@ -290,6 +290,31 @@ object Streams {
       }
       .start()
 
+  /** One bounded KMV sketch row per (micro-batch, group): the streaming
+    * build side of [[graft.ops.Kmv]]. `stream` must already carry the
+    * group column and a deterministic long hash column (ops.Kmv.hashKey
+    * for the oracle-exact md5 form). Per batch the aggregate ships at
+    * most k longs per group; `overwrite` into `batch_id=N` makes an
+    * at-least-once replay REWRITE its batch instead of duplicating it —
+    * and because bottom-k-of-bottom-ks == bottom-k-of-union (KmvSpec),
+    * the merged read side equals the one-shot batch build EXACTLY, so
+    * the streamed sketch crosses the same DuckDB oracle the batch sketch
+    * does (st16 — unlike the quantile sketch, whose merge is order-
+    * sensitive by contract).
+    */
+  def storeKmvSketches(stream: DataFrame, grpCol: String, hashCol: String,
+                       sketchDir: String, k: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col(grpCol).as("grp"))
+          .agg(graft.functions.KmvAgg.kmv_sketch(col(hashCol), k).as("mins"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$sketchDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** A point-in-time view of a streamed Misra-Gries summary: candidate
     * keys with their (under-)counts, the exact total row count folded in,
     * and the key's type for re-joining against stored data. The candidate

@@ -512,6 +512,40 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("storeKmvSketches: streamed-merged sketch == one-shot batch build, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two groups, saturating k=64, members split across three batches
+    val rows = (0 until 3000).map(i => ("g" + (i % 2), s"key_$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmvtab-spec").toString
+    def runStream(): Unit = {
+      val mem = MemoryStream[(String, String)]
+      val q = Streams.storeKmvSketches(
+        mem.toDF().toDF("grp", "key")
+          .select(col("grp"), graft.ops.Kmv.hashKey(col("key")).as("hv")),
+        "grp", "hv", dir, k = 64)
+      mem.addData(rows.take(1000): _*); q.processAllAvailable()
+      mem.addData(rows.slice(1000, 2500): _*); q.processAllAvailable()
+      mem.addData(rows.drop(2500): _*); q.processAllAvailable()
+      q.stop()
+    }
+    runStream()
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == 6) // one bounded row per (batch, group)
+    // full replay: overwrite-by-batch rewrites, never duplicates
+    runStream()
+    assert(spark.read.parquet(dir).count() == 6)
+    // the merged read side is BIT-IDENTICAL to sketching all rows at once
+    val merged = graft.ops.Kmv.mergeSketches(
+        spark.read.parquet(dir).select("grp", "mins"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = graft.ops.Kmv.build(
+        rows.toDF("grp", "key"), col("grp"), col("key"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged === direct)
+  }
+
   test("ingestToNearDupIndex: streamed matches across batch cuts == one-shot batch pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -355,6 +355,60 @@ object DedupSim {
         |  FROM enc q JOIN enc c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
 
+    // ---- FILTERED vector search, exact baseline: top-k among corpus
+    //      rows matching a metadata predicate (label = 3) — the
+    //      vector-DB filtered-search surface (the filter composes as a
+    //      plain .filter BEFORE the ranking, so it pushes to the scan;
+    //      post-filtering a top-k would return holes). Brute force =
+    //      oracle-able exactly, the e1 pattern plus the predicate.
+    "e11_ann_filtered" -> withOracle(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Ann.bruteForceTopK(emb.filter(col("label") === 3),
+            emb.filter(col("vec_id") < 10), k = 5)
+          .select("q_id", "rk", "vec_id")
+          .orderBy("q_id", "rk")
+      },
+      """SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id
+        |FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY (list_sum(list_transform(range(1, 65),
+        |                       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))) DESC,
+        |           c.vec_id)
+        |           AS rk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label = 3
+        |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // ---- FILTERED IVF search with ADAPTIVE probing
+    //      (Ann.ivfSearchAdaptive): label = 3 keeps ~10% of the corpus,
+    //      so a fixed-nProbe probe of the query's nearest cells can hold
+    //      fewer than k survivors; the probe set is instead sized by
+    //      per-cell survivor counts until it covers the candidate target,
+    //      guaranteeing k results at any selectivity. Reuses e3's cached
+    //      IVF fit (same key/geometry — one Lloyd fit serves both).
+    //      rows-only: ANN approximate by contract (e3's justification);
+    //      AnnFilterSpec pins exactness when the target covers all
+    //      survivors, completeness + recall >= 0.9 under a selective
+    //      filter on clustered data, and probe-set economy under a dense
+    //      one.
+    "e12_ann_ivf_filtered" -> rowsOnly(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Ann.cachedIvf(d, emb, nCells = 16, lloydIters = 2)
+        val cells = emb
+          .select(col("vec_id"), col("embedding"), col("label"),
+            model.assign(col("embedding")).as("cell"))
+          .filter(col("label") === 3)
+        Ann.ivfSearchAdaptive(model, cells, emb.filter(col("vec_id") < 10),
+            k = 5, oversample = 4.0)
+          .select("q_id", "rk", "vec_id")
+          .orderBy("q_id", "rk")
+      }),
+
     // ---- PCA whitening of the embedding column (sim.Pca): decorrelate +
     //      variance-equalize before quantization/LSH — one bounded-state
     //      fit pass (count/sum/gram partials, d x d Jacobi on the driver),

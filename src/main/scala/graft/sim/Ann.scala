@@ -256,6 +256,72 @@ object Ann {
     ivfSearch(model, cells, queries, k, nProbe, idCol, embCol)
   }
 
+  /** Filtered ANN ("nearest neighbors among rows matching a metadata
+    * predicate" — the vector-DB filtered-search shape) with ADAPTIVE
+    * probing. Pass `cells` already filtered (the predicate stays a plain
+    * `.filter`, so it pushes to the scan and composes with any metadata
+    * join). Fixed-nProbe probing breaks under selective filters: the k
+    * nearest SURVIVORS may all live outside the query's nProbe nearest
+    * cells, so post-filtering returns fewer than k rows — or silently
+    * worse ones. Here the probe set is sized by the filter itself:
+    * per-cell survivor counts (<= nCells numbers, model-sized driver
+    * state, one partial-combined aggregate over the filtered scan) and
+    * each query probes its nearest non-empty cells until their cumulative
+    * survivor count reaches `max(k+1, ceil(oversample*k))`. That
+    * guarantees min(k, survivors) results for EVERY query regardless of
+    * filter selectivity, and when the target covers all survivors the
+    * result is exactly the filtered brute-force ranking — both pinned in
+    * AnnFilterSpec. A dense filter probes few cells (the IVF economy is
+    * kept); a sparse one degrades gracefully toward exact search instead
+    * of returning holes.
+    *
+    * At 100 TB: the count aggregate is one map-side-combined pass over
+    * the filtered scan (reusable across query batches over the same
+    * filter), probes are a broadcast of <= nCells centroid rows, and the
+    * candidate join touches only probed cells' partitions. No distinct is
+    * needed downstream: each corpus row lives in exactly one cell and
+    * each (query, cell) is probed once, so candidate pairs are unique by
+    * construction (unlike LSH banding).
+    */
+  def ivfSearchAdaptive(model: IvfModel, cells: DataFrame, queries: DataFrame,
+                        k: Int, oversample: Double = 4.0,
+                        idCol: String = "vec_id",
+                        embCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"ivfSearchAdaptive: k must be positive, got $k")
+    require(oversample >= 1.0,
+      s"ivfSearchAdaptive: oversample must be >= 1, got $oversample")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    // k+1 not k: a query vector that itself survives the filter is
+    // excluded below, and must not eat the candidate budget
+    val target = math.max(k + 1L, math.ceil(oversample * k).toLong)
+    val counts = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cDf = model.centroids.zipWithIndex
+      .collect { case (c, i) if counts.getOrElse(i.toLong, 0L) > 0L =>
+        (i.toLong, c, counts(i.toLong)) }
+      .toDF("cell_id", "centroid", "n")
+    // probe the fewest nearest cells whose cumulative survivor count
+    // reaches the target: include a cell iff the cells ranked before it
+    // have not reached it yet (so the last included cell may overshoot)
+    val pw = Window.partitionBy(col(idCol))
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val probes = queries.crossJoin(broadcast(cDf))
+      .withColumn("cell_cos", cosine(col(embCol), col("centroid")))
+      .withColumn("cum_before", sum("n").over(pw) - col("n"))
+      .filter(col("cum_before") < target)
+      .select(col("cell_id").as("cell"), col(idCol).as("q_id"),
+        col(embCol).as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
+    cells.join(probes, Seq("cell"))
+      .filter(col("q_id") =!= col(idCol))
+      .withColumn("cos", cosine(col("q_emb"), col(embCol)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col(idCol), col("cos"))
+  }
+
   // -------------------------------------------------------------------
   // SQ8: per-vector symmetric int8 scalar quantization (the FAISS
   // ScalarQuantizer-QT_8bit shape). Unlike PQ there is no codebook to

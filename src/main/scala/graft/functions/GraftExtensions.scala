@@ -210,6 +210,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             threshold = doubleArg(args(5), "threshold")))
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("knn_search"),
+      info("knn_search",
+        "knn_search(corpusTable, queryTable, idCol, embCol, k) - exact " +
+          "cosine top-k of each query among the corpus rows (self-matches " +
+          "by id excluded); returns (q_id, rk, <idCol>, cos). The corpus " +
+          "argument resolves views, so FILTERED vector search from SQL is " +
+          "a view over any predicate/join — the e11 shape. Model-free by " +
+          "design: the fitted ANN paths (IVF/PQ/adaptive) stay on the " +
+          "Column API where their fit-once caches live."),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          graft.sim.Ann.bruteForceTopK(
+            spark.table(strArg(args.head, "corpusTable")),
+            spark.table(strArg(args(1), "queryTable")),
+            k = intArg(args(4), "k"),
+            idCol = strArg(args(2), "idCol"),
+            embCol = strArg(args(3), "embCol")))
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("asof_join"),
       info("asof_join",
         "asof_join(leftTable, rightTable, keys, leftTs, rightTs, valueCol, " +

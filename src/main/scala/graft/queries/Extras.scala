@@ -840,6 +840,48 @@ object Extras {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- incremental AGGREGATE-view maintenance over DocStore cursor
+    //      CDC (DocStore.syncAggregate — the update/delete-capable IVM
+    //      that inc1/inc2's insert-only algebra cannot express): a
+    //      collection is seeded, appended to, updated, and deleted from,
+    //      with a CDC poll maintaining a per-lang (cnt, sum_n_chars) view
+    //      after each mutation — each poll costs O(delta + view), never a
+    //      source rescan, and the consumed cursor commits ATOMICALLY with
+    //      the view (exactly-once; SyncAggregateSpec pins crash-repoll).
+    //      FULLY ORACLED: the mutation script is deterministic, so DuckDB
+    //      restates the final corpus state and aggregates it directly —
+    //      the gate proves four incremental polls converged to the true
+    //      aggregate, integer-exact.
+    "d6_sync_aggregate" -> withOracle(
+      (s, d) => {
+        import graft.sources.DocStore
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val base = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-syncagg-${Integer.toHexString(d.hashCode)}").toString
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+        val src = s"$base/src"; val dst = s"$base/agg"
+        def poll(): Unit =
+          DocStore.syncAggregate(s, src, dst, "doc_id", "lang", Seq("n_chars"))
+        DocStore.insertMany(docs.filter(col("doc_id") % 3 =!= 2), src)
+        poll() // seed
+        DocStore.insertMany(docs.filter(col("doc_id") % 3 === 2), src)
+        poll() // append window: reads only the appended files
+        DocStore.updateMany(s, src, col("doc_id") % 7 === 0,
+          Map("n_chars" -> (col("n_chars") + 100)))
+        poll() // rewrite window: signed before/after deltas
+        DocStore.deleteMany(s, src, Some(col("doc_id") % 5 === 0))
+        poll() // deletes shrink groups
+        DocStore.find(s, dst)
+          .select(col("lang"), col("cnt"), col("sum_n_chars"))
+          .orderBy("lang")
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(n_chars + CASE WHEN doc_id % 7 = 0 THEN 100 ELSE 0 END)
+        |         AS BIGINT) AS sum_n_chars
+        |FROM documents WHERE doc_id % 5 <> 0
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
     // ---- declarative data-quality expectations (ops.Expect): all
     //      row-local rules fold into ONE aggregate over ONE scan;
     //      uniqueness is a (count, count-distinct) pair; referential
@@ -1349,6 +1391,35 @@ object Extras {
     //      same oracle. (Materialize-then-sort stays outside the SQL for
     //      the j14 reason: a global ORDER BY above the candidate+verify
     //      subtree would re-execute it through the range sampler.)
+    // ---- vector search from PURE SQL (knn_search TVF): the corpus arg
+    //      resolves views, so the metadata filter is an ordinary SQL
+    //      view — the filtered-search surface (e11) with zero new query
+    //      semantics. Same Column-API implementation underneath
+    //      (bruteForceTopK; parity pinned in AnnFilterSpec), same DuckDB
+    //      oracle as e11.
+    "x29_sql_knn" -> withOracle(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        emb.filter(col("label") === 3).createOrReplaceTempView("knn_corpus_v")
+        emb.filter(col("vec_id") < 10).createOrReplaceTempView("knn_queries_v")
+        s.sql("SELECT q_id, rk, vec_id FROM knn_search(" +
+            "'knn_corpus_v', 'knn_queries_v', 'vec_id', 'embedding', 5)")
+          .orderBy("q_id", "rk")
+      },
+      """SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id
+        |FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY (list_sum(list_transform(range(1, 65),
+        |                       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))) DESC,
+        |           c.vec_id)
+        |           AS rk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label = 3
+        |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
     "x26_sql_setsim_join" -> withOracle(
       (s, d) => {
         Tables.documents(s, d).createOrReplaceTempView("docs_setsim_v")

@@ -513,7 +513,17 @@ object DocStore {
     * same changes is idempotent (replace-by-key).
     */
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
-                   keyCol: String, retain: Int = 2): Unit = {
+                   keyCol: String, retain: Int = 2): Unit =
+    applyChangesCommitted(spark, path, changes, keyCol, retain, Map.empty)
+
+  /** [[applyChanges]] plus caller sidecars committed atomically with the
+    * rewrite (inside the staged generation, before the manifest swing) —
+    * the primitive [[syncAggregate]]'s exactly-once cursor needs.
+    */
+  private def applyChangesCommitted(spark: SparkSession, path: String,
+                                    changes: DataFrame, keyCol: String,
+                                    retain: Int,
+                                    sidecars: Map[String, Array[Byte]]): Unit = {
     if (changes.isEmpty) return
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("generation").desc)
@@ -534,7 +544,7 @@ object DocStore {
       else live.join(keys, Seq(keyCol), "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
     commitRewrite(fs, spark, merged, path, retain, format = fmt,
-      sourceNames = names, pinnedLive = liveD)
+      sourceNames = names, pinnedLive = liveD, sidecars = sidecars)
   }
 
   /** Maintain a FOLLOWER collection from a leader by cursor CDC:
@@ -625,6 +635,190 @@ object DocStore {
         applyChanges(spark, dstPath, transformed, keyCol)
       }
       next
+  }
+
+  // ---- incremental AGGREGATE-view maintenance ---------------------------
+
+  private val SyncCursorFile = "_sync_cursor"
+
+  private def encodeSyncCursor(c: DocCursor): Array[Byte] =
+    (c.generation.toString +: c.files.toSeq.sorted).mkString("\n").getBytes(UTF_8)
+
+  private def decodeSyncCursor(bytes: Array[Byte]): DocCursor = {
+    val lines = new String(bytes, UTF_8).split("\n", -1).toSeq
+    DocCursor(lines.head.trim.toInt,
+      lines.tail.map(_.trim).filter(_.nonEmpty).toSet)
+  }
+
+  /** The last SOURCE cursor [[syncAggregate]] committed into `path`:
+    * newest committed generation carrying a cursor sidecar wins. A
+    * foreign mutation on the destination (compact, a manual append)
+    * creates a generation WITHOUT one, so the walk looks past it to the
+    * still-retained carrier; once retention prunes every carrier the
+    * cursor chain is lost and [[syncAggregate]] fails loudly rather than
+    * silently re-seeding over unknown state.
+    */
+  private def readSyncCursor(fs: FileSystem, path: String): Option[DocCursor] = {
+    if (!fs.exists(new Path(path))) return None
+    committedGens(fs, path).reverseIterator.map { g =>
+      val p = new Path(genPath(path, g), SyncCursorFile)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(decodeSyncCursor(org.apache.commons.io.IOUtils.toByteArray(in)))
+        finally in.close()
+      }
+    }.collectFirst { case Some(c) => c }
+  }
+
+  /** Incrementally maintain an AGGREGATE view of a collection — per-
+    * `groupCol` row count (`cnt`) plus `sum_<col>` for each of `sumCols`
+    * — from cursor CDC, with EXACTLY-ONCE application. [[syncDerived]]
+    * covers row-wise transforms, where a replayed delta is harmless
+    * (replace-by-key); aggregate deltas are NOT replay-idempotent —
+    * re-adding one double-counts — so this maintainer manages its own
+    * cursor and commits it atomically INSIDE the destination's
+    * generation commit (a [[SyncCursorFile]] sidecar written before the
+    * manifest swing). The aggregate state and the cursor that produced
+    * it can never diverge: a crash anywhere, followed by a re-poll,
+    * re-derives the same delta against the un-advanced aggregate.
+    *
+    * Maintenance algebra: each change contributes signed rows — inserted
+    * +after, deleted -before, updated both (also correct when the update
+    * MOVES a row between groups) — and consecutive-generation diffs
+    * telescope, so the signed sum over any poll window is exactly final
+    * minus initial state; no latest-per-key collapse is needed or
+    * wanted. Cost per poll is O(delta + aggregate table), never
+    * O(source) — the IVM contract, here including deletes and updates
+    * that [[graft.ops.Incremental.mergeAggregate]]'s insert-only shape
+    * cannot express. A group whose count reaches zero is DELETED from
+    * the view, so `view == full groupBy` holds exactly
+    * (SyncAggregateSpec pins the equality after every mutation kind and
+    * across multi-generation polls).
+    *
+    * Semantics and limits, stated rather than discovered:
+    *  - `sum_<col>` treats NULL measures as 0 on BOTH the seed and the
+    *    delta path (sums must be group homomorphisms for deltas to
+    *    compose; SQL's null-skipping sum differs only in the all-null
+    *    group's initial value, so one convention is pinned).
+    *  - min/max are deliberately NOT offered: not delta-maintainable
+    *    under deletes without the full distribution.
+    *  - integer/decimal sums are exactly rebuild-equal; float sums can
+    *    drift by IEEE non-associativity across mutation histories.
+    *  - NULL group keys are refused loudly (join-based maintenance
+    *    cannot address them by equality).
+    *  - the destination belongs to this maintainer. Foreign mutations
+    *    that prune every cursor-carrying generation (or corrupt the
+    *    aggregate rows) surface as a loud failure — lost cursor chain or
+    *    a negative count — never as a silent re-seed.
+    *
+    * First call (destination empty): seeds the view from EXACTLY the
+    * captured cursor's file set — not a live listing, so a concurrent
+    * append between capture and read cannot be double-counted when the
+    * next poll re-delivers it.
+    */
+  def syncAggregate(spark: SparkSession, srcPath: String, dstPath: String,
+                    keyCol: String, groupCol: String, sumCols: Seq[String],
+                    retain: Int = 2): DocCursor = {
+    val dstFs = fileSystem(spark, dstPath)
+    val sumNames = sumCols.map(c => c -> s"sum_$c")
+    readSyncCursor(dstFs, dstPath) match {
+      case None =>
+        require(find(spark, dstPath).isEmpty,
+          s"syncAggregate: $dstPath has documents but no committed sync " +
+            "cursor — it was not built by syncAggregate, or foreign " +
+            "mutations pruned every cursor-carrying generation; start " +
+            "from an empty destination (or raise retain on foreign ops)")
+        val srcFs = fileSystem(spark, srcPath)
+        val c = cursor(spark, srcPath)
+        val genDir = genPath(srcPath, c.generation)
+        val rows =
+          if (c.files.isEmpty) find(spark, srcPath).limit(0)
+          else readFiles(spark, genFormat(srcFs, genDir),
+            storedSchema(srcFs, new Path(genDir, StatsDir)),
+            c.files.toSeq.sorted.map(n => s"$genDir/$n"))
+        if (!rows.columns.contains(groupCol)) {
+          require(rows.isEmpty,
+            s"syncAggregate: $groupCol is missing from the source snapshot")
+          return c // empty source: nothing to seed; the next call re-seeds
+        }
+        // a measure entirely NULL in every batch has no column at all in
+        // a schemaless store — same convention as a present-but-null one
+        val withMeasures = sumCols.foldLeft(rows) { (d, c) =>
+          if (d.columns.contains(c)) d else d.withColumn(c, lit(null)) }
+        val agg = withMeasures.groupBy(col(groupCol))
+          .agg(count(lit(1)).as("cnt"),
+            sumNames.map { case (src, out) =>
+              sum(coalesce(col(src), lit(0))).as(out) }: _*)
+        require(agg.filter(col(groupCol).isNull).isEmpty,
+          s"syncAggregate: NULL $groupCol values are unsupported")
+        applyChangesCommitted(spark, dstPath,
+          asInserted(agg, groupCol, c.generation), groupCol, retain,
+          Map(SyncCursorFile -> encodeSyncCursor(c)))
+        c
+      case Some(c0) =>
+        val (changes, next) = changesSince(spark, srcPath, c0, keyCol)
+        if (next == c0) return c0 // caught up: metadata-only poll
+        if (changes.isEmpty) {
+          // the source advanced without row changes (e.g. a pure
+          // compaction): advance the cursor with an identity rewrite of
+          // the (small) aggregate, or every later poll re-pays this
+          // window's diffs
+          val (liveD, fmt, names) = pinLive(spark, dstFs, dstPath)
+          commitRewrite(dstFs, spark, readPinned(spark, dstFs, liveD, fmt, names),
+            dstPath, retain, format = fmt, sourceNames = names,
+            pinnedLive = liveD,
+            sidecars = Map(SyncCursorFile -> encodeSyncCursor(next)))
+          return next
+        }
+        // a field can be ABSENT from a change window's before/after struct
+        // (a schemaless batch where it was entirely null has no such
+        // column): absent == null, the same convention as the seed
+        def sideField(side: String, name: String): Column = {
+          val st = changes.schema(side).dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          if (st.fieldNames.contains(name)) col(s"$side.$name") else lit(null)
+        }
+        val minus = changes.filter(col("change").isin("updated", "deleted"))
+          .select(sideField("before", groupCol).as(groupCol) +:
+            lit(-1L).as("d_cnt") +:
+            sumNames.map { case (src, out) =>
+              (-coalesce(sideField("before", src), lit(0))).as(s"d_$out") }: _*)
+        val plus = changes.filter(col("change").isin("updated", "inserted"))
+          .select(sideField("after", groupCol).as(groupCol) +:
+            lit(1L).as("d_cnt") +:
+            sumNames.map { case (src, out) =>
+              coalesce(sideField("after", src), lit(0)).as(s"d_$out") }: _*)
+        val delta = plus.unionByName(minus).groupBy(col(groupCol))
+          .agg(sum("d_cnt").as("d_cnt"),
+            sumNames.map { case (_, out) => sum(s"d_$out").as(s"d_$out") }: _*)
+        require(delta.filter(col(groupCol).isNull).isEmpty,
+          s"syncAggregate: NULL $groupCol values are unsupported")
+        val live = find(spark, dstPath)
+        val merged = delta.join(live, Seq(groupCol), "left")
+          .select(col(groupCol) +:
+            (coalesce(col("cnt"), lit(0L)) + col("d_cnt")).as("cnt") +:
+            sumNames.map { case (_, out) =>
+              (coalesce(col(out), lit(0)) + col(s"d_$out")).as(out) }: _*)
+        // delta-sized sanity gate: a group can never shrink below empty;
+        // a negative count means the destination's aggregate rows were
+        // mutated outside this maintainer
+        require(merged.filter(col("cnt") < 0).limit(1).isEmpty,
+          s"syncAggregate: negative group count in $dstPath — the " +
+            "destination was mutated outside syncAggregate")
+        val outCols = (Seq(groupCol, "cnt") ++ sumNames.map(_._2)).sorted
+        val structType = org.apache.spark.sql.types.StructType(
+          outCols.map(c => merged.schema(merged.schema.fieldIndex(c))))
+        val changesOut = merged.select(col(groupCol),
+          when(col("cnt") === 0L, lit("deleted")).otherwise(lit("upserted"))
+            .as("change"),
+          when(col("cnt") === 0L, lit(null).cast(structType))
+            .otherwise(struct(outCols.map(col): _*)).as("after"),
+          lit(next.generation).as("generation"))
+        applyChangesCommitted(spark, dstPath, changesOut, groupCol, retain,
+          Map(SyncCursorFile -> encodeSyncCursor(next)))
+        next
+    }
   }
 
   /** Appended rows as CDC `inserted` events, shaped like
@@ -1597,7 +1791,8 @@ object DocStore {
     */
   private def commitRewrite(fs: FileSystem, spark: SparkSession, df: DataFrame,
                             path: String, retain: Int, format: String,
-                            sourceNames: Set[String], pinnedLive: String): Unit = {
+                            sourceNames: Set[String], pinnedLive: String,
+                            sidecars: Map[String, Array[Byte]] = Map.empty): Unit = {
     require(retain >= 2, s"retain must keep the live + previous generation, got $retain")
     // LOUD lost-update detection ([[ConcurrentMutationException]]): checked
     // before the rewrite job and again right before the swing (the rewrite
@@ -1629,6 +1824,16 @@ object DocStore {
       fs.mkdirs(stats)
       val out = fs.create(new Path(stats, "_schema.json"), true)
       try out.write(df.schema.json.getBytes(UTF_8)) finally out.close()
+    }
+    // caller-supplied metadata sidecars land in the staged generation
+    // BEFORE the manifest swing, so they commit (or vanish) atomically
+    // with the data — [[syncAggregate]]'s exactly-once cursor rides this
+    sidecars.foreach { case (name, bytes) =>
+      require(name.startsWith("_"),
+        s"docstore: sidecar names must start with '_' (got $name) so reads " +
+          "never mistake them for data files")
+      val out = fs.create(new Path(next, name), true)
+      try out.write(bytes) finally out.close()
     }
     // re-validate after the rewrite; on failure drop the just-written
     // generation so a later manifest-loss recovery can never resolve to

@@ -153,6 +153,18 @@ class AnnFilterSpec extends SparkTestBase {
     assert(got.nonEmpty && !got.exists(_._3 == 101L))
   }
 
+  test("knn_search TVF (SQL surface) is row-identical to the Column path") {
+    emb.filter(col("label") === 3).createOrReplaceTempView("annf_corpus_v")
+    queries.createOrReplaceTempView("annf_queries_v")
+    val sql = spark.sql("SELECT q_id, rk, vec_id, cos FROM knn_search(" +
+        "'annf_corpus_v', 'annf_queries_v', 'vec_id', 'embedding', 5)")
+      .orderBy("q_id", "rk").collect().toSeq
+    val column = Ann.bruteForceTopK(emb.filter(col("label") === 3),
+        queries, k = 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(sql.nonEmpty && sql == column)
+  }
+
   test("ranking is partition-invariant") {
     val model = Ann.fitIvf(emb, nCells = 8, lloydIters = 2)
     def run(parts: Int) = {

@@ -746,10 +746,13 @@ object DocStore {
         // a schemaless store — same convention as a present-but-null one
         val withMeasures = sumCols.foldLeft(rows) { (d, c) =>
           if (d.columns.contains(c)) d else d.withColumn(c, lit(null)) }
+        // group-sized; checkpointed eagerly so the null gate, the apply's
+        // emptiness check, and the write don't each rescan the snapshot
         val agg = withMeasures.groupBy(col(groupCol))
           .agg(count(lit(1)).as("cnt"),
             sumNames.map { case (src, out) =>
               sum(coalesce(col(src), lit(0))).as(out) }: _*)
+          .localCheckpoint(true)
         require(agg.filter(col(groupCol).isNull).isEmpty,
           s"syncAggregate: NULL $groupCol values are unsupported")
         applyChangesCommitted(spark, dstPath,
@@ -759,7 +762,38 @@ object DocStore {
       case Some(c0) =>
         val (changes, next) = changesSince(spark, srcPath, c0, keyCol)
         if (next == c0) return c0 // caught up: metadata-only poll
-        if (changes.isEmpty) {
+        // a field can be ABSENT from a change window's before/after struct
+        // (a schemaless batch where it was entirely null has no such
+        // column): absent == null, the same convention as the seed
+        def sideField(side: String, name: String): Column = {
+          val st = changes.schema(side).dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          if (st.fieldNames.contains(name)) col(s"$side.$name") else lit(null)
+        }
+        // ONE scan of the change window (the generation diff is the
+        // expensive plan here — O(snapshot) across a rewrite boundary):
+        // each change row explodes into its signed contributions, and the
+        // group-sized result is checkpointed EAGERLY so no downstream
+        // action (emptiness, null gate, merge, apply) re-runs the diff
+        def contrib(side: String, sign: Long) = struct(
+          sideField(side, groupCol).as("g") +:
+          lit(sign).as("d_cnt") +:
+          sumNames.map { case (src, out) =>
+            (lit(sign) * coalesce(sideField(side, src), lit(0)))
+              .as(s"d_$out") }: _*)
+        val delta = changes.select(explode(array(
+            when(col("change").isin("updated", "deleted"), contrib("before", -1L)),
+            when(col("change").isin("updated", "inserted"), contrib("after", 1L))))
+            .as("c"))
+          .filter(col("c").isNotNull)
+          .groupBy(col("c.g").as(groupCol))
+          .agg(sum("c.d_cnt").as("d_cnt"),
+            sumNames.map { case (_, out) =>
+              sum(s"c.d_$out").as(s"d_$out") }: _*)
+          .localCheckpoint(true)
+        // every change row yields at least one contribution and groupBy
+        // drops nothing, so (delta empty) == (changes empty)
+        if (delta.isEmpty) {
           // the source advanced without row changes (e.g. a pure
           // compaction): advance the cursor with an identity rewrite of
           // the (small) aggregate, or every later poll re-pays this
@@ -771,27 +805,6 @@ object DocStore {
             sidecars = Map(SyncCursorFile -> encodeSyncCursor(next)))
           return next
         }
-        // a field can be ABSENT from a change window's before/after struct
-        // (a schemaless batch where it was entirely null has no such
-        // column): absent == null, the same convention as the seed
-        def sideField(side: String, name: String): Column = {
-          val st = changes.schema(side).dataType
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-          if (st.fieldNames.contains(name)) col(s"$side.$name") else lit(null)
-        }
-        val minus = changes.filter(col("change").isin("updated", "deleted"))
-          .select(sideField("before", groupCol).as(groupCol) +:
-            lit(-1L).as("d_cnt") +:
-            sumNames.map { case (src, out) =>
-              (-coalesce(sideField("before", src), lit(0))).as(s"d_$out") }: _*)
-        val plus = changes.filter(col("change").isin("updated", "inserted"))
-          .select(sideField("after", groupCol).as(groupCol) +:
-            lit(1L).as("d_cnt") +:
-            sumNames.map { case (src, out) =>
-              coalesce(sideField("after", src), lit(0)).as(s"d_$out") }: _*)
-        val delta = plus.unionByName(minus).groupBy(col(groupCol))
-          .agg(sum("d_cnt").as("d_cnt"),
-            sumNames.map { case (_, out) => sum(s"d_$out").as(s"d_$out") }: _*)
         require(delta.filter(col(groupCol).isNull).isEmpty,
           s"syncAggregate: NULL $groupCol values are unsupported")
         val live = find(spark, dstPath)

@@ -363,4 +363,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
+
+  test("e11 filtered brute ANN: queries broadcast, corpus streams, predicate pushed") {
+    val p = plan("e11_ann_filtered")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the label predicate must reach the parquet scan, not run post-join
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]") ||
+      p.contains("EqualTo(label,3)"), p)
+  }
+
+  test("e12 adaptive filtered IVF: candidate join broadcasts the probe set, no cartesian") {
+    val p = plan("e12_ann_ivf_filtered")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // survivor ranking stays distributed: windows partition by q_id, and
+    // the only single-partition window allowed is none at all
+    assert(!p.contains("Window [") ||
+      !p.linesIterator.exists(l => l.contains("SinglePartition") && l.contains("Window")), p)
+  }
 }

@@ -297,6 +297,12 @@ object Ann {
     val target = math.max(k + 1L, math.ceil(oversample * k).toLong)
     val counts = cells.groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a cells frame assigned by a DIFFERENT model would silently probe
+    // the wrong geometry (the near-dup index learned this the hard way:
+    // geometry mismatches must be loud)
+    require(counts.keySet.forall(c => c >= 0 && c < model.centroids.length),
+      s"ivfSearchAdaptive: cells column has ids outside this model's " +
+        s"${model.centroids.length} cells — assigned by a different model?")
     val cDf = model.centroids.zipWithIndex
       .collect { case (c, i) if counts.getOrElse(i.toLong, 0L) > 0L =>
         (i.toLong, c, counts(i.toLong)) }

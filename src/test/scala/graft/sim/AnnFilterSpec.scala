@@ -165,6 +165,16 @@ class AnnFilterSpec extends SparkTestBase {
     assert(sql.nonEmpty && sql == column)
   }
 
+  test("cells assigned by a different model fail loudly (geometry mismatch)") {
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val foreign = decoyCorpus.select(col("vec_id"), col("embedding"),
+      (col("vec_id") % 7).as("cell")) // ids 0..6 vs a 2-cell model
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfSearchAdaptive(decoyModel, foreign, q, k = 3)
+    }
+    assert(e.getMessage.contains("different model"))
+  }
+
   test("ranking is partition-invariant") {
     val model = Ann.fitIvf(emb, nCells = 8, lloydIters = 2)
     def run(parts: Int) = {

@@ -293,6 +293,41 @@ object StreamingQuery {
       .localCheckpoint(true)
   }
 
+  /** CDC-driven near-dup index maintenance
+    * ([[graft.streaming.Streams.syncNearDupIndex]]): a DocStore corpus is
+    * seeded into a fresh index, an appended batch is matched at arrival
+    * time against everything indexed before it, and a source DELETE is
+    * followed by an index takedown (keys, shingles, and every match the
+    * removed docs participated in) — right-to-be-forgotten as a property
+    * of the CDC loop, not a separate workflow. Each poll costs O(changed
+    * docs + their candidate buckets), never a corpus rescan, and a
+    * crashed poll replays byte-identically (SyncNearDupSpec). Output:
+    * the surviving match table.
+    */
+  def nearDupSync(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = graft.core.Tables.documents(s, d).select("doc_id", "text")
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-ndsync-${Integer.toHexString(d.hashCode)}").toString
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    val src = s"$base/src"; val idx = s"$base/idx"
+    def poll() = graft.streaming.Streams.syncNearDupIndex(s, src, idx,
+      idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+    graft.sources.DocStore.insertMany(docs.filter(col("doc_id") % 3 === 0), src)
+    poll() // seed: one-shot index of the snapshot
+    graft.sources.DocStore.insertMany(docs.filter(col("doc_id") % 3 === 1), src)
+    poll() // arrival-time matching of the appended batch
+    // %11, not %5: the corpus's natural near-dup pairs are sparse and a
+    // denser delete removes a member of every surviving pair at sf0.01
+    graft.sources.DocStore.deleteMany(s, src, Some(col("doc_id") % 11 === 0))
+    poll() // the delete propagates as an index takedown
+    s.read.parquet(s"$idx/matches")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+  }
+
   /** Streaming conversion-window funnel drained to completion
     * ([[graft.streaming.Streams.funnelStream]]): 25-day window anchored at
     * first signup, 10-minute watermark. Users whose window provably
@@ -1339,6 +1374,15 @@ object Extras {
     //      LSH reference and index immutability
     "st15_neardup_probe" -> rowsOnly(
       (s, d) => StreamingQuery.nearDupProbe(s, d)),
+
+    // ---- CDC-driven near-dup index maintenance: the index FOLLOWS the
+    //      corpus (appends matched at arrival, deletes taken down, text
+    //      updates re-indexed) at O(delta) per poll. rows-only for the
+    //      st14 reason (LSH banding has no DuckDB twin); SyncNearDupSpec
+    //      pins index content == fresh one-shot index of the live corpus
+    //      and crash-replay idempotence
+    "d7_neardup_sync" -> rowsOnly(
+      (s, d) => StreamingQuery.nearDupSync(s, d)),
 
     // ---- st12's read-side twin: per-batch sketches STORED as a table
     //      (overwrite-by-batch = replay-idempotent), served by pure SQL

@@ -808,6 +808,182 @@ object Streams {
     removedDocs
   }
 
+  // ---- CDC-driven index maintenance ---------------------------------
+
+  private val NearDupSyncFile = "_SYNC"
+
+  private def writeNearDupSync(fs: org.apache.hadoop.fs.FileSystem,
+                               indexPath: String,
+                               cur: graft.sources.DocStore.DocCursor,
+                               lastBid: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(indexPath,
+      s"$NearDupSyncFile.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write((s"gen=${cur.generation}\nbid=$lastBid\n" +
+        cur.files.toSeq.sorted.mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(indexPath, NearDupSyncFile)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"syncNearDupIndex: cannot commit $dst")
+  }
+
+  private def readNearDupSync(fs: org.apache.hadoop.fs.FileSystem,
+                              indexPath: String)
+      : Option[(graft.sources.DocStore.DocCursor, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, NearDupSyncFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val lines = txt.split("\n", -1).toSeq.map(_.trim)
+    val kv = lines.takeWhile(_.contains("=")).map { l =>
+      val Array(a, b) = l.split("=", 2); a -> b }.toMap
+    Some((graft.sources.DocStore.DocCursor(kv("gen").toInt,
+      lines.drop(kv.size).filter(_.nonEmpty).toSet), kv("bid").toLong))
+  }
+
+  /** Keep a near-dup index FOLLOWING a DocStore corpus by cursor CDC —
+    * the loop that makes the index a live property of the collection
+    * rather than a nightly rebuild: appended documents are matched
+    * against everything already indexed and join it (arrival-time
+    * semantics, the [[ingestToNearDupIndex]] batch body); deleted
+    * documents are taken down ([[removeFromNearDupIndex]]: keys,
+    * shingles, AND the matches that referenced them — right-to-be-
+    * forgotten follows the source delete with no separate workflow);
+    * updated documents are re-indexed under their new text, but ONLY
+    * when the text actually changed — a metadata-only update touches
+    * nothing (pinned). Returns the poll's newly verified matches
+    * (typed-empty when caught up).
+    *
+    * Exactly-once without a transaction, by IDEMPOTENCE at a
+    * DETERMINISTIC batch id: a poll's work is removeFromNearDupIndex
+    * (removing again is a no-op) followed by one nearDupBatch at
+    * `lastBid + 1` (overwrite-by-batch-dir rewrites identical content),
+    * so a crash ANYWHERE before the `_SYNC` state commit (cursor +
+    * lastBid, tmp-then-rename) makes the retry replay byte-identically
+    * — the property the spec pins by restoring `_SYNC` and re-polling.
+    * Multi-generation poll windows collapse to the LATEST state per key
+    * first (an insert->update->delete chain applies as its net effect),
+    * and within one poll the old content is removed before the new is
+    * ingested, so the new batch's self/stored matching never sees the
+    * superseded text.
+    *
+    * Ownership: the index belongs to this maintainer (single-writer,
+    * like the stream ingest) — a keys dir with no `_SYNC` state fails
+    * loudly instead of silently mixing corpora. The first call seeds
+    * from the full snapshot as batch 1 (cursor captured BEFORE the
+    * read: a racing append double-ingested by the seed is self-healed
+    * on the next poll, which removes-then-reingests exactly those
+    * re-delivered keys). At 100 TB the steady state is the point:
+    * every poll costs O(changed documents + their candidate buckets),
+    * never a corpus rescan.
+    */
+  def syncNearDupIndex(spark: SparkSession, srcPath: String, indexPath: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                       threshold: Double = 0.7, maxBucket: Int = 1000)
+      : DataFrame = {
+    val Slots = 16L
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNearDupGeometry(fs, indexPath, k, bands, rowsPerBand,
+      "syncNearDupIndex")
+    def matchesOf(bid: Long): DataFrame = {
+      val d = s"$indexPath/matches/batch_id=$bid"
+      if (fs.exists(new org.apache.hadoop.fs.Path(d))) spark.read.parquet(d)
+      else emptyMatches(spark, idCol)
+    }
+    // seed, shared by the fresh path and the crashed-seed retry: ingest
+    // the current snapshot as batch 1 (idempotent overwrite), keeping
+    // the PRE-SEED cursor — any document that changed between cursor
+    // capture and this read is re-delivered by the first poll, which
+    // removes-then-reingests exactly those keys (self-healing)
+    def seed(c: graft.sources.DocStore.DocCursor): DataFrame = {
+      val snap = graft.sources.DocStore.find(spark, srcPath)
+        .select(col(idCol), col(textCol))
+      if (!snap.isEmpty)
+        nearDupBatch(snap, 1L, indexPath, idCol, textCol,
+          k, bands, rowsPerBand, threshold, maxBucket, Slots)
+      writeNearDupSync(fs, indexPath, c, if (fs.exists(
+        new org.apache.hadoop.fs.Path(s"$indexPath/keys"))) 1L else 0L)
+      matchesOf(1L)
+    }
+    readNearDupSync(fs, indexPath) match {
+      case None =>
+        require(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/keys")),
+          s"syncNearDupIndex: $indexPath already has ingested batches but " +
+            "no _SYNC state — it was built by the stream ingest or another " +
+            "maintainer; point CDC sync at a fresh index directory")
+        val c = graft.sources.DocStore.cursor(spark, srcPath)
+        // seed INTENT (bid = -1) committed before any index write: a
+        // seed that crashes mid-ingest is distinguishable on retry from
+        // a foreign stream-built index (which the require above refuses)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(indexPath))
+        writeNearDupSync(fs, indexPath, c, -1L)
+        seed(c)
+      case Some((c0, -1L)) => // a crashed seed: redo it (idempotent)
+        seed(c0)
+      case Some((c0, lastBid)) =>
+        val (changes, next) =
+          graft.sources.DocStore.changesSince(spark, srcPath, c0, idCol)
+        if (next == c0) return emptyMatches(spark, idCol)
+        // absent text in a change window's structs == null text (the
+        // schemaless convention): such rows index nothing and a
+        // null -> null "change" is no change
+        def sideText(side: String): org.apache.spark.sql.Column = {
+          val st = changes.schema(side).dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          if (st.fieldNames.contains(textCol)) col(s"$side.$textCol")
+          else lit(null)
+        }
+        // keys whose INDEXED CONTENT must change: any change row where
+        // the text differs across the mutation (covers inserts — null
+        // before — and deletes — null after); group-sized, checkpointed
+        // so the window's diff plan runs once for it
+        val touched = changes
+          .groupBy(col(idCol))
+          .agg(max(when(!(sideText("before") <=> sideText("after")), 1)
+            .otherwise(0)).as("__tc"))
+          .filter(col("__tc") === 1).select(col(idCol))
+          .localCheckpoint(true)
+        if (touched.isEmpty) { // metadata-only window: cursor advance only
+          writeNearDupSync(fs, indexPath, next, lastBid)
+          return emptyMatches(spark, idCol)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("generation").desc)
+        val toIngest = changes
+          .join(touched, Seq(idCol), "leftsemi")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .filter(col("change") =!= "deleted")
+          .select(col(idCol), sideText("after").as(textCol))
+          .filter(col(textCol).isNotNull)
+          .localCheckpoint(true)
+        // remove the superseded content FIRST (old keys/shingles/matches
+        // of every touched id — a no-op for pure inserts), then ingest
+        // the latest text as the next batch; both steps are idempotent
+        // at this (cursor-determined) batch id, so a crashed poll
+        // replays byte-identically
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/keys")))
+          removeFromNearDupIndex(spark, indexPath, touched, idCol)
+        val ingested = !toIngest.isEmpty
+        val bid = lastBid + 1
+        if (ingested)
+          nearDupBatch(toIngest, bid, indexPath, idCol, textCol,
+            k, bands, rowsPerBand, threshold, maxBucket, Slots)
+        writeNearDupSync(fs, indexPath, next, if (ingested) bid else lastBid)
+        if (ingested) matchesOf(bid) else emptyMatches(spark, idCol)
+    }
+  }
+
+  /** Typed-empty (id_a, id_b, jaccard) frame — the no-new-matches poll. */
+  private def emptyMatches(spark: SparkSession, idCol: String): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
+  }
+
   private def nearDupBatch(batch: Dataset[org.apache.spark.sql.Row], bid: Long,
                            indexPath: String, idCol: String, textCol: String,
                            k: Int, bands: Int, rowsPerBand: Int,

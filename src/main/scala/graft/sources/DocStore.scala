@@ -284,6 +284,50 @@ object DocStore {
       case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
     }
 
+  /** EXACT count(*), served from metadata wherever the stats cover it:
+    * every stats pass (and every append's incremental re-stat) records a
+    * per-file `rows` count, so the common case sums a handful of numbers
+    * from the stats sidecar — no data file is opened. Files the stats
+    * don't cover (appended before this release, statted by an older
+    * layout, or a collection never statted at all) are counted by
+    * scanning ONLY those files; the result is exact either way, never an
+    * estimate. At 100 TB this is the difference between a dashboard's
+    * `count(*)` reading a few KB of sidecar and paying a full collection
+    * scan.
+    */
+  def countFast(spark: SparkSession, path: String): Long = {
+    val fs = fileSystem(spark, path)
+    if (!fs.exists(new Path(path))) return 0L
+    val live = liveDir(fs, spark, path)
+    val names = {
+      val p = new Path(live)
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) dataFileNames(fs, live)
+      else Set.empty[String]
+    }
+    if (names.isEmpty) return 0L
+    val statsP = new Path(live, StatsDir)
+    val counted: Map[String, Long] =
+      if (!fs.exists(statsP)) Map.empty
+      else {
+        val df = spark.read.json(statsP.toString)
+        if (!df.columns.contains("rows") || !df.columns.contains("file"))
+          Map.empty
+        else df.select(col("file"), col("rows"))
+          .filter(col("rows").isNotNull)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    val covered = names.filter(counted.contains)
+    val uncovered = (names -- covered).toSeq.sorted
+    val scanned =
+      if (uncovered.isEmpty) 0L
+      else {
+        val fmt = genFormat(fs, live)
+        readFiles(spark, fmt, storedSchema(fs, statsP),
+          uncovered.map(n => s"$live/$n")).count()
+      }
+    covered.iterator.map(counted).sum + scanned
+  }
+
   /** COMMITTED generation ids still on disk, oldest first — the
     * time-travel surface (the live chain; crash-orphaned aborted rewrites
     * are excluded, see [[committedGens]]). How many survive is the
@@ -1106,12 +1150,15 @@ object DocStore {
     */
   private def statsFrame(docs: DataFrame, present: Seq[String],
                          bloomPresent: Seq[String], bloomBits: Int): DataFrame = {
+    // per-file row counts ride every stats pass: they make count(*) a
+    // metadata read ([[countFast]]) and cost nothing extra in the same
+    // aggregate
     val base =
       if (present.nonEmpty) {
-        val aggs = present.flatMap(c =>
+        val aggs = count(lit(1)).as("rows") +: present.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
         docs.groupBy("__f").agg(aggs.head, aggs.tail: _*)
-      } else docs.groupBy("__f").agg(count(lit(1)).as("__rows"))
+      } else docs.groupBy("__f").agg(count(lit(1)).as("rows"))
     val withBlooms =
       if (bloomPresent.isEmpty) base
       else {

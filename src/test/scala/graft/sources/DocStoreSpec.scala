@@ -756,4 +756,30 @@ class DocStoreSpec extends SparkTestBase {
     assert(back.orderBy("id").select("id", "v").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "A"), (3L, "c")))
   }
+  test("countFast: metadata count from stats, exact scan fallback for uncovered files") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "grp", "v"), path)
+    // no stats yet: exact full-scan fallback
+    assert(DocStore.countFast(spark, path) == 3L)
+    DocStore.collectStats(spark, path, Seq("id"))
+    assert(DocStore.countFast(spark, path) == 3L)
+    // an append is re-statted incrementally (insertMany's appendStats), so
+    // the metadata path keeps covering the whole collection
+    DocStore.insertMany(Seq((4L, "d", 4.0), (5L, "e", 5.0)).toDF("id", "grp", "v"), path)
+    assert(DocStore.countFast(spark, path) == 5L)
+    // PROOF the covered path never opens data files: corrupt one data
+    // file's bytes (the ModelStore tamper trick) — the metadata count is
+    // unaffected because only the stats sidecar is read
+    val live = DocStore.generations(spark, path).last
+    val gdir = new java.io.File(path, f"gen-$live%06d")
+    val dataFile = gdir.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    java.nio.file.Files.write(dataFile.toPath, "not json at all {{{".getBytes)
+    new java.io.File(gdir, "." + dataFile.getName + ".crc").delete()
+    assert(DocStore.countFast(spark, path) == 5L)
+    // empty / nonexistent collections count 0 without erroring
+    assert(DocStore.countFast(spark, freshPath()) == 0L)
+  }
+
 }

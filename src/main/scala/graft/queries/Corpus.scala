@@ -1514,6 +1514,96 @@ object Corpus {
         |          * CASE WHEN nstops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM m ORDER BY doc_id""".stripMargin),
 
+    // ---- C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2):
+    //      line-level — keep only lines ending in terminal punctuation,
+    //      with >= 3 words, not mentioning javascript; document-level —
+    //      >= 3 sentences after line filtering, no '{', no 'lorem ipsum'.
+    //      The corpus text has no line/punctuation structure (single-line
+    //      token streams), so the query PLANTS it deterministically from
+    //      each doc's own tokens + doc_id (the t13/t20 synthesized-input
+    //      pattern): some lines end unpunctuated (doc_id%3), one line is
+    //      too short, one mentions javascript (doc_id%5), lorem/brace
+    //      injections key on doc_id%17 / %13 — so every rule fires both
+    //      ways across the corpus and the whole pipeline is exact
+    //      integer/string work both engines restate verbatim. Scale:
+    //      pure per-row expressions, no shuffle, no UDF.
+    "t21_c4_rules" -> withOracle(
+      (s, d) => {
+        val t = split(trim(col("text")), "\\s+")
+        def tok(i: Int) = element_at(t, i)
+        val id = col("doc_id")
+        val l1 = concat_ws(" ", tok(1), tok(2), tok(3), tok(4), lit("alpha."))
+        val l2 = when(id % 3 === 0, concat_ws(" ", tok(5), tok(6), tok(7)))
+          .otherwise(concat(concat_ws(" ", tok(5), tok(6), tok(7)), lit("!")))
+        val l3 = lit("too short.")
+        val l4 = when(id % 5 === 0,
+            concat_ws(" ", tok(8), tok(9), lit("javascript required here.")))
+          .otherwise(concat_ws(" ", tok(8), tok(9), tok(10), lit("omega?")))
+        val l5 = when(id % 17 === 0, lit("lorem ipsum dolor sit."))
+          .otherwise(lit("plain closing line here."))
+        val l6 = when(id % 13 === 0, lit("function() { return 1; }"))
+          .otherwise(lit("no code blocks anywhere."))
+        val ptext = concat_ws("\n", l1, l2, l3, l4, l5, l6)
+        val lines = split(ptext, "\n")
+        val kept = filter(lines, l =>
+          l.rlike("[.!?]$") && size(split(l, " ")) >= 3 &&
+            !l.contains("javascript"))
+        val kt = concat_ws("\n", kept)
+        val nSent = length(kt) - length(regexp_replace(kt, "[.!?]", ""))
+        def b(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+        Tables.documents(s, d)
+          .select(col("doc_id"), size(kept).cast("long").as("n_kept"),
+            nSent.cast("long").as("n_sent"),
+            b(nSent >= 3).as("r_sent"),
+            b(!ptext.contains("{")).as("r_brace"),
+            b(!lower(ptext).contains("lorem ipsum")).as("r_lorem"))
+          .withColumn("pass", col("r_sent") * col("r_brace") * col("r_lorem"))
+          .orderBy("doc_id")
+      },
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |built AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10),
+        |           concat_ws(' ', t[1], t[2], t[3], t[4], 'alpha.'),
+        |           CASE WHEN doc_id % 3 = 0 THEN concat_ws(' ', t[5], t[6], t[7])
+        |                ELSE concat_ws(' ', t[5], t[6], t[7]) || '!' END,
+        |           'too short.',
+        |           CASE WHEN doc_id % 5 = 0
+        |                THEN concat_ws(' ', t[8], t[9], 'javascript required here.')
+        |                ELSE concat_ws(' ', t[8], t[9], t[10], 'omega?') END,
+        |           CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit.'
+        |                ELSE 'plain closing line here.' END,
+        |           CASE WHEN doc_id % 13 = 0 THEN 'function() { return 1; }'
+        |                ELSE 'no code blocks anywhere.' END) AS ptext
+        |  FROM p),
+        |k AS (
+        |  SELECT doc_id, ptext,
+        |         array_to_string(list_filter(string_split(ptext, chr(10)), l ->
+        |           regexp_matches(l, '[.!?]$') AND len(string_split(l, ' ')) >= 3
+        |           AND NOT contains(l, 'javascript')), chr(10)) AS kt,
+        |         len(list_filter(string_split(ptext, chr(10)), l ->
+        |           regexp_matches(l, '[.!?]$') AND len(string_split(l, ' ')) >= 3
+        |           AND NOT contains(l, 'javascript'))) AS n_kept
+        |  FROM built),
+        |m AS (
+        |  SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
+        |         CAST(length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g'))
+        |           AS BIGINT) AS n_sent,
+        |         contains(ptext, '{') AS has_brace,
+        |         contains(lower(ptext), 'lorem ipsum') AS has_lorem
+        |  FROM k)
+        |SELECT doc_id, n_kept, n_sent,
+        |       CAST(CASE WHEN n_sent >= 3 THEN 1 ELSE 0 END AS BIGINT) AS r_sent,
+        |       CAST(CASE WHEN has_brace THEN 0 ELSE 1 END AS BIGINT) AS r_brace,
+        |       CAST(CASE WHEN has_lorem THEN 0 ELSE 1 END AS BIGINT) AS r_lorem,
+        |       CAST(CASE WHEN n_sent >= 3 THEN 1 ELSE 0 END
+        |          * CASE WHEN has_brace THEN 0 ELSE 1 END
+        |          * CASE WHEN has_lorem THEN 0 ELSE 1 END AS BIGINT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin),
+
     // ---- DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
     //      hashed-ngram importance weights. Features = unigrams + bigrams,
     //      hashed into 256 buckets by md5 prefix (portable across

@@ -210,6 +210,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             threshold = doubleArg(args(5), "threshold")))
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("docstore_fsck"),
+      info("docstore_fsck",
+        "docstore_fsck(path) - read-only integrity check of a DocStore " +
+          "collection: one (severity, code, detail) row per finding, " +
+          "empty = healthy; metadata-only, never repairs or deletes"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          graft.sources.DocStore.fsck(spark, strArg(args.head, "path")))
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("knn_search"),
       info("knn_search",
         "knn_search(corpusTable, queryTable, idCol, embCol, k) - exact " +

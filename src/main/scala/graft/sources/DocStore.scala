@@ -328,6 +328,126 @@ object DocStore {
     covered.iterator.map(counted).sum + scanned
   }
 
+  /** READ-ONLY integrity check (fsck) over the invariants the commit /
+    * salvage / retention protocols maintain — the detection half of the
+    * crash-safety story. Returns one row per finding, (severity, code,
+    * detail), empty = healthy; also on the SQL surface as
+    * `docstore_fsck(path)`. Everything here is metadata listing +
+    * sidecar parsing: no data file is opened, nothing is repaired or
+    * deleted (repair belongs to the write paths, which heal on their
+    * next run — fsck tells an operator what they WILL heal, and what
+    * they cannot).
+    *
+    * Severities: `error` = a read surface is (or may be) wrong right now
+    * (dangling/incomplete manifest target, unparseable sidecar);
+    * `warn` = debris or drift the next write heals or that only costs
+    * performance (crash-orphaned generations, leftover staging dirs,
+    * stats entries for vanished files, unstatted data files, flat-layout
+    * residue alongside generations).
+    *
+    * Limit, inherent to the recovery semantics: in a store whose live
+    * generation has no `_SOURCE` record (never rewritten, or
+    * pre-protocol), the committed chain is indistinguishable from the
+    * complete set, so an orphaned generation there cannot be told from a
+    * legitimate one — exactly the ambiguity manifest-loss recovery
+    * resolves by trusting complete generations.
+    */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = fileSystem(spark, path)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    def err(code: String, detail: String): Unit = out += (("error", code, detail))
+    def warn(code: String, detail: String): Unit = out += (("warn", code, detail))
+    if (fs.exists(new Path(path))) {
+      val manifest = readManifest(fs, path)
+      val complete = completeGens(fs, path)
+      val committed = committedGens(fs, path)
+      manifest match {
+        case Some(g) =>
+          val dir = new Path(s"$path/$g")
+          if (!fs.exists(dir))
+            err("manifest-dangling", s"manifest names $g but the directory is gone")
+          else if (!fs.exists(new Path(dir, "_SUCCESS")))
+            err("manifest-incomplete", s"manifest names $g but it has no _SUCCESS")
+        case None if complete.nonEmpty =>
+          warn("manifest-missing",
+            f"no manifest; reads resolve to gen-${complete.last}%06d and the " +
+              "next write rewrites the manifest (crash between delete and rename)")
+        case None => ()
+      }
+      // crash-orphaned complete generations: never a committed state,
+      // reclaimed by the next mutation's retention pass
+      (complete.toSet -- committed.toSet).toSeq.sorted.foreach(g =>
+        warn("orphan-generation",
+          f"gen-$g%06d is complete but not on the committed chain (aborted " +
+            "rewrite debris; the next mutation reclaims it)"))
+      // incomplete generation dirs (no _SUCCESS): a write in flight or a
+      // crash mid-writeData
+      if (fs.exists(new Path(path)))
+        fs.listStatus(new Path(path)).foreach { st =>
+          val nm = st.getPath.getName
+          if (st.isDirectory && nm.matches("gen-\\d{6}") &&
+              !fs.exists(new Path(st.getPath, "_SUCCESS")))
+            warn("incomplete-generation",
+              s"$nm has no _SUCCESS (write in flight, or crash debris)")
+          if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".") &&
+              complete.nonEmpty)
+            warn("flat-residue",
+              s"data file $nm at the collection root alongside generations " +
+                "(pre-migration leftover; a concurrent append's visibility " +
+                "walk or the next rewrite resolves it)")
+        }
+      committed.foreach { g =>
+        val gdir = genPath(path, g)
+        // staging debris inside a generation dir
+        if (fs.exists(new Path(gdir)))
+          fs.listStatus(new Path(gdir)).foreach { st =>
+            val nm = st.getPath.getName
+            if (st.isDirectory &&
+                (nm.startsWith("_append-") || nm.startsWith("_stats-stage-")))
+              warn("staging-debris",
+                f"gen-$g%06d/$nm left behind (crashed append/stats pass; " +
+                  "harmless to reads, reclaimed manually)")
+          }
+        // sync-cursor sidecar must parse if present
+        val sc = new Path(gdir, SyncCursorFile)
+        if (fs.exists(sc)) {
+          val in = fs.open(sc)
+          val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+                      finally in.close()
+          try { decodeSyncCursor(bytes); () }
+          catch { case scala.util.control.NonFatal(_) =>
+            err("bad-sync-cursor",
+              f"gen-$g%06d/$SyncCursorFile does not parse — syncAggregate " +
+                "polls anchored here will fail") }
+        }
+        // stats entries vs actual files (live generation only: superseded
+        // gens legitimately lose salvaged appends)
+        val statsP = new Path(gdir, StatsDir)
+        if (g == committed.last && fs.exists(statsP)) {
+          val names = dataFileNames(fs, gdir)
+          val statted =
+            try spark.read.json(statsP.toString).select("file")
+              .collect().map(_.getString(0)).toSet
+            catch { case scala.util.control.NonFatal(_) =>
+              err("bad-stats-sidecar",
+                f"gen-$g%06d/$StatsDir does not parse — skipping and " +
+                  "countFast fall back to full scans")
+              Set.empty[String] }
+          (statted -- names).toSeq.sorted.foreach(n =>
+            warn("stale-stats-entry",
+              f"gen-$g%06d stats cover $n which no longer exists (files " +
+                "never leave a live generation — mutated outside the API?)"))
+          (names -- statted).toSeq.sorted.foreach(n =>
+            warn("unstatted-file",
+              f"gen-$g%06d/$n has no stats row (skipping/countFast scan it; " +
+                "re-run collectStats to cover it)"))
+        }
+      }
+    }
+    out.toSeq.toDF("severity", "code", "detail").orderBy("severity", "code", "detail")
+  }
+
   /** COMMITTED generation ids still on disk, oldest first — the
     * time-travel surface (the live chain; crash-orphaned aborted rewrites
     * are excluded, see [[committedGens]]). How many survive is the

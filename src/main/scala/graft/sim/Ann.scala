@@ -268,8 +268,13 @@ object Ann {
     * state, one partial-combined aggregate over the filtered scan) and
     * each query probes its nearest non-empty cells until their cumulative
     * survivor count reaches `max(k+1, ceil(oversample*k))`. That
-    * guarantees min(k, survivors) results for EVERY query regardless of
-    * filter selectivity, and when the target covers all survivors the
+    * guarantees min(k, non-self survivors) results for EVERY query
+    * regardless of filter selectivity — "non-self" because a query
+    * vector that itself survives the filter is excluded from its own
+    * candidates, so when total survivors <= k only survivors-1 rows
+    * exist to return (the k+1 target sizes the probe set; it cannot
+    * manufacture candidates the filter left out). When the target covers
+    * all survivors the
     * result is exactly the filtered brute-force ranking — both pinned in
     * AnnFilterSpec. A dense filter probes few cells (the IVF economy is
     * kept); a sparse one degrades gracefully toward exact search instead

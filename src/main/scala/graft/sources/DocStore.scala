@@ -306,16 +306,25 @@ object DocStore {
     }
     if (names.isEmpty) return 0L
     val statsP = new Path(live, StatsDir)
+    // A stats dir can exist with ZERO visible part files: commitRewrite
+    // creates it just to hold `_schema.json` for parquet generations, and
+    // Spark's listing filters underscore-prefixed files as hidden — so
+    // read.json over it throws AnalysisException ("unable to infer
+    // schema") rather than returning empty. Guard like find() does: any
+    // failure to read stats degrades to the exact scan, never a crash.
     val counted: Map[String, Long] =
       if (!fs.exists(statsP)) Map.empty
-      else {
-        val df = spark.read.json(statsP.toString)
-        if (!df.columns.contains("rows") || !df.columns.contains("file"))
-          Map.empty
-        else df.select(col("file"), col("rows"))
-          .filter(col("rows").isNotNull)
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
+      else
+        try {
+          val df = spark.read.json(statsP.toString)
+          if (!df.columns.contains("rows") || !df.columns.contains("file"))
+            Map.empty
+          else df.select(col("file"), col("rows"))
+            .filter(col("rows").isNotNull)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => Map.empty
+        }
     val covered = names.filter(counted.contains)
     val uncovered = (names -- covered).toSeq.sorted
     val scanned =
@@ -424,7 +433,18 @@ object DocStore {
         // stats entries vs actual files (live generation only: superseded
         // gens legitimately lose salvaged appends)
         val statsP = new Path(gdir, StatsDir)
-        if (g == committed.last && fs.exists(statsP)) {
+        // a stats dir holding only hidden files (`_schema.json`, written
+        // by every parquet commitRewrite) is HEALTHY — it carries the
+        // stored schema and simply has no per-file stats rows. Reading it
+        // with read.json would throw (no visible input files), which must
+        // not masquerade as a corrupt sidecar; only a dir with visible
+        // part files that still fails to parse is a genuine error.
+        val visibleStats = fs.exists(statsP) &&
+          fs.listStatus(statsP).exists { st =>
+            val nm = st.getPath.getName
+            st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+          }
+        if (g == committed.last && visibleStats) {
           val names = dataFileNames(fs, gdir)
           val statted =
             try spark.read.json(statsP.toString).select("file")

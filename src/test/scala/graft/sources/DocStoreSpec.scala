@@ -782,4 +782,22 @@ class DocStoreSpec extends SparkTestBase {
     assert(DocStore.countFast(spark, freshPath()) == 0L)
   }
 
+  test("countFast and fsck on a parquet store never statted: schema-only " +
+      "_STATS dir must not crash or report bad-stats-sidecar") {
+    // a parquet rewrite always writes _STATS/_schema.json; with no stats
+    // pass the dir holds ONLY hidden files, which read.json cannot read —
+    // countFast must fall back to the exact scan (not throw) and fsck must
+    // not call the healthy store corrupt
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "grp"), path)
+    DocStore.compact(spark, path, format = Some("parquet"))
+    DocStore.deleteMany(spark, path, Some(col("id") === 2L))
+    assert(DocStore.countFast(spark, path) == 2L)
+    val findings = DocStore.fsck(spark, path).collect()
+    assert(!findings.exists(_.getString(1) == "bad-stats-sidecar"),
+      s"fsck false positive on a healthy parquet store: ${findings.mkString(";")}")
+    assert(!findings.exists(_.getString(0) == "error"),
+      s"healthy store reported errors: ${findings.mkString(";")}")
+  }
+
 }

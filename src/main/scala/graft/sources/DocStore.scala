@@ -77,6 +77,74 @@ object DocStore {
   private val StatsDir = "_STATS"
   private val GenName = "gen-(\\d{6})".r
 
+  // ---- file-granular copy-on-write (the `_LINKS` sidecar) -----------------
+  //
+  // A generation may CARRY data files of earlier generations instead of
+  // rewriting them: its `_LINKS` sidecar lists root-relative entries
+  // (`gen-NNNNNN/part-...`) of physical files that logically belong to this
+  // generation too. A selective mutation then writes only the files that MAY
+  // contain matching rows (pruned by the `_STATS` min/max+Bloom sidecars)
+  // and links the provably-untouched rest — O(matched files) instead of
+  // O(corpus) per mutation. Entries always name a file's PHYSICAL home
+  // (links never chain), so resolution is single-hop; retention keeps every
+  // generation some retained generation links into (a fixpoint closure),
+  // and [[compact]]/[[cluster]] flatten links, reclaiming old homes — the
+  // vacuum. Data files stay immutable and generation dirs append-only, so
+  // every existing protocol (salvage, CDC, snapshot isolation) is unchanged.
+
+  private val LinksFile = "_LINKS"
+
+  /** Root-relative carried-file entries of a generation (empty when the
+    * sidecar is absent — every pre-COW generation).
+    */
+  private def readLinks(fs: FileSystem, genDir: String): Seq[String] = {
+    val p = new Path(genDir, LinksFile)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+                finally in.close()
+      txt.split("\n", -1).toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+  }
+
+  /** Tmp-then-rename like [[writeSourceRecord]]: a torn write reads as
+    * ABSENT (no carried files) — and the sidecar lands before the manifest
+    * swing, so an unlinked committed generation cannot arise.
+    */
+  private def writeLinks(fs: FileSystem, genDir: String, entries: Seq[String]): Unit = {
+    val tmp = new Path(genDir, LinksFile + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.sorted.mkString("\n").getBytes(UTF_8)) finally out.close()
+    val dst = new Path(genDir, LinksFile)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"docstore: cannot write $dst")
+  }
+
+  /** LOGICAL data-file names of a generation: physical visible files (plain
+    * names) plus carried entries (containing '/'). Every read/pin surface
+    * operates on this set; physical-only listings ([[dataFileNames]])
+    * remain for the append/salvage protocols, which move physical files.
+    */
+  private def logicalNames(fs: FileSystem, genDir: String): Set[String] =
+    dataFileNames(fs, genDir) ++ readLinks(fs, genDir)
+
+  /** Absolute path of a logical name: plain names live in `genDir`, carried
+    * entries are relative to the collection root (genDir's parent — carried
+    * entries only ever exist in `gen-*` dirs, never the legacy flat root).
+    */
+  private def resolvePath(genDir: String, name: String): String =
+    if (name.contains("/")) s"${new Path(genDir).getParent.toString}/$name"
+    else s"$genDir/$name"
+
+  /** Basename of a logical name — the key stats rows use (`file` field).
+    * Part names embed job UUIDs, so basenames are collision-free across
+    * generations.
+    */
+  private def baseName(name: String): String =
+    name.substring(name.lastIndexOf('/') + 1)
+
   /** K8: append documents; returns rows written. Appending adds files to
     * the live generation — readers that already planned their scan see a
     * stable file list; new reads see the new docs. When the generation
@@ -211,7 +279,12 @@ object DocStore {
         st.isFile && !nm.startsWith("_") && !nm.startsWith(".") &&
           nm.endsWith(".parquet")
       }
-    if (parquet) "parquet" else "json"
+    // a COW generation can be all-carried (a mutation that matched rows in
+    // zero or few files): no physical data files, so detect from the
+    // carried entries — formats never cross a link (a COW rewrite keeps
+    // the pinned format; format migration is compact's, which flattens)
+    if (parquet || readLinks(fs, dir).exists(_.endsWith(".parquet"))) "parquet"
+    else "json"
   }
 
   private def writeData(df: DataFrame, fmt: String, dest: String): Unit =
@@ -241,7 +314,11 @@ object DocStore {
     */
   private def readGen(spark: SparkSession, fs: FileSystem, dir: String): DataFrame = {
     val fmt = genFormat(fs, dir)
-    readFiles(spark, fmt, storedSchema(fs, new Path(dir, StatsDir)), Seq(dir))
+    val links = readLinks(fs, dir)
+    // the dir path covers its own physical files; carried files resolve to
+    // their physical homes (one extra path per carried file, no listing)
+    val paths = Seq(dir) ++ links.map(resolvePath(dir, _))
+    readFiles(spark, fmt, storedSchema(fs, new Path(dir, StatsDir)), paths)
   }
 
   /** S7: scan with an optional query filter (None = full collection). An
@@ -276,7 +353,7 @@ object DocStore {
           // pruned read must resolve every column the full read would —
           // inferring from the surviving subset could drop fields the
           // filter references, turning a correct answer into an error
-          readFiles(spark, fmt, Some(schema), files)
+          readFiles(spark, fmt, Some(schema), files.map(resolvePath(live, _)))
         case None => readGen(spark, fs, live)
       }
       filter.fold(docs)(docs.filter)
@@ -301,7 +378,7 @@ object DocStore {
     val live = liveDir(fs, spark, path)
     val names = {
       val p = new Path(live)
-      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) dataFileNames(fs, live)
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) logicalNames(fs, live)
       else Set.empty[String]
     }
     if (names.isEmpty) return 0L
@@ -325,16 +402,19 @@ object DocStore {
         } catch {
           case _: org.apache.spark.sql.AnalysisException => Map.empty
         }
-    val covered = names.filter(counted.contains)
+    // stats rows key by BASENAME (collision-free: part names embed job
+    // UUIDs), which covers carried entries too — their bytes, and so their
+    // per-file counts, are unchanged by the COW commit that linked them
+    val covered = names.filter(n => counted.contains(baseName(n)))
     val uncovered = (names -- covered).toSeq.sorted
     val scanned =
       if (uncovered.isEmpty) 0L
       else {
         val fmt = genFormat(fs, live)
         readFiles(spark, fmt, storedSchema(fs, statsP),
-          uncovered.map(n => s"$live/$n")).count()
+          uncovered.map(resolvePath(live, _))).count()
       }
-    covered.iterator.map(counted).sum + scanned
+    covered.iterator.map(n => counted(baseName(n))).sum + scanned
   }
 
   /** READ-ONLY integrity check (fsck) over the invariants the commit /
@@ -430,6 +510,17 @@ object DocStore {
               f"gen-$g%06d/$SyncCursorFile does not parse — syncAggregate " +
                 "polls anchored here will fail") }
         }
+        // carried-file entries must resolve to existing physical homes:
+        // a dangling link means reads of this generation are wrong NOW
+        // (retention closure keeps link homes alive — a miss is corruption
+        // or out-of-API deletion)
+        readLinks(fs, gdir).foreach { e =>
+          if (!fs.exists(new Path(resolvePath(gdir, e))))
+            err("dangling-link",
+              f"gen-$g%06d carries $e but the physical file is gone — " +
+                "reads of this generation fail; the collection was pruned " +
+                "or mutated outside the DocStore API")
+        }
         // stats entries vs actual files (live generation only: superseded
         // gens legitimately lose salvaged appends)
         val statsP = new Path(gdir, StatsDir)
@@ -445,7 +536,7 @@ object DocStore {
             st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
           }
         if (g == committed.last && visibleStats) {
-          val names = dataFileNames(fs, gdir)
+          val names = logicalNames(fs, gdir).map(baseName)
           val statted =
             try spark.read.json(statsP.toString).select("file")
               .collect().map(_.getString(0)).toSet
@@ -1061,20 +1152,55 @@ object DocStore {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
   }
 
+  /** Bounded optimistic retry for the single-writer mutation contract:
+    * a mutation that loses a race ([[ConcurrentMutationException]]) is
+    * re-run from a FRESH pin — re-reading the winner's committed state —
+    * so two well-behaved writers serialize instead of one failing. The
+    * whole body re-runs, so counts are computed on the new snapshot
+    * (some serial order, exactly-once effects). After `retries`
+    * exhaustions the loud failure propagates unchanged.
+    */
+  private[sources] def withMutationRetry[T](retries: Int)(body: () => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body()
+      catch { case e: ConcurrentMutationException =>
+        attempt += 1
+        if (attempt > retries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** $set-style conditional update; returns matched-document count. Fields
     * in `set` that don't exist yet are added (null for unmatched docs) —
     * document-store schema evolution. A new field keeps the $set value's
     * type: `when(matched, v)` with no `otherwise` makes the else-branch a
     * null of v's own type (an explicit string-typed null would coerce
     * numeric values to string under when/otherwise type widening).
+    *
+    * COPY-ON-WRITE: when the live generation carries data-skipping stats
+    * and the filter prunes ([[collectStats]]/[[cluster]] + a recognizable
+    * predicate), only the files that MAY contain matching rows are
+    * rewritten; the provably-untouched rest is carried forward by
+    * reference (`_LINKS`) — a selective update costs O(matched files),
+    * not O(corpus). Schema evolution (a `set` key the collection lacks)
+    * touches every row and takes the full-rewrite path.
+    *
+    * A lost mutation race retries from a fresh pin up to `retries` times
+    * ([[withMutationRetry]]); `retries = 0` restores the fail-fast
+    * behavior.
     */
   def updateMany(spark: SparkSession, path: String, filter: Column,
-                 set: Map[String, Column], retain: Int = 2): Long =
-    updateManySeamed(spark, path, filter, set, retain, () => ())
+                 set: Map[String, Column], retain: Int = 2,
+                 retries: Int = 3): Long =
+    withMutationRetry(retries)(() =>
+      updateManySeamed(spark, path, filter, set, retain, () => ()))
 
   /** [[updateMany]] with a test seam between the snapshot pin and the
-    * commit — the window a competing mutation would occupy. Production
-    * behavior (no-op seam) IS [[updateMany]].
+    * commit — the window a competing mutation would occupy — and no
+    * retry. Production behavior (no-op seam, wrapped in retry) IS
+    * [[updateMany]].
     */
   private[sources] def updateManySeamed(spark: SparkSession, path: String,
                                         filter: Column, set: Map[String, Column],
@@ -1082,48 +1208,131 @@ object DocStore {
     val fs = fileSystem(spark, path)
     val (live, fmt, names) = pinLive(spark, fs, path)
     afterPin()
-    val docs = readPinned(spark, fs, live, fmt, names)
     val matched = coalesce(filter, lit(false))
-    // The observation sits BELOW the $set projections: `matched` must be
-    // evaluated on pre-update values, or a $set that writes a column the
-    // filter reads (set status -> 'done' where status === 'pending')
-    // would count the post-update rows and report 0.
-    val obs = Observation()
-    val base = docs.observe(obs, count(when(matched, lit(1))).as("matched"))
-    val updated = set.foldLeft(base) { case (d, (k, v)) =>
-      if (d.columns.contains(k)) d.withColumn(k, when(matched, v).otherwise(col(k)))
-      else d.withColumn(k, when(matched, v))
+    val cow = cowCandidates(spark, fs, live, fmt, names, filter,
+      schemaSafe = s => set.keys.forall(s.fieldNames.contains))
+    cow match {
+      case Some((cand, carried, schema)) if cand.isEmpty =>
+        // nothing can match: an all-carried metadata-only commit (the
+        // generation still advances — a mutation is a commit, and CDC
+        // consumers see a clean empty diff). No observe: the optimizer
+        // folds the empty scan to a LocalRelation and the metric would
+        // never fire.
+        commitRewrite(fs, spark,
+          spark.createDataFrame(spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], schema),
+          path, retain, format = fmt, sourceNames = names,
+          pinnedLive = live, carried = carried, carriedSchema = Some(schema))
+        0L
+      case Some((cand, carried, schema)) =>
+        val docs = readFiles(spark, fmt, Some(schema),
+          cand.map(resolvePath(live, _)))
+        val obs = Observation()
+        val base = docs.observe(obs, count(when(matched, lit(1))).as("matched"))
+        // every `set` key exists (schemaSafe) — no evolution branch here
+        val updated = set.foldLeft(base) { case (d, (k, v)) =>
+          d.withColumn(k, when(matched, v).otherwise(col(k)))
+        }
+        commitRewrite(fs, spark, updated, path, retain, format = fmt,
+          sourceNames = names, pinnedLive = live, carried = carried,
+          carriedSchema = Some(schema))
+        obs.get("matched").asInstanceOf[Long]
+      case None =>
+        val docs = readPinned(spark, fs, live, fmt, names)
+        // The observation sits BELOW the $set projections: `matched` must
+        // be evaluated on pre-update values, or a $set that writes a column
+        // the filter reads (set status -> 'done' where status === 'pending')
+        // would count the post-update rows and report 0.
+        val obs = Observation()
+        val base = docs.observe(obs, count(when(matched, lit(1))).as("matched"))
+        val updated = set.foldLeft(base) { case (d, (k, v)) =>
+          if (d.columns.contains(k)) d.withColumn(k, when(matched, v).otherwise(col(k)))
+          else d.withColumn(k, when(matched, v))
+        }
+        commitRewrite(fs, spark, updated, path, retain, format = fmt,
+          sourceNames = names, pinnedLive = live)
+        obs.get("matched").asInstanceOf[Long]
     }
-    commitRewrite(fs, spark, updated, path, retain, format = fmt,
-      sourceNames = names, pinnedLive = live)
-    obs.get("matched").asInstanceOf[Long]
   }
 
+  /** The COW partition of a pinned snapshot: (candidate files that may
+    * contain matching rows, carried files that provably don't, the stored
+    * schema to read with) — or None when COW can't apply: no generational
+    * layout (legacy flat stores migrate via full rewrite), no usable
+    * stats/predicate (pruning unavailable), pruning didn't drop anything
+    * (links would only add overhead), or `schemaSafe` rejects (the
+    * mutation changes the schema, so it touches every row).
+    */
+  private def cowCandidates(spark: SparkSession, fs: FileSystem, live: String,
+                            fmt: String, names: Set[String], filter: Column,
+                            schemaSafe: org.apache.spark.sql.types.StructType => Boolean)
+      : Option[(Seq[String], Seq[String], org.apache.spark.sql.types.StructType)] =
+    if (!new Path(live).getName.matches("gen-\\d{6}")) None
+    else prunedFiles(spark, fs, live, fmt, filter, pinned = Some(names)) match {
+      case Some((cand, schema))
+          if schemaSafe(schema) && cand.size < names.size =>
+        Some((cand, (names -- cand).toSeq.sorted, schema))
+      case _ => None
+    }
+
   /** Filtered delete; returns deleted count. `filter = None` (the empty
-    * Mongo query) is REFUSED while `deleteProtection` is on.
+    * Mongo query) is REFUSED while `deleteProtection` is on. Selective
+    * deletes take the same copy-on-write path as [[updateMany]] (only
+    * files that may contain matching rows are rewritten), and a lost
+    * mutation race retries from a fresh pin.
     */
   def deleteMany(spark: SparkSession, path: String, filter: Option[Column],
-                 deleteProtection: Boolean = true, retain: Int = 2): Long = {
+                 deleteProtection: Boolean = true, retain: Int = 2,
+                 retries: Int = 3): Long = {
     if (deleteProtection && filter.isEmpty) throw new DeleteProtectionException
+    withMutationRetry(retries)(() =>
+      deleteManySeamed(spark, path, filter, retain, () => ()))
+  }
+
+  /** [[deleteMany]] core with a test seam after the pin and no retry. */
+  private[sources] def deleteManySeamed(spark: SparkSession, path: String,
+                                        filter: Option[Column], retain: Int,
+                                        afterPin: () => Unit): Long = {
     val fs = fileSystem(spark, path)
     val (live, fmt, names) = pinLive(spark, fs, path)
-    val docs = readPinned(spark, fs, live, fmt, names)
+    afterPin()
     filter match {
       case None =>
         // Guard-off delete-all: the kept-set is provably empty, so the
         // optimizer prunes the scan (and any CollectMetrics on it) to an
         // empty LocalRelation — count directly, then commit emptiness.
+        val docs = readPinned(spark, fs, live, fmt, names)
         val n = docs.count()
         commitRewrite(fs, spark, docs.filter(lit(false)), path, retain,
           format = fmt, sourceNames = names, pinnedLive = live)
         n
       case Some(f) =>
         val hit = coalesce(f, lit(false))
-        val obs = Observation()
-        commitRewrite(fs, spark,
-          docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit),
-          path, retain, format = fmt, sourceNames = names, pinnedLive = live)
-        obs.get("deleted").asInstanceOf[Long]
+        cowCandidates(spark, fs, live, fmt, names, f, schemaSafe = _ => true) match {
+          case Some((cand, carried, schema)) if cand.isEmpty =>
+            commitRewrite(fs, spark,
+              spark.createDataFrame(spark.sparkContext
+                .emptyRDD[org.apache.spark.sql.Row], schema),
+              path, retain, format = fmt, sourceNames = names,
+              pinnedLive = live, carried = carried, carriedSchema = Some(schema))
+            0L
+          case Some((cand, carried, schema)) =>
+            val docs = readFiles(spark, fmt, Some(schema),
+              cand.map(resolvePath(live, _)))
+            val obs = Observation()
+            commitRewrite(fs, spark,
+              docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit),
+              path, retain, format = fmt, sourceNames = names,
+              pinnedLive = live, carried = carried, carriedSchema = Some(schema))
+            obs.get("deleted").asInstanceOf[Long]
+          case None =>
+            val docs = readPinned(spark, fs, live, fmt, names)
+            val obs = Observation()
+            commitRewrite(fs, spark,
+              docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit),
+              path, retain, format = fmt, sourceNames = names, pinnedLive = live)
+            obs.get("deleted").asInstanceOf[Long]
+        }
     }
   }
 
@@ -1184,7 +1393,9 @@ object DocStore {
     val fs = fileSystem(spark, path)
     val live = liveDir(fs, spark, path)
     if (!fs.exists(new Path(live))) false
-    else if (dataFileNames(fs, live).size <= maxDataFiles) false
+    // logical count: carried links cost the planner exactly like physical
+    // files (and pin their home generations) — compacting flattens both
+    else if (logicalNames(fs, live).size <= maxDataFiles) false
     else { compact(spark, path, targetFiles, retain); true }
   }
 
@@ -1242,14 +1453,15 @@ object DocStore {
     val fs = fileSystem(spark, path)
     val live = liveDir(fs, spark, path)
     val fmt = genFormat(fs, live)
-    // PIN the file list: the post-write reconciliation below needs to know
-    // exactly which files this pass statted and schema'd
-    val pinned = dataFileNames(fs, live)
+    // PIN the file list (logical: physical + carried — carried files need
+    // stats rows too, keyed by basename): the post-write reconciliation
+    // below needs to know exactly which files this pass statted and schema'd
+    val pinned = logicalNames(fs, live)
     // full inference/footer read on purpose: collectStats REFRESHES the
     // stored schema from the actual data, so it must not trust it
     val docs0 =
       if (pinned.isEmpty) readFiles(spark, fmt, None, Seq(live))
-      else readFiles(spark, fmt, None, pinned.toSeq.sorted.map(n => s"$live/$n"))
+      else readFiles(spark, fmt, None, pinned.toSeq.sorted.map(resolvePath(live, _)))
     afterPin()
     val present = cols.filter(docs0.columns.contains)
     val bloomPresent = bloomCols.filter(docs0.columns.contains)
@@ -1457,17 +1669,21 @@ object DocStore {
     }
   }
 
-  /** Surviving files of the live dir plus the schema to read them with, or
-    * None when pruning can't apply (no stats/schema, no recognizable
-    * conjunct, or an unmergeable appended-file schema). A file is dropped
-    * ONLY when some conjunct is provably false over its [min, max] —
-    * missing stats rows/values and incomparable types keep the file, so
-    * the check errs to reading more, never less. The schema is the
-    * stats-time union merged with whatever files were appended since, so
-    * a pruned read resolves every column the full read would.
+  /** Surviving LOGICAL file names of the live generation (resolve with
+    * [[resolvePath]]) plus the schema to read them with, or None when
+    * pruning can't apply (no stats/schema, no recognizable conjunct, or an
+    * unmergeable appended-file schema). A file is dropped ONLY when some
+    * conjunct is provably false over its [min, max] — missing stats
+    * rows/values and incomparable types keep the file, so the check errs
+    * to reading more, never less. The schema is the stats-time union
+    * merged with whatever files were appended since, so a pruned read
+    * resolves every column the full read would. `pinned` (a [[pinLive]]
+    * listing) makes the candidate set exactly the mutation's snapshot —
+    * the COW path needs kept + carried to partition the SAME set.
     */
   private def prunedFiles(spark: SparkSession, fs: FileSystem, live: String,
-                          fmt: String, filter: Column)
+                          fmt: String, filter: Column,
+                          pinned: Option[Set[String]] = None)
       : Option[(Seq[String], org.apache.spark.sql.types.StructType)] = {
     val statsPath = new Path(live, StatsDir)
     if (!fs.exists(statsPath)) return None
@@ -1573,11 +1789,11 @@ object DocStore {
           }
         case _ => true
       }
-    val dataFiles = dataFileNames(fs, live).toSeq.map(n => s"$live/$n")
+    val dataFiles = pinned.getOrElse(logicalNames(fs, live)).toSeq.sorted
     val (statted, appended) =
-      dataFiles.partition(f => byName.contains(new Path(f).getName))
+      dataFiles.partition(f => byName.contains(baseName(f)))
     val kept = statted.filter { f =>
-      val row = byName(new Path(f).getName)
+      val row = byName(baseName(f))
       dnf.exists(_.forall { case (c, op, v) =>
         survives(row, c, op, v) && bloomSurvives(row, c, op, v)
       })
@@ -1589,7 +1805,7 @@ object DocStore {
       if (appended.isEmpty) stored
       else scala.util.Try(
         org.apache.spark.sql.GraftShims.mergeSchemas(stored,
-          readFiles(spark, fmt, None, appended).schema))
+          readFiles(spark, fmt, None, appended.map(resolvePath(live, _))).schema))
         .getOrElse(return None) // unmergeable drift: fall back to full read
     Some((kept, schema))
   }
@@ -1961,7 +2177,7 @@ object DocStore {
     val live = liveDir(fs, spark, path)
     val p = new Path(live)
     val names =
-      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) dataFileNames(fs, live)
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) logicalNames(fs, live)
       else Set.empty[String]
     (live, genFormat(fs, live), names)
   }
@@ -1977,7 +2193,7 @@ object DocStore {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case None => readFiles(spark, fmt, None, Seq(live))
     }
-    else readFiles(spark, fmt, schema, names.toSeq.sorted.map(n => s"$live/$n"))
+    else readFiles(spark, fmt, schema, names.toSeq.sorted.map(resolvePath(live, _)))
   }
 
   /** One-scan rewrite into the next generation, manifest commit, then
@@ -1992,7 +2208,9 @@ object DocStore {
   private def commitRewrite(fs: FileSystem, spark: SparkSession, df: DataFrame,
                             path: String, retain: Int, format: String,
                             sourceNames: Set[String], pinnedLive: String,
-                            sidecars: Map[String, Array[Byte]] = Map.empty): Unit = {
+                            sidecars: Map[String, Array[Byte]] = Map.empty,
+                            carried: Seq[String] = Nil,
+                            carriedSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     require(retain >= 2, s"retain must keep the live + previous generation, got $retain")
     // LOUD lost-update detection ([[ConcurrentMutationException]]): checked
     // before the rewrite job and again right before the swing (the rewrite
@@ -2024,6 +2242,56 @@ object DocStore {
       fs.mkdirs(stats)
       val out = fs.create(new Path(stats, "_schema.json"), true)
       try out.write(df.schema.json.getBytes(UTF_8)) finally out.close()
+    }
+    // COPY-ON-WRITE carry: files of the pinned snapshot a selective
+    // mutation provably never touched are LINKED to their physical homes
+    // instead of rewritten — entries always point at the physical home
+    // (a carried entry that was itself a link stays as-is; a plain name's
+    // home is the pinned generation), so links never chain. The sidecar,
+    // the schema base, and the carried stats rows all land before the
+    // manifest swing — atomic with the data.
+    if (carried.nonEmpty) {
+      val pinnedGen = new Path(pinnedLive).getName
+      require(pinnedGen.matches("gen-\\d{6}"),
+        s"docstore: COW carry requires a generational source, got $pinnedLive")
+      val entries = carried.map(n => if (n.contains("/")) n else s"$pinnedGen/$n")
+      writeLinks(fs, next, entries)
+      val stats = new Path(next, StatsDir)
+      fs.mkdirs(stats)
+      // the collection schema is UNCHANGED by a COW mutation (schema
+      // evolution forces the full-rewrite path), so the pinned stored
+      // schema is the new generation's schema — for json too, where
+      // commitRewrite's own parquet-only schema write doesn't apply
+      if (!fs.exists(new Path(stats, "_schema.json")))
+        carriedSchema.foreach { s =>
+          val out = fs.create(new Path(stats, "_schema.json"), true)
+          try out.write(s.json.getBytes(UTF_8)) finally out.close()
+        }
+      // carried files' bytes are unchanged, so their stats rows (keyed by
+      // basename) carry verbatim — selective mutations keep pruning
+      // across generations without a re-stat pass
+      val carriedBases = entries.map(baseName).toSet
+      try {
+        val rows = spark.read.json(new Path(pinnedLive, StatsDir).toString)
+          .filter(col("file").isin(carriedBases.toSeq: _*))
+        val stage = new Path(next, s"_stats-stage-${java.util.UUID.randomUUID()}")
+        try {
+          rows.coalesce(1).write.mode(SaveMode.Overwrite).json(stage.toString)
+          fs.listStatus(stage).iterator.filter { st =>
+            val nm = st.getPath.getName
+            st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+          }.zipWithIndex.foreach { case (st, i) =>
+            fs.rename(st.getPath,
+              new Path(stats, s"append-${java.util.UUID.randomUUID()}-$i.json"))
+          }
+        } finally fs.delete(stage, true)
+      } catch { case _: org.apache.spark.sql.AnalysisException => () }
+      // stat the freshly rewritten files with the carried geometry (same
+      // machinery an append uses) so the WHOLE generation stays covered
+      val fresh = dataFileNames(fs, next).toSeq.sorted
+        .filter(n => fs.getFileStatus(new Path(next, n)).getLen > 0)
+      if (fresh.nonEmpty)
+        appendStats(spark, fs, next, format, fresh.map(n => s"$next/$n"))
     }
     // caller-supplied metadata sidecars land in the staged generation
     // BEFORE the manifest swing, so they commit (or vanish) atomically
@@ -2067,7 +2335,21 @@ object DocStore {
     // inside its promised lag headroom). Orphans themselves are pruned
     // immediately — they were never a served state.
     val chain = committedGens(fs, path)
-    val keep = chain.takeRight(retain).map(id => f"gen-$id%06d").toSet ++ previous
+    var keep = chain.takeRight(retain).map(id => f"gen-$id%06d").toSet ++ previous
+    // LINK-HOME CLOSURE: a kept generation's carried files live in older
+    // dirs — those homes must survive too (and a home kept this way is
+    // itself read logically by findAsOf, so ITS homes follow: fixpoint).
+    // Links only point backward, so the loop is bounded by the chain
+    // length; [[compact]] flattens links, which is what lets retention
+    // reclaim the homes again — the vacuum.
+    var grew = true
+    while (grew) {
+      val homes = keep.flatMap(g =>
+        readLinks(fs, s"$path/$g").map(_.takeWhile(_ != '/')))
+      val add = homes -- keep
+      grew = add.nonEmpty
+      keep ++= add
+    }
     completeGens(fs, path).map(id => genPath(path, id))
       .filterNot(p => keep.contains(new Path(p).getName))
       .foreach(p => fs.delete(new Path(p), true))

@@ -512,7 +512,10 @@ object Streams {
     * Every per-batch write is OVERWRITE-by-batch-dir, so an at-least-once
     * replay rewrites identical content instead of duplicating it (reads
     * filter `batch_id < current`, so a replayed batch also cannot match
-    * against its own half-written previous attempt).
+    * against its own half-written previous attempt). Replays also honor
+    * takedowns: each batch filters its input against the
+    * `tombstones/` sidecar ([[removeFromNearDupIndex]]), so a replayed
+    * pre-takedown batch can never reinstate removed documents.
     *
     * Per-batch cost is bounded by the batch, not the corpus: band keys
     * and shingles are batch-sized projections; the stored-key probe is a
@@ -699,13 +702,27 @@ object Streams {
     *
     * Single-writer like the ingest itself: do not run while a batch is in
     * flight (a DRAINED stream between triggers is fine — empty triggers
-    * write nothing). REPLAY CAVEAT: an at-least-once replay of an
-    * ingest batch rewrites that batch's original content — including any
-    * ids this call removed from it. Quiesce the stream (no pending
-    * replays) before a takedown, or re-run the takedown after a replay.
+    * write nothing).
+    *
+    * REPLAY-PROOF via tombstones: before any rewrite, the requested ids
+    * are appended to `indexPath/tombstones/` stamped with the max batch
+    * id existing at takedown time (`cutoff_bid`), and every ingest batch
+    * anti-joins its input against tombstones whose cutoff covers its own
+    * batch id — so an at-least-once replay of a pre-takedown batch
+    * rewrites the batch WITHOUT the removed ids instead of reinstating
+    * them, with no stream quiescing required. A genuinely NEW batch
+    * (id above the cutoff) is untouched: re-inserting a removed document
+    * later remains a deliberate producer choice. Batch ids are monotonic
+    * within a checkpoint lineage — the same contract the
+    * overwrite-by-batch-dir layout already requires of the ingest.
+    * `tombstone = false` skips the sidecar — for callers whose replay
+    * protocol is already deterministic ([[syncNearDupIndex]], where a
+    * crashed poll must re-ingest the very ids it just removed at the
+    * SAME batch id).
     */
   def removeFromNearDupIndex(spark: SparkSession, indexPath: String,
-                             ids: DataFrame, idCol: String = "doc_id"): Long = {
+                             ids: DataFrame, idCol: String = "doc_id",
+                             tombstone: Boolean = true): Long = {
     val Slots = 16L
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -755,6 +772,24 @@ object Streams {
     val idSlots = idDf.select(pmod(xxhash64(col(idCol)), lit(Slots)).as("s"))
       .distinct().collect().map(_.getLong(0)).toSeq
     if (idSlots.isEmpty) { idDf.unpersist(); return 0L }
+    // TOMBSTONE FIRST (before any rewrite): a crash after this point
+    // leaves the replay filter in place even if the physical purge below
+    // is incomplete — re-running the takedown finishes it; the reverse
+    // order would reopen the replay-reinstatement window this closes.
+    // Ids are stamped with the max batch id present NOW, covering every
+    // batch that could possibly replay pre-takedown content (including a
+    // half-written one whose shingles never landed).
+    if (tombstone) {
+      val maxBid = fs.listStatus(new org.apache.hadoop.fs.Path(keysDir))
+        .toSeq.collect {
+          case st if st.isDirectory &&
+              st.getPath.getName.startsWith("batch_id=") =>
+            st.getPath.getName.stripPrefix("batch_id=").toLong
+        }.foldLeft(-1L)(math.max)
+      if (maxBid >= 0L)
+        idDf.withColumn("cutoff_bid", lit(maxBid))
+          .write.mode(SaveMode.Append).parquet(s"$indexPath/tombstones")
+    }
     val hit = spark.read.parquet(shDir)
       .filter(col("id_slot").isin(idSlots: _*))
       .join(idDf, Seq(idCol), "leftsemi")
@@ -966,8 +1001,13 @@ object Streams {
         // the latest text as the next batch; both steps are idempotent
         // at this (cursor-determined) batch id, so a crashed poll
         // replays byte-identically
+        // tombstone = false: this poll's replay protocol is already
+        // deterministic — a crashed poll must re-ingest the very ids it
+        // just removed at the SAME batch id, which a tombstone stamped
+        // with that id would suppress
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/keys")))
-          removeFromNearDupIndex(spark, indexPath, touched, idCol)
+          removeFromNearDupIndex(spark, indexPath, touched, idCol,
+            tombstone = false)
         val ingested = !toIngest.isEmpty
         val bid = lastBid + 1
         if (ingested)
@@ -1022,8 +1062,23 @@ object Streams {
         "ingestToNearDupIndex")
       writeNearDupMeta(fs, indexPath, k, bands, rowsPerBand)
 
+      // TAKEDOWN REPLAY FILTER: drop ids tombstoned at-or-after this batch
+      // id ([[removeFromNearDupIndex]]) — an at-least-once replay of a
+      // pre-takedown batch then rewrites the batch WITHOUT the removed
+      // docs (identical to what the takedown's own rewrite left) instead
+      // of reinstating them. Broadcast anti-join over an id-sized table;
+      // a fresh batch (id above every cutoff) passes through whole.
+      val tombDir = s"$indexPath/tombstones"
+      val live =
+        if (existing(tombDir))
+          batch.join(
+            broadcast(spark.read.parquet(tombDir)
+              .filter(col("cutoff_bid") >= bid).select(col(idCol)).distinct()),
+            Seq(idCol), "left_anti")
+        else batch
+
       val sh = graft.dedup.MinHashDedup
-        .shingleSets(batch, idCol, textCol, k).cache()
+        .shingleSets(live, idCol, textCol, k).cache()
       val keys = graft.dedup.MinHashDedup
         .bandKeysFromShingles(sh, idCol, bands, rowsPerBand)
         .withColumn("slot", pmod(xxhash64(col("band"), col("band_hash")), lit(Slots)))
@@ -1048,7 +1103,7 @@ object Streams {
       // joins adding presence flags, one filter — no shuffle and no
       // re-distinct (cands is already distinct), where a semi-join per
       // side plus a union-distinct would cost three more stages
-      val newIds = batch.select(col(idCol)).distinct()
+      val newIds = live.select(col(idCol)).distinct()
       val candsNew = cands
         .join(broadcast(newIds.select(col(idCol).as("id_a"), lit(true).as("__a"))),
           Seq("id_a"), "left")

@@ -1,0 +1,267 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** File-granular copy-on-write mutations: a selective update/delete must
+  * rewrite ONLY the files that may contain matching rows (pruned by the
+  * `_STATS` min/max+Bloom sidecars) and carry the provably-untouched rest
+  * forward by reference (`_LINKS`) — O(matched files), not O(corpus) — while
+  * every read surface (live view, time travel, CDC, countFast, pruning,
+  * fsck) stays byte-identical to the full-rewrite semantics.
+  */
+class DocStoreCowSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshPath() = {
+    val d = java.nio.file.Files.createTempDirectory("graft-cow").toString
+    new java.io.File(d).delete()
+    d
+  }
+
+  private def liveGen(path: String): String =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_MANIFEST")).trim
+
+  private def physicalDataFiles(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  private def links(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_LINKS")
+    if (!java.nio.file.Files.exists(p)) Nil
+    else java.nio.file.Files.readString(p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** 0..n-1 rows clustered by id into `files` parquet files with id stats. */
+  private def seeded(path: String, n: Int, files: Int): Unit = {
+    DocStore.insertMany((0 until n).map(i => (i.toLong, i % 7, s"doc-$i"))
+      .toDF("id", "grp", "body"), path)
+    DocStore.compact(spark, path, targetFiles = 1, format = Some("parquet"))
+    DocStore.cluster(spark, path, col("id"), files, Seq("id"),
+      bloomCols = Seq("id"), bloomBits = 1 << 12)
+  }
+
+  test("selective update rewrites only candidate files and links the rest") {
+    val path = freshPath()
+    seeded(path, 1000, 10)
+    val before = liveGen(path)
+    val beforeFiles = physicalDataFiles(s"$path/$before")
+    assert(beforeFiles.size == 10)
+    val beforeBytes = beforeFiles.map(_.length()).sum
+
+    assert(DocStore.updateMany(spark, path, col("id") === 5L,
+      Map("body" -> lit("EDITED"))) == 1L)
+
+    val after = liveGen(path)
+    assert(after != before)
+    val afterFiles = physicalDataFiles(s"$path/$after")
+    // one clustered file can match id=5; the other nine are carried
+    assert(afterFiles.size == 1, s"expected 1 rewritten file, got $afterFiles")
+    assert(links(s"$path/$after").size == 9)
+    assert(links(s"$path/$after").forall(_.startsWith(before + "/")))
+    assert(afterFiles.map(_.length()).sum < beforeBytes)
+
+    // live view is byte-identical to the full-rewrite semantics
+    val live = DocStore.find(spark, path)
+    assert(live.count() == 1000)
+    assert(live.filter(col("body") === "EDITED").select("id").as[Long]
+      .collect().toSeq == Seq(5L))
+    // time travel: the superseded generation is untouched
+    val gens = DocStore.generations(spark, path)
+    val prevView = DocStore.findAsOf(spark, path, gens.init.last)
+    assert(prevView.filter(col("body") === "EDITED").count() == 0)
+    // CDC diff across the COW boundary reports exactly the touched key
+    val diff = DocStore.diffGenerations(spark, path, gens.init.last, gens.last, "id")
+    assert(diff.select("id", "change").as[(Long, String)].collect().toSeq ==
+      Seq((5L, "updated")))
+  }
+
+  test("COW generations keep pruning, exact countFast, and clean fsck") {
+    val path = freshPath()
+    seeded(path, 1000, 10)
+    assert(DocStore.updateMany(spark, path, col("id") === 5L,
+      Map("body" -> lit("EDITED"))) == 1L)
+    // carried stats rows + fresh-file re-stat: pruning still works on the
+    // COW generation without any manual collectStats
+    val probe = DocStore.find(spark, path, Some(col("id") === 800L))
+    assert(probe.count() == 1)
+    assert(probe.inputFiles.length == 1,
+      s"expected pruning to 1 file, read ${probe.inputFiles.toSeq}")
+    // countFast stays metadata-exact (carried counts + fresh-file stats)
+    assert(DocStore.countFast(spark, path) == 1000L)
+    val bad = DocStore.fsck(spark, path).filter(col("severity") === "error")
+    assert(bad.isEmpty, bad.collect().mkString("; "))
+  }
+
+  test("selective delete takes the COW path and preserves semantics") {
+    val path = freshPath()
+    seeded(path, 1000, 10)
+    assert(DocStore.deleteMany(spark, path,
+      Some(col("id").between(100L, 199L))) == 100L)
+    val after = liveGen(path)
+    assert(links(s"$path/$after").nonEmpty)
+    assert(physicalDataFiles(s"$path/$after").size < 10)
+    assert(DocStore.find(spark, path).count() == 900)
+    assert(DocStore.find(spark, path)
+      .filter(col("id").between(100L, 199L)).isEmpty)
+    assert(DocStore.countFast(spark, path) == 900L)
+  }
+
+  test("zero-match mutation commits an all-carried metadata-only generation") {
+    val path = freshPath()
+    seeded(path, 200, 4)
+    val before = liveGen(path)
+    assert(DocStore.updateMany(spark, path, col("id") === -1L,
+      Map("body" -> lit("NEVER"))) == 0L)
+    val after = liveGen(path)
+    assert(after != before) // a mutation is a commit: the generation advances
+    // at most one rowless part file (Spark writes one for an empty frame);
+    // every data byte is carried by reference
+    assert(physicalDataFiles(s"$path/$after").map(_.length()).sum < 4096)
+    assert(links(s"$path/$after").size == 4)
+    assert(DocStore.find(spark, path).count() == 200)
+    val gens = DocStore.generations(spark, path)
+    assert(DocStore.diffGenerations(spark, path, gens.init.last, gens.last, "id").isEmpty)
+  }
+
+  test("chained COW mutations: retention keeps link homes alive (closure)") {
+    val path = freshPath()
+    seeded(path, 1000, 10)
+    val home = liveGen(path)
+    // three sequential selective mutations at retain=2: the clustered home
+    // generation stays on disk as long as retained generations link into it
+    DocStore.updateMany(spark, path, col("id") === 3L, Map("body" -> lit("e1")))
+    DocStore.updateMany(spark, path, col("id") === 503L, Map("body" -> lit("e2")))
+    DocStore.deleteMany(spark, path, Some(col("id") === 907L))
+    assert(new java.io.File(s"$path/$home").exists(),
+      "link-home generation must survive retention while referenced")
+    val live = DocStore.find(spark, path)
+    assert(live.count() == 999)
+    assert(live.filter(col("body").isin("e1", "e2")).select("id").as[Long]
+      .collect().toSet == Set(3L, 503L))
+    // links point at PHYSICAL homes, never chain: every entry of the live
+    // generation resolves to an existing file
+    val lg = liveGen(path)
+    links(s"$path/$lg").foreach { e =>
+      assert(new java.io.File(s"$path/$e").isFile, s"dangling $e")
+    }
+    val bad = DocStore.fsck(spark, path).filter(col("severity") === "error")
+    assert(bad.isEmpty, bad.collect().mkString("; "))
+  }
+
+  test("compact flattens links so retention can reclaim old homes") {
+    val path = freshPath()
+    seeded(path, 500, 5)
+    val home = liveGen(path)
+    DocStore.updateMany(spark, path, col("id") === 1L, Map("body" -> lit("x")))
+    assert(links(s"$path/${liveGen(path)}").nonEmpty)
+    DocStore.compact(spark, path, targetFiles = 2)
+    assert(links(s"$path/${liveGen(path)}").isEmpty) // flattened
+    // two more full commits push the linked home out of every keep window
+    DocStore.compact(spark, path, targetFiles = 2)
+    DocStore.compact(spark, path, targetFiles = 2)
+    assert(!new java.io.File(s"$path/$home").exists(),
+      "flattened home must be reclaimed by retention")
+    assert(DocStore.find(spark, path).count() == 500)
+  }
+
+  test("schema-evolving update falls back to the full rewrite") {
+    val path = freshPath()
+    seeded(path, 200, 4)
+    // `flag` does not exist: every row's schema changes, COW must not apply
+    assert(DocStore.updateMany(spark, path, col("id") === 7L,
+      Map("flag" -> lit("new"))) == 1L)
+    val after = liveGen(path)
+    assert(links(s"$path/$after").isEmpty)
+    assert(physicalDataFiles(s"$path/$after").nonEmpty)
+    val live = DocStore.find(spark, path)
+    assert(live.columns.contains("flag"))
+    assert(live.filter(col("flag") === "new").count() == 1)
+    assert(live.filter(col("flag").isNull).count() == 199)
+  }
+
+  test("appended-unstatted files are always rewrite candidates; cursor CDC sees a COW poll") {
+    val path = freshPath()
+    seeded(path, 400, 4)
+    val cur = DocStore.cursor(spark, path)
+    // an append lands after the stats pass: no stats row, so it must be a
+    // candidate for ANY filter (pruning can't exclude it)
+    DocStore.insertMany(Seq((9999L, 1L, "late")).toDF("id", "grp", "body"), path)
+    assert(DocStore.updateMany(spark, path, col("id") === 9999L,
+      Map("body" -> lit("late-edit"))) == 1L)
+    val lg = liveGen(path)
+    assert(links(s"$path/$lg").size == 4) // all statted files carried
+    val (changes, _) = DocStore.changesSince(spark, path, cur, "id")
+    val byKey = changes.select("id", "change").as[(Long, String)].collect().toMap
+    assert(byKey.get(9999L).contains("inserted") || byKey.get(9999L).contains("updated"))
+    assert(DocStore.find(spark, path, Some(col("id") === 9999L))
+      .select("body").as[String].collect().toSeq == Seq("late-edit"))
+  }
+
+  test("json stores take the COW path too") {
+    val path = freshPath()
+    DocStore.insertMany((0 until 200).map(i => (i.toLong, s"d$i")).toDF("id", "body"), path)
+    DocStore.compact(spark, path, targetFiles = 1) // stays json
+    DocStore.cluster(spark, path, col("id"), 4, Seq("id"))
+    assert(DocStore.updateMany(spark, path, col("id") === 10L,
+      Map("body" -> lit("J"))) == 1L)
+    val lg = liveGen(path)
+    assert(links(s"$path/$lg").size == 3)
+    assert(physicalDataFiles(s"$path/$lg").forall(_.getName.endsWith(".json")))
+    val live = DocStore.find(spark, path)
+    assert(live.count() == 200)
+    assert(live.filter(col("body") === "J").select("id").as[Long]
+      .collect().toSeq == Seq(10L))
+    assert(DocStore.countFast(spark, path) == 200L)
+  }
+
+  test("racing mutations serialize under the bounded retry") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("id", "grp", "n"), path)
+    @volatile var fired = false
+    // writer A pins, then writer B commits inside A's pin-to-commit window;
+    // A's first commit loses loudly, the retry re-pins B's state and wins
+    val n = DocStore.withMutationRetry(3)(() =>
+      DocStore.updateManySeamed(spark, path, col("grp") === "a",
+        Map("n" -> lit(1L)), 2, () => {
+          if (!fired) {
+            fired = true
+            assert(DocStore.updateMany(spark, path, col("grp") === "b",
+              Map("n" -> lit(2L))) == 1L)
+          }
+        }))
+    assert(n == 1L)
+    assert(fired)
+    // both effects committed — a serial order, exactly once each
+    assert(DocStore.find(spark, path).orderBy("id").select("n").as[Long]
+      .collect().toSeq == Seq(1L, 2L))
+  }
+
+  test("retries = 0 preserves the loud fail-fast contract") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a", 0L)).toDF("id", "grp", "n"), path)
+    @volatile var fired = false
+    intercept[DocStore.ConcurrentMutationException] {
+      DocStore.withMutationRetry(0)(() =>
+        DocStore.updateManySeamed(spark, path, col("grp") === "a",
+          Map("n" -> lit(1L)), 2, () => {
+            if (!fired) {
+              fired = true
+              DocStore.updateMany(spark, path, col("grp") === "a",
+                Map("n" -> lit(9L)))
+            }
+          }))
+    }
+  }
+
+  test("fsck reports a dangling link as an error") {
+    val path = freshPath()
+    seeded(path, 200, 4)
+    DocStore.updateMany(spark, path, col("id") === 0L, Map("body" -> lit("x")))
+    val entry = links(s"$path/${liveGen(path)}").head
+    assert(new java.io.File(s"$path/$entry").delete()) // out-of-API damage
+    val errs = DocStore.fsck(spark, path)
+      .filter(col("severity") === "error" && col("code") === "dangling-link")
+    assert(errs.count() >= 1)
+  }
+}

@@ -802,6 +802,54 @@ class StreamsSpec extends SparkTestBase {
       .select("id_b").collect().map(_.getLong(0)).toSet == Set(1L, 9001L))
   }
 
+  test("takedown tombstones: a replayed pre-takedown batch cannot reinstate removed ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def doc(c: Int, variant: Int): (Long, String) = {
+      val toks = (0 until 12).map(i =>
+        if (i == variant) s"x${c}_$variant" else s"w${c}_$i")
+      (c * 10L + variant, toks.mkString(" "))
+    }
+    val b0 = (0 until 3).flatMap(c => Seq(doc(c, 0), doc(c, 1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-ts").toString
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = Streams.ingestToNearDupIndex(
+      mem1.toDF().toDF("doc_id", "text"), dir,
+      idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5).start()
+    mem1.addData(b0: _*); q1.processAllAvailable(); q1.stop()
+    assert(Streams.removeFromNearDupIndex(spark, dir,
+      Seq(0L, 11L).toDF("doc_id")) == 2L)
+    // AT-LEAST-ONCE REPLAY of the pre-takedown batch: a fresh query (new
+    // temp checkpoint) re-delivers the same content at the same batch id —
+    // exactly what a post-failure foreachBatch replay does. Without
+    // tombstones this overwrite reinstated the removed docs.
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streams.ingestToNearDupIndex(
+      mem2.toDF().toDF("doc_id", "text"), dir,
+      idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5).start()
+    mem2.addData(b0: _*); q2.processAllAvailable()
+    // removed ids stay out of every surface: keys, shingles, matches, probe
+    assert(spark.read.parquet(s"$dir/keys")
+      .filter(col("doc_id").isin(0L, 11L)).isEmpty)
+    assert(spark.read.parquet(s"$dir/shingles")
+      .filter(col("doc_id").isin(0L, 11L)).isEmpty)
+    assert(spark.read.parquet(s"$dir/matches")
+      .filter(col("id_a").isin(0L, 11L) || col("id_b").isin(0L, 11L)).isEmpty)
+    val nearC0 = doc(0, 0)._2.split(" ").updated(0, "probe0").mkString(" ")
+    assert(Streams.probeNearDupIndex(
+        Seq((9000L, nearC0)).toDF("doc_id", "text"), dir,
+        idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+      .select("id_b").collect().map(_.getLong(0)).toSet == Set(1L))
+    // survivors replayed intact: cluster 2's pair is still indexed/matched
+    assert(spark.read.parquet(s"$dir/matches")
+      .filter(col("id_a") === 20L && col("id_b") === 21L).count() == 1)
+    // a genuinely NEW batch (id above the cutoff) is untouched by the
+    // tombstones — deliberately re-inserting a removed id works
+    mem2.addData((0L, doc(0, 0)._2)); q2.processAllAvailable(); q2.stop()
+    assert(!spark.read.parquet(s"$dir/keys")
+      .filter(col("doc_id") === 0L).isEmpty)
+  }
+
   test("funnelStream: exact-boundary emission when wm lands on t1+W then t1+W+1") {
     // The two adversarial watermark landings around the window close:
     //  - a batch observes wm == t1 + W exactly (the timeout clamp case —

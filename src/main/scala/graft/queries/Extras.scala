@@ -21,12 +21,32 @@ object StreamingQuery {
     * preserves the source mtime so a fresh copy matches EXACTLY; a `>=`
     * freshness test would keep serving a stale copy when the source was
     * restored from an archive with an older-or-equal mtime.
+    *
+    * The directory is keyed by JVM (pid) as well as by dataset: two
+    * overlapping JVMs (a bench run racing a test run) sharing one stage
+    * dir could REPLACE_EXISTING a file out from under the other's
+    * in-flight stream read — a transient, non-deterministic failure. Each
+    * JVM now stages privately (one copy per process, reused across its
+    * own queries) and removes its staging on exit.
     */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def stageParquet(d: String, table: String): String = {
     val stage = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-stage-$table-${Integer.toHexString(d.hashCode)}")
+      s"graft-stage-$table-${Integer.toHexString(d.hashCode)}" +
+        s"-p${ProcessHandle.current().pid()}")
     java.nio.file.Files.createDirectories(stage)
+    if (cleanupRegistered.add(stage.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(stage).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount) // files before their directories
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Exception => () } // best-effort tmp cleanup
+      }))
     val source = java.nio.file.Paths.get(s"$d/$table.parquet")
     val target = stage.resolve(s"$table.parquet")
     val fresh = java.nio.file.Files.exists(target) &&
@@ -203,7 +223,7 @@ object StreamingQuery {
       .parquet(stageParquet(d, "embeddings"))
     val index = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-ivf-index-${Integer.toHexString(d.hashCode)}").toString
+      s"graft-ivf-index-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(index))
     val q = graft.streaming.Streams.ingestToIvfIndex(stream, model, index).start()
     try q.processAllAvailable() finally q.stop()
@@ -233,12 +253,13 @@ object StreamingQuery {
     val stage = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-neardup-stage-${Integer.toHexString(d.hashCode)}-" +
-        java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d))).toString
+        java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d)) +
+        s"-p${ProcessHandle.current().pid()}").toString
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       docs.repartition(3).write.mode("overwrite").parquet(stage)
     val index = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-neardup-idx-${Integer.toHexString(d.hashCode)}").toString
+      s"graft-neardup-idx-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(index))
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
@@ -272,12 +293,13 @@ object StreamingQuery {
     val stage = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-probe-stage-${Integer.toHexString(d.hashCode)}-" +
-        java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d))).toString
+        java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d)) +
+        s"-p${ProcessHandle.current().pid()}").toString
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       train.coalesce(1).write.mode("overwrite").parquet(stage)
     val index = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-probe-idx-${Integer.toHexString(d.hashCode)}").toString
+      s"graft-probe-idx-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(index))
     val stream = s.readStream.schema(docs.schema).parquet(stage)
     val q = graft.streaming.Streams
@@ -309,7 +331,7 @@ object StreamingQuery {
     val docs = graft.core.Tables.documents(s, d).select("doc_id", "text")
     val base = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-ndsync-${Integer.toHexString(d.hashCode)}").toString
+      s"graft-ndsync-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     val src = s"$base/src"; val idx = s"$base/idx"
     def poll() = graft.streaming.Streams.syncNearDupIndex(s, src, idx,
@@ -520,7 +542,8 @@ object StreamingQuery {
     val stage = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-kmv-stage-${Integer.toHexString(d.hashCode)}-" +
-        java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d))).toString
+        java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d)) +
+        s"-p${ProcessHandle.current().pid()}").toString
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       docs.repartition(3).write.mode("overwrite").parquet(stage)
     val dir = java.nio.file.Files.createTempDirectory("graft-kmvtab").toString
@@ -893,7 +916,7 @@ object Extras {
         val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
         val base = java.nio.file.Paths.get(
           sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-          s"graft-syncagg-${Integer.toHexString(d.hashCode)}").toString
+          s"graft-syncagg-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
         val src = s"$base/src"; val dst = s"$base/agg"
         def poll(): Unit =
@@ -916,6 +939,45 @@ object Extras {
         |         AS BIGINT) AS sum_n_chars
         |FROM documents WHERE doc_id % 5 <> 0
         |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // ---- d6's STEADY-STATE twin: d6 benches its whole mutation script
+    //      (4 mutations + 4 polls — mostly DocStore rewrite cost), which
+    //      is honest machinery but not the O(delta) claim. This benches
+    //      ONE delta append + ONE incremental poll against a pre-seeded
+    //      store (seed staged once per JVM, keyed by pid — min-of-3
+    //      discards the seeding run; each run works on a fresh copy so
+    //      repeats are deterministic). FULLY ORACLED: seed + delta = the
+    //      whole corpus, so the view must equal DuckDB's direct aggregate.
+    "d6b_sync_poll" -> withOracle(
+      (s, d) => {
+        import graft.sources.DocStore
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+        val pid = ProcessHandle.current().pid()
+        val seed = s"$tmp/graft-syncaggseed-${Integer.toHexString(d.hashCode)}-p$pid"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
+          DocStore.insertMany(docs.filter(col("doc_id") % 10 =!= 0), s"$seed/src")
+          DocStore.syncAggregate(s, s"$seed/src", s"$seed/agg",
+            "doc_id", "lang", Seq("n_chars"))
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
+        }
+        val work = s"$tmp/graft-syncaggpoll-${Integer.toHexString(d.hashCode)}-p$pid"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(seed), new java.io.File(work))
+        // the steady state: a 10% delta lands, one poll folds it in —
+        // reads ONLY the appended files plus the view-sized aggregate
+        DocStore.insertMany(docs.filter(col("doc_id") % 10 === 0), s"$work/src")
+        DocStore.syncAggregate(s, s"$work/src", s"$work/agg",
+          "doc_id", "lang", Seq("n_chars"))
+        DocStore.find(s, s"$work/agg")
+          .select(col("lang"), col("cnt"), col("sum_n_chars"))
+          .orderBy("lang")
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
     // ---- declarative data-quality expectations (ops.Expect): all
     //      row-local rules fold into ONE aggregate over ONE scan;
@@ -1383,6 +1445,43 @@ object Extras {
     //      and crash-replay idempotence
     "d7_neardup_sync" -> rowsOnly(
       (s, d) => StreamingQuery.nearDupSync(s, d)),
+
+    // ---- d7's STEADY-STATE twin: d7 benches two full LSH index builds
+    //      (seed + re-seed after a takedown); the O(changed docs +
+    //      candidate buckets) claim is what a production poll pays. This
+    //      benches ONE delta batch folded into a PRE-SEEDED index (seed
+    //      staged once per JVM keyed by pid; min-of-3 discards the
+    //      seeding run; each run copies the seed so repeats are
+    //      deterministic). rows-only for d7's reason (LSH banding has no
+    //      DuckDB twin); SyncNearDupSpec pins poll == fresh-index equality
+    "d7b_neardup_poll" -> rowsOnly(
+      (s, d) => {
+        import graft.sources.DocStore
+        val docs = graft.core.Tables.documents(s, d).select("doc_id", "text")
+        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+        val pid = ProcessHandle.current().pid()
+        val seed = s"$tmp/graft-ndsyncseed-${Integer.toHexString(d.hashCode)}-p$pid"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
+          DocStore.insertMany(docs.filter(col("doc_id") % 20 =!= 7), s"$seed/src")
+          graft.streaming.Streams.syncNearDupIndex(s, s"$seed/src", s"$seed/idx",
+            idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
+        }
+        val work = s"$tmp/graft-ndsyncpoll-${Integer.toHexString(d.hashCode)}-p$pid"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(seed), new java.io.File(work))
+        // the steady state: a 5% delta arrives, one poll matches it
+        // against everything indexed and joins the index
+        DocStore.insertMany(docs.filter(col("doc_id") % 20 === 7), s"$work/src")
+        graft.streaming.Streams.syncNearDupIndex(s, s"$work/src", s"$work/idx",
+          idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+        s.read.parquet(s"$work/idx/matches")
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("id_a", "id_b")
+          .localCheckpoint(true)
+      }),
 
     // ---- st12's read-side twin: per-batch sketches STORED as a table
     //      (overwrite-by-batch = replay-idempotent), served by pure SQL

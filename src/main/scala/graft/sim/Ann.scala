@@ -281,13 +281,64 @@ object Ann {
     * of returning holes.
     *
     * At 100 TB: the count aggregate is one map-side-combined pass over
-    * the filtered scan (reusable across query batches over the same
-    * filter), probes are a broadcast of <= nCells centroid rows, and the
+    * the filtered scan, CACHED process-wide per (model content, filter
+    * plan, input-file fingerprint) — repeat query batches over the same
+    * filter launch no counting job ([[cachedSurvivorCounts]]; staleness
+    * follows the [[graft.core.FitCache]] rule, so regenerated data
+    * refreshes the counts); probes are a broadcast of <= nCells centroid
+    * rows, and the
     * candidate join touches only probed cells' partitions. No distinct is
     * needed downstream: each corpus row lives in exactly one cell and
     * each (query, cell) is probed once, so candidate pairs are unique by
     * construction (unlike LSH banding).
     */
+  // ---- per-(model, filter) survivor-count cache --------------------------
+  //
+  // The adaptive probe's only aggregate is the per-cell survivor count —
+  // <= nCells numbers, but computed by a full pass over the FILTERED scan.
+  // Real filtered-ANN serving runs many query batches against the same
+  // (model, filter), so the counts are cached process-wide like the fitted
+  // models ([[graft.core.FitCache]] discipline): keyed by the model's
+  // CONTENT (centroid values, not object identity) and the filtered frame's
+  // semantic plan hash, with a (path, size, mtime) fingerprint of the
+  // frame's input files folded in so a dataset regenerated in place within
+  // one JVM misses the stale entry — the same staleness rule FitCache
+  // applies to fits. Counting is deterministic, so a double-compute race
+  // resolves via putIfAbsent with identical values.
+
+  private val survivorCounts =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Map[Long, Long]]()
+
+  /** Test hook: cache misses (count jobs actually launched). */
+  private[graft] val survivorCountMisses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def cachedSurvivorCounts(model: IvfModel, cells: DataFrame): Map[Long, Long] = {
+    val conf = cells.sparkSession.sparkContext.hadoopConfiguration
+    val filesFp = cells.inputFiles.sorted.foldLeft(0xcbf29ce484222325L) { (h0, f) =>
+      val st = scala.util.Try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p) // FS instances are cached
+      }.toOption
+      val s = s"$f|${st.map(_.getLen).getOrElse(-1L)}|" +
+        s"${st.map(_.getModificationTime).getOrElse(-1L)}"
+      var h = h0
+      var i = 0
+      while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+      h
+    }
+    val key = (model.centroids.hashCode(),
+      cells.queryExecution.analyzed.semanticHash(), filesFp)
+    val hit = survivorCounts.get(key)
+    if (hit != null) hit
+    else {
+      survivorCountMisses.incrementAndGet()
+      val counted = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prev = survivorCounts.putIfAbsent(key, counted)
+      if (prev != null) prev else counted
+    }
+  }
+
   def ivfSearchAdaptive(model: IvfModel, cells: DataFrame, queries: DataFrame,
                         k: Int, oversample: Double = 4.0,
                         idCol: String = "vec_id",
@@ -300,8 +351,7 @@ object Ann {
     // k+1 not k: a query vector that itself survives the filter is
     // excluded below, and must not eat the candidate budget
     val target = math.max(k + 1L, math.ceil(oversample * k).toLong)
-    val counts = cells.groupBy("cell").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counts = cachedSurvivorCounts(model, cells)
     // a cells frame assigned by a DIFFERENT model would silently probe
     // the wrong geometry (the near-dup index learned this the hard way:
     // geometry mismatches must be loud)

@@ -694,7 +694,10 @@ object DocStore {
     */
   final case class DocCursor(generation: Int, files: Set[String])
 
-  /** The head cursor: the live generation and its current data files. */
+  /** The head cursor: the live generation and its current data files
+    * (LOGICAL — carried `_LINKS` entries included, so a snapshot pinned
+    * after a copy-on-write mutation covers every row).
+    */
   def cursor(spark: SparkSession, path: String): DocCursor = {
     val fs = fileSystem(spark, path)
     val gens = committedGens(fs, path)
@@ -702,7 +705,7 @@ object DocStore {
       s"docstore: $path has no committed generations (a legacy flat " +
         "collection migrates on its first rewrite); cursor CDC needs the " +
         "generational layout")
-    DocCursor(gens.last, dataFileNames(fs, genPath(path, gens.last)))
+    DocCursor(gens.last, logicalNames(fs, genPath(path, gens.last)))
   }
 
   /** File-granular incremental CDC: every change since `cur`, plus the
@@ -736,7 +739,10 @@ object DocStore {
         s"retained (have: ${gens.mkString(", ")}); raise `retain` on " +
         "mutations to allow slower consumers")
     val genDir = genPath(path, cur.generation)
-    val nowFiles = dataFileNames(fs, genDir)
+    // logical: carried entries count as the generation's files (they never
+    // change after commit, so within one generation growth = physical
+    // appends only — exactly what the membership delta must capture)
+    val nowFiles = logicalNames(fs, genDir)
     val missing = cur.files -- nowFiles
     // A file may legitimately leave a SUPERSEDED generation: the salvage
     // protocol moves an append a racing rewrite never read into the
@@ -756,7 +762,7 @@ object DocStore {
       s"docstore: cursor files ${unexplained.mkString(", ")} vanished from " +
         s"generation ${cur.generation} — generation dirs are append-only; " +
         "this collection was mutated outside the DocStore API")
-    val appended = (nowFiles -- cur.files).toSeq.sorted.map(n => s"$genDir/$n")
+    val appended = (nowFiles -- cur.files).toSeq.sorted.map(resolvePath(genDir, _))
     val appendFrame: Option[DataFrame] =
       if (appended.isEmpty) None
       else {
@@ -773,7 +779,7 @@ object DocStore {
     val changes = (appendFrame.toSeq ++ steps).reduceOption(_ unionByName _)
       .getOrElse(emptyChanges(spark, fs, path, cur.generation, keyCol))
     val head = gens.last
-    (changes, DocCursor(head, dataFileNames(fs, genPath(path, head))))
+    (changes, DocCursor(head, logicalNames(fs, genPath(path, head))))
   }
 
   /** APPLY a CDC change frame (the [[changesSince]] output shape) to a
@@ -1011,7 +1017,7 @@ object DocStore {
           if (c.files.isEmpty) find(spark, srcPath).limit(0)
           else readFiles(spark, genFormat(srcFs, genDir),
             storedSchema(srcFs, new Path(genDir, StatsDir)),
-            c.files.toSeq.sorted.map(n => s"$genDir/$n"))
+            c.files.toSeq.sorted.map(resolvePath(genDir, _)))
         if (!rows.columns.contains(groupCol)) {
           require(rows.isEmpty,
             s"syncAggregate: $groupCol is missing from the source snapshot")

@@ -175,6 +175,51 @@ class AnnFilterSpec extends SparkTestBase {
     assert(e.getMessage.contains("different model"))
   }
 
+  test("survivor counts cached per (model, filter): repeat batches launch no counting job") {
+    val model = Ann.fitIvf(emb, nCells = 8, lloydIters = 2)
+    val cells = fittedCells(model).filter(col("label") === 3)
+    val first = rows(Ann.ivfSearchAdaptive(model, cells, queries,
+      k = 5, oversample = 4.0))
+    val after1 = Ann.survivorCountMisses.get()
+    // a DIFFERENT query batch over the SAME (model, filter): served from
+    // the cached counts, zero counting jobs
+    val q2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    assert(Ann.ivfSearchAdaptive(model, cells, q2,
+      k = 5, oversample = 4.0).count() > 0)
+    assert(Ann.survivorCountMisses.get() == after1,
+      "second query batch over the same filter recounted survivors")
+    // the repeated first batch is row-identical and still count-free
+    val again = rows(Ann.ivfSearchAdaptive(model, cells, queries,
+      k = 5, oversample = 4.0))
+    assert(again === first)
+    assert(Ann.survivorCountMisses.get() == after1)
+    // a different filter is a different key: exactly one fresh count
+    rows(Ann.ivfSearchAdaptive(model,
+      fittedCells(model).filter(col("label") === 2), queries, k = 5))
+    assert(Ann.survivorCountMisses.get() == after1 + 1)
+  }
+
+  test("regenerated data refreshes the cached counts (FitCache staleness rule)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annc").toString
+    decoyCorpus.filter(col("vec_id") =!= 201L)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    def cellsDf = spark.read.parquet(dir).select(col("vec_id"), col("embedding"),
+      decoyModel.assign(col("embedding")).as("cell"))
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(rows(Ann.ivfSearchAdaptive(decoyModel, cellsDf, q,
+      k = 5, oversample = 2.0)).size == 5)
+    val m = Ann.survivorCountMisses.get()
+    // the corpus grows in place: same path, same plan shape — the input-
+    // file fingerprint must miss the stale entry and recount
+    decoyCorpus.filter(col("vec_id") === 201L)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    val r2 = rows(Ann.ivfSearchAdaptive(decoyModel, cellsDf, q,
+      k = 6, oversample = 2.0))
+    assert(Ann.survivorCountMisses.get() == m + 1,
+      "appended data served stale survivor counts")
+    assert(r2.exists(_._3 == 201L), "appended row missing from the search")
+  }
+
   test("ranking is partition-invariant") {
     val model = Ann.fitIvf(emb, nCells = 8, lloydIters = 2)
     def run(parts: Int) = {

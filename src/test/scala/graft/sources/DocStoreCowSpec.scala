@@ -254,6 +254,29 @@ class DocStoreCowSpec extends SparkTestBase {
     }
   }
 
+  test("cursor capture and syncAggregate seed cover carried files") {
+    val path = freshPath()
+    seeded(path, 400, 4)
+    assert(DocStore.updateMany(spark, path, col("id") === 5L,
+      Map("body" -> lit("EDITED"))) == 1L)
+    // the live generation now holds most rows by REFERENCE — a physical
+    // listing would see one file; the cursor must see them all
+    val cur = DocStore.cursor(spark, path)
+    assert(cur.files.count(_.contains("/")) == 3, cur.files)
+    // seed an aggregate view from the COW snapshot: counts must cover the
+    // whole corpus, not just the rewritten file
+    val dst = freshPath()
+    DocStore.syncAggregate(spark, path, dst, "id", "grp", Seq("id"))
+    val total = DocStore.find(spark, dst).agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == 400L, s"seed missed carried rows: $total")
+    // and a poll after a further COW mutation folds only the delta
+    DocStore.updateMany(spark, path, col("id") === 7L, Map("grp" -> lit(99L)))
+    DocStore.syncAggregate(spark, path, dst, "id", "grp", Seq("id"))
+    val view = DocStore.find(spark, dst).select("grp", "cnt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(view(99L) == 1L && view.values.sum == 400L)
+  }
+
   test("fsck reports a dangling link as an error") {
     val path = freshPath()
     seeded(path, 200, 4)

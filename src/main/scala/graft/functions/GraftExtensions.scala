@@ -259,5 +259,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             valueCol = strArg(args(5), "valueCol"),
             outCol = strArg(args(6), "outCol")))
       }))
+
+    // ---- index/view MAINTENANCE from SQL: the sync loops (d6/d7 shape)
+    // were Column-API only; these make the whole poll drivable from pure
+    // SQL like probe (neardup_probe) and CDC (docstore_changes) already
+    // are. The builder runs the poll at analysis time — safe even if the
+    // analyzer evaluates it twice, because both syncs are exactly-once
+    // idempotent at their committed cursor (a repeated poll is a no-op)
+    // and the RETURNED relation is the maintained STATE (view / matches
+    // table), which is identical before and after a no-op poll.
+
+    ext.injectTableFunction((FunctionIdentifier("sync_aggregate"),
+      info("sync_aggregate",
+        "sync_aggregate(srcPath, dstPath, keyCol, groupCol, sumColsCsv) - " +
+          "poll incremental aggregate-view maintenance (DocStore" +
+          ".syncAggregate: cursor CDC folds appends/updates/deletes into " +
+          "a per-group (cnt, sum_<col>...) view at O(delta + view) cost, " +
+          "exactly-once) and return the maintained view"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dst = strArg(args(1), "dstPath")
+        graft.sources.DocStore.syncAggregate(spark,
+          strArg(args.head, "srcPath"), dst,
+          keyCol = strArg(args(2), "keyCol"),
+          groupCol = strArg(args(3), "groupCol"),
+          sumCols = strArg(args(4), "sumColsCsv").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq)
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          graft.sources.DocStore.find(spark, dst))
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("sync_neardup"),
+      info("sync_neardup",
+        "sync_neardup(srcPath, indexPath, idCol, textCol, k, threshold) - " +
+          "poll CDC-driven near-dup index maintenance (Streams" +
+          ".syncNearDupIndex: appended docs matched at arrival, deletes " +
+          "taken down, changed text re-indexed, O(changed docs) per poll) " +
+          "and return the index's full verified match table"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val idx = strArg(args(1), "indexPath")
+        graft.streaming.Streams.syncNearDupIndex(spark,
+          strArg(args.head, "srcPath"), idx,
+          idCol = strArg(args(2), "idCol"),
+          textCol = strArg(args(3), "textCol"),
+          k = intArg(args(4), "k"),
+          threshold = doubleArg(args(5), "threshold"))
+        val matches = s"$idx/matches"
+        val fs = new org.apache.hadoop.fs.Path(idx)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          if (fs.exists(new org.apache.hadoop.fs.Path(matches)))
+            spark.read.parquet(matches).select("id_a", "id_b", "jaccard")
+          else {
+            import spark.implicits._
+            Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
+          })
+      }))
   }
 }

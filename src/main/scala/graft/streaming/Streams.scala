@@ -1147,22 +1147,33 @@ object Streams {
       import scala.concurrent.ExecutionContext.Implicits.global
       // static overwrite explicitly: replay idempotence needs the whole
       // batch dir REPLACED, whatever the session's partitionOverwriteMode
-      val fKeys = Future {
+      def writeKeys(): Unit =
         keys.select(col(idCol), col("band"), col("band_hash"), col("slot"))
           .repartition(col("slot"))
           .write.mode(SaveMode.Overwrite).partitionBy("slot")
           .option("partitionOverwriteMode", "static")
           .parquet(s"$keysDir/batch_id=$bid")
-      }
-      val fSh = Future {
+      def writeSh(): Unit =
         sh.withColumn("id_slot", pmod(xxhash64(col(idCol)), lit(Slots)))
           .repartition(col("id_slot"))
           .write.mode(SaveMode.Overwrite).partitionBy("id_slot")
           .option("partitionOverwriteMode", "static")
           .parquet(s"$shDir/batch_id=$bid")
+      // DEADLOCK GUARD: the SQL maintenance surface (`sync_neardup`)
+      // reaches this code from inside the analyzer's function lookup,
+      // where the calling thread HOLDS the SessionCatalog monitor — a
+      // writer future analyzing its own plan on another thread then
+      // blocks on that monitor forever (observed: Await below never
+      // returns). Monitors are reentrant for the owning thread, so the
+      // sequential path is always safe; parallelism is an overlap
+      // optimization we keep only when no catalog lock is held.
+      if (Thread.holdsLock(spark.sessionState.catalog)) { writeKeys(); writeSh() }
+      else {
+        val fKeys = Future(writeKeys())
+        val fSh = Future(writeSh())
+        Await.result(fKeys, scala.concurrent.duration.Duration.Inf)
+        Await.result(fSh, scala.concurrent.duration.Duration.Inf)
       }
-      Await.result(fKeys, scala.concurrent.duration.Duration.Inf)
-      Await.result(fSh, scala.concurrent.duration.Duration.Inf)
       mark("index-write")
       candsNew.unpersist()
       keys.unpersist()

@@ -979,6 +979,52 @@ object Extras {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // ---- file-granular copy-on-write mutations (DocStore `_LINKS`):
+    //      a clustered+statted store takes two SELECTIVE mutations — the
+    //      stats prune the rewrite set to the files that may match, the
+    //      rest carries forward by reference, so each mutation costs
+    //      O(matched files) instead of a corpus rewrite (DocStoreCowSpec
+    //      pins rewritten-bytes < snapshot). Store built once per JVM
+    //      (pid-keyed stage); each run mutates a fresh copy, so the
+    //      measured time IS the COW mutation path. FULLY ORACLED: the
+    //      script is deterministic, DuckDB restates the final corpus.
+    "d8_cow_update" -> withOracle(
+      (s, d) => {
+        import graft.sources.DocStore
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+        val pid = ProcessHandle.current().pid()
+        val seed = s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
+          val store = s"$seed/store"
+          DocStore.insertMany(docs, store)
+          DocStore.compact(s, store, targetFiles = 1, format = Some("parquet"))
+          DocStore.cluster(s, store, col("doc_id"), targetFiles = 8,
+            statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
+        }
+        val work = s"$tmp/graft-cowrun-${Integer.toHexString(d.hashCode)}-p$pid"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(seed), new java.io.File(work))
+        val store = s"$work/store"
+        // both filters prune on the clustered doc_id stats: ~1 of 8 files
+        // rewritten per mutation, 7 carried by reference
+        DocStore.updateMany(s, store, col("doc_id").between(10L, 29L),
+          Map("n_chars" -> (col("n_chars") + lit(50L))), retain = 3)
+        DocStore.deleteMany(s, store,
+          Some(col("doc_id").between(40L, 49L)), retain = 3)
+        DocStore.find(s, store)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang,
+        |       CAST(n_chars + CASE WHEN doc_id BETWEEN 10 AND 29
+        |                           THEN 50 ELSE 0 END AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id NOT BETWEEN 40 AND 49
+        |ORDER BY doc_id""".stripMargin),
+
     // ---- declarative data-quality expectations (ops.Expect): all
     //      row-local rules fold into ONE aggregate over ONE scan;
     //      uniqueness is a (count, count-distinct) pair; referential

@@ -1215,6 +1215,22 @@ object DocStore {
     val (live, fmt, names) = pinLive(spark, fs, path)
     afterPin()
     val matched = coalesce(filter, lit(false))
+    def fullRewrite(): Long = {
+      val docs = readPinned(spark, fs, live, fmt, names)
+      // The observation sits BELOW the $set projections: `matched` must
+      // be evaluated on pre-update values, or a $set that writes a column
+      // the filter reads (set status -> 'done' where status === 'pending')
+      // would count the post-update rows and report 0.
+      val obs = Observation()
+      val base = docs.observe(obs, count(when(matched, lit(1))).as("matched"))
+      val updated = set.foldLeft(base) { case (d, (k, v)) =>
+        if (d.columns.contains(k)) d.withColumn(k, when(matched, v).otherwise(col(k)))
+        else d.withColumn(k, when(matched, v))
+      }
+      commitRewrite(fs, spark, updated, path, retain, format = fmt,
+        sourceNames = names, pinnedLive = live)
+      obs.get("matched").asInstanceOf[Long]
+    }
     val cow = cowCandidates(spark, fs, live, fmt, names, filter,
       schemaSafe = s => set.keys.forall(s.fieldNames.contains))
     cow match {
@@ -1239,25 +1255,22 @@ object DocStore {
         val updated = set.foldLeft(base) { case (d, (k, v)) =>
           d.withColumn(k, when(matched, v).otherwise(col(k)))
         }
-        commitRewrite(fs, spark, updated, path, retain, format = fmt,
-          sourceNames = names, pinnedLive = live, carried = carried,
-          carriedSchema = Some(schema))
-        obs.get("matched").asInstanceOf[Long]
-      case None =>
-        val docs = readPinned(spark, fs, live, fmt, names)
-        // The observation sits BELOW the $set projections: `matched` must
-        // be evaluated on pre-update values, or a $set that writes a column
-        // the filter reads (set status -> 'done' where status === 'pending')
-        // would count the post-update rows and report 0.
-        val obs = Observation()
-        val base = docs.observe(obs, count(when(matched, lit(1))).as("matched"))
-        val updated = set.foldLeft(base) { case (d, (k, v)) =>
-          if (d.columns.contains(k)) d.withColumn(k, when(matched, v).otherwise(col(k)))
-          else d.withColumn(k, when(matched, v))
+        // TYPE GATE: a $set whose value WIDENS a column (int column,
+        // long/double value — when/otherwise coerces the whole column)
+        // would commit rewritten files under the widened schema while the
+        // carried files keep the old physical type, and a parquet read of
+        // int32 under a bigint read-schema fails. Any type drift takes
+        // the full-rewrite path, which re-types every file consistently.
+        val stable = updated.schema.fields.map(f => (f.name, f.dataType))
+          .sameElements(docs.schema.fields.map(f => (f.name, f.dataType)))
+        if (!stable) fullRewrite()
+        else {
+          commitRewrite(fs, spark, updated, path, retain, format = fmt,
+            sourceNames = names, pinnedLive = live, carried = carried,
+            carriedSchema = Some(schema))
+          obs.get("matched").asInstanceOf[Long]
         }
-        commitRewrite(fs, spark, updated, path, retain, format = fmt,
-          sourceNames = names, pinnedLive = live)
-        obs.get("matched").asInstanceOf[Long]
+      case None => fullRewrite()
     }
   }
 

@@ -254,6 +254,23 @@ class DocStoreCowSpec extends SparkTestBase {
     }
   }
 
+  test("type-widening \\$set falls back to the full rewrite (no mixed-type generation)") {
+    val path = freshPath()
+    seeded(path, 200, 4)
+    // grp is BIGINT; a double $set value coerces the whole column through
+    // when/otherwise — carried int64 files under a double read-schema
+    // would fail, so COW must decline and re-type every file
+    assert(DocStore.updateMany(spark, path, col("id") === 5L,
+      Map("grp" -> lit(1.5))) == 1L)
+    val lg = liveGen(path)
+    assert(links(s"$path/$lg").isEmpty, "type-widening update must not carry files")
+    val live = DocStore.find(spark, path)
+    assert(live.schema("grp").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(live.count() == 200)
+    assert(live.filter(col("id") === 5L).select("grp").as[Double]
+      .collect().toSeq == Seq(1.5))
+  }
+
   test("cursor capture and syncAggregate seed cover carried files") {
     val path = freshPath()
     seeded(path, 400, 4)

@@ -792,10 +792,31 @@ object DocStore {
     * friendly anti-join on the keys) with the usual crash safety; an
     * empty change frame is a no-op that commits nothing. Re-applying the
     * same changes is idempotent (replace-by-key).
+    *
+    * COPY-ON-WRITE follower maintenance: when the target carries
+    * data-skipping stats on `keyCol` ([[cluster]]/[[collectStats]]) and
+    * the poll's changed-key set is bounded ([[ApplyCowKeyCap]]), only the
+    * target files that MAY contain changed keys are rewritten (the
+    * changed keys as an `isin` prune); the rest carries forward by
+    * reference — a follower poll then costs O(delta + matched files),
+    * never a follower rewrite, the same economy the source mutations got.
+    * Schema evolution through the changes stays supported: NEW columns
+    * widen the committed schema (carried files read them as null);
+    * a changed column TYPE falls back to the full rewrite (parquet
+    * cannot read the carried files' old physical type under the widened
+    * schema).
     */
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
                    keyCol: String, retain: Int = 2): Unit =
     applyChangesCommitted(spark, path, changes, keyCol, retain, Map.empty)
+
+  /** Changed-key collect cap for the applyChanges COW prune: a CDC poll's
+    * key set is delta-sized, but the prune needs the VALUES on the driver
+    * — past this many keys the per-file min/max+Bloom checks cost more
+    * than they save and the full-rewrite path is taken instead. Pruning
+    * only; never a semantics change.
+    */
+  private val ApplyCowKeyCap = 10000
 
   /** [[applyChanges]] plus caller sidecars committed atomically with the
     * rewrite (inside the staged generation, before the manifest swing) —
@@ -808,9 +829,13 @@ object DocStore {
     if (changes.isEmpty) return
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("generation").desc)
+    // delta-sized; checkpointed eagerly so the change plan (often a
+    // generation diff) runs ONCE for the upserts, the anti-join keys, the
+    // COW key collect, and the rewrite — not once per consumer
     val last = changes
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("__rn") === 1)
+      .localCheckpoint(true)
     val upserts = last.filter(col("change") =!= "deleted").select("after.*")
     val keys = last.select(col(keyCol)).distinct()
     val fs = fileSystem(spark, path)
@@ -820,12 +845,42 @@ object DocStore {
       catch { // empty/new target with no schema — the find() behavior
         case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
       }
-    val merged =
-      if (!live.columns.contains(keyCol)) upserts // empty/new target
-      else live.join(keys, Seq(keyCol), "left_anti")
-        .unionByName(upserts, allowMissingColumns = true)
-    commitRewrite(fs, spark, merged, path, retain, format = fmt,
-      sourceNames = names, pinnedLive = liveD, sidecars = sidecars)
+    if (!live.columns.contains(keyCol)) { // empty/new target
+      commitRewrite(fs, spark, upserts, path, retain, format = fmt,
+        sourceNames = names, pinnedLive = liveD, sidecars = sidecars)
+      return
+    }
+    val merged = live.join(keys, Seq(keyCol), "left_anti")
+      .unionByName(upserts, allowMissingColumns = true)
+    // COW prune: a bounded changed-key set + keyCol stats on the target
+    // turn the follower rewrite into O(matched files). schemaSafe allows
+    // NEW columns (carried files read them as null under the widened
+    // committed schema) but rejects a TYPE change of any stored column.
+    val cow = {
+      val collected = keys.limit(ApplyCowKeyCap + 1).collect()
+      if (collected.length > ApplyCowKeyCap) None
+      else cowCandidates(spark, fs, liveD, fmt, names,
+        col(keyCol).isin(collected.map(_.get(0)).toSeq: _*),
+        schemaSafe = s => merged.schema.fields.forall(f =>
+          s.find(_.name == f.name).forall(_.dataType == f.dataType)))
+    }
+    cow match {
+      case Some((cand, carried, schema)) =>
+        val candDocs =
+          if (cand.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else readFiles(spark, fmt, Some(schema),
+            cand.map(resolvePath(liveD, _)))
+        val out = candDocs.join(keys, Seq(keyCol), "left_anti")
+          .unionByName(upserts, allowMissingColumns = true)
+        commitRewrite(fs, spark, out, path, retain, format = fmt,
+          sourceNames = names, pinnedLive = liveD, sidecars = sidecars,
+          carried = carried, carriedSchema = Some(out.schema))
+      case None =>
+        commitRewrite(fs, spark, merged, path, retain, format = fmt,
+          sourceNames = names, pinnedLive = liveD, sidecars = sidecars)
+    }
   }
 
   /** Maintain a FOLLOWER collection from a leader by cursor CDC:

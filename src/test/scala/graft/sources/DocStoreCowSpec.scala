@@ -294,6 +294,47 @@ class DocStoreCowSpec extends SparkTestBase {
     assert(view(99L) == 1L && view.values.sum == 400L)
   }
 
+  test("applyChanges prunes the follower rewrite (COW replication)") {
+    val leader = freshPath(); val follower = freshPath()
+    DocStore.insertMany((0 until 400).map(i => (i.toLong, i % 7, s"doc-$i"))
+      .toDF("id", "grp", "body"), leader)
+    // seed the follower, then give IT the data-skipping layout — stats on
+    // the replication key are what let a poll prune its own rewrite
+    val cur = DocStore.replicate(spark, leader, follower, "id", None)
+    DocStore.compact(spark, follower, targetFiles = 1, format = Some("parquet"))
+    DocStore.cluster(spark, follower, col("id"), 8, Seq("id"),
+      bloomCols = Seq("id"), bloomBits = 1 << 12)
+    val beforeFiles = physicalDataFiles(s"$follower/${liveGen(follower)}")
+    assert(beforeFiles.size == 8)
+    // a narrow leader mutation: the follower poll must rewrite only the
+    // file(s) whose id range the changed keys can touch
+    DocStore.updateMany(spark, leader, col("id").between(20L, 29L),
+      Map("body" -> lit("R")))
+    val cur2 = DocStore.replicate(spark, leader, follower, "id", Some(cur))
+    val lg = liveGen(follower)
+    assert(links(s"$follower/$lg").nonEmpty,
+      "follower poll must carry unmatched files by reference")
+    assert(physicalDataFiles(s"$follower/$lg").size < 8)
+    // replication correctness is untouched: follower == leader, row for row
+    val l = DocStore.find(spark, leader).orderBy("id")
+      .select("id", "grp", "body").collect().toSeq
+    val f = DocStore.find(spark, follower).orderBy("id")
+      .select("id", "grp", "body").collect().toSeq
+    assert(f == l && f.size == 400)
+    assert(DocStore.find(spark, follower).filter(col("body") === "R")
+      .count() == 10)
+    // schema evolution through the changes: a NEW leader column reaches
+    // the follower while carried files read it as null
+    DocStore.updateMany(spark, leader, col("id") === 350L,
+      Map("tag" -> lit("new-col")))
+    DocStore.replicate(spark, leader, follower, "id", Some(cur2))
+    val ff = DocStore.find(spark, follower)
+    assert(ff.columns.contains("tag"))
+    assert(ff.filter(col("tag") === "new-col").select("id").as[Long]
+      .collect().toSeq == Seq(350L))
+    assert(ff.filter(col("tag").isNull).count() == 399)
+  }
+
   test("fsck reports a dangling link as an error") {
     val path = freshPath()
     seeded(path, 200, 4)

@@ -1450,6 +1450,57 @@ object DocStore {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** Incremental small-files compaction: merge ONLY the live generation's
+    * data files smaller than `minBytes` into `targetFiles`, carrying every
+    * already-large file forward by reference (`_LINKS`) — the small-files
+    * remedy at O(small bytes) instead of [[compact]]'s O(corpus) rewrite.
+    * The steady state of a high-frequency ingest is exactly this shape:
+    * a few large clustered files plus a tail of tiny appends; at 100 TB
+    * the tail is the only part worth rewriting. Large files keep their
+    * stats rows (skipping and metadata-exact counts survive), the merged
+    * file is re-statted with the carried geometry, and the usual manifest
+    * swing gives the usual crash safety. Returns how many files were
+    * merged (0 = nothing to do, no commit; a legacy flat store delegates
+    * to [[compact]], which also migrates it).
+    */
+  def compactSmall(spark: SparkSession, path: String, minBytes: Long,
+                   targetFiles: Int = 1, retain: Int = 2): Long = {
+    require(minBytes > 0, s"minBytes must be positive, got $minBytes")
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val fs = fileSystem(spark, path)
+    val (live, fmt, names) = pinLive(spark, fs, path)
+    if (!new Path(live).getName.matches("gen-\\d{6}")) {
+      compact(spark, path, targetFiles, retain)
+      return names.size.toLong
+    }
+    val sized = names.toSeq.sorted.map { n =>
+      val p = new Path(resolvePath(live, n))
+      (n, if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L)
+    }
+    val small = sized.collect { case (n, len) if len < minBytes => n }
+    if (small.size <= targetFiles) return 0L // merging wouldn't shrink the tail
+    val carried = (names -- small).toSeq.sorted
+    // parquet commits always persist df.schema as the generation's read
+    // schema — so when no stored schema exists it must be derived from
+    // ALL logical files (a cheap footer merge), never just the small
+    // subset, or carried-only columns would be silently dropped on read
+    val schema = storedSchema(fs, new Path(live, StatsDir)).orElse {
+      if (fmt != "parquet") None
+      else scala.util.Try(readFiles(spark, fmt, None,
+        names.toSeq.sorted.map(resolvePath(live, _))).schema).toOption
+    }
+    val docs = readFiles(spark, fmt, schema, small.map(resolvePath(live, _)))
+    // carriedSchema stays the STORED schema or nothing: inferring from the
+    // small subset could under-describe columns that live only in carried
+    // files, and a committed under-wide schema silently drops them — with
+    // no sidecar the read path falls back to inference over dir + links,
+    // which is always complete
+    commitRewrite(fs, spark, docs.coalesce(targetFiles), path, retain,
+      format = fmt, sourceNames = names, pinnedLive = live,
+      carried = carried, carriedSchema = schema)
+    small.size.toLong
+  }
+
   /** The small-files POLICY as one call: compact only when the live
     * generation's data-file count exceeds `maxDataFiles` (each append
     * adds files; unchecked, a high-frequency ingest turns every scan into

@@ -294,6 +294,36 @@ class DocStoreCowSpec extends SparkTestBase {
     assert(view(99L) == 1L && view.values.sum == 400L)
   }
 
+  test("compactSmall merges only the append tail and links the large files") {
+    val path = freshPath()
+    seeded(path, 800, 2) // two LARGE clustered files with id stats
+    val big = liveGen(path)
+    // a high-frequency ingest tail: five tiny appends
+    (0 until 5).foreach(i => DocStore.insertMany(
+      Seq((9000L + i, 1, s"tail-$i")).toDF("id", "grp", "body"), path))
+    assert(physicalDataFiles(s"$path/$big").size == 7)
+    val bigBytes = physicalDataFiles(s"$path/$big")
+      .filter(_.length() >= 4096).map(_.length()).sum
+    assert(DocStore.compactSmall(spark, path, minBytes = 4096) == 5L)
+    val after = liveGen(path)
+    assert(after != big)
+    // one merged physical file; the two large files carried by reference
+    val fresh = physicalDataFiles(s"$path/$after")
+    assert(fresh.size == 1 && links(s"$path/$after").size == 2)
+    assert(fresh.map(_.length()).sum < bigBytes,
+      "the rewrite must cost the tail's bytes, not the corpus")
+    val live = DocStore.find(spark, path)
+    assert(live.count() == 805)
+    assert(live.filter(col("id") >= 9000L).count() == 5)
+    // skipping and exact counting survive: carried stats + merged re-stat
+    assert(DocStore.countFast(spark, path) == 805L)
+    val probe = DocStore.find(spark, path, Some(col("id") === 700L))
+    assert(probe.count() == 1 && probe.inputFiles.length <= 2)
+    // below the threshold it is a metadata-only no-op (no commit)
+    assert(DocStore.compactSmall(spark, path, minBytes = 4096) == 0L)
+    assert(liveGen(path) == after)
+  }
+
   test("applyChanges prunes the follower rewrite (COW replication)") {
     val leader = freshPath(); val follower = freshPath()
     DocStore.insertMany((0 until 400).map(i => (i.toLong, i % 7, s"doc-$i"))

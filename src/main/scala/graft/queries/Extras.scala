@@ -11,6 +11,35 @@ import Registry._
   * statement — streaming and batch must agree on the same data (Spark's
   * unified semantics, exercised end-to-end).
   */
+/** Best-effort exit cleanup for the per-JVM tmp dirs the query scripts
+  * stage under java.io.tmpdir (seed stores, work copies, stream landing
+  * dirs, streamed indexes): every dir registered here is removed by one
+  * shutdown hook per dir — repeated bench/verify runs no longer
+  * accumulate corpus copies under /tmp. Registration is idempotent per
+  * path; deletion failures are swallowed (tmp debris is never worth
+  * failing an exit for).
+  */
+private[queries] object TmpDirs {
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def cleanupOnExit(dir: String): String = {
+    if (registered.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          val p = java.nio.file.Paths.get(dir)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount) // files before their directories
+              .foreach(q => java.nio.file.Files.deleteIfExists(q))
+          }
+        } catch { case _: Exception => () } // best-effort tmp cleanup
+      }))
+    dir
+  }
+}
+
 object StreamingQuery {
   /** Stage `<d>/<table>.parquet` into a deterministic landing directory
     * (file-stream sources require a DIRECTORY — this simulates the
@@ -29,24 +58,13 @@ object StreamingQuery {
     * JVM now stages privately (one copy per process, reused across its
     * own queries) and removes its staging on exit.
     */
-  private val cleanupRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private def stageParquet(d: String, table: String): String = {
     val stage = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-stage-$table-${Integer.toHexString(d.hashCode)}" +
         s"-p${ProcessHandle.current().pid()}")
     java.nio.file.Files.createDirectories(stage)
-    if (cleanupRegistered.add(stage.toString))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(stage).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount) // files before their directories
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Exception => () } // best-effort tmp cleanup
-      }))
+    TmpDirs.cleanupOnExit(stage.toString)
     val source = java.nio.file.Paths.get(s"$d/$table.parquet")
     val target = stage.resolve(s"$table.parquet")
     val fresh = java.nio.file.Files.exists(target) &&
@@ -224,6 +242,7 @@ object StreamingQuery {
     val index = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-ivf-index-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString
+    TmpDirs.cleanupOnExit(index)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(index))
     val q = graft.streaming.Streams.ingestToIvfIndex(stream, model, index).start()
     try q.processAllAvailable() finally q.stop()
@@ -255,11 +274,13 @@ object StreamingQuery {
       s"graft-neardup-stage-${Integer.toHexString(d.hashCode)}-" +
         java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d)) +
         s"-p${ProcessHandle.current().pid()}").toString
+    TmpDirs.cleanupOnExit(stage)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       docs.repartition(3).write.mode("overwrite").parquet(stage)
     val index = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-neardup-idx-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString
+    TmpDirs.cleanupOnExit(index)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(index))
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
@@ -295,11 +316,13 @@ object StreamingQuery {
       s"graft-probe-stage-${Integer.toHexString(d.hashCode)}-" +
         java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d)) +
         s"-p${ProcessHandle.current().pid()}").toString
+    TmpDirs.cleanupOnExit(stage)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       train.coalesce(1).write.mode("overwrite").parquet(stage)
     val index = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-probe-idx-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString
+    TmpDirs.cleanupOnExit(index)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(index))
     val stream = s.readStream.schema(docs.schema).parquet(stage)
     val q = graft.streaming.Streams
@@ -332,6 +355,7 @@ object StreamingQuery {
     val base = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-ndsync-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString
+    TmpDirs.cleanupOnExit(base)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     val src = s"$base/src"; val idx = s"$base/idx"
     def poll() = graft.streaming.Streams.syncNearDupIndex(s, src, idx,
@@ -544,6 +568,7 @@ object StreamingQuery {
       s"graft-kmv-stage-${Integer.toHexString(d.hashCode)}-" +
         java.lang.Long.toHexString(graft.core.FitCache.fingerprint(d)) +
         s"-p${ProcessHandle.current().pid()}").toString
+    TmpDirs.cleanupOnExit(stage)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       docs.repartition(3).write.mode("overwrite").parquet(stage)
     val dir = java.nio.file.Files.createTempDirectory("graft-kmvtab").toString
@@ -917,6 +942,7 @@ object Extras {
         val base = java.nio.file.Paths.get(
           sys.props.getOrElse("java.io.tmpdir", "/tmp"),
           s"graft-syncagg-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString
+        TmpDirs.cleanupOnExit(base)
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
         val src = s"$base/src"; val dst = s"$base/agg"
         def poll(): Unit =
@@ -954,7 +980,8 @@ object Extras {
         val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
         val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
         val pid = ProcessHandle.current().pid()
-        val seed = s"$tmp/graft-syncaggseed-${Integer.toHexString(d.hashCode)}-p$pid"
+        val seed = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-syncaggseed-${Integer.toHexString(d.hashCode)}-p$pid")
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
           DocStore.insertMany(docs.filter(col("doc_id") % 10 =!= 0), s"$seed/src")
@@ -962,7 +989,8 @@ object Extras {
             "doc_id", "lang", Seq("n_chars"))
           java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
         }
-        val work = s"$tmp/graft-syncaggpoll-${Integer.toHexString(d.hashCode)}-p$pid"
+        val work = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-syncaggpoll-${Integer.toHexString(d.hashCode)}-p$pid")
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
         org.apache.commons.io.FileUtils.copyDirectory(
           new java.io.File(seed), new java.io.File(work))
@@ -994,7 +1022,8 @@ object Extras {
         val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
         val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
         val pid = ProcessHandle.current().pid()
-        val seed = s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid"
+        val seed = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid")
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
           val store = s"$seed/store"
@@ -1004,7 +1033,8 @@ object Extras {
             statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
           java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
         }
-        val work = s"$tmp/graft-cowrun-${Integer.toHexString(d.hashCode)}-p$pid"
+        val work = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-cowrun-${Integer.toHexString(d.hashCode)}-p$pid")
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
         org.apache.commons.io.FileUtils.copyDirectory(
           new java.io.File(seed), new java.io.File(work))
@@ -1506,7 +1536,8 @@ object Extras {
         val docs = graft.core.Tables.documents(s, d).select("doc_id", "text")
         val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
         val pid = ProcessHandle.current().pid()
-        val seed = s"$tmp/graft-ndsyncseed-${Integer.toHexString(d.hashCode)}-p$pid"
+        val seed = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-ndsyncseed-${Integer.toHexString(d.hashCode)}-p$pid")
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
           DocStore.insertMany(docs.filter(col("doc_id") % 20 =!= 7), s"$seed/src")
@@ -1514,7 +1545,8 @@ object Extras {
             idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
           java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
         }
-        val work = s"$tmp/graft-ndsyncpoll-${Integer.toHexString(d.hashCode)}-p$pid"
+        val work = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-ndsyncpoll-${Integer.toHexString(d.hashCode)}-p$pid")
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
         org.apache.commons.io.FileUtils.copyDirectory(
           new java.io.File(seed), new java.io.File(work))

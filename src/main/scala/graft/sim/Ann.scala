@@ -309,12 +309,41 @@ object Ann {
   private val survivorCounts =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Map[Long, Long]]()
 
+  /** Cache entry cap: a long-lived serving JVM cycling through many
+    * (model, filter) pairs must not grow the map forever. Full clear is
+    * the simplest safe eviction — counts rebuild in one aggregate, and
+    * correctness never depends on a hit.
+    */
+  private val SurvivorCacheCap = 256
+
   /** Test hook: cache misses (count jobs actually launched). */
   private[graft] val survivorCountMisses = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def cachedSurvivorCounts(model: IvfModel, cells: DataFrame): Map[Long, Long] = {
+    def countNow(): Map[Long, Long] = {
+      survivorCountMisses.incrementAndGet()
+      cells.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // file inputs from the ANALYZED plan, not Dataset.inputFiles: the
+    // latter reads the optimized plan, where a .cache() substitutes an
+    // InMemoryRelation and hides the underlying files — a cached
+    // file-backed corpus (the normal serving shape) must still
+    // fingerprint its files
+    val files: Seq[String] = cells.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case f: org.apache.spark.sql.execution.FileRelation => f.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    // no file inputs (in-memory relations, non-file sources): the file
+    // fingerprint would be CONSTANT while the backing data can mutate, so
+    // a cached entry could silently under-allocate probes and drop
+    // results — never cache those, count every time
+    if (files.isEmpty) return countNow()
     val conf = cells.sparkSession.sparkContext.hadoopConfiguration
-    val filesFp = cells.inputFiles.sorted.foldLeft(0xcbf29ce484222325L) { (h0, f) =>
+    val filesFp = files.sorted.foldLeft(0xcbf29ce484222325L) { (h0, f) =>
       val st = scala.util.Try {
         val p = new org.apache.hadoop.fs.Path(f)
         p.getFileSystem(conf).getFileStatus(p) // FS instances are cached
@@ -331,9 +360,8 @@ object Ann {
     val hit = survivorCounts.get(key)
     if (hit != null) hit
     else {
-      survivorCountMisses.incrementAndGet()
-      val counted = cells.groupBy("cell").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val counted = countNow()
+      if (survivorCounts.size >= SurvivorCacheCap) survivorCounts.clear()
       val prev = survivorCounts.putIfAbsent(key, counted)
       if (prev != null) prev else counted
     }

@@ -86,11 +86,17 @@ object DocStore {
   // contain matching rows (pruned by the `_STATS` min/max+Bloom sidecars)
   // and links the provably-untouched rest — O(matched files) instead of
   // O(corpus) per mutation. Entries always name a file's PHYSICAL home
-  // (links never chain), so resolution is single-hop; retention keeps every
-  // generation some retained generation links into (a fixpoint closure),
-  // and [[compact]]/[[cluster]] flatten links, reclaiming old homes — the
-  // vacuum. Data files stay immutable and generation dirs append-only, so
-  // every existing protocol (salvage, CDC, snapshot isolation) is unchanged.
+  // (links never chain), so resolution is single-hop; retention keeps the
+  // readable window (newest `retain` + previous) plus the homes ITS links
+  // name — one hop, which is exactly full resolution for the window.
+  // Older dirs survive only as storage for those links and stop being
+  // servable snapshots once their own homes age out (loud in findAsOf,
+  // `unreadable-generation` in fsck). Superseded bytes inside a home are
+  // reclaimed incrementally by [[vacuum]] (re-home the still-live files
+  // of mostly-dead homes at O(their live bytes)) or wholesale by
+  // [[compact]]/[[cluster]], which flatten every link. Data files stay
+  // immutable and generation dirs append-only, so every existing protocol
+  // (salvage, CDC, snapshot isolation) is unchanged.
 
   private val LinksFile = "_LINKS"
 
@@ -510,16 +516,32 @@ object DocStore {
               f"gen-$g%06d/$SyncCursorFile does not parse — syncAggregate " +
                 "polls anchored here will fail") }
         }
-        // carried-file entries must resolve to existing physical homes:
-        // a dangling link means reads of this generation are wrong NOW
-        // (retention closure keeps link homes alive — a miss is corruption
-        // or out-of-API deletion)
+        // carried-file entries must resolve to existing physical homes
+        // for every generation in the readable window (retention keeps
+        // their direct homes — a miss there is corruption or out-of-API
+        // deletion). An OLDER on-disk generation survives only as
+        // storage for the window's links; once its own homes age out it
+        // is legitimately no longer a servable snapshot ([[findAsOf]]
+        // refuses it loudly) — report that as drift, not corruption.
+        // A missing file whose home DIR still exists is file-level
+        // damage either way.
         readLinks(fs, gdir).foreach { e =>
-          if (!fs.exists(new Path(resolvePath(gdir, e))))
-            err("dangling-link",
-              f"gen-$g%06d carries $e but the physical file is gone — " +
-                "reads of this generation fail; the collection was pruned " +
-                "or mutated outside the DocStore API")
+          if (!fs.exists(new Path(resolvePath(gdir, e)))) {
+            val inWindow = committed.takeRight(2).contains(g)
+            val homeDirExists =
+              fs.exists(new Path(s"$path/${e.takeWhile(_ != '/')}"))
+            if (inWindow || homeDirExists)
+              err("dangling-link",
+                f"gen-$g%06d carries $e but the physical file is gone — " +
+                  "reads of this generation fail; the collection was " +
+                  "pruned or mutated outside the DocStore API")
+            else
+              warn("unreadable-generation",
+                f"gen-$g%06d carries $e whose home generation aged out of " +
+                  "the retention closure (vacuum/retention debris) — time " +
+                  "travel to this generation is unavailable; raise " +
+                  "`retain` to keep older snapshots resolvable")
+          }
         }
         // stats entries vs actual files (live generation only: superseded
         // gens legitimately lose salvaged appends)
@@ -555,6 +577,26 @@ object DocStore {
                 "re-run collectStats to cover it)"))
         }
       }
+      // COW-garbage debt: a link-home generation the live generation
+      // carries only a sliver of pins all its superseded bytes via the
+      // retention closure — surface the dead bytes (metadata sizes only)
+      // so an operator sees the vacuum debt accumulate instead of
+      // discovering it at the disk-full incident. Generations inside the
+      // newest-2 window are skipped (kept whole for snapshot isolation).
+      if (committed.nonEmpty) {
+        val liveD = genPath(path, committed.last)
+        val names = logicalNames(fs, liveD)
+        val homes = names.filter(_.contains("/")).map(_.takeWhile(_ != '/'))
+        val window = committed.takeRight(2).toSet
+        homeAccounting(fs, path, liveD, names).foreach { case (g, bytes, ref) =>
+          if (!window.contains(g) && homes.contains(f"gen-$g%06d") &&
+              bytes > 0L && ref.toDouble / bytes < 0.5)
+            warn("cow-garbage",
+              f"gen-$g%06d holds ${bytes - ref}%d dead bytes of $bytes%d " +
+                f"(live fraction ${ref.toDouble / bytes}%.2f) — " +
+                "DocStore.vacuum reclaims them incrementally")
+        }
+      }
     }
     out.toSeq.toDF("severity", "code", "detail").orderBy("severity", "code", "detail")
   }
@@ -570,7 +612,15 @@ object DocStore {
   /** Time travel: read the collection as of a retained generation id
     * (from [[generations]]). Fails loudly on a pruned or never-committed
     * generation (including a crash-orphaned aborted rewrite) rather than
-    * returning wrong data.
+    * returning wrong data — and on a generation that is still on disk but
+    * no longer FULLY READABLE because a carried file's home aged out of
+    * the retention closure (the single-hop keep rule: only the newest
+    * `retain` + previous generations are promised resolvable; older dirs
+    * survive as storage for the window's links, not as snapshots).
+    * Without this check the missing-file read would be caught by the
+    * AnalysisException fallback below and masquerade as an empty
+    * collection — silent wrong data, the one thing time travel must
+    * never do.
     */
   def findAsOf(spark: SparkSession, path: String, generation: Int,
                filter: Option[Column] = None): DataFrame = {
@@ -579,8 +629,17 @@ object DocStore {
       throw new IllegalArgumentException(
         s"docstore: generation $generation of $path is not retained " +
           s"(have: ${committedGens(fs, path).mkString(", ")})")
+    val gdir = genPath(path, generation)
+    val missing = readLinks(fs, gdir)
+      .filterNot(e => fs.exists(new Path(resolvePath(gdir, e))))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"docstore: generation $generation of $path is no longer fully " +
+          s"readable — carried files ${missing.mkString(", ")} were " +
+          "reclaimed by retention/vacuum; raise `retain` on mutations to " +
+          "keep older snapshots resolvable")
     try {
-      val docs = readGen(spark, fs, genPath(path, generation))
+      val docs = readGen(spark, fs, gdir)
       filter.fold(docs)(docs.filter)
     } catch {
       case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
@@ -1482,13 +1541,15 @@ object DocStore {
     val carried = (names -- small).toSeq.sorted
     // parquet commits always persist df.schema as the generation's read
     // schema — so when no stored schema exists it must be derived from
-    // ALL logical files (a cheap footer merge), never just the small
-    // subset, or carried-only columns would be silently dropped on read
-    val schema = storedSchema(fs, new Path(live, StatsDir)).orElse {
-      if (fmt != "parquet") None
-      else scala.util.Try(readFiles(spark, fmt, None,
-        names.toSeq.sorted.map(resolvePath(live, _))).schema).toOption
-    }
+    // ALL logical files, never just the small subset, or carried-only
+    // columns would be silently dropped on read
+    val schema = logicalReadSchema(spark, fs, live, fmt, names)
+    if (fmt == "parquet" && schema.isEmpty)
+      throw new IllegalStateException(
+        s"docstore compactSmall: cannot derive a complete read schema for " +
+          s"$live — its data files carry incompatible physical types " +
+          "(drift beyond integral/float widening); full-collection reads " +
+          "fail the same way. Resolve the drift before compacting.")
     val docs = readFiles(spark, fmt, schema, small.map(resolvePath(live, _)))
     // carriedSchema stays the STORED schema or nothing: inferring from the
     // small subset could under-describe columns that live only in carried
@@ -1499,6 +1560,130 @@ object DocStore {
       format = fmt, sourceNames = names, pinnedLive = live,
       carried = carried, carriedSchema = schema)
     small.size.toLong
+  }
+
+  // ---- incremental COW-garbage reclaim (vacuum) ---------------------------
+  //
+  // Chained selective mutations leave GARBAGE in link-home generations: a
+  // home dir is kept alive by the retention closure as long as ANY retained
+  // generation carries even one of its files, so its superseded files — the
+  // versions the COW mutations rewrote — pin dead bytes that grow with the
+  // mutation count. [[compact]]/[[cluster]] flatten every link (full
+  // reclaim at O(corpus)); [[vacuum]] is the incremental path: re-home ONLY
+  // the still-live files of mostly-dead homes at O(their live bytes), and
+  // let the retention window slide the emptied homes out.
+
+  /** Per-home accounting shared by [[vacuum]], [[cowStats]], and fsck's
+    * garbage warning: for every on-disk committed generation, its physical
+    * data bytes and the subset the LIVE generation still references (its
+    * own files for the live gen; carried `_LINKS` bytes for older ones) —
+    * the bytes that stay pinned as the retention window slides. Pure
+    * metadata (listStatus sizes); no data file is opened.
+    */
+  private def homeAccounting(fs: FileSystem, path: String, live: String,
+                             names: Set[String])
+      : Seq[(Int, Long, Long)] = { // (generation, dataBytes, liveRefBytes)
+    def len(p: String): Long = {
+      val q = new Path(p)
+      if (fs.exists(q)) fs.getFileStatus(q).getLen else 0L
+    }
+    val liveName = new Path(live).getName
+    val linksByHome = names.filter(_.contains("/"))
+      .groupBy(_.takeWhile(_ != '/'))
+    committedGens(fs, path).flatMap { g =>
+      val gName = f"gen-$g%06d"
+      val gDir = genPath(path, g)
+      if (!fs.exists(new Path(gDir))) None
+      else {
+        val bytes = dataFileNames(fs, gDir).iterator
+          .map(n => len(s"$gDir/$n")).sum
+        val ref =
+          if (gName == liveName) bytes
+          else linksByHome.getOrElse(gName, Set.empty).iterator
+            .map(e => len(s"$path/$e")).sum
+        Some((g, bytes, ref))
+      }
+    }
+  }
+
+  /** Storage accounting for the COW link machinery — one row per on-disk
+    * committed generation: physical `data_bytes`, the `live_ref_bytes`
+    * the LIVE generation still references (all of them for the live
+    * generation itself; carried `_LINKS` bytes for older homes),
+    * `dead_bytes` = the rest, the resulting `live_fraction`, and whether
+    * the generation sits in the newest-`retain` window (kept for snapshot
+    * isolation / time travel regardless of links). Non-window rows with a
+    * low live fraction are exactly what [[vacuum]] reclaims — this is the
+    * dead-byte debt dashboard a mutable store watches. Metadata-only.
+    */
+  def cowStats(spark: SparkSession, path: String, retain: Int = 2): DataFrame = {
+    import spark.implicits._
+    val fs = fileSystem(spark, path)
+    if (!fs.exists(new Path(path)))
+      return Seq.empty[(Int, Long, Long, Long, Double, Boolean)]
+        .toDF("generation", "data_bytes", "live_ref_bytes", "dead_bytes",
+          "live_fraction", "in_retain_window")
+    val live = liveDir(fs, spark, path)
+    if (!new Path(live).getName.matches("gen-\\d{6}"))
+      return Seq.empty[(Int, Long, Long, Long, Double, Boolean)]
+        .toDF("generation", "data_bytes", "live_ref_bytes", "dead_bytes",
+          "live_fraction", "in_retain_window")
+    val names = logicalNames(fs, live)
+    val window = committedGens(fs, path).takeRight(retain).toSet
+    homeAccounting(fs, path, live, names).map { case (g, bytes, ref) =>
+      (g, bytes, ref, bytes - ref,
+        if (bytes > 0L) ref.toDouble / bytes else 1.0, window.contains(g))
+    }.toDF("generation", "data_bytes", "live_ref_bytes", "dead_bytes",
+      "live_fraction", "in_retain_window").orderBy("generation")
+  }
+
+  /** Incremental reclaim of COW garbage: rewrite (re-home) the live
+    * generation's carried files whose home generation's live fraction —
+    * carried bytes over the home's total physical bytes — fell below
+    * `minLiveFraction`, carrying everything else forward by reference.
+    * Cost is O(live bytes of the reclaimed homes), never O(corpus): the
+    * dead files are never read, and untouched homes/files stay linked.
+    * The emptied homes are NOT deleted by this commit (older retained
+    * generations may still link into them — snapshot isolation); they
+    * fall out of the retention closure within `retain` subsequent
+    * mutations, which is when their bytes actually free. Homes inside
+    * the newest-`retain` window are skipped — retention keeps them
+    * whole regardless, so re-homing their files now would only copy
+    * bytes. Returns how many files were re-homed (0 = nothing qualified,
+    * no commit). This is the weekly maintenance a mutable 100 TB store
+    * runs where [[compact]] would be a full-corpus rewrite.
+    */
+  def vacuum(spark: SparkSession, path: String, minLiveFraction: Double = 0.5,
+             retain: Int = 2): Long = {
+    require(minLiveFraction > 0.0 && minLiveFraction <= 1.0,
+      s"minLiveFraction must be in (0, 1], got $minLiveFraction")
+    val fs = fileSystem(spark, path)
+    val (live, fmt, names) = pinLive(spark, fs, path)
+    if (!new Path(live).getName.matches("gen-\\d{6}")) return 0L
+    if (!names.exists(_.contains("/"))) return 0L // no links: nothing carried
+    val window = committedGens(fs, path).takeRight(retain).toSet
+    val badHomes = homeAccounting(fs, path, live, names).collect {
+      case (g, bytes, ref)
+          if !window.contains(g) && bytes > 0L &&
+            ref.toDouble / bytes < minLiveFraction => f"gen-$g%06d"
+    }.toSet
+    val rehome = names.filter(n =>
+      n.contains("/") && badHomes.contains(n.takeWhile(_ != '/')))
+    if (rehome.isEmpty) return 0L
+    val carried = (names -- rehome).toSeq.sorted
+    val schema = logicalReadSchema(spark, fs, live, fmt, names)
+    if (fmt == "parquet" && schema.isEmpty)
+      throw new IllegalStateException(
+        s"docstore vacuum: cannot derive a complete read schema for $live " +
+          "— its data files carry incompatible physical types (drift " +
+          "beyond integral/float widening); full-collection reads fail " +
+          "the same way. Resolve the drift before vacuuming.")
+    val docs = readFiles(spark, fmt, schema,
+      rehome.toSeq.sorted.map(resolvePath(live, _)))
+    commitRewrite(fs, spark, docs, path, retain, format = fmt,
+      sourceNames = names, pinnedLive = live, carried = carried,
+      carriedSchema = schema)
+    rehome.size.toLong
   }
 
   /** The small-files POLICY as one call: compact only when the live
@@ -1792,6 +1977,64 @@ object DocStore {
             org.apache.spark.sql.GraftShims.mergeSchemas(acc, s)).toOption
         } yield merged
     }
+  }
+
+  /** A COMPLETE read schema for a COW commit that reads only a subset of
+    * the generation's files (compactSmall's tail, vacuum's re-homed set):
+    * the stored stats-time schema when present; else a strict footer
+    * merge over ALL logical files; else a WIDENED union — per-field
+    * tightest common type, the [[diffGenerations]] coercion rule — which
+    * the parquet reader serves through type widening (an int32 file reads
+    * correctly under a bigint schema; Spark 4 upcasts at scan time). The
+    * widened path is what makes a generation with integral-width drift
+    * (a Scala int batch appended to a JSON-inferred bigint collection)
+    * compactable without a full rewrite — and the committed widened
+    * schema HEALS the drift for every later read. None only when fields
+    * are genuinely incompatible, in which case full-collection reads fail
+    * too and callers must fail loudly rather than commit a
+    * subset-inferred schema next to carried links.
+    */
+  private def logicalReadSchema(spark: SparkSession, fs: FileSystem,
+                                live: String, fmt: String, names: Set[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    storedSchema(fs, new Path(live, StatsDir)).orElse {
+      if (fmt != "parquet") None
+      else {
+        val paths = names.toSeq.sorted.map(resolvePath(live, _))
+        scala.util.Try(readFiles(spark, fmt, None, paths).schema).toOption
+          .orElse(scala.util.Try(
+            paths.map(p => spark.read.parquet(p).schema)
+              .reduceLeft(widenStructs)).toOption)
+      }
+    }
+
+  /** Field-union of two schemas with TYPE WIDENING where they disagree
+    * (Catalyst's tightest-common-type rule); throws when no common type
+    * exists — callers treat that as "cannot merge". Unlike the strict
+    * [[org.apache.spark.sql.GraftShims.mergeSchemas]], int/long or
+    * float/double drift widens instead of failing.
+    */
+  private def widenStructs(a: org.apache.spark.sql.types.StructType,
+                           b: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val order = (a.fieldNames ++ b.fieldNames).distinct
+    StructType(order.map { n =>
+      (a.find(_.name == n), b.find(_.name == n)) match {
+        case (Some(x), Some(y)) if x.dataType == y.dataType =>
+          x.copy(nullable = x.nullable || y.nullable)
+        case (Some(x), Some(y)) =>
+          val t = org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findTightestCommonType(x.dataType, y.dataType)
+            .getOrElse(throw new IllegalArgumentException(
+              s"docstore: column $n has incompatible physical types " +
+                s"${x.dataType} vs ${y.dataType}"))
+          StructField(n, t, nullable = true)
+        case (Some(x), None) => x.copy(nullable = true)
+        case (None, Some(y)) => y.copy(nullable = true)
+        case (None, None) => throw new IllegalStateException(s"unreachable: $n")
+      }
+    })
   }
 
   /** Surviving LOGICAL file names of the live generation (resolve with
@@ -2406,11 +2649,25 @@ object DocStore {
             val nm = st.getPath.getName
             st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
           }.zipWithIndex.foreach { case (st, i) =>
-            fs.rename(st.getPath,
-              new Path(stats, s"append-${java.util.UUID.randomUUID()}-$i.json"))
+            val dst = new Path(stats, s"append-${java.util.UUID.randomUUID()}-$i.json")
+            // throw like appendStats does: a silently-failed rename would
+            // leave carried files stats-less — pruning and metadata-exact
+            // countFast then quietly degrade to full scans with no signal
+            if (!fs.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"docstore: cannot publish carried stats ${st.getPath} -> $dst")
           }
         } finally fs.delete(stage, true)
-      } catch { case _: org.apache.spark.sql.AnalysisException => () }
+      } catch { case e: org.apache.spark.sql.AnalysisException =>
+        // a generation with no readable stats sidecar (schema-only dir,
+        // pre-stats store) legitimately has nothing to carry — but make
+        // the degradation observable instead of silent: carried files
+        // will be re-scanned by pruning/countFast until a collectStats
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"docstore: could not carry stats rows from $pinnedLive into " +
+            s"$next (${e.getMessage}); carried files are unstatted until " +
+            "the next collectStats — skipping and countFast scan them")
+      }
       // stat the freshly rewritten files with the carried geometry (same
       // machinery an append uses) so the WHOLE generation stays covered
       val fresh = dataFileNames(fs, next).toSeq.sorted
@@ -2460,21 +2717,20 @@ object DocStore {
     // inside its promised lag headroom). Orphans themselves are pruned
     // immediately — they were never a served state.
     val chain = committedGens(fs, path)
-    var keep = chain.takeRight(retain).map(id => f"gen-$id%06d").toSet ++ previous
-    // LINK-HOME CLOSURE: a kept generation's carried files live in older
-    // dirs — those homes must survive too (and a home kept this way is
-    // itself read logically by findAsOf, so ITS homes follow: fixpoint).
-    // Links only point backward, so the loop is bounded by the chain
-    // length; [[compact]] flattens links, which is what lets retention
-    // reclaim the homes again — the vacuum.
-    var grew = true
-    while (grew) {
-      val homes = keep.flatMap(g =>
-        readLinks(fs, s"$path/$g").map(_.takeWhile(_ != '/')))
-      val add = homes -- keep
-      grew = add.nonEmpty
-      keep ++= add
-    }
+    val window = chain.takeRight(retain).map(id => f"gen-$id%06d").toSet ++ previous
+    // DIRECT-HOME closure, single hop: the readable window's carried
+    // files live in older dirs — those homes must survive so every
+    // window generation resolves fully, and links never chain, so one
+    // hop IS full resolution. Homes-of-homes are deliberately NOT kept
+    // (a home outside the window is storage, not a promised snapshot;
+    // its own stale `_LINKS` may dangle once ITS homes age out —
+    // [[findAsOf]] detects that and fails loudly, and fsck reports it
+    // as `unreadable-generation`). A fixpoint here would chase stale
+    // sidecars of carried-forward files transitively and pin every
+    // ancestor home forever — the unbounded-garbage failure mode
+    // [[vacuum]] exists to prevent.
+    val keep = window ++ window.flatMap(g =>
+      readLinks(fs, s"$path/$g").map(_.takeWhile(_ != '/')))
     completeGens(fs, path).map(id => genPath(path, id))
       .filterNot(p => keep.contains(new Path(p).getName))
       .foreach(p => fs.delete(new Path(p), true))

@@ -776,16 +776,22 @@ object Streams {
     // leaves the replay filter in place even if the physical purge below
     // is incomplete — re-running the takedown finishes it; the reverse
     // order would reopen the replay-reinstatement window this closes.
-    // Ids are stamped with the max batch id present NOW, covering every
-    // batch that could possibly replay pre-takedown content (including a
-    // half-written one whose shingles never landed).
+    // Ids are stamped with the max batch id present NOW, over BOTH the
+    // keys and shingles listings: the two index writes run as parallel
+    // futures, so a batch that crashed after shingles landed but before
+    // keys did exists in one dir only — a keys-only cutoff would leave
+    // that batch's id above it, and its replay would escape the
+    // tombstone filter and reinstate the removed content.
     if (tombstone) {
-      val maxBid = fs.listStatus(new org.apache.hadoop.fs.Path(keysDir))
-        .toSeq.collect {
-          case st if st.isDirectory &&
-              st.getPath.getName.startsWith("batch_id=") =>
-            st.getPath.getName.stripPrefix("batch_id=").toLong
-        }.foldLeft(-1L)(math.max)
+      def maxBidIn(dir: String): Long =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) -1L
+        else fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .toSeq.collect {
+            case st if st.isDirectory &&
+                st.getPath.getName.startsWith("batch_id=") =>
+              st.getPath.getName.stripPrefix("batch_id=").toLong
+          }.foldLeft(-1L)(math.max)
+      val maxBid = math.max(maxBidIn(keysDir), maxBidIn(shDir))
       if (maxBid >= 0L)
         idDf.withColumn("cutoff_bid", lit(maxBid))
           .write.mode(SaveMode.Append).parquet(s"$indexPath/tombstones")
@@ -801,21 +807,29 @@ object Streams {
       .collect().map(_.getLong(0)).toSeq.sorted
     hit.unpersist()
     for (b <- docBatches) {
-      val kept = spark.read.parquet(s"$keysDir/batch_id=$b")
-        .join(idDf, Seq(idCol), "left_anti")
-        .localCheckpoint() // materialize BEFORE replacing the source dir
-      swapIn(keysDir, b) { tmp =>
-        kept.repartition(col("slot"))
-          .write.mode(SaveMode.Overwrite).partitionBy("slot")
-          .parquet(tmp)
+      // a crashed ingest's parallel writes can leave a batch with
+      // shingles but no keys (or vice versa): purge whichever half
+      // exists instead of failing the takedown mid-loop on the missing
+      // one — the tombstone above already covers the batch's replay
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$keysDir/batch_id=$b"))) {
+        val kept = spark.read.parquet(s"$keysDir/batch_id=$b")
+          .join(idDf, Seq(idCol), "left_anti")
+          .localCheckpoint() // materialize BEFORE replacing the source dir
+        swapIn(keysDir, b) { tmp =>
+          kept.repartition(col("slot"))
+            .write.mode(SaveMode.Overwrite).partitionBy("slot")
+            .parquet(tmp)
+        }
       }
-      val keptSh = spark.read.parquet(s"$shDir/batch_id=$b")
-        .join(idDf, Seq(idCol), "left_anti")
-        .localCheckpoint()
-      swapIn(shDir, b) { tmp =>
-        keptSh.repartition(col("id_slot"))
-          .write.mode(SaveMode.Overwrite).partitionBy("id_slot")
-          .parquet(tmp)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$shDir/batch_id=$b"))) {
+        val keptSh = spark.read.parquet(s"$shDir/batch_id=$b")
+          .join(idDf, Seq(idCol), "left_anti")
+          .localCheckpoint()
+        swapIn(shDir, b) { tmp =>
+          keptSh.repartition(col("id_slot"))
+            .write.mode(SaveMode.Overwrite).partitionBy("id_slot")
+            .parquet(tmp)
+        }
       }
     }
     // matches carry removed ids on either side, in ANY batch (a later

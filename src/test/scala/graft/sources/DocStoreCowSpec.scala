@@ -375,4 +375,109 @@ class DocStoreCowSpec extends SparkTestBase {
       .filter(col("severity") === "error" && col("code") === "dangling-link")
     assert(errs.count() >= 1)
   }
+
+  private def diskBytes(path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(java.nio.file.Files.size(_)).sum
+  }
+
+  test("vacuum is a no-op while every home stays mostly live") {
+    val path = freshPath()
+    seeded(path, 1000, 10)
+    DocStore.updateMany(spark, path, col("id") === 5L, Map("body" -> lit("e")))
+    val before = liveGen(path)
+    // the clustered home still has 9 of 10 files carried: live fraction
+    // 0.9 is above the threshold, so nothing is re-homed and no
+    // generation is committed
+    assert(DocStore.vacuum(spark, path) == 0L)
+    assert(liveGen(path) == before)
+  }
+
+  test("vacuum re-homes mostly-dead homes; the window slide reclaims them") {
+    val path = freshPath()
+    // FAT, incompressible rows so data bytes dominate per-file parquet
+    // overhead — the footprint assertions below compare real payload
+    DocStore.insertMany((0 until 1000).map { i =>
+        val rnd = new scala.util.Random(i)
+        (i.toLong, i % 7, s"doc-$i-" + rnd.alphanumeric.take(512).mkString)
+      }.toDF("id", "grp", "body"), path)
+    DocStore.compact(spark, path, targetFiles = 1, format = Some("parquet"))
+    DocStore.cluster(spark, path, col("id"), 10, Seq("id"),
+      bloomCols = Seq("id"), bloomBits = 1 << 12)
+    val home = liveGen(path)
+    // six single-file COW mutations: the clustered home's live fraction
+    // falls to ~0.4 (each touched file's old version becomes dead bytes)
+    (0 until 6).foreach(i =>
+      DocStore.updateMany(spark, path, col("id") === (i * 100L + 1L),
+        Map("body" -> lit(s"e$i"))))
+    // cowStats sees the debt on the (non-window) home generation
+    val homeGen = home.stripPrefix("gen-").toInt
+    val debt = DocStore.cowStats(spark, path)
+      .filter(col("generation") === homeGen).head()
+    assert(debt.getAs[Long]("dead_bytes") > 0L)
+    assert(debt.getAs[Double]("live_fraction") < 0.5)
+    assert(!debt.getAs[Boolean]("in_retain_window"))
+    // fsck surfaces the same debt as a warning
+    assert(DocStore.fsck(spark, path)
+      .filter(col("code") === "cow-garbage").count() >= 1)
+    val reclaimBytes = diskBytes(path)
+    val rehomed = DocStore.vacuum(spark, path)
+    assert(rehomed == 4L, s"expected the home's 4 live files re-homed, got $rehomed")
+    // vacuum itself keeps the home (older retained generations still link
+    // into it — snapshot isolation); the live generation no longer does
+    assert(links(s"$path/${liveGen(path)}").forall(!_.startsWith(home + "/")))
+    // reads are unaffected, metadata counts stay exact
+    assert(DocStore.find(spark, path).count() == 1000)
+    assert(DocStore.countFast(spark, path) == 1000L)
+    assert(DocStore.find(spark, path)
+      .filter(col("body").startsWith("e")).count() == 6)
+    // two more mutations slide the retention window past the last
+    // generation that linked into the home: its bytes actually free
+    DocStore.updateMany(spark, path, col("id") === 999L, Map("body" -> lit("z1")))
+    DocStore.updateMany(spark, path, col("id") === 998L, Map("body" -> lit("z2")))
+    assert(!new java.io.File(s"$path/$home").exists(),
+      "vacuumed home must fall out of the retention closure")
+    assert(diskBytes(path) < reclaimBytes,
+      "the window slide after vacuum must shrink the on-disk footprint")
+    assert(DocStore.find(spark, path).count() == 1000)
+    assert(DocStore.countFast(spark, path) == 1000L)
+    val errs = DocStore.fsck(spark, path).filter(col("severity") === "error")
+    assert(errs.isEmpty, errs.collect().mkString("; "))
+  }
+
+  test("50 chained COW mutations with vacuum interleaved: bounded footprint, exact reads") {
+    val path = freshPath()
+    seeded(path, 1000, 10)
+    val snapshotBytes = diskBytes(path)
+    var edits = Map.empty[Long, String]
+    (0 until 50).foreach { i =>
+      val id = (i * 37L + 11L) % 1000L // spread across the clustered files
+      val body = s"edit-$i"
+      DocStore.updateMany(spark, path, col("id") === id,
+        Map("body" -> lit(body)))
+      edits += id -> body
+      if (i % 10 == 9) DocStore.vacuum(spark, path)
+    }
+    DocStore.vacuum(spark, path)
+    // footprint stays a small multiple of the snapshot, not O(mutations):
+    // without vacuum, every superseded file version of every touched home
+    // would still be pinned by the retention closure
+    val total = diskBytes(path)
+    assert(total < 6L * snapshotBytes,
+      s"footprint $total vs snapshot $snapshotBytes — COW garbage is not being reclaimed")
+    // reads stay exact after the whole chain
+    val live = DocStore.find(spark, path)
+    assert(live.count() == 1000)
+    val got = live.filter(col("body").startsWith("edit-"))
+      .select("id", "body").as[(Long, String)].collect().toMap
+    assert(got == edits)
+    assert(DocStore.countFast(spark, path) == 1000L)
+    // pruning still works at the end of the chain (stats carried 50 times)
+    val probe = DocStore.find(spark, path, Some(col("id") === 800L))
+    assert(probe.count() == 1)
+    val errs = DocStore.fsck(spark, path).filter(col("severity") === "error")
+    assert(errs.isEmpty, errs.collect().mkString("; "))
+  }
 }

@@ -210,6 +210,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             threshold = doubleArg(args(5), "threshold")))
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("docstore_cow_stats"),
+      info("docstore_cow_stats",
+        "docstore_cow_stats(path[, retain]) - per-generation COW storage " +
+          "accounting: data bytes, bytes the live generation still " +
+          "references, dead bytes, live fraction, retention-window " +
+          "membership — the vacuum-debt dashboard. Read-only metadata."),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          graft.sources.DocStore.cowStats(spark, strArg(args.head, "path"),
+            if (args.length > 1) intArg(args(1), "retain") else 2))
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("docstore_vacuum"),
+      info("docstore_vacuum",
+        "docstore_vacuum(path[, minLiveFraction[, retain]]) - incremental " +
+          "COW-garbage reclaim (DocStore.vacuum): re-home the live " +
+          "generation's carried files of mostly-dead home generations at " +
+          "O(their live bytes); returns one row (rehomed). Naturally " +
+          "idempotent — a second call finds nothing under the threshold " +
+          "and commits nothing, so analyzer double-evaluation is safe."),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = graft.sources.DocStore.vacuum(spark,
+          strArg(args.head, "path"),
+          if (args.length > 1) doubleArg(args(1), "minLiveFraction") else 0.5,
+          if (args.length > 2) intArg(args(2), "retain") else 2)
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          spark.range(1).select(
+            org.apache.spark.sql.functions.lit(n).as("rehomed")))
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("docstore_fsck"),
       info("docstore_fsck",
         "docstore_fsck(path) - read-only integrity check of a DocStore " +
@@ -268,6 +300,65 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // idempotent at their committed cursor (a repeated poll is a no-op)
     // and the RETURNED relation is the maintained STATE (view / matches
     // table), which is identical before and after a no-op poll.
+
+    // ---- corpus MUTATION verbs from SQL. Unlike the sync polls below
+    // (naturally idempotent at their committed cursor), updateMany/
+    // deleteMany are NOT replay-idempotent — and TVF builders can run
+    // more than once per statement (the analyzer may re-resolve a plan).
+    // The REQUIRED token argument closes both holes with one mechanism:
+    // the mutation commits the token (plus its count) as a generation
+    // sidecar, and any retained-window replay — an analyzer double-
+    // evaluation OR an at-least-once orchestrator retry — returns the
+    // recorded count without mutating. Returned relation: one row with
+    // the matched/deleted count.
+
+    def countRow(n: Long, colName: String) = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      org.apache.spark.sql.GraftShims.logicalPlan(
+        spark.range(1).select(
+          org.apache.spark.sql.functions.lit(n).as(colName)))
+    }
+
+    ext.injectTableFunction((FunctionIdentifier("docstore_update"),
+      info("docstore_update",
+        "docstore_update(path, token, filterSql, col1, valueSql1[, col2, " +
+          "valueSql2...]) - $set-style conditional update of a DocStore " +
+          "collection from SQL (DocStore.updateMany: copy-on-write when " +
+          "stats prune, schema evolution for new columns). `token` makes " +
+          "the statement idempotent within the retention window; returns " +
+          "one row (matched)."),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(args.length >= 5 && (args.length - 3) % 2 == 0,
+          "docstore_update(path, token, filterSql, col, valueSql, ...): " +
+            "column/value arguments must come in pairs")
+        val set = args.drop(3).grouped(2).map { pair =>
+          strArg(pair(0), "column") ->
+            org.apache.spark.sql.functions.expr(strArg(pair(1), "valueSql"))
+        }.toMap
+        val n = graft.sources.DocStore.updateMany(spark,
+          strArg(args.head, "path"),
+          org.apache.spark.sql.functions.expr(strArg(args(2), "filterSql")),
+          set, token = Some(strArg(args(1), "token")))
+        countRow(n, "matched")
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("docstore_delete"),
+      info("docstore_delete",
+        "docstore_delete(path, token, filterSql) - filtered delete of a " +
+          "DocStore collection from SQL (DocStore.deleteMany: " +
+          "copy-on-write when stats prune; delete protection stays on — " +
+          "no delete-all from this surface). `token` makes the statement " +
+          "idempotent within the retention window; returns one row " +
+          "(deleted)."),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = graft.sources.DocStore.deleteMany(spark,
+          strArg(args.head, "path"),
+          Some(org.apache.spark.sql.functions.expr(strArg(args(2), "filterSql"))),
+          token = Some(strArg(args(1), "token")))
+        countRow(n, "deleted")
+      }))
 
     ext.injectTableFunction((FunctionIdentifier("sync_aggregate"),
       info("sync_aggregate",

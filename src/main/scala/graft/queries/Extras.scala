@@ -1055,6 +1055,111 @@ object Extras {
         |FROM documents WHERE doc_id NOT BETWEEN 40 AND 49
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- incremental COW vacuum end-to-end (DocStore.vacuum): four
+    //      selective mutations fragment the clustered home generation's
+    //      live fraction, vacuum re-homes its still-live files (reading
+    //      ONLY them — the dead versions are never read), two further
+    //      mutations slide the retention window so the home's bytes
+    //      actually free — and the corpus stays row-exact throughout.
+    //      FULLY ORACLED: vacuum is row-preserving and the mutation
+    //      script is deterministic, so DuckDB restates the final corpus.
+    //      minLiveFraction = 0.9 rather than the 0.5 default so the
+    //      re-home fires at every SF (file count is fixed at 8 while the
+    //      rows per file scale, so the touched-file fraction varies).
+    "d10_cow_vacuum" -> withOracle(
+      (s, d) => {
+        import graft.sources.DocStore
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+        val pid = ProcessHandle.current().pid()
+        val seed = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid")
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
+          val store = s"$seed/store"
+          DocStore.insertMany(docs, store)
+          DocStore.compact(s, store, targetFiles = 1, format = Some("parquet"))
+          DocStore.cluster(s, store, col("doc_id"), targetFiles = 8,
+            statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
+        }
+        val work = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-vacrun-${Integer.toHexString(d.hashCode)}-p$pid")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(seed), new java.io.File(work))
+        val store = s"$work/store"
+        Seq((10L, 29L), (70L, 89L), (130L, 149L), (190L, 209L)).foreach {
+          case (lo, hi) => DocStore.updateMany(s, store,
+            col("doc_id").between(lo, hi),
+            Map("n_chars" -> (col("n_chars") + lit(50L))))
+        }
+        DocStore.vacuum(s, store, minLiveFraction = 0.9)
+        DocStore.deleteMany(s, store, Some(col("doc_id").between(250L, 259L)))
+        DocStore.updateMany(s, store, col("doc_id").between(300L, 309L),
+          Map("n_chars" -> (col("n_chars") + lit(7L))))
+        DocStore.find(s, store)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang,
+        |       CAST(n_chars
+        |            + CASE WHEN doc_id BETWEEN 10 AND 29 THEN 50
+        |                   WHEN doc_id BETWEEN 70 AND 89 THEN 50
+        |                   WHEN doc_id BETWEEN 130 AND 149 THEN 50
+        |                   WHEN doc_id BETWEEN 190 AND 209 THEN 50
+        |                   WHEN doc_id BETWEEN 300 AND 309 THEN 7
+        |                   ELSE 0 END AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id NOT BETWEEN 250 AND 259
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- corpus mutations from PURE SQL (docstore_update /
+    //      docstore_delete TVFs): the same COW mutation script as d8,
+    //      driven through the SQL surface — each statement carries an
+    //      idempotence TOKEN, so an analyzer double-evaluation or an
+    //      orchestrator retry replays as a no-op returning the recorded
+    //      count (SqlMutationSpec pins SQL == API state identity and
+    //      token idempotence). FULLY ORACLED: DuckDB restates the final
+    //      corpus, same statement as d8's oracle.
+    "x30_sql_docstore_update" -> withOracle(
+      (s, d) => {
+        import graft.sources.DocStore
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+        val pid = ProcessHandle.current().pid()
+        // the d8 seed staging, shared deliberately: identical content,
+        // built once per JVM whichever query runs first
+        val seed = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid")
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
+          val store = s"$seed/store"
+          DocStore.insertMany(docs, store)
+          DocStore.compact(s, store, targetFiles = 1, format = Some("parquet"))
+          DocStore.cluster(s, store, col("doc_id"), targetFiles = 8,
+            statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
+        }
+        val work = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-sqlmutrun-${Integer.toHexString(d.hashCode)}-p$pid")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(seed), new java.io.File(work))
+        val store = s"$work/store"
+        s.sql(s"SELECT * FROM docstore_update('$store', 'x30-upd', " +
+          "'doc_id BETWEEN 10 AND 29', 'n_chars', 'n_chars + 50L')").collect()
+        s.sql(s"SELECT * FROM docstore_delete('$store', 'x30-del', " +
+          "'doc_id BETWEEN 40 AND 49')").collect()
+        DocStore.find(s, store)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang,
+        |       CAST(n_chars + CASE WHEN doc_id BETWEEN 10 AND 29
+        |                           THEN 50 ELSE 0 END AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id NOT BETWEEN 40 AND 49
+        |ORDER BY doc_id""".stripMargin),
+
     // ---- declarative data-quality expectations (ops.Expect): all
     //      row-local rules fold into ONE aggregate over ONE scan;
     //      uniqueness is a (count, count-distinct) pair; referential
@@ -1558,6 +1663,47 @@ object Extras {
         s.read.parquet(s"$work/idx/matches")
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy("id_a", "id_b")
+          .localCheckpoint(true)
+      }),
+
+    // ---- CDC-driven IVF ANN index maintenance (Streams.syncIvfIndex,
+    //      the embedding twin of d7): an embedding corpus is seeded into
+    //      a batch-dir cell-partitioned index, an appended batch joins it
+    //      via the pure-insert fast path (no takedown scan), and a source
+    //      DELETE propagates as an index takedown — the ANN index follows
+    //      a mutating corpus at O(changed embeddings) per poll instead of
+    //      going stale. The model fits ONCE (cachedIvf, shared with e3)
+    //      and stays pinned by the index's _META. rows-only: fitted
+    //      centroids have no DuckDB twin (e3's justification); SyncIvfSpec
+    //      pins poll == fresh-assignment identity, crash replay, and
+    //      takedown tombstones.
+    "d9_ivf_sync" -> rowsOnly(
+      (s, d) => {
+        import graft.sources.DocStore
+        // double elements end-to-end: the seed round-trips a JSON
+        // generation (double inference); float appends would leave the
+        // store with mixed physical widths
+        val emb = graft.core.Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val base = TmpDirs.cleanupOnExit(java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-ivfsync-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+        val src = s"$base/src"; val idx = s"$base/idx"
+        val model = graft.sim.Ann.cachedIvf(d,
+          graft.core.Tables.embeddings(s, d), nCells = 16, lloydIters = 2)
+        def poll() = graft.streaming.Streams.syncIvfIndex(s, src, idx, model)
+        DocStore.insertMany(emb.filter(col("vec_id") % 4 =!= 1), src)
+        DocStore.compact(s, src, targetFiles = 4, format = Some("parquet"))
+        poll() // seed: snapshot assigned as batch 1
+        DocStore.insertMany(emb.filter(col("vec_id") % 4 === 1), src)
+        poll() // append window: pure-insert fast path, no takedown scan
+        DocStore.deleteMany(s, src, Some(col("vec_id") % 9 === 0))
+        poll() // the delete propagates as an index takedown
+        graft.sim.Ann.ivfSearch(model, s.read.parquet(idx),
+            emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+          .select(col("q_id"), col("rk"), col("vec_id"))
+          .orderBy("q_id", "rk")
           .localCheckpoint(true)
       }),
 

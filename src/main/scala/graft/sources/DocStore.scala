@@ -346,6 +346,11 @@ object DocStore {
   def find(spark: SparkSession, path: String, filter: Option[Column] = None): DataFrame =
     try {
       val fs = fileSystem(spark, path)
+      // a nonexistent collection is EMPTY by contract — return without
+      // planning a read: Spark 4 resolves readers lazily, so the doomed
+      // analysis (though caught below) would emit a failed-query event
+      // that any in-flight Observation listener logs at ERROR level
+      if (!fs.exists(new Path(path))) return spark.emptyDataFrame
       val live = liveDir(fs, spark, path)
       val fmt = genFormat(fs, live)
       val docs = filter.flatMap(prunedFiles(spark, fs, live, fmt, _)) match {
@@ -389,25 +394,24 @@ object DocStore {
     }
     if (names.isEmpty) return 0L
     val statsP = new Path(live, StatsDir)
-    // A stats dir can exist with ZERO visible part files: commitRewrite
-    // creates it just to hold `_schema.json` for parquet generations, and
-    // Spark's listing filters underscore-prefixed files as hidden — so
-    // read.json over it throws AnalysisException ("unable to infer
-    // schema") rather than returning empty. Guard like find() does: any
-    // failure to read stats degrades to the exact scan, never a crash.
+    // readStatsJson: a stats dir can exist with ZERO visible part files
+    // (schema-only, from a parquet commit) — never plan that read. The
+    // try remains the backstop for a readable-but-unparseable sidecar:
+    // any failure degrades to the exact scan, never a crash.
     val counted: Map[String, Long] =
-      if (!fs.exists(statsP)) Map.empty
-      else
-        try {
-          val df = spark.read.json(statsP.toString)
-          if (!df.columns.contains("rows") || !df.columns.contains("file"))
-            Map.empty
-          else df.select(col("file"), col("rows"))
-            .filter(col("rows").isNotNull)
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        } catch {
-          case _: org.apache.spark.sql.AnalysisException => Map.empty
-        }
+      readStatsJson(spark, fs, statsP) match {
+        case None => Map.empty
+        case Some(df) =>
+          try {
+            if (!df.columns.contains("rows") || !df.columns.contains("file"))
+              Map.empty
+            else df.select(col("file"), col("rows"))
+              .filter(col("rows").isNotNull)
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => Map.empty
+          }
+      }
     // stats rows key by BASENAME (collision-free: part names embed job
     // UUIDs), which covers carried entries too — their bytes, and so their
     // per-file counts, are unchanged by the COW commit that linked them
@@ -767,6 +771,28 @@ object DocStore {
     DocCursor(gens.last, logicalNames(fs, genPath(path, gens.last)))
   }
 
+  /** Read EXACTLY a captured cursor's file set — the seed read for
+    * maintainers that pair a snapshot with the cursor describing it:
+    * nothing appended between capture and this read can leak in, so the
+    * first poll's delta is DISJOINT from the seed by construction (no
+    * remove-then-reingest self-healing needed). [[syncAggregate]] seeds
+    * this way for exactly-once; the index maintainers
+    * ([[graft.streaming.Streams.syncNearDupIndex]]/`syncIvfIndex`) use
+    * this surface for the same guarantee. Fails loudly on a pruned
+    * cursor generation.
+    */
+  def snapshotAt(spark: SparkSession, path: String, cur: DocCursor): DataFrame = {
+    val fs = fileSystem(spark, path)
+    require(committedGens(fs, path).contains(cur.generation),
+      s"docstore: cursor generation ${cur.generation} of $path is no longer " +
+        s"retained (have: ${committedGens(fs, path).mkString(", ")})")
+    val genDir = genPath(path, cur.generation)
+    if (cur.files.isEmpty) find(spark, path).limit(0)
+    else readFiles(spark, genFormat(fs, genDir),
+      storedSchema(fs, new Path(genDir, StatsDir)),
+      cur.files.toSeq.sorted.map(resolvePath(genDir, _)))
+  }
+
   /** File-granular incremental CDC: every change since `cur`, plus the
     * new cursor to checkpoint. The scale property this buys over the
     * generation-only overload: data files WITHIN a generation are
@@ -900,7 +926,10 @@ object DocStore {
     val fs = fileSystem(spark, path)
     val (liveD, fmt, names) = pinLive(spark, fs, path)
     val live =
-      try readPinned(spark, fs, liveD, fmt, names)
+      // nonexistent target: empty without planning a read (the lazy-
+      // reader/Observation-listener noise rationale from find())
+      if (!fs.exists(new Path(liveD))) spark.emptyDataFrame
+      else try readPinned(spark, fs, liveD, fmt, names)
       catch { // empty/new target with no schema — the find() behavior
         case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
       }
@@ -1124,14 +1153,8 @@ object DocStore {
             "cursor — it was not built by syncAggregate, or foreign " +
             "mutations pruned every cursor-carrying generation; start " +
             "from an empty destination (or raise retain on foreign ops)")
-        val srcFs = fileSystem(spark, srcPath)
         val c = cursor(spark, srcPath)
-        val genDir = genPath(srcPath, c.generation)
-        val rows =
-          if (c.files.isEmpty) find(spark, srcPath).limit(0)
-          else readFiles(spark, genFormat(srcFs, genDir),
-            storedSchema(srcFs, new Path(genDir, StatsDir)),
-            c.files.toSeq.sorted.map(resolvePath(genDir, _)))
+        val rows = snapshotAt(spark, srcPath, c)
         if (!rows.columns.contains(groupCol)) {
           require(rows.isEmpty,
             s"syncAggregate: $groupCol is missing from the source snapshot")
@@ -1292,6 +1315,37 @@ object DocStore {
     throw new IllegalStateException("unreachable")
   }
 
+  // ---- idempotent mutations (tokens) --------------------------------------
+
+  private val MutationTokenFile = "_mutation_token"
+
+  /** The recorded result of a retained mutation committed under `token`,
+    * if any: newest-first scan of the committed generations' token
+    * sidecars. The idempotence WINDOW is the retention window — once
+    * every generation carrying the token is pruned, a replay re-executes
+    * (raise `retain` on mutations to widen the at-least-once window).
+    */
+  private def mutationTokenHit(fs: FileSystem, path: String,
+                               token: String): Option[Long] = {
+    if (!fs.exists(new Path(path))) return None
+    committedGens(fs, path).reverseIterator.map { g =>
+      val p = new Path(genPath(path, g), MutationTokenFile)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+                  finally in.close()
+        val lines = txt.split("\n", -1)
+        if (lines.nonEmpty && lines(0) == token)
+          scala.util.Try(lines(1).trim.toLong).toOption
+        else None
+      }
+    }.collectFirst { case Some(n) => n }
+  }
+
+  private def tokenSidecar(token: String, count: => Long): Map[String, () => Array[Byte]] =
+    Map(MutationTokenFile -> (() => s"$token\n$count".getBytes(UTF_8)))
+
   /** $set-style conditional update; returns matched-document count. Fields
     * in `set` that don't exist yet are added (null for unmatched docs) —
     * document-store schema evolution. A new field keeps the $set value's
@@ -1313,9 +1367,9 @@ object DocStore {
     */
   def updateMany(spark: SparkSession, path: String, filter: Column,
                  set: Map[String, Column], retain: Int = 2,
-                 retries: Int = 3): Long =
+                 retries: Int = 3, token: Option[String] = None): Long =
     withMutationRetry(retries)(() =>
-      updateManySeamed(spark, path, filter, set, retain, () => ()))
+      updateManySeamed(spark, path, filter, set, retain, () => (), token))
 
   /** [[updateMany]] with a test seam between the snapshot pin and the
     * commit — the window a competing mutation would occupy — and no
@@ -1324,10 +1378,20 @@ object DocStore {
     */
   private[sources] def updateManySeamed(spark: SparkSession, path: String,
                                         filter: Column, set: Map[String, Column],
-                                        retain: Int, afterPin: () => Unit): Long = {
+                                        retain: Int, afterPin: () => Unit,
+                                        token: Option[String] = None): Long = {
     val fs = fileSystem(spark, path)
+    // IDEMPOTENCE TOKEN: a retained generation already committed under
+    // this token means this call is an at-least-once replay (an
+    // orchestrator retry, or the SQL analyzer evaluating a mutation TVF
+    // twice) — return the recorded count, mutate nothing. Checked inside
+    // the retried body so a racer that loses to a same-token winner
+    // no-ops on its retry instead of double-applying.
+    token.flatMap(mutationTokenHit(fs, path, _)).foreach(n => return n)
     val (live, fmt, names) = pinLive(spark, fs, path)
     afterPin()
+    def late(n: => Long): Map[String, () => Array[Byte]] =
+      token.fold(Map.empty[String, () => Array[Byte]])(t => tokenSidecar(t, n))
     val matched = coalesce(filter, lit(false))
     def fullRewrite(): Long = {
       val docs = readPinned(spark, fs, live, fmt, names)
@@ -1342,7 +1406,8 @@ object DocStore {
         else d.withColumn(k, when(matched, v))
       }
       commitRewrite(fs, spark, updated, path, retain, format = fmt,
-        sourceNames = names, pinnedLive = live)
+        sourceNames = names, pinnedLive = live,
+        lateSidecars = late(obs.get("matched").asInstanceOf[Long]))
       obs.get("matched").asInstanceOf[Long]
     }
     val cow = cowCandidates(spark, fs, live, fmt, names, filter,
@@ -1358,7 +1423,8 @@ object DocStore {
           spark.createDataFrame(spark.sparkContext
             .emptyRDD[org.apache.spark.sql.Row], schema),
           path, retain, format = fmt, sourceNames = names,
-          pinnedLive = live, carried = carried, carriedSchema = Some(schema))
+          pinnedLive = live, carried = carried, carriedSchema = Some(schema),
+          lateSidecars = late(0L))
         0L
       case Some((cand, carried, schema)) =>
         val docs = readFiles(spark, fmt, Some(schema),
@@ -1381,7 +1447,8 @@ object DocStore {
         else {
           commitRewrite(fs, spark, updated, path, retain, format = fmt,
             sourceNames = names, pinnedLive = live, carried = carried,
-            carriedSchema = Some(schema))
+            carriedSchema = Some(schema),
+            lateSidecars = late(obs.get("matched").asInstanceOf[Long]))
           obs.get("matched").asInstanceOf[Long]
         }
       case None => fullRewrite()
@@ -1416,19 +1483,23 @@ object DocStore {
     */
   def deleteMany(spark: SparkSession, path: String, filter: Option[Column],
                  deleteProtection: Boolean = true, retain: Int = 2,
-                 retries: Int = 3): Long = {
+                 retries: Int = 3, token: Option[String] = None): Long = {
     if (deleteProtection && filter.isEmpty) throw new DeleteProtectionException
     withMutationRetry(retries)(() =>
-      deleteManySeamed(spark, path, filter, retain, () => ()))
+      deleteManySeamed(spark, path, filter, retain, () => (), token))
   }
 
   /** [[deleteMany]] core with a test seam after the pin and no retry. */
   private[sources] def deleteManySeamed(spark: SparkSession, path: String,
                                         filter: Option[Column], retain: Int,
-                                        afterPin: () => Unit): Long = {
+                                        afterPin: () => Unit,
+                                        token: Option[String] = None): Long = {
     val fs = fileSystem(spark, path)
+    token.flatMap(mutationTokenHit(fs, path, _)).foreach(n => return n)
     val (live, fmt, names) = pinLive(spark, fs, path)
     afterPin()
+    def late(n: => Long): Map[String, () => Array[Byte]] =
+      token.fold(Map.empty[String, () => Array[Byte]])(t => tokenSidecar(t, n))
     filter match {
       case None =>
         // Guard-off delete-all: the kept-set is provably empty, so the
@@ -1437,7 +1508,8 @@ object DocStore {
         val docs = readPinned(spark, fs, live, fmt, names)
         val n = docs.count()
         commitRewrite(fs, spark, docs.filter(lit(false)), path, retain,
-          format = fmt, sourceNames = names, pinnedLive = live)
+          format = fmt, sourceNames = names, pinnedLive = live,
+          lateSidecars = late(n))
         n
       case Some(f) =>
         val hit = coalesce(f, lit(false))
@@ -1447,7 +1519,8 @@ object DocStore {
               spark.createDataFrame(spark.sparkContext
                 .emptyRDD[org.apache.spark.sql.Row], schema),
               path, retain, format = fmt, sourceNames = names,
-              pinnedLive = live, carried = carried, carriedSchema = Some(schema))
+              pinnedLive = live, carried = carried, carriedSchema = Some(schema),
+              lateSidecars = late(0L))
             0L
           case Some((cand, carried, schema)) =>
             val docs = readFiles(spark, fmt, Some(schema),
@@ -1456,14 +1529,16 @@ object DocStore {
             commitRewrite(fs, spark,
               docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit),
               path, retain, format = fmt, sourceNames = names,
-              pinnedLive = live, carried = carried, carriedSchema = Some(schema))
+              pinnedLive = live, carried = carried, carriedSchema = Some(schema),
+              lateSidecars = late(obs.get("deleted").asInstanceOf[Long]))
             obs.get("deleted").asInstanceOf[Long]
           case None =>
             val docs = readPinned(spark, fs, live, fmt, names)
             val obs = Observation()
             commitRewrite(fs, spark,
               docs.observe(obs, count(when(hit, lit(1))).as("deleted")).filter(!hit),
-              path, retain, format = fmt, sourceNames = names, pinnedLive = live)
+              path, retain, format = fmt, sourceNames = names, pinnedLive = live,
+              lateSidecars = late(obs.get("deleted").asInstanceOf[Long]))
             obs.get("deleted").asInstanceOf[Long]
         }
     }
@@ -1690,15 +1765,25 @@ object DocStore {
     * generation's data-file count exceeds `maxDataFiles` (each append
     * adds files; unchecked, a high-frequency ingest turns every scan into
     * a thousand-file listing). Under the threshold this is a metadata
-    * listing and nothing else; over it, the usual [[compact]] rewrite.
-    * Returns whether a compaction ran. Like any mutation it is safe
-    * against concurrent appends (an in-flight append's files are salvaged
-    * into the committed generation — see [[insertMany]]); sequential
-    * micro-batch sinks ([[graft.streaming.Streams.ingestToDocStore]])
-    * never even hit that path, their batches serialize by construction.
+    * listing and nothing else. Over it, `smallBytes > 0` prefers the
+    * INCREMENTAL remedy — [[compactSmall]] merges only the sub-
+    * `smallBytes` append tail and carries the large files by reference,
+    * O(tail bytes) — escalating to the full [[compact]] only when the
+    * tail merge cannot bring the count back under the threshold (the
+    * corpus is mostly large files). `smallBytes = 0` keeps the
+    * compact-always behavior. With this, a high-frequency ingest
+    * self-maintains at tail cost: the steady state is a few large files
+    * plus a small tail, and the policy never pays a corpus rewrite for
+    * it. Returns whether any compaction ran. Like any mutation it is
+    * safe against concurrent appends (an in-flight append's files are
+    * salvaged into the committed generation — see [[insertMany]]);
+    * sequential micro-batch sinks
+    * ([[graft.streaming.Streams.ingestToDocStore]]) never even hit that
+    * path, their batches serialize by construction.
     */
   def maybeCompact(spark: SparkSession, path: String, maxDataFiles: Int,
-                   targetFiles: Int = 1, retain: Int = 2): Boolean = {
+                   targetFiles: Int = 1, retain: Int = 2,
+                   smallBytes: Long = 0L): Boolean = {
     require(maxDataFiles >= 1, s"maxDataFiles must be >= 1, got $maxDataFiles")
     val fs = fileSystem(spark, path)
     val live = liveDir(fs, spark, path)
@@ -1706,6 +1791,14 @@ object DocStore {
     // logical count: carried links cost the planner exactly like physical
     // files (and pin their home generations) — compacting flattens both
     else if (logicalNames(fs, live).size <= maxDataFiles) false
+    else if (smallBytes > 0L) {
+      compactSmall(spark, path, smallBytes, targetFiles, retain)
+      val after = liveDir(fs, spark, path)
+      if (fs.exists(new Path(after)) &&
+          logicalNames(fs, after).size > maxDataFiles)
+        compact(spark, path, targetFiles, retain)
+      true
+    }
     else { compact(spark, path, targetFiles, retain); true }
   }
 
@@ -1877,16 +1970,34 @@ object DocStore {
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }.map(_.getPath.getName).toSet
 
+  /** `spark.read.json` over a stats dir ONLY when it has visible part
+    * files. A schema-only dir (just `_schema.json`, written by every
+    * parquet commit) would fail inference — and in Spark 4 the reader
+    * resolves LAZILY, so even a caught AnalysisException first emits a
+    * failed-query event that any in-flight Observation's listener trips
+    * over (ERROR-level log noise on a healthy path). Returning None here
+    * means the doomed read is never planned at all.
+    */
+  private def readStatsJson(spark: SparkSession, fs: FileSystem,
+                            statsPath: Path): Option[DataFrame] =
+    if (!fs.exists(statsPath) ||
+        !fs.listStatus(statsPath).exists { st =>
+          val nm = st.getPath.getName
+          st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+        }) None
+    else Some(spark.read.json(statsPath.toString))
+
   /** What a generation's `_STATS` sidecar covers: (min/max columns, Bloom
     * columns, Bloom bits). All empty/zero when there is no (readable)
     * sidecar.
     */
   private def statsConfig(spark: SparkSession, fs: FileSystem,
                           live: String): (Seq[String], Seq[String], Int) =
-    if (!fs.exists(new Path(live, StatsDir))) (Seq.empty, Seq.empty, 0)
-    else
+    readStatsJson(spark, fs, new Path(live, StatsDir)) match {
+      case None => (Seq.empty, Seq.empty, 0)
+      case Some(df0) =>
       try {
-        val df = spark.read.json(new Path(live, StatsDir).toString)
+        val df = df0
         val names = df.schema.fieldNames.toSeq
         val mm = names.collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
         val bl = names.collect { case n if n.startsWith("bw_") => n.stripPrefix("bw_") }
@@ -1898,6 +2009,7 @@ object DocStore {
         (mm, if (bits > 0) bl else Seq.empty, bits)
       }
       catch { case _: org.apache.spark.sql.AnalysisException => (Seq.empty, Seq.empty, 0) }
+    }
 
   /** Stat ONLY `files` (an append's new files) and add the rows to the
     * generation's stats. Best-effort: unreadable stats or a batch sharing
@@ -2064,7 +2176,7 @@ object DocStore {
     val dnf = org.apache.spark.sql.GraftShims.predicateDnf(filter)
     if (dnf.isEmpty) return None
     val stats =
-      try spark.read.json(statsPath.toString).collect()
+      try readStatsJson(spark, fs, statsPath).getOrElse(return None).collect()
       catch { case _: org.apache.spark.sql.AnalysisException => return None }
     if (stats.isEmpty) return None
     val byName = stats.flatMap { r =>
@@ -2578,7 +2690,8 @@ object DocStore {
                             sourceNames: Set[String], pinnedLive: String,
                             sidecars: Map[String, Array[Byte]] = Map.empty,
                             carried: Seq[String] = Nil,
-                            carriedSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+                            carriedSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                            lateSidecars: Map[String, () => Array[Byte]] = Map.empty): Unit = {
     require(retain >= 2, s"retain must keep the live + previous generation, got $retain")
     // LOUD lost-update detection ([[ConcurrentMutationException]]): checked
     // before the rewrite job and again right before the swing (the rewrite
@@ -2639,8 +2752,8 @@ object DocStore {
       // basename) carry verbatim — selective mutations keep pruning
       // across generations without a re-stat pass
       val carriedBases = entries.map(baseName).toSet
-      try {
-        val rows = spark.read.json(new Path(pinnedLive, StatsDir).toString)
+      try readStatsJson(spark, fs, new Path(pinnedLive, StatsDir)).foreach { stats0 =>
+        val rows = stats0
           .filter(col("file").isin(carriedBases.toSeq: _*))
         val stage = new Path(next, s"_stats-stage-${java.util.UUID.randomUUID()}")
         try {
@@ -2677,8 +2790,13 @@ object DocStore {
     }
     // caller-supplied metadata sidecars land in the staged generation
     // BEFORE the manifest swing, so they commit (or vanish) atomically
-    // with the data — [[syncAggregate]]'s exactly-once cursor rides this
-    sidecars.foreach { case (name, bytes) =>
+    // with the data — [[syncAggregate]]'s exactly-once cursor rides this.
+    // `lateSidecars` are evaluated HERE, after writeData's job completed,
+    // so their bytes may read Observation metrics collected by the
+    // rewrite itself (the mutation-token sidecar records the matched
+    // count that way) while still landing before the swing.
+    (sidecars ++ lateSidecars.view.mapValues(f => f()).toMap)
+      .foreach { case (name, bytes) =>
       require(name.startsWith("_"),
         s"docstore: sidecar names must start with '_' (got $name) so reads " +
           "never mistake them for data files")

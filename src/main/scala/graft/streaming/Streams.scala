@@ -115,7 +115,8 @@ object Streams {
     */
   def ingestToDocStore(stream: DataFrame, path: String, key: String,
                        expectedKeys: Long = 1000000L,
-                       autoCompactAt: Int = 0)
+                       autoCompactAt: Int = 0,
+                       autoCompactSmallBytes: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -137,9 +138,14 @@ object Streams {
         // foreachBatch serializes batches, so the rewrite never even races
         // an append here (and if it did, DocStore's salvage protocol would
         // carry the raced batch into the committed generation).
+        // autoCompactSmallBytes > 0 keeps the self-maintenance
+        // INCREMENTAL: only the sub-threshold append tail merges (large
+        // files carry by reference), so a long-running ingest never pays
+        // a corpus rewrite just to stay under its file budget
         if (autoCompactAt > 0)
           graft.sources.DocStore.maybeCompact(spark, path, autoCompactAt,
-            targetFiles = math.max(1, autoCompactAt / 4))
+            targetFiles = math.max(1, autoCompactAt / 4),
+            smallBytes = autoCompactSmallBytes)
         ()
       }
       .start()
@@ -469,28 +475,308 @@ object Streams {
   /** Streaming ANN index maintenance: each micro-batch of embeddings is
     * assigned to its IVF cell (a pure broadcast projection —
     * [[graft.sim.Ann.IvfModel.assign]] is a codegen'd argmax over the
-    * fitted centroids, no shuffle) and appended to a CELL-PARTITIONED
-    * parquet index, so probe-time reads touch only the probed cells'
-    * directories. This closes the fit-rarely / ingest-continuously /
-    * query-often loop: Lloyd runs once offline ([[graft.sim.Ann.fitIvf]]),
-    * the stream keeps the index current, [[graft.sim.Ann.ivfSearch]]
-    * serves against the growing index.
+    * fitted centroids, no shuffle) and published to a batch-dir,
+    * CELL-PARTITIONED parquet index (`batch_id=N/cell=M/`), so probe-time
+    * reads touch only the probed cells' directories. This closes the
+    * fit-rarely / ingest-continuously / query-often loop: Lloyd runs once
+    * offline ([[graft.sim.Ann.fitIvf]]), the stream keeps the index
+    * current, [[graft.sim.Ann.ivfSearch]] serves against the growing
+    * index (read `spark.read.parquet(path)` — the extra batch_id
+    * partition column is inert to the search).
     *
-    * Delivery is at-least-once (foreachBatch can replay a batch after a
-    * failure); replays cannot corrupt RESULTS because ivfSearch
-    * deduplicates candidate rows before the exact re-rank — they cost
-    * only index bytes. For exactly-once-sized storage, dedup upstream
-    * ([[dedupStream]]) or route ids through [[ingestToDocStore]]'s
-    * seen-key anti-join.
+    * Delivery is at-least-once, and the overwrite-by-batch-dir layout
+    * (the near-dup index discipline) makes a foreachBatch REPLAY rewrite
+    * identical content instead of appending duplicates — exactly-once
+    * index bytes without driver state. A PRODUCER re-sending rows in a
+    * genuinely new batch still duplicates (dedup upstream via
+    * [[dedupStream]] or [[ingestToDocStore]]'s seen-key anti-join);
+    * results stay correct either way because ivfSearch deduplicates
+    * candidates before the exact re-rank. Replays also honor takedowns:
+    * each batch anti-joins ids tombstoned at-or-after it
+    * ([[removeFromIvfIndex]]), so a replayed pre-takedown batch can
+    * never reinstate removed vectors. A `_META` sidecar pins the model
+    * geometry + centroid content — resuming (or probing) with a
+    * different model fails loudly instead of silently probing wrong
+    * cells.
     */
   def ingestToIvfIndex(stream: DataFrame, model: graft.sim.Ann.IvfModel,
-                       path: String, embCol: String = "embedding")
+                       path: String, embCol: String = "embedding",
+                       idCol: String = "vec_id")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.withColumn("cell", model.assign(col(embCol)))
-          .write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty)
+          ivfBatch(batch.toDF(), bid, path, model, idCol, embCol)
+        ()
       }
+
+  /** One IVF ingest batch: tombstone-filter, assign cells, publish as
+    * `batch_id=N/cell=M/` with static overwrite (replay-idempotent).
+    * Shared by the stream sink and [[syncIvfIndex]].
+    */
+  private[streaming] def ivfBatch(batch: DataFrame, bid: Long, indexPath: String,
+                                  model: graft.sim.Ann.IvfModel,
+                                  idCol: String, embCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireIvfGeometry(fs, indexPath, model, "ingestToIvfIndex")
+    writeIvfMeta(fs, indexPath, model)
+    val tombDir = s"$indexPath/$IvfTombstones"
+    val live =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tombDir)))
+        batch.join(
+          broadcast(spark.read.parquet(tombDir)
+            .filter(col("cutoff_bid") >= bid).select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+      else batch
+    live.withColumn("cell", model.assign(col(embCol)))
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .option("partitionOverwriteMode", "static")
+      .parquet(s"$indexPath/batch_id=$bid")
+  }
+
+  // underscore-prefixed so `spark.read.parquet(indexPath)` partition
+  // discovery never sees them as data dirs (direct root reads still work
+  // — the hidden-file rule exempts explicit roots)
+  private val IvfTombstones = "_tombstones"
+  private val IvfMeta = "_META"
+
+  /** Pin the index's model identity (`_META`: cell count + a content hash
+    * of the centroid values) at first write; every later entry point
+    * validates it. Cell ids are only comparable under the SAME fitted
+    * centroids — a mismatched model would silently assign/probe wrong
+    * cells (no error, just wrong recall), the same failure class the
+    * near-dup `_META` guards against.
+    */
+  private def writeIvfMeta(fs: org.apache.hadoop.fs.FileSystem,
+                           indexPath: String,
+                           model: graft.sim.Ann.IvfModel): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, IvfMeta)
+    if (!fs.exists(p)) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(indexPath))
+      val tmp = new org.apache.hadoop.fs.Path(indexPath,
+        s"$IvfMeta.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(
+        (s"cells=${model.centroids.length}\n" +
+          s"centroids=${model.centroids.hashCode()}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false) // a racer wrote it first
+    }
+  }
+
+  private def requireIvfGeometry(fs: org.apache.hadoop.fs.FileSystem,
+                                 indexPath: String,
+                                 model: graft.sim.Ann.IvfModel,
+                                 what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, IvfMeta)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val stored = txt.split("\n").iterator.map(_.trim).filter(_.contains("="))
+        .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
+      stored.get("cells").foreach(s => require(s.toInt == model.centroids.length,
+        s"$what: model has ${model.centroids.length} cells but the index " +
+          s"at $indexPath was built with ${s.trim} — cell ids are not comparable"))
+      stored.get("centroids").foreach(s =>
+        require(s.toInt == model.centroids.hashCode(),
+          s"$what: model centroids differ from the ones the index at " +
+            s"$indexPath was built with — refit drift; rebuild the index " +
+            "or serve with the persisted model (ModelStore)"))
+    }
+  }
+
+  /** TAKEDOWN for an IVF index built by [[ingestToIvfIndex]] /
+    * [[syncIvfIndex]]: purge `ids` so no future probe or replayed ingest
+    * batch can serve them — the right-to-be-forgotten operation for an
+    * embedding index, mirroring [[removeFromNearDupIndex]]. Returns how
+    * many indexed vectors were removed.
+    *
+    * Cost: one column-pruned scan of (id, partition dirs) finds the
+    * affected batch dirs — bounded driver collect of batch ids, never
+    * ids — and only those dirs are rewritten (repartitioned by cell,
+    * stage-then-swap with crash healing, exactly the near-dup takedown
+    * protocol). Tombstones land FIRST, stamped with the max batch id
+    * present now, so an at-least-once replay of any pre-takedown batch
+    * rewrites itself WITHOUT the removed ids; a genuinely new batch (id
+    * above the cutoff) can re-insert deliberately. `tombstone = false`
+    * is for [[syncIvfIndex]], whose crashed-poll replay must re-ingest
+    * the very ids it just removed at the SAME deterministic batch id.
+    * Single-writer like the ingest: do not run while a batch is in
+    * flight.
+    */
+  def removeFromIvfIndex(spark: SparkSession, indexPath: String,
+                         ids: DataFrame, idCol: String = "vec_id",
+                         tombstone: Boolean = true): Long = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(indexPath)),
+      s"removeFromIvfIndex: no index at $indexPath")
+    // crash recovery for our own swap protocol (same as near-dup): a
+    // leftover staging dir whose batch dir is gone means a crash between
+    // delete and rename — complete the swap
+    fs.listStatus(new org.apache.hadoop.fs.Path(indexPath)).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && nm.startsWith(".takedown-b")) {
+        val b = nm.stripPrefix(".takedown-b").takeWhile(_ != '-')
+        val target = new org.apache.hadoop.fs.Path(indexPath, s"batch_id=$b")
+        if (!fs.exists(target)) {
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"removeFromIvfIndex: cannot recover ${st.getPath} -> $target")
+        } else fs.delete(st.getPath, true)
+      }
+    }
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+      .toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("batch_id=") =>
+          st.getPath.getName.stripPrefix("batch_id=").toLong
+      }.sorted
+    if (batchDirs.isEmpty) return 0L
+    val idDf = ids.select(col(idCol)).distinct().cache()
+    // TOMBSTONE FIRST (the removeFromNearDupIndex ordering argument): a
+    // crash after this leaves the replay filter in place even if the
+    // physical purge is incomplete; re-running finishes it
+    if (tombstone)
+      idDf.withColumn("cutoff_bid", lit(batchDirs.max))
+        .write.mode(SaveMode.Append).parquet(s"$indexPath/$IvfTombstones")
+    val all = spark.read.parquet(indexPath)
+    val hit = all.select(col(idCol), col("batch_id"))
+      .join(idDf, Seq(idCol), "leftsemi").cache()
+    val removed = hit.select(idCol).distinct().count()
+    if (removed == 0L) { hit.unpersist(); idDf.unpersist(); return 0L }
+    val tainted = hit.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    hit.unpersist()
+    for (b <- tainted) {
+      val kept = spark.read.parquet(s"$indexPath/batch_id=$b")
+        .join(idDf, Seq(idCol), "left_anti")
+        .localCheckpoint() // materialize BEFORE replacing the source dir
+      val tmp = new org.apache.hadoop.fs.Path(indexPath,
+        s".takedown-b$b-${java.util.UUID.randomUUID()}")
+      kept.repartition(col("cell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell")
+        .parquet(tmp.toString)
+      val target = new org.apache.hadoop.fs.Path(indexPath, s"batch_id=$b")
+      fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(
+          s"removeFromIvfIndex: cannot swap $tmp -> $target")
+    }
+    idDf.unpersist()
+    removed
+  }
+
+  /** Keep an IVF ANN index FOLLOWING a DocStore corpus by cursor CDC —
+    * the embedding twin of [[syncNearDupIndex]], closing the r10 gap
+    * where a mutating corpus left its ANN index stale or holding removed
+    * vectors: appended embeddings are assigned and join the index;
+    * deleted documents' vectors are taken down (batch-dir rewrites);
+    * an UPDATED embedding is re-indexed — but only when the vector
+    * actually changed (a metadata-only document update touches nothing).
+    * Returns how many vectors were upserted this poll.
+    *
+    * Exactly-once by the syncNearDupIndex protocol: a poll is
+    * removeFromIvfIndex (idempotent) + one [[ivfBatch]] at the
+    * deterministic `lastBid + 1` (overwrite-by-batch-dir), with the
+    * consumed cursor committed to `_SYNC` (tmp-then-rename) only after
+    * both — a crash anywhere replays byte-identically. The model must
+    * stay FIXED across polls (`_META` pins its centroid content; fit
+    * once, persist via ModelStore, serve forever — refitting would
+    * scramble cell ids under the existing index). At 100 TB each poll
+    * costs O(changed embeddings + their batch dirs), never an index or
+    * corpus rescan.
+    */
+  def syncIvfIndex(spark: SparkSession, srcPath: String, indexPath: String,
+                   model: graft.sim.Ann.IvfModel,
+                   idCol: String = "vec_id", embCol: String = "embedding"): Long = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireIvfGeometry(fs, indexPath, model, "syncIvfIndex")
+    def hasBatches: Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(indexPath)) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+          .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    def seed(c: graft.sources.DocStore.DocCursor): Long = {
+      // EXACTLY the cursor's snapshot (not a live find): the first
+      // poll's delta is then disjoint from the seed by construction —
+      // the near-dup seed discipline
+      val snap = graft.sources.DocStore.snapshotAt(spark, srcPath, c)
+        .select(col(idCol), col(embCol))
+        .filter(col(embCol).isNotNull)
+      val n = snap.count()
+      if (n > 0) ivfBatch(snap, 1L, indexPath, model, idCol, embCol)
+      writeNearDupSync(fs, indexPath, c, if (hasBatches) 1L else 0L)
+      n
+    }
+    readNearDupSync(fs, indexPath) match {
+      case None =>
+        require(!hasBatches,
+          s"syncIvfIndex: $indexPath already has ingested batches but no " +
+            "_SYNC state — it was built by the stream ingest or another " +
+            "maintainer; point CDC sync at a fresh index directory")
+        val c = graft.sources.DocStore.cursor(spark, srcPath)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(indexPath))
+        writeNearDupSync(fs, indexPath, c, -1L) // seed intent (crash-safe)
+        seed(c)
+      case Some((c0, -1L)) => // a crashed seed: redo it (idempotent)
+        seed(c0)
+      case Some((c0, lastBid)) =>
+        val (changes, next) =
+          graft.sources.DocStore.changesSince(spark, srcPath, c0, idCol)
+        if (next == c0) return 0L
+        def sideEmb(side: String): org.apache.spark.sql.Column = {
+          val st = changes.schema(side).dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          if (st.fieldNames.contains(embCol)) col(s"$side.$embCol")
+          else lit(null)
+        }
+        // ONE per-id pass over the change window (the near-dup poll's
+        // fused shape): `__tc` = the indexed vector must change, `__old`
+        // = superseded content may exist in the index, `__emb` = the
+        // latest after-image embedding (null when the net effect is a
+        // delete)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("generation").desc)
+        val perId = changes
+          .withColumn("__rn", row_number().over(w))
+          .groupBy(col(idCol))
+          .agg(max(when(!(sideEmb("before") <=> sideEmb("after")), 1)
+              .otherwise(0)).as("__tc"),
+            max(when(col("change") =!= "inserted", 1).otherwise(0)).as("__old"),
+            max(when(col("__rn") === 1 && col("change") =!= "deleted",
+              sideEmb("after"))).as("__emb"))
+          .filter(col("__tc") === 1)
+          .localCheckpoint(true)
+        if (perId.isEmpty) { // metadata-only window: cursor advance only
+          writeNearDupSync(fs, indexPath, next, lastBid)
+          return 0L
+        }
+        val toIngest = perId.filter(col("__emb").isNotNull)
+          .select(col(idCol), col("__emb").as(embCol))
+        // remove superseded vectors FIRST, then ingest the latest
+        // embeddings as the next batch — both steps idempotent at this
+        // cursor-determined batch id, so a crashed poll replays
+        // byte-identically. tombstone = false: the replay must re-ingest
+        // the very ids it just removed at the SAME id. PURE-INSERT FAST
+        // PATH: a freshly inserted id cannot be in the index — the seed
+        // read exactly its cursor's snapshot — so the takedown scan runs
+        // only when the window carries an update or delete.
+        val toRemove = perId.filter(col("__old") === 1).select(col(idCol))
+        if (hasBatches && !toRemove.isEmpty)
+          removeFromIvfIndex(spark, indexPath, toRemove, idCol,
+            tombstone = false)
+        val n = toIngest.count()
+        val bid = lastBid + 1
+        if (n > 0) ivfBatch(toIngest, bid, indexPath, model, idCol, embCol)
+        writeNearDupSync(fs, indexPath, next, if (n > 0) bid else lastBid)
+        n
+    }
+  }
 
   /** Streaming NEAR-DUP detection: the dedup twin of [[ingestToIvfIndex]]
     * — documents stream in, each micro-batch is checked for near-
@@ -945,12 +1231,13 @@ object Streams {
       else emptyMatches(spark, idCol)
     }
     // seed, shared by the fresh path and the crashed-seed retry: ingest
-    // the current snapshot as batch 1 (idempotent overwrite), keeping
-    // the PRE-SEED cursor — any document that changed between cursor
-    // capture and this read is re-delivered by the first poll, which
-    // removes-then-reingests exactly those keys (self-healing)
+    // EXACTLY the captured cursor's file set as batch 1 (idempotent
+    // overwrite). Reading the cursor snapshot — not a live find() —
+    // makes the first poll's delta DISJOINT from the seed by
+    // construction, so pure-insert polls never need a takedown scan
+    // (the fast path below)
     def seed(c: graft.sources.DocStore.DocCursor): DataFrame = {
-      val snap = graft.sources.DocStore.find(spark, srcPath)
+      val snap = graft.sources.DocStore.snapshotAt(spark, srcPath, c)
         .select(col(idCol), col(textCol))
       if (!snap.isEmpty)
         nearDupBatch(snap, 1L, indexPath, idCol, textCol,
@@ -987,40 +1274,52 @@ object Streams {
           if (st.fieldNames.contains(textCol)) col(s"$side.$textCol")
           else lit(null)
         }
-        // keys whose INDEXED CONTENT must change: any change row where
-        // the text differs across the mutation (covers inserts — null
-        // before — and deletes — null after); group-sized, checkpointed
-        // so the window's diff plan runs once for it
-        val touched = changes
+        // ONE per-id pass over the change window (group-sized,
+        // checkpointed so the window's diff plan runs once): `__tc` =
+        // the indexed content must change (text differs across the
+        // mutation — covers inserts via the null before and deletes via
+        // the null after); `__old` = any non-inserted change (only those
+        // ids can have superseded content already in the index); `__text`
+        // = the LATEST after-image text (null when the net effect is a
+        // delete). Replaces the former two-checkpoint touched/toIngest
+        // chain — one shuffle, one materialization.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("generation").desc)
+        val perId = changes
+          .withColumn("__rn", row_number().over(w))
           .groupBy(col(idCol))
           .agg(max(when(!(sideText("before") <=> sideText("after")), 1)
-            .otherwise(0)).as("__tc"))
-          .filter(col("__tc") === 1).select(col(idCol))
+              .otherwise(0)).as("__tc"),
+            max(when(col("change") =!= "inserted", 1).otherwise(0)).as("__old"),
+            max(when(col("__rn") === 1 && col("change") =!= "deleted",
+              sideText("after"))).as("__text"))
+          .filter(col("__tc") === 1)
           .localCheckpoint(true)
-        if (touched.isEmpty) { // metadata-only window: cursor advance only
+        val touched = perId.select(col(idCol))
+        if (perId.isEmpty) { // metadata-only window: cursor advance only
           writeNearDupSync(fs, indexPath, next, lastBid)
           return emptyMatches(spark, idCol)
         }
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol)).orderBy(col("generation").desc)
-        val toIngest = changes
-          .join(touched, Seq(idCol), "leftsemi")
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .filter(col("change") =!= "deleted")
-          .select(col(idCol), sideText("after").as(textCol))
-          .filter(col(textCol).isNotNull)
-          .localCheckpoint(true)
+        val toIngest = perId.filter(col("__text").isNotNull)
+          .select(col(idCol), col("__text").as(textCol))
         // remove the superseded content FIRST (old keys/shingles/matches
-        // of every touched id — a no-op for pure inserts), then ingest
-        // the latest text as the next batch; both steps are idempotent
-        // at this (cursor-determined) batch id, so a crashed poll
-        // replays byte-identically
+        // of every touched id), then ingest the latest text as the next
+        // batch; both steps are idempotent at this (cursor-determined)
+        // batch id, so a crashed poll replays byte-identically.
         // tombstone = false: this poll's replay protocol is already
         // deterministic — a crashed poll must re-ingest the very ids it
         // just removed at the SAME batch id, which a tombstone stamped
-        // with that id would suppress
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/keys")))
-          removeFromNearDupIndex(spark, indexPath, touched, idCol,
+        // with that id would suppress.
+        // PURE-INSERT FAST PATH (the steady-state ingest poll): a freshly
+        // inserted id cannot be in the index — the seed read exactly its
+        // cursor's snapshot and every poll is exactly-once — so the
+        // takedown's slot-pruned scan runs only when the window carries
+        // an update or delete. Deterministic given (_SYNC, source), so
+        // crash replays stay byte-identical.
+        val toRemove = perId.filter(col("__old") === 1).select(col(idCol))
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/keys")) &&
+            !toRemove.isEmpty)
+          removeFromNearDupIndex(spark, indexPath, toRemove, idCol,
             tombstone = false)
         val ingested = !toIngest.isEmpty
         val bid = lastBid + 1
@@ -1100,10 +1399,21 @@ object Streams {
       // bounded driver collect: at most `Slots` ids
       val slots = keys.select("slot").distinct().collect().map(_.getLong(0)).toSeq
       mark("keys+slots")
+      // stored keys pruned TWICE: partition pruning to the slots this
+      // batch touches, then a broadcast semi-join to the batch's exact
+      // (band, band_hash) bucket set — only buckets the batch can pair
+      // with are read into the candidate machinery. At 100 TB this is
+      // the difference between "stored keys in 16 slots" (corpus-sized)
+      // and "stored members of batch-touched buckets" (delta-sized).
+      // Cap semantics unchanged: bucket sizes still count ALL members of
+      // a touched bucket; untouched buckets' pairs were old-old and
+      // filtered out downstream anyway.
       val storedKeys =
         if (existing(keysDir) && slots.nonEmpty)
           spark.read.parquet(keysDir)
             .filter(col("batch_id") < bid && col("slot").isin(slots: _*))
+            .join(broadcast(keys.select(col("band"), col("band_hash")).distinct()),
+              Seq("band", "band_hash"), "leftsemi")
             .select(col("band"), col("band_hash"), col(idCol))
         else keys.select(col("band"), col("band_hash"), col(idCol)).limit(0)
       val combined = storedKeys
@@ -1143,22 +1453,23 @@ object Streams {
       val verified = graft.dedup.MinHashDedup
         .verifiedPairsFromShingles(shAll, candsNew, idCol, threshold)
 
-      // matches FIRST (they must not see this batch in the stores — the
-      // batch_id < bid read filter already guarantees it), then publish
-      // the batch into the index; each write overwrite-by-batch-dir
-      verified.write.mode(SaveMode.Overwrite)
-        .parquet(s"$matchesDir/batch_id=$bid")
-      mark("verify+write")
       // repartition BY the partition column before a partitionBy write:
       // otherwise every one of the N shuffle tasks opens a file in every
       // slot dir (N x Slots tiny files + that many committer renames);
-      // clustered, each slot dir gets one file. The two index writes are
-      // independent (different dirs, both from cached batch-sized frames)
-      // and run CONCURRENTLY — the per-write cost here is committer and
-      // small-file fixed overhead, not bandwidth, so overlapping them
-      // nearly halves the publish phase of every micro-batch.
+      // clustered, each slot dir gets one file. ALL THREE writes
+      // (matches, keys, shingles) are independent — different dirs;
+      // matches correctness never depended on write order (readers
+      // filter batch_id < bid) and a crash leaving any subset of the
+      // three dirs replays byte-identically (overwrite-by-batch-dir,
+      // with the takedown cutoff covering half-written batches) — so
+      // they run CONCURRENTLY: per-write cost here is committer and
+      // small-file fixed overhead, not bandwidth, and overlapping them
+      // cuts the publish phase of every micro-batch to the slowest one.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
+      def writeMatches(): Unit =
+        verified.write.mode(SaveMode.Overwrite)
+          .parquet(s"$matchesDir/batch_id=$bid")
       // static overwrite explicitly: replay idempotence needs the whole
       // batch dir REPLACED, whatever the session's partitionOverwriteMode
       def writeKeys(): Unit =
@@ -1181,13 +1492,13 @@ object Streams {
       // returns). Monitors are reentrant for the owning thread, so the
       // sequential path is always safe; parallelism is an overlap
       // optimization we keep only when no catalog lock is held.
-      if (Thread.holdsLock(spark.sessionState.catalog)) { writeKeys(); writeSh() }
-      else {
-        val fKeys = Future(writeKeys())
-        val fSh = Future(writeSh())
-        Await.result(fKeys, scala.concurrent.duration.Duration.Inf)
-        Await.result(fSh, scala.concurrent.duration.Duration.Inf)
+      if (Thread.holdsLock(spark.sessionState.catalog)) {
+        writeMatches(); writeKeys(); writeSh()
+      } else {
+        val fs3 = Seq(Future(writeMatches()), Future(writeKeys()), Future(writeSh()))
+        fs3.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
       }
+      mark("verify+write")
       mark("index-write")
       candsNew.unpersist()
       keys.unpersist()

@@ -84,9 +84,75 @@ object GraftShims {
     * prune files it might match) — the OR collapses to "unknown". Returns
     * Nil when nothing prunable remains; cross-product growth beyond 64
     * disjuncts also degrades to Nil rather than exploding the probe.
+    *
+    * Parsed-SQL Columns (`functions.expr("id BETWEEN 10 AND 29")`, the
+    * shape the docstore_update/docstore_delete TVFs build) carry an
+    * `internal.SqlExpression` node instead of the function tree — those
+    * are parsed with the active session's parser and walked on the
+    * CATALYST side, so SQL-driven mutations prune exactly like
+    * Column-API ones.
     */
   def predicateDnf(c: Column): Seq[Seq[(String, String, Any)]] = {
     type Dnf = Seq[Seq[(String, String, Any)]]
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def catAttr(e: ce.Expression): Option[String] = e match {
+      case a: catalyst.analysis.UnresolvedAttribute => Some(a.name)
+      case _ => None
+    }
+    def catLit(e: ce.Expression): Option[Any] = e match {
+      case ce.Literal(v, t) =>
+        Option(catalyst.CatalystTypeConverters.convertToScala(v, t))
+      case _ => None
+    }
+    def catLeaf(e: ce.Expression): Option[(String, String, Any)] = {
+      def bin(op: String, l: ce.Expression, r: ce.Expression) =
+        (catAttr(l), catLit(r), catAttr(r), catLit(l)) match {
+          case (Some(a), Some(v), _, _) => Some((a, op, v))
+          case (_, _, Some(a), Some(v)) => Some((a, flipOp(op), v))
+          case _ => None
+        }
+      e match {
+        case ce.EqualTo(l, r) => bin("=", l, r)
+        case ce.LessThan(l, r) => bin("<", l, r)
+        case ce.LessThanOrEqual(l, r) => bin("<=", l, r)
+        case ce.GreaterThan(l, r) => bin(">", l, r)
+        case ce.GreaterThanOrEqual(l, r) => bin(">=", l, r)
+        case ce.In(v, list) if catAttr(v).isDefined =>
+          val vs = list.map(catLit)
+          if (vs.forall(_.isDefined)) Some((catAttr(v).get, "in", vs.flatten))
+          else None
+        case _ => None
+      }
+    }
+    def catGo(e: ce.Expression): Option[Dnf] = e match {
+      case ce.And(l, r) =>
+        (catGo(l), catGo(r)) match {
+          case (None, x) => x
+          case (x, None) => x
+          case (Some(a), Some(b)) =>
+            val cross = for { x <- a; y <- b } yield x ++ y
+            if (cross.size > 64) None else Some(cross)
+        }
+      case ce.Or(l, r) =>
+        (catGo(l), catGo(r)) match {
+          case (Some(a), Some(b)) if a.size + b.size <= 64 => Some(a ++ b)
+          case _ => None
+        }
+      // the parser keeps BETWEEN as an unresolved function (it desugars
+      // during analysis, which never runs here) — expand it ourselves
+      case f: catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("between") && f.arguments.length == 3 =>
+        (catAttr(f.arguments(0)), catLit(f.arguments(1)), catLit(f.arguments(2))) match {
+          case (Some(a), Some(lo), Some(hi)) =>
+            Some(Seq(Seq((a, ">=", lo), (a, "<=", hi))))
+          case _ => None
+        }
+      case leaf => catLeaf(leaf).map(b => Seq(Seq(b)))
+    }
+    def parseSql(sql: String): Option[Dnf] =
+      scala.util.Try(SparkSession.active.sessionState.sqlParser
+        .parseExpression(sql)).toOption.flatMap(catGo)
     def go(n: internal.ColumnNode): Option[Dnf] = n match {
       case internal.UnresolvedFunction("and", scala.collection.Seq(l, r), _, _, _, _) =>
         (go(l), go(r)) match {
@@ -101,6 +167,7 @@ object GraftShims {
           case (Some(a), Some(b)) if a.size + b.size <= 64 => Some(a ++ b)
           case _ => None
         }
+      case internal.SqlExpression(sql, _) => parseSql(sql)
       case leaf => leafBound(leaf).map(b => Seq(Seq(b)))
     }
     go(c.node).getOrElse(Nil)

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.DocStore
+
+/** SQL surface for corpus mutations (`docstore_update` / `docstore_delete`
+  * TVFs) and the idempotence-token machinery underneath.
+  *
+  * Pins: SQL == Column-API state identity (same mutations, same final
+  * corpus, same counts); the SQL path still takes the COPY-ON-WRITE route
+  * (links present — the TVF's parsed filter must prune like the Column
+  * one); a repeated statement with the same token is a NO-OP returning
+  * the recorded count (the analyzer-double-evaluation / orchestrator-
+  * retry guarantee); distinct tokens mutate independently; the token
+  * window is the retention window.
+  */
+class SqlMutationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshPath() = {
+    val d = java.nio.file.Files.createTempDirectory("graft-sqlmut").toString
+    new java.io.File(d).delete()
+    d
+  }
+
+  /** 0..n-1 rows clustered by id into parquet files with id stats. */
+  private def seeded(path: String, n: Int = 400, files: Int = 8): Unit = {
+    DocStore.insertMany((0 until n).map(i => (i.toLong, i % 7, s"doc-$i"))
+      .toDF("id", "grp", "body"), path)
+    DocStore.compact(spark, path, targetFiles = 1, format = Some("parquet"))
+    DocStore.cluster(spark, path, col("id"), files, Seq("id"),
+      bloomCols = Seq("id"), bloomBits = 1 << 12)
+  }
+
+  private def liveGen(path: String): String =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_MANIFEST")).trim
+
+  private def links(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path, liveGen(path), "_LINKS")
+    if (!java.nio.file.Files.exists(p)) Nil
+    else java.nio.file.Files.readString(p).split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  // grp reads back BIGINT: the seed round-trips a JSON generation
+  private def state(path: String): Seq[(Long, Long, String)] =
+    DocStore.find(spark, path).select("id", "grp", "body")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+
+  test("SQL mutations == Column-API mutations, state for state") {
+    val sqlStore = freshPath(); val apiStore = freshPath()
+    seeded(sqlStore); seeded(apiStore)
+    val m = spark.sql(s"SELECT * FROM docstore_update('$sqlStore', 't-upd', " +
+      "'id BETWEEN 100 AND 149', 'body', \"'EDITED'\")")
+      .head().getAs[Long]("matched")
+    val dd = spark.sql(s"SELECT * FROM docstore_delete('$sqlStore', 't-del', " +
+      "'id >= 380L')").head().getAs[Long]("deleted")
+    val mApi = DocStore.updateMany(spark, apiStore,
+      col("id").between(100L, 149L), Map("body" -> lit("EDITED")))
+    val dApi = DocStore.deleteMany(spark, apiStore, Some(col("id") >= 380L))
+    assert(m == 50L && m == mApi)
+    assert(dd == 20L && dd == dApi)
+    assert(state(sqlStore) == state(apiStore))
+    assert(DocStore.generations(spark, sqlStore).size ==
+      DocStore.generations(spark, apiStore).size)
+  }
+
+  test("the SQL path takes the COW route (parsed filter prunes like the Column one)") {
+    val path = freshPath()
+    seeded(path)
+    spark.sql(s"SELECT * FROM docstore_update('$path', 't1', " +
+      "'id = 5L', 'body', \"'X'\")").collect()
+    // one clustered file rewritten, the rest carried by reference —
+    // the parsed SQL filter must reach the same stats pruning
+    assert(links(path).size == 7,
+      s"expected 7 carried links (COW), got ${links(path)}")
+  }
+
+  test("a replayed statement with the same token is a no-op with the recorded count") {
+    val path = freshPath()
+    seeded(path)
+    def run() = spark.sql(s"SELECT * FROM docstore_update('$path', 'tok-1', " +
+      "'id < 10L', 'grp', 'grp + 100')").head().getAs[Long]("matched")
+    assert(run() == 10L)
+    val gens = DocStore.generations(spark, path)
+    // the replay: same token -> recorded count, NO new generation, and
+    // grp is not incremented twice
+    assert(run() == 10L)
+    assert(DocStore.generations(spark, path) == gens)
+    assert(DocStore.find(spark, path).filter(col("grp") >= 200).isEmpty)
+    assert(DocStore.find(spark, path)
+      .filter(col("id") < 10L && col("grp") >= 100).count() == 10L)
+    // a DIFFERENT token applies again (deliberate second increment)
+    assert(spark.sql(s"SELECT * FROM docstore_update('$path', 'tok-2', " +
+      "'id < 10L', 'grp', 'grp + 100')").head().getAs[Long]("matched") == 10L)
+    assert(DocStore.find(spark, path)
+      .filter(col("id") < 10L && col("grp") >= 200).count() == 10L)
+  }
+
+  test("token idempotence covers the Column API and delete; window = retention") {
+    val path = freshPath()
+    seeded(path)
+    assert(DocStore.deleteMany(spark, path, Some(col("id") < 20L),
+      token = Some("del-1"), retain = 3) == 20L)
+    // replay: no-op, recorded count
+    assert(DocStore.deleteMany(spark, path, Some(col("id") < 20L),
+      token = Some("del-1"), retain = 3) == 20L)
+    assert(DocStore.find(spark, path).count() == 380L)
+    // slide the retention window past the token's generation: the token
+    // is forgotten and a replay re-executes (documented window contract)
+    DocStore.updateMany(spark, path, col("id") === 399L, Map("body" -> lit("a")))
+    DocStore.updateMany(spark, path, col("id") === 398L, Map("body" -> lit("b")))
+    DocStore.updateMany(spark, path, col("id") === 397L, Map("body" -> lit("c")))
+    assert(DocStore.deleteMany(spark, path, Some(col("id") < 30L),
+      token = Some("del-1")) == 10L) // re-executes: 20..29 remain to delete
+    assert(DocStore.find(spark, path).count() == 370L)
+  }
+
+  test("docstore_vacuum / docstore_cow_stats TVFs (SQL maintenance surface)") {
+    val path = freshPath()
+    seeded(path)
+    // five single-file COW mutations fragment the clustered home
+    (0 until 5).foreach(i =>
+      DocStore.updateMany(spark, path, col("id") === (i * 50L + 1L),
+        Map("body" -> lit(s"e$i"))))
+    val stats = spark.sql(s"SELECT * FROM docstore_cow_stats('$path')")
+    assert(stats.columns.contains("dead_bytes"))
+    assert(stats.filter(col("dead_bytes") > 0L).count() >= 1)
+    val n = spark.sql(s"SELECT * FROM docstore_vacuum('$path', 0.9)")
+      .head().getAs[Long]("rehomed")
+    assert(n == 3L, s"expected the home's 3 live files re-homed, got $n")
+    assert(DocStore.find(spark, path).count() == 400L)
+    // naturally idempotent: a second call finds nothing under threshold
+    assert(spark.sql(s"SELECT * FROM docstore_vacuum('$path', 0.9)")
+      .head().getAs[Long]("rehomed") == 0L)
+  }
+}

@@ -376,6 +376,36 @@ class DocStoreCowSpec extends SparkTestBase {
     assert(errs.count() >= 1)
   }
 
+  test("maybeCompact smallBytes policy: the ingest tail self-maintains incrementally") {
+    val path = freshPath()
+    seeded(path, 800, 2) // two LARGE clustered files
+    // under the threshold: metadata listing only, no commit
+    val g0 = liveGen(path)
+    assert(!DocStore.maybeCompact(spark, path, maxDataFiles = 6,
+      smallBytes = 4096))
+    assert(liveGen(path) == g0)
+    // an ingest loop crosses the file budget
+    (0 until 6).foreach(i => DocStore.insertMany(
+      Seq((9000L + i, 1, s"tail-$i")).toDF("id", "grp", "body"), path))
+    assert(DocStore.maybeCompact(spark, path, maxDataFiles = 6,
+      smallBytes = 4096))
+    // INCREMENTAL remedy fired: the tail merged, the big files carried
+    val after = liveGen(path)
+    assert(links(s"$path/$after").size == 2,
+      s"large files must be carried, got links ${links(s"$path/$after")}")
+    assert(physicalDataFiles(s"$path/$after").size == 1)
+    assert(DocStore.find(spark, path).count() == 806)
+    assert(DocStore.countFast(spark, path) == 806L)
+    // a corpus of mostly-large files cannot be fixed by the tail merge:
+    // the policy escalates to the full compact (links flatten)
+    assert(DocStore.maybeCompact(spark, path, maxDataFiles = 2,
+      targetFiles = 1, smallBytes = 4096))
+    val flat = liveGen(path)
+    assert(links(s"$path/$flat").isEmpty)
+    assert(physicalDataFiles(s"$path/$flat").size == 1)
+    assert(DocStore.find(spark, path).count() == 806)
+  }
+
   private def diskBytes(path: String): Long = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala

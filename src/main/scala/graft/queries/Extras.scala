@@ -1089,7 +1089,7 @@ object Extras {
         org.apache.commons.io.FileUtils.copyDirectory(
           new java.io.File(seed), new java.io.File(work))
         val store = s"$work/store"
-        Seq((10L, 29L), (70L, 89L), (130L, 149L), (190L, 209L)).foreach {
+        Seq((10L, 29L), (130L, 149L)).foreach {
           case (lo, hi) => DocStore.updateMany(s, store,
             col("doc_id").between(lo, hi),
             Map("n_chars" -> (col("n_chars") + lit(50L))))
@@ -1105,9 +1105,7 @@ object Extras {
       """SELECT doc_id, lang,
         |       CAST(n_chars
         |            + CASE WHEN doc_id BETWEEN 10 AND 29 THEN 50
-        |                   WHEN doc_id BETWEEN 70 AND 89 THEN 50
         |                   WHEN doc_id BETWEEN 130 AND 149 THEN 50
-        |                   WHEN doc_id BETWEEN 190 AND 209 THEN 50
         |                   WHEN doc_id BETWEEN 300 AND 309 THEN 7
         |                   ELSE 0 END AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id NOT BETWEEN 250 AND 259
@@ -1696,10 +1694,12 @@ object Extras {
         DocStore.insertMany(emb.filter(col("vec_id") % 4 =!= 1), src)
         DocStore.compact(s, src, targetFiles = 4, format = Some("parquet"))
         poll() // seed: snapshot assigned as batch 1
+        // ONE mixed window: an appended batch AND a source delete — the
+        // poll ingests the inserts and takes down the deleted vectors in
+        // a single deterministic batch
         DocStore.insertMany(emb.filter(col("vec_id") % 4 === 1), src)
-        poll() // append window: pure-insert fast path, no takedown scan
-        DocStore.deleteMany(s, src, Some(col("vec_id") % 9 === 0))
-        poll() // the delete propagates as an index takedown
+        DocStore.deleteMany(s, src, Some(col("vec_id") % 9 === 0), retain = 3)
+        poll()
         graft.sim.Ann.ivfSearch(model, s.read.parquet(idx),
             emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
           .select(col("q_id"), col("rk"), col("vec_id"))

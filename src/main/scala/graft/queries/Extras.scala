@@ -1111,6 +1111,61 @@ object Extras {
         |FROM documents WHERE doc_id NOT BETWEEN 250 AND 259
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- incremental clustering maintenance end-to-end
+    //      (DocStore.recluster): a COW delete opens a hole in the
+    //      clustered corpus, a same-range append refills it — the fresh
+    //      file's key range overlaps the survivors' and locality decays;
+    //      recluster merges exactly that overlap group (O(overlapping
+    //      bytes), everything else carried by _LINKS) and restores
+    //      per-file range disjointness. FULLY ORACLED: recluster is
+    //      row-preserving and the churn script is deterministic, so
+    //      DuckDB restates the final corpus.
+    "d11_recluster" -> withOracle(
+      (s, d) => {
+        import graft.sources.DocStore
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+        val pid = ProcessHandle.current().pid()
+        // the d8/d10 seed staging, shared deliberately: identical content,
+        // built once per JVM whichever query runs first
+        val seed = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid")
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
+          val store = s"$seed/store"
+          DocStore.insertMany(docs, store)
+          DocStore.compact(s, store, targetFiles = 1, format = Some("parquet"))
+          DocStore.cluster(s, store, col("doc_id"), targetFiles = 8,
+            statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
+        }
+        val work = TmpDirs.cleanupOnExit(
+          s"$tmp/graft-reclrun-${Integer.toHexString(d.hashCode)}-p$pid")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(seed), new java.io.File(work))
+        val store = s"$work/store"
+        DocStore.deleteMany(s, store, Some(col("doc_id").between(100L, 119L)))
+        DocStore.insertMany(
+          docs.filter(col("doc_id").between(400L, 419L))
+            .withColumn("doc_id", col("doc_id") - lit(300L))
+            .repartition(1),
+          store)
+        val merged = DocStore.recluster(s, store, "doc_id")
+        require(merged > 0L,
+          s"d11: the refilled range should have decayed clustering ($merged)")
+        DocStore.find(s, store)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 100 AND 119
+        |  UNION ALL
+        |  SELECT CAST(doc_id - 300 AS BIGINT) AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id BETWEEN 400 AND 419
+        |) ORDER BY doc_id""".stripMargin),
+
     // ---- corpus mutations from PURE SQL (docstore_update /
     //      docstore_delete TVFs): the same COW mutation script as d8,
     //      driven through the SQL surface — each statement carries an

@@ -394,23 +394,25 @@ object DocStore {
     }
     if (names.isEmpty) return 0L
     val statsP = new Path(live, StatsDir)
-    // readStatsJson: a stats dir can exist with ZERO visible part files
+    // statsRows: a stats dir can exist with ZERO visible part files
     // (schema-only, from a parquet commit) — never plan that read. The
     // try remains the backstop for a readable-but-unparseable sidecar:
     // any failure degrades to the exact scan, never a crash.
     val counted: Map[String, Long] =
-      readStatsJson(spark, fs, statsP) match {
+      try statsRows(spark, fs, statsP) match {
         case None => Map.empty
-        case Some(df) =>
-          try {
-            if (!df.columns.contains("rows") || !df.columns.contains("file"))
-              Map.empty
-            else df.select(col("file"), col("rows"))
-              .filter(col("rows").isNotNull)
-              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          } catch {
-            case _: org.apache.spark.sql.AnalysisException => Map.empty
-          }
+        case Some(rows) =>
+          rows.iterator.flatMap { r =>
+            val names = r.schema.fieldNames
+            if (names.contains("file") && names.contains("rows") &&
+                !r.isNullAt(r.fieldIndex("file")) && !r.isNullAt(r.fieldIndex("rows")))
+              scala.util.Try(
+                r.getAs[String]("file") ->
+                  r.getAs[Number]("rows").longValue).toOption
+            else None
+          }.toMap
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => Map.empty
       }
     // stats rows key by BASENAME (collision-free: part names embed job
     // UUIDs), which covers carried entries too — their bytes, and so their
@@ -556,16 +558,25 @@ object DocStore {
         // with read.json would throw (no visible input files), which must
         // not masquerade as a corrupt sidecar; only a dir with visible
         // part files that still fails to parse is a genuine error.
-        val visibleStats = fs.exists(statsP) &&
-          fs.listStatus(statsP).exists { st =>
-            val nm = st.getPath.getName
-            st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
-          }
+        val visibleStats = statsPartFiles(fs, statsP).nonEmpty
         if (g == committed.last && visibleStats) {
           val names = logicalNames(fs, gdir).map(baseName)
           val statted =
-            try spark.read.json(statsP.toString).select("file")
-              .collect().map(_.getString(0)).toSet
+            try {
+              val rows = statsRows(spark, fs, statsP).getOrElse(Array.empty)
+              val files = rows.iterator.flatMap { r =>
+                if (r.schema.fieldNames.contains("file") &&
+                    !r.isNullAt(r.fieldIndex("file")))
+                  scala.util.Try(r.getAs[String]("file")).toOption
+                else None
+              }.toSet
+              // rows that parse but none carrying `file` cannot serve the
+              // sidecar's purpose — the same corrupt-sidecar condition the
+              // Spark reader surfaced as an unresolvable `file` column
+              if (rows.nonEmpty && files.isEmpty)
+                throw new IllegalStateException("no `file` field in any stats row")
+              files
+            }
             catch { case scala.util.control.NonFatal(_) =>
               err("bad-stats-sidecar",
                 f"gen-$g%06d/$StatsDir does not parse — skipping and " +
@@ -1761,6 +1772,317 @@ object DocStore {
     rehome.size.toLong
   }
 
+  // ---- incremental clustering maintenance (recluster) ---------------------
+  //
+  // Clustering DECAYS under writes: appends land wherever the ingest put
+  // them, and a COW mutation's rewritten files span whatever its candidate
+  // set spanned — after enough writes, per-file key ranges overlap and a
+  // selective read stops pruning. [[cluster]] restores perfect layout at
+  // O(corpus); [[recluster]] is the incremental path (the Delta OPTIMIZE /
+  // Iceberg rewrite_data_files shape): find the files whose key ranges
+  // OVERLAP (a driver-side interval sweep over the `_STATS` sidecar — pure
+  // metadata), sort-rewrite only those groups, and carry every
+  // already-disjoint file by reference (`_LINKS`) — O(overlapping bytes)
+  // per run. With [[vacuum]] (garbage) and [[compactSmall]] (file count)
+  // this completes the maintenance triad a mutable clustered store runs
+  // instead of periodic full rewrites.
+
+  private final case class KeyInterval(name: String, lo: Any, hi: Any, bytes: Long)
+
+  /** One int literal per partition of an n-way `repartition(n, expr)`
+    * hash shuffle, such that token i routes to its OWN partition (no two
+    * tokens collide). Found by evaluating Catalyst's Murmur3Hash — the
+    * exact expression HashPartitioning uses — over successive ints on
+    * the driver; expected O(n log n) probes, n is an output-FILE count.
+    */
+  private def partitionTokens(n: Int): Seq[Int] = {
+    require(n >= 1, s"need at least one partition, got $n")
+    val byPartition = Array.fill(n)(Int.MinValue)
+    var remaining = n
+    var t = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(t)), 42)
+        .eval(null).asInstanceOf[Int]
+      val p = ((h % n) + n) % n
+      if (byPartition(p) == Int.MinValue) { byPartition(p) = t; remaining -= 1 }
+      t += 1
+    }
+    byPartition.toSeq
+  }
+
+  /** Maximal groups of mutually-overlapping intervals (transitive
+    * closure via a sweep over lo-sorted intervals; inclusive endpoints —
+    * two files sharing one key value both serve an equality probe on it,
+    * so they belong together). None when endpoint types are mixed
+    * (numbers vs strings — stats written under different schemas), where
+    * no total order exists: callers then do nothing, which is always
+    * sound.
+    */
+  private def overlapGroups(ivs: Seq[KeyInterval]): Option[Seq[Seq[KeyInterval]]] = {
+    if (ivs.isEmpty) return Some(Nil)
+    val endpoints = ivs.flatMap(i => Seq(i.lo, i.hi))
+    val comparable = endpoints.forall(_.isInstanceOf[java.lang.Number]) ||
+      endpoints.forall(_.isInstanceOf[String])
+    if (!comparable) return None
+    val sorted = ivs.sortWith((a, b) => statCompare(a.lo, b.lo).exists(_ < 0))
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[KeyInterval]]
+    var curHi: Any = null
+    sorted.foreach { iv =>
+      if (groups.nonEmpty && statCompare(iv.lo, curHi).exists(_ <= 0)) {
+        groups.last += iv
+        if (statCompare(iv.hi, curHi).exists(_ > 0)) curHi = iv.hi
+      } else {
+        groups += scala.collection.mutable.ArrayBuffer(iv)
+        curHi = iv.hi
+      }
+    }
+    Some(groups.map(_.toSeq).toSeq)
+  }
+
+  /** Driver-side per-file layout accounting for `keyCol` over the live
+    * generation — metadata only (stats rows + file lengths, no data
+    * read): (logical name, Some(lo, hi) when the stats row carries
+    * non-null min/max for the key, bytes). Files without a usable range
+    * (never statted, all-null keys, or statted before `keyCol` joined the
+    * geometry) return None — [[clusterStats]] reports them as unstatted;
+    * [[recluster]] scans exactly those to place them.
+    */
+  private def keyRanges(spark: SparkSession, fs: FileSystem, live: String,
+                        names: Set[String], keyCol: String)
+      : Seq[(String, Option[(Any, Any)], Long)] = {
+    val rows = statsRows(spark, fs, new Path(live, StatsDir))
+      .getOrElse(Array.empty)
+    val byFile = rows.iterator.flatMap { r =>
+      def f(n: String): Option[Any] =
+        if (r.schema.fieldNames.contains(n) && !r.isNullAt(r.fieldIndex(n)))
+          Some(r.get(r.fieldIndex(n)))
+        else None
+      f("file").collect { case s: String => s }.map { file =>
+        file -> (for { lo <- f(s"min_$keyCol"); hi <- f(s"max_$keyCol") }
+          yield (lo, hi))
+      }
+    }.toMap
+    names.toSeq.sorted.map { n =>
+      val p = new Path(resolvePath(live, n))
+      val bytes = if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+      (n, byFile.getOrElse(baseName(n), None), bytes)
+    }
+  }
+
+  /** Clustering-quality dashboard for `keyCol` — one row per logical file
+    * of the live generation: its stats-time key range, bytes, and a
+    * status: `disjoint` (its range overlaps no other file's — selective
+    * reads prune around it), `overlapping` (shares key territory with
+    * another file — [[recluster]] would rewrite its group), `unstatted`
+    * (no usable range: a pre-stats append or an all-null-key file —
+    * recluster scans these to place them). Metadata-only, the layout twin
+    * of [[cowStats]]: this is what an operator (or [[maybeRecluster]])
+    * watches to decide when locality decayed enough to pay a rewrite.
+    */
+  def clusterStats(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, String, Long, String)]
+      .toDF("file", "key_min", "key_max", "bytes", "status")
+    val fs = fileSystem(spark, path)
+    if (!fs.exists(new Path(path))) return empty
+    val live = liveDir(fs, spark, path)
+    if (!new Path(live).getName.matches("gen-\\d{6}")) return empty
+    val ranges = keyRanges(spark, fs, live, logicalNames(fs, live), keyCol)
+    val ranged = ranges.collect { case (n, Some((lo, hi)), bytes) =>
+      KeyInterval(n, lo, hi, bytes) }
+    val overlapping: Set[String] = overlapGroups(ranged) match {
+      case Some(gs) => gs.filter(_.size > 1).flatten.map(_.name).toSet
+      case None => ranged.map(_.name).toSet // mixed types: report all
+    }
+    ranges.map { case (n, r, bytes) =>
+      (n, r.map(_._1.toString).orNull, r.map(_._2.toString).orNull, bytes,
+        if (r.isEmpty) "unstatted"
+        else if (overlapping.contains(n)) "overlapping" else "disjoint")
+    }.toDF("file", "key_min", "key_max", "bytes", "status").orderBy("file")
+  }
+
+  /** Incremental clustering maintenance: restore per-file range
+    * disjointness for `keyCol` by sort-rewriting ONLY the overlap groups
+    * — files whose stats-time key ranges transitively overlap, plus any
+    * file without a usable range (scanned once, O(its bytes), to place
+    * it) — and carrying every already-disjoint file by reference. Output
+    * file boundaries are computed DRIVER-SIDE from the stats intervals
+    * (one piece per group; byte-balanced sub-pieces cut at the group's
+    * own endpoints past `maxFileBytes`) and rows route to them through
+    * one engine-hashed shuffle, so rewritten files never span the gaps
+    * between groups and disjointness against carried files is restored
+    * exactly, not approximately — and no repartitionByRange sampling
+    * pass is ever paid. Cost is O(overlapping bytes); a store
+    * that decayed in one region pays for that region, never the corpus.
+    * Fresh files are re-statted with the carried geometry and carried
+    * files keep their stats rows (the commitRewrite carry), so skipping
+    * and metadata-exact counts survive, and the usual manifest swing
+    * gives the usual crash safety. Returns how many files were rewritten
+    * (0 = layout already disjoint, no commit).
+    *
+    * Requires min/max stats on `keyCol` (run [[cluster]] or
+    * [[collectStats]] first — without per-file ranges there is nothing
+    * incremental to reason about); throws otherwise. Files whose keys
+    * are all null stay carried (no range to place). `maxFileBytes` caps
+    * rewritten file size: a group larger than it splits into
+    * range-disjoint pieces.
+    */
+  def recluster(spark: SparkSession, path: String, keyCol: String,
+                retain: Int = 2, maxFileBytes: Long = 1L << 28): Long = {
+    require(maxFileBytes > 0, s"maxFileBytes must be positive, got $maxFileBytes")
+    val fs = fileSystem(spark, path)
+    val (live, fmt, names) = pinLive(spark, fs, path)
+    if (!new Path(live).getName.matches("gen-\\d{6}")) return 0L
+    val (statted, bloomed, bloomBits) = statsConfig(spark, fs, live)
+    require(statted.contains(keyCol),
+      s"docstore recluster: no min/max stats on '$keyCol' in $live — run " +
+        "cluster() or collectStats() first; recluster is the incremental " +
+        "maintenance of an existing clustered layout, not the initial sort")
+    val ranges = keyRanges(spark, fs, live, names, keyCol)
+    val schema = logicalReadSchema(spark, fs, live, fmt, names)
+    if (fmt == "parquet" && schema.isEmpty)
+      throw new IllegalStateException(
+        s"docstore recluster: cannot derive a complete read schema for " +
+          s"$live — its data files carry incompatible physical types " +
+          "(drift beyond integral/float widening); full-collection reads " +
+          "fail the same way. Resolve the drift before reclustering.")
+    // place rangeless files by scanning exactly them (fresh appends, or
+    // rows statted before keyCol joined the geometry): one column-pruned
+    // pass over O(their bytes). All-null-key files stay rangeless and
+    // are carried — no range can ever prune them, so rewriting them buys
+    // nothing.
+    val unknown = ranges.collect { case (n, None, _) => n }
+    val scannedRanges: Map[String, (Any, Any)] =
+      if (unknown.isEmpty) Map.empty
+      else readFiles(spark, fmt, schema, unknown.map(resolvePath(live, _)))
+        .withColumn("__f", input_file_name())
+        .groupBy("__f")
+        .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+        .collect().flatMap { r =>
+          if (r.isNullAt(1) || r.isNullAt(2)) None
+          else Some(baseName(r.getString(0)) -> (r.get(1), r.get(2)))
+        }.toMap
+    val ivs = ranges.flatMap {
+      case (n, Some((lo, hi)), bytes) => Some(KeyInterval(n, lo, hi, bytes))
+      case (n, None, bytes) =>
+        scannedRanges.get(baseName(n)).map { case (lo, hi) =>
+          KeyInterval(n, lo, hi, bytes) }
+    }
+    val groups = overlapGroups(ivs) match {
+      case Some(gs) => gs.filter(_.size > 1)
+      case None =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"docstore recluster: key ranges of $live mix numeric and string " +
+            s"endpoints for '$keyCol' (stats written under drifting " +
+            "schemas) — no total order exists, skipping. collectStats() " +
+            "under the current schema restores comparability.")
+        return 0L
+    }
+    if (groups.isEmpty) return 0L
+    // OUTPUT FILE BOUNDARIES, driver-side and exact: one PIECE per output
+    // file, each piece a key interval — a whole group for the common case,
+    // byte-balanced sub-intervals cut at the group's own file endpoints
+    // when the group exceeds `maxFileBytes`. Cuts come from the stats
+    // intervals already in hand, so (unlike repartitionByRange) no
+    // sampling pass runs and no boundary can drift into the gap between
+    // groups. Pieces are globally ascending because group spans are
+    // disjoint and the sweep emits them sorted.
+    def maxHi(a: Any, b: Any): Any = if (statCompare(b, a).exists(_ > 0)) b else a
+    val cuts: Seq[Any] = groups.flatMap { g =>
+      val nOut = math.max(1L,
+        (g.iterator.map(_.bytes).sum + maxFileBytes - 1) / maxFileBytes).toInt
+      if (nOut == 1) Seq(g.map(_.hi).reduce(maxHi))
+      else {
+        val target = math.max(1L, g.iterator.map(_.bytes).sum / nOut)
+        var acc = 0L
+        var runHi: Any = null
+        val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+        g.foreach { iv =>
+          acc += iv.bytes
+          runHi = if (runHi == null) iv.hi else maxHi(runHi, iv.hi)
+          if (acc >= target) {
+            // a contained file can leave the running max unchanged — an
+            // equal cut would make an empty piece, so only strictly
+            // increasing cuts close a piece
+            if (out.isEmpty || statCompare(runHi, out.last).exists(_ > 0)) {
+              out += runHi; acc = 0L
+            }
+          }
+        }
+        if (out.isEmpty || statCompare(runHi, out.last).exists(_ > 0))
+          out += runHi
+        out.toSeq
+      }
+    }
+    // ROUTING: partition index must be a pure function of the piece, and
+    // every piece must land in its OWN partition — `repartition(n, expr)`
+    // hashes, so pick one literal token per piece whose engine hash
+    // (evaluated through Catalyst's own Murmur3Hash, never re-implemented)
+    // maps to a distinct partition. Spark 4's union of per-group writes
+    // cannot do this job: UnionExec's partitioning-aware RDD merges
+    // same-partitioning children back into shared partitions (measured:
+    // a union of two repartition(1) groups writes ONE file spanning both).
+    val toks = partitionTokens(cuts.size)
+    val key = col(keyCol)
+    // rows come only from group files, so every non-null key falls in some
+    // piece; null keys (legal in a file whose min/max ignore them) route
+    // to the first piece — placement of null-key rows is free, they can
+    // never be range-pruned anyway
+    val route = cuts.init.zipWithIndex.foldLeft(
+        when(key.isNull, lit(toks.head))) { case (acc, (cut, j)) =>
+        acc.when(key <= lit(cut), lit(toks(j)))
+      }.otherwise(lit(toks.last))
+    val docs = readFiles(spark, fmt, schema,
+        groups.flatten.map(i => resolvePath(live, i.name)))
+      .withColumn("__piece", route)
+      .repartition(cuts.size, col("__piece"))
+      .sortWithinPartitions(key)
+      .drop("__piece")
+    val rewritten = groups.flatten.map(_.name).toSet
+    val carried = (names -- rewritten).toSeq.sorted
+    commitRewrite(fs, spark, docs, path, retain, format = fmt,
+      sourceNames = names, pinnedLive = live,
+      carried = carried, carriedSchema = schema)
+    // commitRewrite's carry branch re-stats fresh files only when
+    // something was carried; a recluster that rewrote EVERYTHING (one
+    // global overlap group) must re-stat the new generation itself or
+    // the next recluster/prune would find no ranges — same pinned
+    // geometry, O(rewritten bytes), which this case already paid anyway
+    if (carried.isEmpty)
+      collectStats(spark, path, statted, bloomed,
+        if (bloomBits > 0) bloomBits else 1 << 16)
+    rewritten.size.toLong
+  }
+
+  /** The clustering POLICY as one call ([[maybeCompact]]'s locality twin):
+    * run [[recluster]] only when more than `maxOverlapping` files sit in
+    * overlap groups — under the threshold this is a driver-side metadata
+    * sweep and nothing else. Unstatted files don't count toward the
+    * trigger (they may turn out disjoint once scanned; an all-null-key
+    * file never stops being unstatted and must not wedge the policy
+    * always-on). Returns whether a recluster ran.
+    */
+  def maybeRecluster(spark: SparkSession, path: String, keyCol: String,
+                     maxOverlapping: Int, retain: Int = 2,
+                     maxFileBytes: Long = 1L << 28): Boolean = {
+    require(maxOverlapping >= 0,
+      s"maxOverlapping must be >= 0, got $maxOverlapping")
+    val fs = fileSystem(spark, path)
+    if (!fs.exists(new Path(path))) return false
+    val live = liveDir(fs, spark, path)
+    if (!new Path(live).getName.matches("gen-\\d{6}")) return false
+    val ranged = keyRanges(spark, fs, live, logicalNames(fs, live), keyCol)
+      .collect { case (n, Some((lo, hi)), bytes) => KeyInterval(n, lo, hi, bytes) }
+    val overlapping = overlapGroups(ranged) match {
+      case Some(gs) => gs.filter(_.size > 1).map(_.size).sum
+      case None => 0 // mixed types: recluster would refuse too
+    }
+    overlapping > maxOverlapping &&
+      recluster(spark, path, keyCol, retain, maxFileBytes) > 0L
+  }
+
   /** The small-files POLICY as one call: compact only when the live
     * generation's data-file count exceeds `maxDataFiles` (each append
     * adds files; unchecked, a high-frequency ingest turns every scan into
@@ -1964,6 +2286,22 @@ object DocStore {
 
   // ---- data skipping ----------------------------------------------------
 
+  /** Order two stats-sidecar values: numbers by value (BigDecimal — the
+    * sidecar round-trips longs and doubles through JSON), strings in
+    * UTF-8 binary order, matching how Spark computed the min/max (Java's
+    * UTF-16 compareTo ranks supplementary characters low and would
+    * wrongly prune files whose extremes contain them). None = not
+    * comparable; callers treat that as "unknown", which always errs
+    * toward reading/rewriting more, never less.
+    */
+  private def statCompare(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      scala.util.Try(new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString))).toOption
+    case (x: String, y: String) => Some(graft.ops.Ranks.sparkCompare(x, y))
+    case _ => None
+  }
+
   private def dataFileNames(fs: FileSystem, live: String): Set[String] =
     fs.listStatus(new Path(live)).iterator.filter { st =>
       val n = st.getPath.getName
@@ -1980,12 +2318,109 @@ object DocStore {
     */
   private def readStatsJson(spark: SparkSession, fs: FileSystem,
                             statsPath: Path): Option[DataFrame] =
-    if (!fs.exists(statsPath) ||
-        !fs.listStatus(statsPath).exists { st =>
-          val nm = st.getPath.getName
-          st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
-        }) None
+    if (statsPartFiles(fs, statsPath).isEmpty) None
     else Some(spark.read.json(statsPath.toString))
+
+  /** Visible part files of a stats dir — the JSON-lines rows;
+    * `_schema.json` and staging debris are hidden-prefixed and excluded.
+    */
+  private def statsPartFiles(fs: FileSystem, statsPath: Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(statsPath)) Array.empty
+    else fs.listStatus(statsPath).filter { st =>
+      val nm = st.getPath.getName
+      st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+    }
+
+  /** Size gate for driver-side sidecar handling (the Iceberg manifest
+    * discipline: plan locally below the threshold, distributed above).
+    * Stats rows are one per data file, so crossing 64 MB means a
+    * six-figure file count — exactly where a distributed read starts to
+    * pay for itself; below it, a Spark JSON read of a KB-sized sidecar
+    * costs schema-inference + read job round-trips per call, which is
+    * the dominant fixed cost of a steady-state mutation/poll at local
+    * scale.
+    */
+  private val StatsLocalMaxBytes = 64L << 20
+
+  /** The stats dir's raw JSON lines, driver-side — None when the dir has
+    * no visible part files (nothing to read) or the sidecar exceeds the
+    * size gate (callers fall back to the Spark reader; so does
+    * [[readStatsJson]]'s own None).
+    */
+  private def statsLinesLocal(fs: FileSystem, statsPath: Path): Option[Seq[String]] = {
+    val parts = statsPartFiles(fs, statsPath)
+    if (parts.isEmpty || parts.iterator.map(_.getLen).sum > StatsLocalMaxBytes) None
+    else Some(parts.sortBy(_.getPath.getName).toSeq.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+                finally in.close()
+      txt.split("\n", -1).toSeq.map(_.trim).filter(_.nonEmpty)
+    })
+  }
+
+  private lazy val statsMapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  /** One stats JSON line -> a schema-carrying Row shaped like what
+    * `spark.read.json(...).collect()` yields for the same content:
+    * strings as String, integral numbers as Long, other numbers as
+    * Double, objects as nested Rows, arrays as Seq. Schemas are per-row
+    * (the Spark reader unions them and null-fills instead), which the
+    * name-based consumers treat identically: an absent field and a null
+    * field both mean "unknown — cannot exclude".
+    */
+  private def parseStatsLine(line: String): org.apache.spark.sql.Row = {
+    val n = statsMapper.readTree(line)
+    require(n != null && n.isObject, s"stats row is not a JSON object: $line")
+    jsonObjectToRow(n)
+  }
+
+  private def jsonObjectToRow(obj: com.fasterxml.jackson.databind.JsonNode)
+      : org.apache.spark.sql.Row = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val fields = obj.properties().iterator().asScala.toArray
+    val parsed = fields.map(e => (e.getKey, jsonValue(e.getValue)))
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      parsed.map(_._2._1),
+      StructType(parsed.map { case (k, (_, t)) => StructField(k, t) }))
+  }
+
+  private def jsonValue(n: com.fasterxml.jackson.databind.JsonNode)
+      : (Any, org.apache.spark.sql.types.DataType) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    if (n == null || n.isNull) (null, NullType)
+    else if (n.isTextual) (n.textValue, StringType)
+    else if (n.isIntegralNumber && n.canConvertToLong)
+      (java.lang.Long.valueOf(n.longValue), LongType)
+    else if (n.isNumber) (java.lang.Double.valueOf(n.doubleValue), DoubleType)
+    else if (n.isBoolean) (java.lang.Boolean.valueOf(n.booleanValue), BooleanType)
+    else if (n.isArray) {
+      val elems = n.elements().asScala.toSeq.map(jsonValue)
+      val elemType = elems.iterator.map(_._2).find(_ != NullType).getOrElse(NullType)
+      (elems.map(_._1), ArrayType(elemType))
+    } else {
+      val row = jsonObjectToRow(n)
+      (row, row.schema)
+    }
+  }
+
+  /** Collected stats rows: driver-parsed under the size gate (zero Spark
+    * jobs — the normal case for every mutation commit, prune, and
+    * countFast), the Spark JSON reader above it. None when there are no
+    * visible part files. A driver parse failure falls back to the Spark
+    * reader, so corrupt-sidecar semantics (callers' AnalysisException
+    * handling, fsck's bad-stats-sidecar) are unchanged.
+    */
+  private def statsRows(spark: SparkSession, fs: FileSystem,
+                        statsPath: Path): Option[Array[org.apache.spark.sql.Row]] =
+    statsLinesLocal(fs, statsPath) match {
+      case Some(lines) =>
+        scala.util.Try(lines.toArray.map(parseStatsLine)).toOption
+          .orElse(readStatsJson(spark, fs, statsPath).map(_.collect()))
+      case None => readStatsJson(spark, fs, statsPath).map(_.collect())
+    }
 
   /** What a generation's `_STATS` sidecar covers: (min/max columns, Bloom
     * columns, Bloom bits). All empty/zero when there is no (readable)
@@ -1993,23 +2428,24 @@ object DocStore {
     */
   private def statsConfig(spark: SparkSession, fs: FileSystem,
                           live: String): (Seq[String], Seq[String], Int) =
-    readStatsJson(spark, fs, new Path(live, StatsDir)) match {
+    try statsRows(spark, fs, new Path(live, StatsDir)) match {
       case None => (Seq.empty, Seq.empty, 0)
-      case Some(df0) =>
-      try {
-        val df = df0
-        val names = df.schema.fieldNames.toSeq
+      case Some(rows) =>
+        val names = rows.iterator.flatMap(_.schema.fieldNames).toSeq.distinct
         val mm = names.collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
         val bl = names.collect { case n if n.startsWith("bw_") => n.stripPrefix("bw_") }
         val bits =
           if (bl.nonEmpty && names.contains("bloom_bits"))
-            df.select("bloom_bits").na.drop().head(1).headOption
-              .map(_.getLong(0).toInt).getOrElse(0)
+            rows.iterator.flatMap { r =>
+              if (r.schema.fieldNames.contains("bloom_bits") &&
+                  !r.isNullAt(r.fieldIndex("bloom_bits")))
+                scala.util.Try(r.getAs[Number]("bloom_bits").intValue).toOption
+              else None
+            }.nextOption().getOrElse(0)
           else 0
         (mm, if (bits > 0) bl else Seq.empty, bits)
-      }
-      catch { case _: org.apache.spark.sql.AnalysisException => (Seq.empty, Seq.empty, 0) }
     }
+    catch { case _: org.apache.spark.sql.AnalysisException => (Seq.empty, Seq.empty, 0) }
 
   /** Stat ONLY `files` (an append's new files) and add the rows to the
     * generation's stats. Best-effort: unreadable stats or a batch sharing
@@ -2176,7 +2612,7 @@ object DocStore {
     val dnf = org.apache.spark.sql.GraftShims.predicateDnf(filter)
     if (dnf.isEmpty) return None
     val stats =
-      try readStatsJson(spark, fs, statsPath).getOrElse(return None).collect()
+      try statsRows(spark, fs, statsPath).getOrElse(return None)
       catch { case _: org.apache.spark.sql.AnalysisException => return None }
     if (stats.isEmpty) return None
     val byName = stats.flatMap { r =>
@@ -2186,16 +2622,7 @@ object DocStore {
       if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
         Some(r.get(r.fieldIndex(name)))
       else None
-    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: java.lang.Number, y: java.lang.Number) =>
-        scala.util.Try(new java.math.BigDecimal(x.toString)
-          .compareTo(new java.math.BigDecimal(y.toString))).toOption
-      // UTF-8 binary order, matching how Spark computed the min/max —
-      // Java's UTF-16 compareTo ranks supplementary characters low and
-      // would wrongly prune files whose extremes contain them
-      case (x: String, y: String) => Some(graft.ops.Ranks.sparkCompare(x, y))
-      case _ => None
-    }
+    def cmp(a: Any, b: Any): Option[Int] = statCompare(a, b)
     def survives(r: org.apache.spark.sql.Row, c: String, op: String, v: Any): Boolean =
       (field(r, s"min_$c"), field(r, s"max_$c")) match {
         case (Some(mi), Some(ma)) =>
@@ -2752,34 +3179,58 @@ object DocStore {
       // basename) carry verbatim — selective mutations keep pruning
       // across generations without a re-stat pass
       val carriedBases = entries.map(baseName).toSet
-      try readStatsJson(spark, fs, new Path(pinnedLive, StatsDir)).foreach { stats0 =>
-        val rows = stats0
-          .filter(col("file").isin(carriedBases.toSeq: _*))
-        val stage = new Path(next, s"_stats-stage-${java.util.UUID.randomUUID()}")
-        try {
-          rows.coalesce(1).write.mode(SaveMode.Overwrite).json(stage.toString)
-          fs.listStatus(stage).iterator.filter { st =>
-            val nm = st.getPath.getName
-            st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
-          }.zipWithIndex.foreach { case (st, i) =>
-            val dst = new Path(stats, s"append-${java.util.UUID.randomUUID()}-$i.json")
-            // throw like appendStats does: a silently-failed rename would
-            // leave carried files stats-less — pruning and metadata-exact
-            // countFast then quietly degrade to full scans with no signal
-            if (!fs.rename(st.getPath, dst))
-              throw new java.io.IOException(
-                s"docstore: cannot publish carried stats ${st.getPath} -> $dst")
+      val srcStats = new Path(pinnedLive, StatsDir)
+      def lineCarries(ln: String): Boolean =
+        scala.util.Try {
+          val n = statsMapper.readTree(ln)
+          n != null && n.hasNonNull("file") &&
+            carriedBases.contains(n.get("file").asText)
+        }.getOrElse(false) // an unparseable row carries nothing — the Spark
+                           // path's permissive read drops it the same way
+      statsLinesLocal(fs, srcStats) match {
+        case Some(lines) =>
+          // driver-side carry (the size-gated normal case): filter the
+          // pinned generation's rows at the LINE level, so kept rows carry
+          // byte-verbatim and the commit runs zero Spark jobs here
+          val kept = lines.filter(lineCarries)
+          if (kept.nonEmpty) {
+            val dst = new Path(stats, s"append-${java.util.UUID.randomUUID()}-0.json")
+            val out = fs.create(dst, true)
+            // fs.create throws on failure — same loudness contract as the
+            // rename below: carried files must never go silently unstatted
+            try out.write((kept.mkString("\n") + "\n").getBytes(UTF_8))
+            finally out.close()
           }
-        } finally fs.delete(stage, true)
-      } catch { case e: org.apache.spark.sql.AnalysisException =>
-        // a generation with no readable stats sidecar (schema-only dir,
-        // pre-stats store) legitimately has nothing to carry — but make
-        // the degradation observable instead of silent: carried files
-        // will be re-scanned by pruning/countFast until a collectStats
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"docstore: could not carry stats rows from $pinnedLive into " +
-            s"$next (${e.getMessage}); carried files are unstatted until " +
-            "the next collectStats — skipping and countFast scan them")
+        case None =>
+          try readStatsJson(spark, fs, srcStats).foreach { stats0 =>
+            val rows = stats0
+              .filter(col("file").isin(carriedBases.toSeq: _*))
+            val stage = new Path(next, s"_stats-stage-${java.util.UUID.randomUUID()}")
+            try {
+              rows.coalesce(1).write.mode(SaveMode.Overwrite).json(stage.toString)
+              fs.listStatus(stage).iterator.filter { st =>
+                val nm = st.getPath.getName
+                st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+              }.zipWithIndex.foreach { case (st, i) =>
+                val dst = new Path(stats, s"append-${java.util.UUID.randomUUID()}-$i.json")
+                // throw like appendStats does: a silently-failed rename would
+                // leave carried files stats-less — pruning and metadata-exact
+                // countFast then quietly degrade to full scans with no signal
+                if (!fs.rename(st.getPath, dst))
+                  throw new java.io.IOException(
+                    s"docstore: cannot publish carried stats ${st.getPath} -> $dst")
+              }
+            } finally fs.delete(stage, true)
+          } catch { case e: org.apache.spark.sql.AnalysisException =>
+            // a generation with no readable stats sidecar (schema-only dir,
+            // pre-stats store) legitimately has nothing to carry — but make
+            // the degradation observable instead of silent: carried files
+            // will be re-scanned by pruning/countFast until a collectStats
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"docstore: could not carry stats rows from $pinnedLive into " +
+                s"$next (${e.getMessage}); carried files are unstatted until " +
+                "the next collectStats — skipping and countFast scan them")
+          }
       }
       // stat the freshly rewritten files with the carried geometry (same
       // machinery an append uses) so the WHOLE generation stays covered

@@ -242,6 +242,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.functions.lit(n).as("rehomed")))
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("docstore_cluster_stats"),
+      info("docstore_cluster_stats",
+        "docstore_cluster_stats(path, keyCol) - clustering-quality " +
+          "dashboard: one row per live-generation file with its " +
+          "stats-time key range and a status (disjoint / overlapping / " +
+          "unstatted) — what recluster would rewrite. Read-only metadata."),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          graft.sources.DocStore.clusterStats(spark,
+            strArg(args.head, "path"), strArg(args(1), "keyCol")))
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("docstore_recluster"),
+      info("docstore_recluster",
+        "docstore_recluster(path, keyCol[, maxFileBytes]) - incremental " +
+          "clustering maintenance (DocStore.recluster): sort-rewrite only " +
+          "the files whose key ranges overlap, carrying the disjoint rest " +
+          "by reference; returns one row (rewritten). Naturally " +
+          "idempotent — a converged layout has no overlap groups and a " +
+          "second call commits nothing, so analyzer double-evaluation is " +
+          "safe."),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = graft.sources.DocStore.recluster(spark,
+          strArg(args.head, "path"), strArg(args(1), "keyCol"),
+          maxFileBytes =
+            if (args.length > 2) longArg(args(2), "maxFileBytes") else 1L << 28)
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          spark.range(1).select(
+            org.apache.spark.sql.functions.lit(n).as("rewritten")))
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("docstore_fsck"),
       info("docstore_fsck",
         "docstore_fsck(path) - read-only integrity check of a DocStore " +

@@ -429,6 +429,108 @@ object DocStore {
     covered.iterator.map(n => counted(baseName(n))).sum + scanned
   }
 
+  /** EXACT per-column min/max, served from metadata wherever the stats
+    * cover it ([[countFast]]'s aggregate sibling — the table-format
+    * "aggregate pushdown to manifests" shape): files whose stats row
+    * carries the column's min/max contribute those stored values with no
+    * IO; the rest are scanned ONCE (one shared job over the union of
+    * uncovered files — min/max tolerate the overlap, duplicates cannot
+    * change them). Returns ONE row with `min_<col>`/`max_<col>` typed to
+    * the collection schema; exact either way, never an estimate. The
+    * metadata path applies to integral/float/string columns — the types
+    * the stats sidecar round-trips losslessly; anything else (timestamps,
+    * decimals) is computed entirely by the scan, which is always sound.
+    * An all-null column yields a typed null, matching `min(col)` SQL
+    * semantics.
+    */
+  def minMaxFast(spark: SparkSession, path: String,
+                 cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "minMaxFast needs at least one column")
+    import org.apache.spark.sql.types._
+    val fs = fileSystem(spark, path)
+    val live = liveDir(fs, spark, path)
+    val names =
+      if (fs.exists(new Path(live)) && fs.getFileStatus(new Path(live)).isDirectory)
+        logicalNames(fs, live)
+      else Set.empty[String]
+    val fmt = genFormat(fs, live)
+    val statsP = new Path(live, StatsDir)
+    val schema = logicalReadSchema(spark, fs, live, fmt, names)
+      .orElse(
+        if (names.isEmpty) None
+        else scala.util.Try(readFiles(spark, fmt, None,
+          names.toSeq.sorted.map(resolvePath(live, _))).schema).toOption)
+    def colType(c: String): DataType =
+      schema.flatMap(_.find(_.name == c)).map(_.dataType).getOrElse(NullType)
+    def sidecarSafe(c: String): Boolean = colType(c) match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: StringType => true
+      case _ => false
+    }
+    val rows =
+      try statsRows(spark, fs, statsP).getOrElse(Array.empty)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Array.empty[org.apache.spark.sql.Row] }
+    val byFile = rows.iterator.flatMap { r =>
+      scala.util.Try(r.getAs[String]("file")).toOption
+        .filter(_ != null).map(_ -> r)
+    }.toMap
+    def stat(r: org.apache.spark.sql.Row, n: String): Option[Any] =
+      if (r.schema.fieldNames.contains(n) && !r.isNullAt(r.fieldIndex(n)))
+        Some(r.get(r.fieldIndex(n)))
+      else None
+    // per column: the files whose stats row carries BOTH bounds (a row
+    // whose column was all-null writes neither — those files re-scan,
+    // which keeps null-semantics exact)
+    val covered: Map[String, Set[String]] = cols.map { c =>
+      c -> (if (!sidecarSafe(c)) Set.empty[String]
+            else names.filter { n =>
+              byFile.get(baseName(n))
+                .exists(r => stat(r, s"min_$c").isDefined &&
+                  stat(r, s"max_$c").isDefined)
+            })
+    }.toMap
+    val scanFiles = cols.flatMap(c => names -- covered(c)).distinct.sorted
+    val scanned: Map[String, (Any, Any)] =
+      if (scanFiles.isEmpty || names.isEmpty) Map.empty
+      else {
+        val docs = readFiles(spark, fmt,
+          schema.map(s => StructType(s.filter(f => cols.contains(f.name)))),
+          scanFiles.map(resolvePath(live, _)))
+        val present = cols.filter(docs.columns.contains)
+        if (present.isEmpty) Map.empty
+        else {
+          val aggs = present.flatMap(c =>
+            Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+          val r = docs.agg(aggs.head, aggs.tail: _*).head()
+          present.map(c => c -> (r.get(r.fieldIndex(s"__mn_$c")),
+            r.get(r.fieldIndex(s"__mx_$c")))).toMap
+        }
+      }
+    def pick(c: String, takeMin: Boolean): Any = {
+      val fromStats = covered(c).toSeq.flatMap(n =>
+        stat(byFile(baseName(n)), s"${if (takeMin) "min" else "max"}_$c"))
+      val fromScan = scanned.get(c)
+        .map(v => if (takeMin) v._1 else v._2).filter(_ != null)
+      (fromStats ++ fromScan).reduceOption { (a, b) =>
+        statCompare(a, b) match {
+          case Some(cmp) => if ((cmp <= 0) == takeMin) a else b
+          // stats and scan disagree on representation (schema drift
+          // beyond the sidecar-safe class): unreachable for sidecarSafe
+          // columns, but fail loudly rather than guess an extreme
+          case None => throw new IllegalStateException(
+            s"docstore minMaxFast: incomparable bounds for '$c' ($a vs $b)")
+        }
+      }.orNull
+    }
+    val outCols = cols.flatMap { c =>
+      val dt = colType(c) match { case NullType => StringType; case t => t }
+      Seq(lit(pick(c, takeMin = true)).cast(dt).as(s"min_$c"),
+        lit(pick(c, takeMin = false)).cast(dt).as(s"max_$c"))
+    }
+    spark.range(1).select(outCols: _*)
+  }
+
   /** READ-ONLY integrity check (fsck) over the invariants the commit /
     * salvage / retention protocols maintain — the detection half of the
     * crash-safety story. Returns one row per finding, (severity, code,

@@ -611,7 +611,8 @@ object Streams {
     */
   def removeFromIvfIndex(spark: SparkSession, indexPath: String,
                          ids: DataFrame, idCol: String = "vec_id",
-                         tombstone: Boolean = true): Long = {
+                         tombstone: Boolean = true,
+                         cellHints: Option[Seq[Long]] = None): Long = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(indexPath)),
@@ -644,7 +645,17 @@ object Streams {
     if (tombstone)
       idDf.withColumn("cutoff_bid", lit(batchDirs.max))
         .write.mode(SaveMode.Append).parquet(s"$indexPath/$IvfTombstones")
-    val all = spark.read.parquet(indexPath)
+    // the DISCOVERY scan finds which batch dirs hold the ids. `cellHints`
+    // restricts it by partition pruning to the cells that may hold the
+    // ids' vectors — at 100 TB the difference between scanning the whole
+    // index's id column and O(hinted cells). The caller owns the hint's
+    // COMPLETENESS (a missed cell = an incomplete takedown):
+    // [[syncIvfIndex]] derives it from the change window's before-image
+    // embeddings under the _META-pinned model, which is exactly where
+    // every superseded vector was assigned. The per-batch REWRITE below
+    // is unhinted either way — it anti-joins the whole dir it rewrites.
+    val all0 = spark.read.parquet(indexPath)
+    val all = cellHints.fold(all0)(cs => all0.filter(col("cell").isin(cs: _*)))
     val hit = all.select(col(idCol), col("batch_id"))
       .join(idDf, Seq(idCol), "leftsemi").cache()
     val removed = hit.select(idCol).distinct().count()
@@ -742,14 +753,22 @@ object Streams {
         // delete)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol)).orderBy(col("generation").desc)
+        val wAsc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("generation").asc)
         val perId = changes
           .withColumn("__rn", row_number().over(w))
+          .withColumn("__rnAsc", row_number().over(wAsc))
           .groupBy(col(idCol))
           .agg(max(when(!(sideEmb("before") <=> sideEmb("after")), 1)
               .otherwise(0)).as("__tc"),
             max(when(col("change") =!= "inserted", 1).otherwise(0)).as("__old"),
             max(when(col("__rn") === 1 && col("change") =!= "deleted",
-              sideEmb("after"))).as("__emb"))
+              sideEmb("after"))).as("__emb"),
+            // the id's indexed vector as of the cursor == the before image
+            // of its FIRST change in the window (the index follows the
+            // corpus exactly, pinned by SyncIvfSpec) — its cell under the
+            // _META-pinned model is where the takedown must look
+            max(when(col("__rnAsc") === 1, sideEmb("before"))).as("__embBefore"))
           .filter(col("__tc") === 1)
           .localCheckpoint(true)
         if (perId.isEmpty) { // metadata-only window: cursor advance only
@@ -766,10 +785,20 @@ object Streams {
         // PATH: a freshly inserted id cannot be in the index — the seed
         // read exactly its cursor's snapshot — so the takedown scan runs
         // only when the window carries an update or delete.
-        val toRemove = perId.filter(col("__old") === 1).select(col(idCol))
-        if (hasBatches && !toRemove.isEmpty)
-          removeFromIvfIndex(spark, indexPath, toRemove, idCol,
-            tombstone = false)
+        val toRemove = perId.filter(col("__old") === 1)
+        if (hasBatches && !toRemove.isEmpty) {
+          // bounded driver collect: DISTINCT CELLS of the superseded
+          // vectors (<= nCells values, never ids). A null before-image
+          // (the doc carried no embedding at the cursor) was never
+          // indexed, so its absence from the hint is exact. Crash-replay
+          // sound: a replayed poll's after-image copies live only in
+          // batch `bid`, which the ivfBatch below overwrites whole.
+          val hintCells = toRemove.filter(col("__embBefore").isNotNull)
+            .select(model.assign(col("__embBefore")).cast("long").as("c"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          removeFromIvfIndex(spark, indexPath, toRemove.select(col(idCol)),
+            idCol, tombstone = false, cellHints = Some(hintCells))
+        }
         val n = toIngest.count()
         val bid = lastBid + 1
         if (n > 0) ivfBatch(toIngest, bid, indexPath, model, idCol, embCol)

@@ -135,4 +135,23 @@ class SqlMutationSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT * FROM docstore_vacuum('$path', 0.9)")
       .head().getAs[Long]("rehomed") == 0L)
   }
+
+  test("docstore_recluster / docstore_cluster_stats TVFs (SQL layout surface)") {
+    val path = freshPath()
+    seeded(path)
+    // an append inside one clustered file's range decays the layout
+    DocStore.insertMany((100 until 110).map(i => (i.toLong, 9, s"new-$i"))
+      .toDF("id", "grp", "body").repartition(1), path)
+    val st = spark.sql(s"SELECT * FROM docstore_cluster_stats('$path', 'id')")
+    assert(st.filter(col("status") === "overlapping").count() == 2L)
+    val n = spark.sql(s"SELECT * FROM docstore_recluster('$path', 'id')")
+      .head().getAs[Long]("rewritten")
+    assert(n == 2L, s"expected the overlap pair rewritten, got $n")
+    assert(spark.sql(s"SELECT * FROM docstore_cluster_stats('$path', 'id')")
+      .filter(col("status") =!= "disjoint").isEmpty)
+    assert(DocStore.find(spark, path).count() == 410L)
+    // naturally idempotent: a converged layout commits nothing
+    assert(spark.sql(s"SELECT * FROM docstore_recluster('$path', 'id')")
+      .head().getAs[Long]("rewritten") == 0L)
+  }
 }

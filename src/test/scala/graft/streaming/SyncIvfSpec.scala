@@ -94,6 +94,29 @@ class SyncIvfSpec extends SparkTestBase {
     assert(indexContent(idx) == before)
   }
 
+  test("an update that MOVES a vector across cells purges the old cell (hinted takedown)") {
+    val src = seededSrc(0L until 40L)
+    val model = Ann.fitIvf(DocStore.find(spark, src), nCells = 3, lloydIters = 2)
+    val idx = freshPath()
+    def poll() = Streams.syncIvfIndex(spark, src, idx, model)
+    assert(poll() == 40L)
+    // pick an id and a replacement vector that provably changes its cell
+    // (the scale-by-2 update above is cosine-invariant and stays put);
+    // the takedown's cell-hinted discovery must look in the OLD cell —
+    // the before-image's assignment — to purge the superseded entry
+    val oldCell = indexContent(idx).find(_._1 == 7L).get._2
+    val target = (0L until 40L).map(vec).find(v =>
+      spark.range(1).select(model.assign(
+          typedLit(v)).cast("long")).head().getLong(0) != oldCell).get
+    DocStore.updateMany(spark, src, col("vec_id") === 7L,
+      Map("embedding" -> typedLit(target)))
+    assert(poll() == 1L)
+    val after = indexContent(idx)
+    assert(after == freshAssign(src, model))
+    assert(after.count(_._1 == 7L) == 1)
+    assert(after.find(_._1 == 7L).get._2 != oldCell)
+  }
+
   test("search over the maintained index equals brute force (all cells probed)") {
     val src = seededSrc(0L until 40L)
     val model = Ann.fitIvf(DocStore.find(spark, src), nCells = 3, lloydIters = 2)

@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.LongType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Exact-arity guard: a clear signature message instead of the raw
+    * IndexOutOfBoundsException plan resolution would otherwise surface.
+    */
+  private def arity(args: Seq[Expression], n: Int, usage: String): Unit =
+    require(args.length == n, s"$usage takes exactly $n arguments")
+
   private def intArg(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -156,6 +162,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "Jaccard-threshold self-join (J >= num/den) via AllPairs/PPJoin " +
           "prefix filtering; returns (id_a, id_b, inter, uni, jaccard)"),
       (args: Seq[Expression]) => {
+        arity(args, 5, "setsim_self_join(table, idCol, textCol, num, den)")
         val spark = org.apache.spark.sql.SparkSession.active
         val df = spark.table(strArg(args.head, "table"))
         org.apache.spark.sql.GraftShims.logicalPlan(
@@ -183,6 +190,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "every (key, change, before, after, generation) between a " +
           "retained generation and the head, the changesSince surface"),
       (args: Seq[Expression]) => {
+        arity(args, 3, "docstore_changes(path, sinceGeneration, keyCol)")
         val spark = org.apache.spark.sql.SparkSession.active
         org.apache.spark.sql.GraftShims.logicalPlan(
           graft.sources.DocStore.changesSince(spark,
@@ -199,6 +207,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "jaccard). The index is untouched; probe-vs-probe pairs are " +
           "not reported."),
       (args: Seq[Expression]) => {
+        arity(args, 6,
+          "neardup_probe(table, indexPath, idCol, textCol, k, threshold)")
         val spark = org.apache.spark.sql.SparkSession.active
         val df = spark.table(strArg(args.head, "table"))
         org.apache.spark.sql.GraftShims.logicalPlan(
@@ -250,6 +260,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "unstatted) — what recluster would rewrite. Read-only metadata."),
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        require(args.length == 2,
+          "docstore_cluster_stats(path, keyCol) takes exactly 2 arguments")
         org.apache.spark.sql.GraftShims.logicalPlan(
           graft.sources.DocStore.clusterStats(spark,
             strArg(args.head, "path"), strArg(args(1), "keyCol")))
@@ -266,6 +278,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "safe."),
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        require(args.length >= 2,
+          "docstore_recluster(path, keyCol[, maxFileBytes]) takes 2 or 3 " +
+            "arguments")
         val n = graft.sources.DocStore.recluster(spark,
           strArg(args.head, "path"), strArg(args(1), "keyCol"),
           maxFileBytes =
@@ -277,13 +292,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectTableFunction((FunctionIdentifier("docstore_fsck"),
       info("docstore_fsck",
-        "docstore_fsck(path) - read-only integrity check of a DocStore " +
-          "collection: one (severity, code, detail) row per finding, " +
-          "empty = healthy; metadata-only, never repairs or deletes"),
+        "docstore_fsck(path[, retain]) - read-only integrity check of a " +
+          "DocStore collection: one (severity, code, detail) row per " +
+          "finding, empty = healthy; metadata-only, never repairs or " +
+          "deletes. Pass the retention the store's mutations run with " +
+          "(default 2) so window-vs-drift severities match the promise"),
       (args: Seq[Expression]) => {
+        require(args.nonEmpty,
+          "docstore_fsck(path[, retain]) takes 1 or 2 arguments")
         val spark = org.apache.spark.sql.SparkSession.active
         org.apache.spark.sql.GraftShims.logicalPlan(
-          graft.sources.DocStore.fsck(spark, strArg(args.head, "path")))
+          graft.sources.DocStore.fsck(spark, strArg(args.head, "path"),
+            if (args.length > 1) intArg(args(1), "retain") else 2))
       }))
 
     ext.injectTableFunction((FunctionIdentifier("knn_search"),
@@ -296,6 +316,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "design: the fitted ANN paths (IVF/PQ/adaptive) stay on the " +
           "Column API where their fit-once caches live."),
       (args: Seq[Expression]) => {
+        arity(args, 5, "knn_search(corpusTable, queryTable, idCol, embCol, k)")
         val spark = org.apache.spark.sql.SparkSession.active
         org.apache.spark.sql.GraftShims.logicalPlan(
           graft.sim.Ann.bruteForceTopK(
@@ -313,6 +334,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "from the right row with the greatest rightTs <= leftTs per key " +
           "(keys comma-separated; ties resolve to the right row)"),
       (args: Seq[Expression]) => {
+        arity(args, 7,
+          "asof_join(leftTable, rightTable, keys, leftTs, rightTs, valueCol, outCol)")
         val spark = org.apache.spark.sql.SparkSession.active
         org.apache.spark.sql.GraftShims.logicalPlan(
           graft.ops.AsOf.joinAsOf(
@@ -352,6 +375,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.functions.lit(n).as(colName)))
     }
 
+    // metadata-only DDL verbs: one rowless commit that carries every data
+    // file by reference and changes only the stored schema — O(1) in data
+    // bytes. All three are convergent-idempotent (re-applying is a no-op),
+    // which is what makes them safe under analyzer double-evaluation.
+    def boolRow(b: Boolean) = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      org.apache.spark.sql.GraftShims.logicalPlan(
+        spark.range(1).select(
+          org.apache.spark.sql.functions.lit(b).as("committed")))
+    }
+
+    ext.injectTableFunction((FunctionIdentifier("docstore_add_column"),
+      info("docstore_add_column",
+        "docstore_add_column(path, name, typeDdl) - metadata-only ADD " +
+          "COLUMN (nullable; existing files read it as null). Convergent: " +
+          "already present at the same type is a no-op; a different type " +
+          "fails. Returns (committed)."),
+      (args: Seq[Expression]) => {
+        arity(args, 3, "docstore_add_column(path, name, typeDdl)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        boolRow(graft.sources.DocStore.addColumn(spark,
+          strArg(args.head, "path"), strArg(args(1), "name"),
+          org.apache.spark.sql.types.DataType.fromDDL(
+            strArg(args(2), "typeDdl"))))
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("docstore_drop_column"),
+      info("docstore_drop_column",
+        "docstore_drop_column(path, name) - metadata-only DROP COLUMN " +
+          "(bytes stay in carried files until natural rewrites; no read " +
+          "serves them). Convergent: absent column is a no-op. Returns " +
+          "(committed)."),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "docstore_drop_column(path, name)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        boolRow(graft.sources.DocStore.dropColumn(spark,
+          strArg(args.head, "path"), strArg(args(1), "name")))
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("docstore_widen_column"),
+      info("docstore_widen_column",
+        "docstore_widen_column(path, name, typeDdl) - metadata-only type " +
+          "widening (int -> long, float -> double; files upcast at scan). " +
+          "Convergent: already at the target type is a no-op. Returns " +
+          "(committed)."),
+      (args: Seq[Expression]) => {
+        arity(args, 3, "docstore_widen_column(path, name, typeDdl)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        boolRow(graft.sources.DocStore.widenColumn(spark,
+          strArg(args.head, "path"), strArg(args(1), "name"),
+          org.apache.spark.sql.types.DataType.fromDDL(
+            strArg(args(2), "typeDdl"))))
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("docstore_update"),
       info("docstore_update",
         "docstore_update(path, token, filterSql, col1, valueSql1[, col2, " +
@@ -386,6 +463,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(deleted)."),
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        require(args.length == 3,
+          "docstore_delete(path, token, filterSql) takes exactly 3 arguments")
         val n = graft.sources.DocStore.deleteMany(spark,
           strArg(args.head, "path"),
           Some(org.apache.spark.sql.functions.expr(strArg(args(2), "filterSql"))),
@@ -401,6 +480,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "a per-group (cnt, sum_<col>...) view at O(delta + view) cost, " +
           "exactly-once) and return the maintained view"),
       (args: Seq[Expression]) => {
+        arity(args, 5, "sync_aggregate(srcPath, dstPath, keyCol, groupCol, sumColsCsv)")
         val spark = org.apache.spark.sql.SparkSession.active
         val dst = strArg(args(1), "dstPath")
         graft.sources.DocStore.syncAggregate(spark,
@@ -421,6 +501,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "taken down, changed text re-indexed, O(changed docs) per poll) " +
           "and return the index's full verified match table"),
       (args: Seq[Expression]) => {
+        arity(args, 6,
+          "sync_neardup(srcPath, indexPath, idCol, textCol, k, threshold)")
         val spark = org.apache.spark.sql.SparkSession.active
         val idx = strArg(args(1), "indexPath")
         graft.streaming.Streams.syncNearDupIndex(spark,

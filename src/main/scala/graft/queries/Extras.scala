@@ -616,6 +616,41 @@ object StreamingQuery {
   */
 object Extras {
 
+  /** The shared clustered-COW seed store of the d8/d10/d11/d12/x30
+    * scripts — `documents(doc_id, lang, n_chars)` compacted then
+    * clustered into 8 doc_id-statted files — staged once per JVM
+    * (pid-keyed `_SEEDED` marker), plus a FRESH work copy per call so
+    * every run mutates deterministic state. One builder on purpose: all
+    * five queries trust the same marker, so a geometry change (target
+    * file count, statsCols) edited into a per-query copy would silently
+    * serve mismatched seed content to whichever query runs second in the
+    * JVM. Returns the work copy's store path.
+    */
+  private def cowWorkStore(s: org.apache.spark.sql.SparkSession, d: String,
+                           runTag: String): String = {
+    import graft.sources.DocStore
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val pid = ProcessHandle.current().pid()
+    val seed = TmpDirs.cleanupOnExit(
+      s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
+      val store = s"$seed/store"
+      DocStore.insertMany(docs, store)
+      DocStore.compact(s, store, targetFiles = 1, format = Some("parquet"))
+      DocStore.cluster(s, store, col("doc_id"), targetFiles = 8,
+        statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
+    }
+    val work = TmpDirs.cleanupOnExit(
+      s"$tmp/graft-$runTag-${Integer.toHexString(d.hashCode)}-p$pid")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(seed), new java.io.File(work))
+    s"$work/store"
+  }
+
   val defs: Seq[(String, Entry)] = Seq(
 
     // ---- rollup: hierarchical subtotals (nulls mark rolled-up levels)
@@ -1019,26 +1054,7 @@ object Extras {
     "d8_cow_update" -> withOracle(
       (s, d) => {
         import graft.sources.DocStore
-        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-        val pid = ProcessHandle.current().pid()
-        val seed = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid")
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
-          val store = s"$seed/store"
-          DocStore.insertMany(docs, store)
-          DocStore.compact(s, store, targetFiles = 1, format = Some("parquet"))
-          DocStore.cluster(s, store, col("doc_id"), targetFiles = 8,
-            statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
-        }
-        val work = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-cowrun-${Integer.toHexString(d.hashCode)}-p$pid")
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
-        org.apache.commons.io.FileUtils.copyDirectory(
-          new java.io.File(seed), new java.io.File(work))
-        val store = s"$work/store"
+        val store = cowWorkStore(s, d, "cowrun")
         // both filters prune on the clustered doc_id stats: ~1 of 8 files
         // rewritten per mutation, 7 carried by reference
         DocStore.updateMany(s, store, col("doc_id").between(10L, 29L),
@@ -1069,26 +1085,7 @@ object Extras {
     "d10_cow_vacuum" -> withOracle(
       (s, d) => {
         import graft.sources.DocStore
-        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-        val pid = ProcessHandle.current().pid()
-        val seed = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid")
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
-          val store = s"$seed/store"
-          DocStore.insertMany(docs, store)
-          DocStore.compact(s, store, targetFiles = 1, format = Some("parquet"))
-          DocStore.cluster(s, store, col("doc_id"), targetFiles = 8,
-            statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
-        }
-        val work = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-vacrun-${Integer.toHexString(d.hashCode)}-p$pid")
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
-        org.apache.commons.io.FileUtils.copyDirectory(
-          new java.io.File(seed), new java.io.File(work))
-        val store = s"$work/store"
+        val store = cowWorkStore(s, d, "vacrun")
         Seq((10L, 29L), (130L, 149L)).foreach {
           case (lo, hi) => DocStore.updateMany(s, store,
             col("doc_id").between(lo, hi),
@@ -1124,27 +1121,7 @@ object Extras {
       (s, d) => {
         import graft.sources.DocStore
         val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-        val pid = ProcessHandle.current().pid()
-        // the d8/d10 seed staging, shared deliberately: identical content,
-        // built once per JVM whichever query runs first
-        val seed = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid")
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
-          val store = s"$seed/store"
-          DocStore.insertMany(docs, store)
-          DocStore.compact(s, store, targetFiles = 1, format = Some("parquet"))
-          DocStore.cluster(s, store, col("doc_id"), targetFiles = 8,
-            statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
-        }
-        val work = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-reclrun-${Integer.toHexString(d.hashCode)}-p$pid")
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
-        org.apache.commons.io.FileUtils.copyDirectory(
-          new java.io.File(seed), new java.io.File(work))
-        val store = s"$work/store"
+        val store = cowWorkStore(s, d, "reclrun")
         DocStore.deleteMany(s, store, Some(col("doc_id").between(100L, 119L)))
         DocStore.insertMany(
           docs.filter(col("doc_id").between(400L, 419L))
@@ -1177,25 +1154,7 @@ object Extras {
       (s, d) => {
         import graft.sources.DocStore
         val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-        val pid = ProcessHandle.current().pid()
-        val seed = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid")
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
-          val store = s"$seed/store"
-          DocStore.insertMany(docs, store)
-          DocStore.compact(s, store, targetFiles = 1, format = Some("parquet"))
-          DocStore.cluster(s, store, col("doc_id"), targetFiles = 8,
-            statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
-        }
-        val work = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-minmaxrun-${Integer.toHexString(d.hashCode)}-p$pid")
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
-        org.apache.commons.io.FileUtils.copyDirectory(
-          new java.io.File(seed), new java.io.File(work))
-        val store = s"$work/store"
+        val store = cowWorkStore(s, d, "minmaxrun")
         // the append extends the doc_id range; its incremental stats row
         // keeps the doc_id bounds metadata-served
         DocStore.insertMany(
@@ -1228,28 +1187,7 @@ object Extras {
     "x30_sql_docstore_update" -> withOracle(
       (s, d) => {
         import graft.sources.DocStore
-        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-        val pid = ProcessHandle.current().pid()
-        // the d8 seed staging, shared deliberately: identical content,
-        // built once per JVM whichever query runs first
-        val seed = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-cowseed-${Integer.toHexString(d.hashCode)}-p$pid")
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
-          val store = s"$seed/store"
-          DocStore.insertMany(docs, store)
-          DocStore.compact(s, store, targetFiles = 1, format = Some("parquet"))
-          DocStore.cluster(s, store, col("doc_id"), targetFiles = 8,
-            statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
-        }
-        val work = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-sqlmutrun-${Integer.toHexString(d.hashCode)}-p$pid")
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
-        org.apache.commons.io.FileUtils.copyDirectory(
-          new java.io.File(seed), new java.io.File(work))
-        val store = s"$work/store"
+        val store = cowWorkStore(s, d, "sqlmutrun")
         s.sql(s"SELECT * FROM docstore_update('$store', 'x30-upd', " +
           "'doc_id BETWEEN 10 AND 29', 'n_chars', 'n_chars + 50L')").collect()
         s.sql(s"SELECT * FROM docstore_delete('$store', 'x30-del', " +
@@ -1263,6 +1201,33 @@ object Extras {
         |                           THEN 50 ELSE 0 END AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id NOT BETWEEN 40 AND 49
         |ORDER BY doc_id""".stripMargin),
+
+    // ---- metadata-only schema evolution end-to-end (DocStore.addColumn /
+    //      dropColumn + the widening-COW $set): ADD a column (rowless
+    //      commit, every file carried), backfill a slice through the COW
+    //      mutation path — the int -> long $set widens the committed
+    //      schema while 7 of 8 files stay carried at their narrow
+    //      physical type — then DROP a column, also metadata-only. Zero
+    //      data bytes rewritten except the one matched file; at 100 TB a
+    //      rewrite-based ALTER is a cluster-day. FULLY ORACLED: the DDL
+    //      script is deterministic, DuckDB restates the final corpus.
+    "d13_schema_evolve" -> withOracle(
+      (s, d) => {
+        import graft.sources.DocStore
+        val store = cowWorkStore(s, d, "ddlrun")
+        DocStore.addColumn(s, store, "flag",
+          org.apache.spark.sql.types.IntegerType)
+        DocStore.updateMany(s, store, col("doc_id").between(10L, 29L),
+          Map("flag" -> lit(1L))) // int -> long: the widening-COW path
+        DocStore.dropColumn(s, store, "lang")
+        DocStore.find(s, store)
+          .select(col("doc_id"), col("n_chars"), col("flag"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CASE WHEN doc_id BETWEEN 10 AND 29
+        |            THEN CAST(1 AS BIGINT) ELSE NULL END AS flag
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     // ---- declarative data-quality expectations (ops.Expect): all
     //      row-local rules fold into ONE aggregate over ONE scan;

@@ -507,26 +507,55 @@ object DocStore {
             r.get(r.fieldIndex(s"__mx_$c")))).toMap
         }
       }
-    def pick(c: String, takeMin: Boolean): Any = {
+    // None = incomparable bounds encountered (stats and scan, or two
+    // stats rows, disagree on representation — e.g. a JSON collection
+    // whose column drifted numeric -> string across statted appends:
+    // the schema says string, so sidecarSafe passes, but older rows
+    // store numeric bounds). The sibling stats consumers (prunedFiles,
+    // countFast, recluster) treat incomparable stats as "unknown, read
+    // the data"; minMaxFast does the same via the rescue scan below
+    // instead of crashing or guessing an extreme.
+    def pick(c: String, takeMin: Boolean): Option[Any] = {
       val fromStats = covered(c).toSeq.flatMap(n =>
         stat(byFile(baseName(n)), s"${if (takeMin) "min" else "max"}_$c"))
       val fromScan = scanned.get(c)
         .map(v => if (takeMin) v._1 else v._2).filter(_ != null)
-      (fromStats ++ fromScan).reduceOption { (a, b) =>
-        statCompare(a, b) match {
-          case Some(cmp) => if ((cmp <= 0) == takeMin) a else b
-          // stats and scan disagree on representation (schema drift
-          // beyond the sidecar-safe class): unreachable for sidecarSafe
-          // columns, but fail loudly rather than guess an extreme
-          case None => throw new IllegalStateException(
-            s"docstore minMaxFast: incomparable bounds for '$c' ($a vs $b)")
+      val all = fromStats ++ fromScan
+      var acc: Any = null
+      for (v <- all) {
+        if (acc == null) acc = v
+        else statCompare(acc, v) match {
+          case Some(cmp) => if ((cmp <= 0) != takeMin) acc = v
+          case None => return None
         }
-      }.orNull
+      }
+      Some(acc)
     }
+    val picked: Map[String, Option[(Any, Any)]] = cols.map { c =>
+      c -> (for { mn <- pick(c, takeMin = true)
+                  mx <- pick(c, takeMin = false) } yield (mn, mx))
+    }.toMap
+    val drifted = cols.filter(c => picked(c).isEmpty)
+    val rescued: Map[String, (Any, Any)] =
+      if (drifted.isEmpty || names.isEmpty) Map.empty
+      else {
+        val docs = readFiles(spark, fmt,
+          schema.map(s => StructType(s.filter(f => drifted.contains(f.name)))),
+          names.toSeq.sorted.map(resolvePath(live, _)))
+        val present = drifted.filter(docs.columns.contains)
+        if (present.isEmpty) Map.empty
+        else {
+          val aggs = present.flatMap(c =>
+            Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+          val r = docs.agg(aggs.head, aggs.tail: _*).head()
+          present.map(c => c -> (r.get(r.fieldIndex(s"__mn_$c")),
+            r.get(r.fieldIndex(s"__mx_$c")))).toMap
+        }
+      }
     val outCols = cols.flatMap { c =>
       val dt = colType(c) match { case NullType => StringType; case t => t }
-      Seq(lit(pick(c, takeMin = true)).cast(dt).as(s"min_$c"),
-        lit(pick(c, takeMin = false)).cast(dt).as(s"max_$c"))
+      val (mn, mx) = picked(c).orElse(rescued.get(c)).getOrElse((null, null))
+      Seq(lit(mn).cast(dt).as(s"min_$c"), lit(mx).cast(dt).as(s"max_$c"))
     }
     spark.range(1).select(outCols: _*)
   }
@@ -554,8 +583,15 @@ object DocStore {
     * complete set, so an orphaned generation there cannot be told from a
     * legitimate one — exactly the ambiguity manifest-loss recovery
     * resolves by trusting complete generations.
+    *
+    * `retain` must match the retention the store's mutations were run
+    * with (the newest-`retain` window plus its direct link homes is the
+    * promised-readable set): a dangling link INSIDE that window is
+    * corruption (`error`), outside it legitimate vacuum/retention drift
+    * (`warn`) — with the default 2 a store maintained at retain = 3
+    * would have real damage of its 3rd-newest snapshot downgraded.
     */
-  def fsck(spark: SparkSession, path: String): DataFrame = {
+  def fsck(spark: SparkSession, path: String, retain: Int = 2): DataFrame = {
     import spark.implicits._
     val fs = fileSystem(spark, path)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
@@ -635,7 +671,7 @@ object DocStore {
         // damage either way.
         readLinks(fs, gdir).foreach { e =>
           if (!fs.exists(new Path(resolvePath(gdir, e)))) {
-            val inWindow = committed.takeRight(2).contains(g)
+            val inWindow = committed.takeRight(retain).contains(g)
             val homeDirExists =
               fs.exists(new Path(s"$path/${e.takeWhile(_ != '/')}"))
             if (inWindow || homeDirExists)
@@ -704,7 +740,7 @@ object DocStore {
         val liveD = genPath(path, committed.last)
         val names = logicalNames(fs, liveD)
         val homes = names.filter(_.contains("/")).map(_.takeWhile(_ != '/'))
-        val window = committed.takeRight(2).toSet
+        val window = committed.takeRight(retain).toSet
         homeAccounting(fs, path, liveD, names).foreach { case (g, bytes, ref) =>
           if (!window.contains(g) && homes.contains(f"gen-$g%06d") &&
               bytes > 0L && ref.toDouble / bytes < 0.5)
@@ -747,8 +783,21 @@ object DocStore {
         s"docstore: generation $generation of $path is not retained " +
           s"(have: ${committedGens(fs, path).mkString(", ")})")
     val gdir = genPath(path, generation)
-    val missing = readLinks(fs, gdir)
-      .filterNot(e => fs.exists(new Path(resolvePath(gdir, e))))
+    // resolvability check grouped by home: ONE listStatus per distinct
+    // home directory instead of one exists() per link — on an object
+    // store a CDC poll runs this twice per diffGenerations step, and a
+    // per-link HEAD would turn "O(changed keys)" into O(links) RPCs
+    val links = readLinks(fs, gdir)
+    val present: Map[String, Set[String]] =
+      links.map(_.takeWhile(_ != '/')).distinct.map { home =>
+        val hp = new Path(s"$path/$home")
+        home -> (if (fs.exists(hp))
+                   fs.listStatus(hp).iterator.filter(_.isFile)
+                     .map(_.getPath.getName).toSet
+                 else Set.empty[String])
+      }.toMap
+    val missing = links.filterNot(e =>
+      present.getOrElse(e.takeWhile(_ != '/'), Set.empty).contains(baseName(e)))
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"docstore: generation $generation of $path is no longer fully " +
@@ -999,10 +1048,11 @@ object DocStore {
     * reference — a follower poll then costs O(delta + matched files),
     * never a follower rewrite, the same economy the source mutations got.
     * Schema evolution through the changes stays supported: NEW columns
-    * widen the committed schema (carried files read them as null);
-    * a changed column TYPE falls back to the full rewrite (parquet
-    * cannot read the carried files' old physical type under the widened
-    * schema).
+    * widen the committed schema (carried files read them as null), and a
+    * pure type WIDENING (int -> long, float -> double) stays COW too —
+    * the parquet scan upcasts the carried files' narrower physical type
+    * under the widened committed schema ([[widensTo]]). Any other type
+    * change falls back to the full rewrite, which re-types every file.
     */
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
                    keyCol: String, retain: Int = 2): Unit =
@@ -1056,14 +1106,16 @@ object DocStore {
     // COW prune: a bounded changed-key set + keyCol stats on the target
     // turn the follower rewrite into O(matched files). schemaSafe allows
     // NEW columns (carried files read them as null under the widened
-    // committed schema) but rejects a TYPE change of any stored column.
+    // committed schema) and pure type WIDENINGS of stored columns
+    // (carried files' narrower physical types read under the widened
+    // committed schema — [[widensTo]]); any other type change rewrites.
     val cow = {
       val collected = keys.limit(ApplyCowKeyCap + 1).collect()
       if (collected.length > ApplyCowKeyCap) None
       else cowCandidates(spark, fs, liveD, fmt, names,
         col(keyCol).isin(collected.map(_.get(0)).toSeq: _*),
         schemaSafe = s => merged.schema.fields.forall(f =>
-          s.find(_.name == f.name).forall(_.dataType == f.dataType)))
+          s.find(_.name == f.name).forall(sf => widensTo(sf.dataType, f.dataType))))
     }
     cow match {
       case Some((cand, carried, schema)) =>
@@ -1428,6 +1480,133 @@ object DocStore {
     throw new IllegalStateException("unreachable")
   }
 
+  // ---- metadata-only schema evolution (DDL verbs) --------------------------
+  //
+  // The committed `_schema.json` IS the collection's schema; data files
+  // only have to be SERVABLE under it (absent columns read as null,
+  // narrower physical types upcast — [[widensTo]]). So add/drop/widen are
+  // pure metadata commits: a new generation that carries EVERY data file
+  // by reference and changes only the stored schema — O(1) in data bytes
+  // at any corpus size, where a rewrite-based ALTER on 100 TB is a
+  // cluster-day. DDL is a commit like any mutation: the generation
+  // advances, time travel serves the old schema from the old generation,
+  // concurrent-mutation races are detected and retried, and CDC stays
+  // exact (add/widen diff as empty — no visible row changes; drop
+  // truthfully reports rows whose dropped value was non-null as updated).
+
+  /** ADD a nullable column: metadata-only (existing files read it as
+    * null). Appends may then populate it; a `$set` can backfill.
+    * Convergent-idempotent: the column already present at exactly this
+    * type is a no-op (what makes the TVF safe under analyzer
+    * double-evaluation); present at a DIFFERENT type fails loudly.
+    * Returns true when a generation was committed.
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType,
+                retain: Int = 2, retries: Int = 3): Boolean =
+    withMutationRetry(retries) { () =>
+      alterSchema(spark, path, retain, s"addColumn($name)") { schema =>
+        schema.find(_.name == name) match {
+          case Some(f) if f.dataType == dataType => None // converged
+          case Some(f) => throw new IllegalArgumentException(
+            s"docstore: column $name already exists on $path at type " +
+              s"${f.dataType.simpleString} (asked ${dataType.simpleString})")
+          case None => Some(schema.add(name, dataType, nullable = true))
+        }
+      }
+    }
+
+  /** DROP a column: metadata-only — the bytes stay in the carried files
+    * (reclaimed as files are naturally rewritten by later mutations /
+    * compact), but no read surface serves them. Convergent-idempotent:
+    * dropping an absent column is a no-op. Note: an append whose batch
+    * still carries the column re-widens it back in (name-based schemas
+    * have no field ids) — fix the producer before dropping. Returns true
+    * when a generation was committed.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+                 retain: Int = 2, retries: Int = 3): Boolean =
+    withMutationRetry(retries) { () =>
+      alterSchema(spark, path, retain, s"dropColumn($name)") { schema =>
+        if (!schema.fieldNames.contains(name)) None // converged
+        else {
+          require(schema.length > 1,
+            s"docstore: refusing to drop the only column of $path")
+          Some(org.apache.spark.sql.types.StructType(
+            schema.filterNot(_.name == name)))
+        }
+      }
+    }
+
+  /** WIDEN a column's type in place: metadata-only for the scan-servable
+    * widenings (int -> long, float -> double — [[widensTo]]); every file
+    * keeps its physical type and upcasts at read. The proactive twin of
+    * the widening `$set` path, and the healing verb for integral drift an
+    * old producer appended. Convergent-idempotent: already at the target
+    * type is a no-op. Returns true when a generation was committed.
+    */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+                  to: org.apache.spark.sql.types.DataType,
+                  retain: Int = 2, retries: Int = 3): Boolean =
+    withMutationRetry(retries) { () =>
+      alterSchema(spark, path, retain, s"widenColumn($name)") { schema =>
+        val f = schema.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"docstore: column $name does not exist on $path"))
+        if (f.dataType == to) None // converged
+        else {
+          require(widensTo(f.dataType, to),
+            s"docstore: ${f.dataType.simpleString} -> ${to.simpleString} " +
+              "is not a scan-servable widening (int -> long, float -> " +
+              "double); re-typing beyond those requires a rewrite " +
+              "(full-collection \\$set, or compact)")
+          Some(org.apache.spark.sql.types.StructType(schema.map(x =>
+            if (x.name == name) x.copy(dataType = to, nullable = true) else x)))
+        }
+      }
+    }
+
+  /** The shared metadata-only DDL commit: pin the snapshot, transform the
+    * STORED schema (None = already converged, commit nothing), commit a
+    * rowless generation that carries every data file by reference under
+    * the new schema. Requires a stored schema (the thing being altered):
+    * a pre-schema or drifted store must compact()/collectStats() first so
+    * the alter has one source of truth.
+    */
+  private def alterSchema(spark: SparkSession, path: String, retain: Int,
+                          what: String)(
+      f: org.apache.spark.sql.types.StructType
+        => Option[org.apache.spark.sql.types.StructType]): Boolean = {
+    val fs = fileSystem(spark, path)
+    val (live, fmt, names) = pinLive(spark, fs, path)
+    val stored = storedSchema(fs, new Path(live, StatsDir)).getOrElse(
+      throw new IllegalStateException(
+        s"docstore: cannot $what on $path — the collection has no stored " +
+          "schema (pre-schema, or appends drifted it unmergeably); run " +
+          "compact()/collectStats() first"))
+    f(stored) match {
+      case None => false // converged: nothing to commit
+      case Some(next) =>
+        // rowless json store: the carried-branch schema write (the only
+        // json schema persistence) never runs with zero carried files —
+        // refuse rather than commit a generation that silently lost the
+        // new schema
+        require(fmt == "parquet" || names.nonEmpty,
+          s"docstore: cannot $what on an empty json collection — insert " +
+            "data or compact to parquet first")
+        // dataless only with carried links (genFormat reads the format
+        // from them); an EMPTY collection keeps the rowless write so the
+        // new generation still evidences its format on disk
+        commitRewrite(fs, spark,
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], next),
+          path, retain, format = fmt, sourceNames = names, pinnedLive = live,
+          carried = names.toSeq.sorted, carriedSchema = Some(next),
+          dataless = names.nonEmpty)
+        true
+    }
+  }
+
   // ---- idempotent mutations (tokens) --------------------------------------
 
   private val MutationTokenFile = "_mutation_token"
@@ -1441,6 +1620,7 @@ object DocStore {
   private def mutationTokenHit(fs: FileSystem, path: String,
                                token: String): Option[Long] = {
     if (!fs.exists(new Path(path))) return None
+    val wanted = encodeToken(token)
     committedGens(fs, path).reverseIterator.map { g =>
       val p = new Path(genPath(path, g), MutationTokenFile)
       if (!fs.exists(p)) None
@@ -1449,15 +1629,24 @@ object DocStore {
         val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
                   finally in.close()
         val lines = txt.split("\n", -1)
-        if (lines.nonEmpty && lines(0) == token)
+        if (lines.nonEmpty && lines(0) == wanted)
           scala.util.Try(lines(1).trim.toLong).toOption
         else None
       }
     }.collectFirst { case Some(n) => n }
   }
 
+  /** Tokens are arbitrary caller strings; the sidecar is line-framed, so
+    * store them Base64-encoded — a raw token containing a newline would
+    * never match its own first line and the replay check would silently
+    * re-execute the mutation it exists to suppress.
+    */
+  private def encodeToken(token: String): String =
+    java.util.Base64.getEncoder.encodeToString(token.getBytes(UTF_8))
+
   private def tokenSidecar(token: String, count: => Long): Map[String, () => Array[Byte]] =
-    Map(MutationTokenFile -> (() => s"$token\n$count".getBytes(UTF_8)))
+    Map(MutationTokenFile ->
+      (() => s"${encodeToken(token)}\n$count".getBytes(UTF_8)))
 
   /** $set-style conditional update; returns matched-document count. Fields
     * in `set` that don't exist yet are added (null for unmatched docs) —
@@ -1531,13 +1720,13 @@ object DocStore {
         // generation still advances — a mutation is a commit, and CDC
         // consumers see a clean empty diff). No observe: the optimizer
         // folds the empty scan to a LocalRelation and the metric would
-        // never fire.
+        // never fire. dataless: no rowless part file to haunt later prunes.
         commitRewrite(fs, spark,
           spark.createDataFrame(spark.sparkContext
             .emptyRDD[org.apache.spark.sql.Row], schema),
           path, retain, format = fmt, sourceNames = names,
           pinnedLive = live, carried = carried, carriedSchema = Some(schema),
-          lateSidecars = late(0L))
+          lateSidecars = late(0L), dataless = true)
         0L
       case Some((cand, carried, schema)) =>
         val docs = readFiles(spark, fmt, Some(schema),
@@ -1548,22 +1737,24 @@ object DocStore {
         val updated = set.foldLeft(base) { case (d, (k, v)) =>
           d.withColumn(k, when(matched, v).otherwise(col(k)))
         }
-        // TYPE GATE: a $set whose value WIDENS a column (int column,
-        // long/double value — when/otherwise coerces the whole column)
-        // would commit rewritten files under the widened schema while the
-        // carried files keep the old physical type, and a parquet read of
-        // int32 under a bigint read-schema fails. Any type drift takes
-        // the full-rewrite path, which re-types every file consistently.
+        // TYPE GATE: a $set whose value re-types a column (when/otherwise
+        // coerces the whole column) commits rewritten files under the new
+        // schema while carried files keep the old physical type. When the
+        // drift is a pure WIDENING the scan serves over the narrow
+        // physical type ([[widensTo]] — the compactSmall/vacuum
+        // widened-union discipline), the mutation stays COW and the
+        // committed widened schema heals the column for every later read;
+        // any other drift takes the full-rewrite path, which re-types
+        // every file consistently.
         val stable = updated.schema.fields.map(f => (f.name, f.dataType))
           .sameElements(docs.schema.fields.map(f => (f.name, f.dataType)))
-        if (!stable) fullRewrite()
-        else {
+        if (stable || widensOnly(docs.schema, updated.schema)) {
           commitRewrite(fs, spark, updated, path, retain, format = fmt,
             sourceNames = names, pinnedLive = live, carried = carried,
-            carriedSchema = Some(schema),
+            carriedSchema = Some(if (stable) schema else updated.schema),
             lateSidecars = late(obs.get("matched").asInstanceOf[Long]))
           obs.get("matched").asInstanceOf[Long]
-        }
+        } else fullRewrite()
       case None => fullRewrite()
     }
   }
@@ -1574,7 +1765,8 @@ object DocStore {
     * layout (legacy flat stores migrate via full rewrite), no usable
     * stats/predicate (pruning unavailable), pruning didn't drop anything
     * (links would only add overhead), or `schemaSafe` rejects (the
-    * mutation changes the schema, so it touches every row).
+    * mutation changes the schema in a way carried files cannot serve —
+    * pure widenings are allowed through, see [[widensTo]]).
     */
   private def cowCandidates(spark: SparkSession, fs: FileSystem, live: String,
                             fmt: String, names: Set[String], filter: Column,
@@ -1587,6 +1779,39 @@ object DocStore {
         Some((cand, (names -- cand).toSeq.sorted, schema))
       case _ => None
     }
+
+  /** True when a file whose physical column type is `from` can be SERVED
+    * under a read schema typed `to`: int -> long and float -> double —
+    * exactly the upcasts Spark 4's parquet reader performs at scan time
+    * (and the JSON reader parses schema-driven), the compactSmall/vacuum
+    * widened-union discipline, both pinned by spec against truncated
+    * data. This is what lets a widening mutation stay COW: rewritten
+    * files commit the widened type while carried files keep the narrower
+    * physical one, and the committed schema heals the drift for every
+    * later read. Deliberately NOT the full findTightestCommonType
+    * lattice: long -> double loses precision, the reader serves neither
+    * int64-under-double nor anything-under-string, and the byte/short
+    * chain is excluded as unmeasured here (those types never arise from
+    * this engine's own writes — JSON inference and the query surface
+    * produce int/long/double).
+    */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    from == to ||
+      (from == FloatType && to == DoubleType) ||
+      (from == IntegerType && to == LongType)
+  }
+
+  /** [[widensTo]] lifted to whole schemas: same field names in the same
+    * order, every type equal or widened.
+    */
+  private def widensOnly(from: org.apache.spark.sql.types.StructType,
+                         to: org.apache.spark.sql.types.StructType): Boolean =
+    from.fields.length == to.fields.length &&
+      from.fields.zip(to.fields).forall { case (a, b) =>
+        a.name == b.name && widensTo(a.dataType, b.dataType)
+      }
 
   /** Filtered delete; returns deleted count. `filter = None` (the empty
     * Mongo query) is REFUSED while `deleteProtection` is on. Selective
@@ -1633,7 +1858,7 @@ object DocStore {
                 .emptyRDD[org.apache.spark.sql.Row], schema),
               path, retain, format = fmt, sourceNames = names,
               pinnedLive = live, carried = carried, carriedSchema = Some(schema),
-              lateSidecars = late(0L))
+              lateSidecars = late(0L), dataless = true)
             0L
           case Some((cand, carried, schema)) =>
             val docs = readFiles(spark, fmt, Some(schema),
@@ -3220,7 +3445,8 @@ object DocStore {
                             sidecars: Map[String, Array[Byte]] = Map.empty,
                             carried: Seq[String] = Nil,
                             carriedSchema: Option[org.apache.spark.sql.types.StructType] = None,
-                            lateSidecars: Map[String, () => Array[Byte]] = Map.empty): Unit = {
+                            lateSidecars: Map[String, () => Array[Byte]] = Map.empty,
+                            dataless: Boolean = false): Unit = {
     require(retain >= 2, s"retain must keep the live + previous generation, got $retain")
     // LOUD lost-update detection ([[ConcurrentMutationException]]): checked
     // before the rewrite job and again right before the swing (the rewrite
@@ -3241,7 +3467,16 @@ object DocStore {
     val nextId = (gens.lastOption.getOrElse(0)) + 1
     val next = genPath(path, nextId)
     fs.delete(new Path(next), true)
-    writeData(df, format, next)
+    if (dataless) {
+      // metadata-only commit (DDL verbs, zero-match mutations): the df is
+      // provably empty, so skip the Spark job entirely — a rowless part
+      // file would be UNSTATTED and survive every later stats prune as a
+      // perpetual extra read (and chained DDL would carry it forever).
+      // Callers pass dataless only with carried links present, so
+      // genFormat still detects the format from the link entries.
+      fs.mkdirs(new Path(next))
+      fs.create(new Path(next, "_SUCCESS"), true).close()
+    } else writeData(df, format, next)
     if (format == "parquet") {
       // parquet reads back with EXACTLY the written types (unlike json,
       // whose inference conventions differ from arbitrary df schemas), so
@@ -3268,10 +3503,11 @@ object DocStore {
       writeLinks(fs, next, entries)
       val stats = new Path(next, StatsDir)
       fs.mkdirs(stats)
-      // the collection schema is UNCHANGED by a COW mutation (schema
-      // evolution forces the full-rewrite path), so the pinned stored
-      // schema is the new generation's schema — for json too, where
-      // commitRewrite's own parquet-only schema write doesn't apply
+      // the caller passes the schema the new generation SERVES: the
+      // pinned stored schema for a schema-preserving COW mutation, the
+      // widened one for a widening $set (carried files' narrower
+      // physical types read under it — [[widensTo]]). Needed for json,
+      // where commitRewrite's own parquet-only schema write doesn't apply
       if (!fs.exists(new Path(stats, "_schema.json")))
         carriedSchema.foreach { s =>
           val out = fs.create(new Path(stats, "_schema.json"), true)

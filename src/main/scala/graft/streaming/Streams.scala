@@ -588,6 +588,19 @@ object Streams {
             s"$indexPath was built with — refit drift; rebuild the index " +
             "or serve with the persisted model (ModelStore)"))
     }
+    // layout guard: an index written by the pre-batch-dir layout has
+    // `cell=M` dirs at the ROOT. Appending `batch_id=N/cell=M` next to
+    // them would put leaf files at different depths and brick every
+    // later partition discovery ("Conflicting directory structures") —
+    // refuse LOUDLY before the first write lands instead
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    if (fs.exists(root) &&
+        fs.listStatus(root).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("cell=")))
+      throw new IllegalStateException(
+        s"$what: the index at $indexPath uses the legacy root-level " +
+          "cell=M layout; the batch-dir layout (batch_id=N/cell=M) " +
+          "cannot be mixed into it — rebuild the index from the corpus")
   }
 
   /** TAKEDOWN for an IVF index built by [[ingestToIvfIndex]] /
@@ -784,7 +797,10 @@ object Streams {
         // the very ids it just removed at the SAME id. PURE-INSERT FAST
         // PATH: a freshly inserted id cannot be in the index — the seed
         // read exactly its cursor's snapshot — so the takedown scan runs
-        // only when the window carries an update or delete.
+        // only when the window carries an update or delete. Same
+        // precondition as syncNearDupIndex's fast path: seed THROUGH
+        // this function; a foreign index seeded from a live read can
+        // hold "inserted" ids whose stale entries nothing reconciles.
         val toRemove = perId.filter(col("__old") === 1)
         if (hasBatches && !toRemove.isEmpty) {
           // bounded driver collect: DISTINCT CELLS of the superseded
@@ -1344,7 +1360,14 @@ object Streams {
         // cursor's snapshot and every poll is exactly-once — so the
         // takedown's slot-pruned scan runs only when the window carries
         // an update or delete. Deterministic given (_SYNC, source), so
-        // crash replays stay byte-identical.
+        // crash replays stay byte-identical. PRECONDITION: this relies
+        // on seed == cursor snapshot (DocStore.snapshotAt). An index
+        // seeded OUTSIDE this function — by hand, or by a variant that
+        // reads a live find() after capturing the cursor — can hold ids
+        // the first poll reports as "inserted", and their seed-era
+        // entries would never be reconciled; seed through this function
+        // (or run removeFromNearDupIndex over the first window's ids
+        // once) before attaching polls to a foreign index.
         val toRemove = perId.filter(col("__old") === 1).select(col(idCol))
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/keys")) &&
             !toRemove.isEmpty)
@@ -1527,8 +1550,10 @@ object Streams {
         val fs3 = Seq(Future(writeMatches()), Future(writeKeys()), Future(writeSh()))
         fs3.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
       }
+      // one mark: verify + the three-way concurrent publish are a single
+      // overlapped phase now (a separate "index-write" mark here would
+      // always read ~0 and hide publish regressions from the profiler)
       mark("verify+write")
-      mark("index-write")
       candsNew.unpersist()
       keys.unpersist()
       sh.unpersist()

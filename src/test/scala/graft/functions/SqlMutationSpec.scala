@@ -154,4 +154,30 @@ class SqlMutationSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT * FROM docstore_recluster('$path', 'id')")
       .head().getAs[Long]("rewritten") == 0L)
   }
+
+  test("a token containing a newline still round-trips the idempotence sidecar") {
+    // tokens are arbitrary caller strings and the sidecar is line-framed;
+    // the stored form is Base64, so a raw newline cannot split the token
+    // across lines and silently defeat the replay check
+    val path = freshPath()
+    seeded(path)
+    val tok = "job-1\nretry"
+    assert(DocStore.updateMany(spark, path, col("id") < 10L,
+      Map("grp" -> (col("grp") + lit(100L))), token = Some(tok)) == 10L)
+    val gens = DocStore.generations(spark, path)
+    assert(DocStore.updateMany(spark, path, col("id") < 10L,
+      Map("grp" -> (col("grp") + lit(100L))), token = Some(tok)) == 10L)
+    assert(DocStore.generations(spark, path) == gens,
+      "the replay must not commit a new generation")
+    assert(DocStore.find(spark, path).filter(col("grp") >= 200).isEmpty,
+      "the replay must not double-apply the $set")
+  }
+
+  test("TVF arity errors name the signature, not an index") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM docstore_delete('/nope', 'tok')").collect()
+    }
+    assert(e.getMessage.contains("docstore_delete(path, token, filterSql)"),
+      e.getMessage)
+  }
 }

@@ -254,12 +254,13 @@ class DocStoreCowSpec extends SparkTestBase {
     }
   }
 
-  test("type-widening \\$set falls back to the full rewrite (no mixed-type generation)") {
+  test("a NON-servable type change ($set long -> double) falls back to the full rewrite") {
     val path = freshPath()
     seeded(path, 200, 4)
     // grp is BIGINT; a double $set value coerces the whole column through
-    // when/otherwise — carried int64 files under a double read-schema
-    // would fail, so COW must decline and re-type every file
+    // when/otherwise — int64 under a double read-schema is NOT one of the
+    // scan-servable widenings (unlike int -> long / float -> double,
+    // which stay COW), so COW must decline and re-type every file
     assert(DocStore.updateMany(spark, path, col("id") === 5L,
       Map("grp" -> lit(1.5))) == 1L)
     val lg = liveGen(path)
@@ -507,6 +508,74 @@ class DocStoreCowSpec extends SparkTestBase {
     // pruning still works at the end of the chain (stats carried 50 times)
     val probe = DocStore.find(spark, path, Some(col("id") === 800L))
     assert(probe.count() == 1)
+    val errs = DocStore.fsck(spark, path).filter(col("severity") === "error")
+    assert(errs.isEmpty, errs.collect().mkString("; "))
+  }
+
+  test("fsck severity follows the declared retention window (retain param)") {
+    val path = freshPath()
+    seeded(path, 200, 5)
+    // three single-file mutations drop the clustered home's live fraction
+    // to 0.4, vacuum re-homes its two live files, one more mutation slides
+    // the window: the original home ages out of the retention closure
+    // while the earlier COW generations (still on disk as homes of their
+    // own rewrites) carry _LINKS naming it
+    (0 until 3).foreach(i =>
+      DocStore.updateMany(spark, path, col("id") === (i * 40L + 1L),
+        Map("body" -> lit(s"e$i"))))
+    assert(DocStore.vacuum(spark, path, minLiveFraction = 0.7) == 2L)
+    DocStore.updateMany(spark, path, col("id") === 2L, Map("body" -> lit("z")))
+    // judged against the retention the store actually ran with (2): the
+    // aged-out home is legitimate drift, warn-level
+    val relaxed = DocStore.fsck(spark, path)
+    assert(relaxed.filter(col("severity") === "error").isEmpty,
+      relaxed.collect().mkString("; "))
+    assert(relaxed.filter(col("code") === "unreadable-generation").count() >= 1)
+    // judged against a retain-4 PROMISE the store never kept: those
+    // generations sit inside the claimed window, so the same missing
+    // home is corruption, error-level
+    val strict = DocStore.fsck(spark, path, retain = 4)
+    assert(strict.filter(col("severity") === "error" &&
+      col("code") === "dangling-link").count() >= 1,
+      strict.collect().mkString("; "))
+    // the SQL surface takes the same optional retain
+    assert(spark.sql(s"SELECT * FROM docstore_fsck('$path', 4)")
+      .filter(col("severity") === "error").count() ==
+      strict.filter(col("severity") === "error").count())
+    // reads stay exact regardless of the fsck verdicts
+    assert(DocStore.find(spark, path).count() == 200)
+  }
+
+  test("widening $set stays COW: carried int32/float files serve under the widened schema") {
+    val path = freshPath()
+    seeded(path, 400, 4) // id-clustered: 4 parquet files of 100 ids each
+    // append a batch carrying an int32 `w` and a float `f` column (parquet
+    // appends keep the batch's physical types; ids beyond the clustered
+    // range so the file is provably outside the mutation's filter)
+    DocStore.insertMany(
+      (1000 until 1100).map(i => (i.toLong, (i % 7).toLong, s"doc-$i", i, i / 2.0f))
+        .toDF("id", "grp", "body", "w", "f").repartition(1), path)
+    // the $set widens w (int -> long) and f (float -> double); the filter
+    // matches ONE clustered file — the mutation must stay COW
+    assert(DocStore.updateMany(spark, path, col("id").between(0L, 49L),
+      Map("w" -> lit(7L), "f" -> lit(1.5))) == 50L)
+    val lg = liveGen(path)
+    assert(links(s"$path/$lg").size == 4, "widening $set must stay COW")
+    val live = DocStore.find(spark, path)
+    assert(live.schema("w").dataType == org.apache.spark.sql.types.LongType)
+    assert(live.schema("f").dataType == org.apache.spark.sql.types.DoubleType)
+    // the CARRIED narrow-typed file serves exactly under the widened schema
+    assert(live.filter(col("id") === 1050L).select("w", "f")
+      .as[(Long, Double)].head() == ((1050L, 525.0)))
+    // the rewritten file carries the widened values
+    assert(live.filter(col("id") === 5L).select("w", "f")
+      .as[(Long, Double)].head() == ((7L, 1.5)))
+    // clustered rows the batch never covered: null under the widened schema
+    assert(live.filter(col("id") === 200L).select("w").head().isNullAt(0))
+    // pruning, metadata counts, and fsck all survive the widened commit
+    val probe = DocStore.find(spark, path, Some(col("id") === 1050L))
+    assert(probe.count() == 1 && probe.inputFiles.length == 1)
+    assert(DocStore.countFast(spark, path) == 500L)
     val errs = DocStore.fsck(spark, path).filter(col("severity") === "error")
     assert(errs.isEmpty, errs.collect().mkString("; "))
   }

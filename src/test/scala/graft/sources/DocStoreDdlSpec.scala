@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkTestBase
+
+/** Metadata-only schema evolution (add/drop/widen column): one rowless
+  * commit that carries EVERY data file by reference and changes only the
+  * stored schema — O(1) in data bytes at any corpus size. DDL is a commit
+  * like any mutation: the generation advances, time travel serves the old
+  * schema, CDC stays exact, and all three verbs are convergent-idempotent
+  * (what makes the SQL TVFs safe under analyzer double-evaluation).
+  */
+class DocStoreDdlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshPath() = {
+    val d = java.nio.file.Files.createTempDirectory("graft-ddl").toString
+    new java.io.File(d).delete()
+    d
+  }
+
+  private def liveGen(path: String): String =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_MANIFEST")).trim
+
+  private def physicalBytes(dir: String): Long =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+
+  private def links(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_LINKS")
+    if (!java.nio.file.Files.exists(p)) Nil
+    else java.nio.file.Files.readString(p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def seeded(path: String, n: Int = 400, files: Int = 4): Unit = {
+    DocStore.insertMany((0 until n).map(i => (i.toLong, (i % 7).toLong, s"doc-$i"))
+      .toDF("id", "grp", "body"), path)
+    DocStore.compact(spark, path, targetFiles = 1, format = Some("parquet"))
+    DocStore.cluster(spark, path, col("id"), files, Seq("id"),
+      bloomCols = Seq("id"), bloomBits = 1 << 12)
+  }
+
+  test("addColumn is metadata-only, null-reading, backfillable, and convergent") {
+    val path = freshPath()
+    seeded(path)
+    val before = liveGen(path)
+    assert(DocStore.addColumn(spark, path, "score", LongType))
+    val lg = liveGen(path)
+    assert(lg != before, "DDL is a commit: the generation advances")
+    // metadata-only: every data file carried, at most a rowless part
+    assert(links(s"$path/$lg").size == 4)
+    assert(physicalBytes(s"$path/$lg") < 4096)
+    val live = DocStore.find(spark, path)
+    assert(live.schema("score").dataType == LongType)
+    assert(live.filter(col("score").isNotNull).isEmpty)
+    assert(live.count() == 400 && DocStore.countFast(spark, path) == 400L)
+    // CDC across the DDL commit: an all-null new column changes no row
+    val gens = DocStore.generations(spark, path)
+    assert(DocStore.diffGenerations(spark, path, gens.init.last, gens.last, "id").isEmpty)
+    // a $set backfills it through the normal COW mutation path
+    assert(DocStore.updateMany(spark, path, col("id") < 100L,
+      Map("score" -> lit(5L))) == 100L)
+    assert(DocStore.find(spark, path).filter(col("score") === 5L).count() == 100)
+    // convergent: same (name, type) again commits nothing
+    val gensNow = DocStore.generations(spark, path)
+    assert(!DocStore.addColumn(spark, path, "score", LongType))
+    assert(DocStore.generations(spark, path) == gensNow)
+    // a DIFFERENT type is a real conflict, loud
+    assert(intercept[IllegalArgumentException] {
+      DocStore.addColumn(spark, path, "score", StringType)
+    }.getMessage.contains("already exists"))
+  }
+
+  test("dropColumn is metadata-only; time travel still serves the old schema") {
+    val path = freshPath()
+    seeded(path)
+    val preDrop = DocStore.generations(spark, path).last
+    assert(DocStore.dropColumn(spark, path, "body"))
+    val lg = liveGen(path)
+    assert(links(s"$path/$lg").size == 4)
+    assert(physicalBytes(s"$path/$lg") < 4096)
+    val live = DocStore.find(spark, path)
+    assert(!live.columns.contains("body"))
+    assert(live.count() == 400 && DocStore.countFast(spark, path) == 400L)
+    // pruning still works over the carried stats
+    val probe = DocStore.find(spark, path, Some(col("id") === 5L))
+    assert(probe.count() == 1 && probe.inputFiles.length == 1)
+    // the PRE-drop snapshot still serves the column (schema is per-generation)
+    val old = DocStore.findAsOf(spark, path, preDrop)
+    assert(old.columns.contains("body"))
+    assert(old.filter(col("body") === "doc-5").count() == 1)
+    // CDC across the drop truthfully reports visible-row changes
+    val gens = DocStore.generations(spark, path)
+    val diff = DocStore.diffGenerations(spark, path, gens.init.last, gens.last, "id")
+    assert(diff.filter(col("change") === "updated").count() == 400)
+    // convergent: dropping an absent column is a no-op
+    assert(!DocStore.dropColumn(spark, path, "body"))
+    val errs = DocStore.fsck(spark, path).filter(col("severity") === "error")
+    assert(errs.isEmpty, errs.collect().mkString("; "))
+  }
+
+  test("widenColumn upcasts carried narrow files in place; non-widenings refuse") {
+    val path = freshPath()
+    seeded(path)
+    // an int32 column arrives by append (the drift-healing scenario)
+    DocStore.insertMany(
+      (1000 until 1100).map(i => (i.toLong, (i % 7).toLong, s"doc-$i", i))
+        .toDF("id", "grp", "body", "w").repartition(1), path)
+    assert(DocStore.find(spark, path).schema("w").dataType == IntegerType)
+    assert(DocStore.widenColumn(spark, path, "w", LongType))
+    val lg = liveGen(path)
+    assert(links(s"$path/$lg").size == 5)
+    assert(physicalBytes(s"$path/$lg") < 4096)
+    val live = DocStore.find(spark, path)
+    assert(live.schema("w").dataType == LongType)
+    // the int32 file serves exactly under the widened schema
+    assert(live.filter(col("id") === 1050L).select("w").as[Long].head() == 1050L)
+    assert(live.filter(col("w").isNotNull).count() == 100)
+    // CDC across the widen: values unchanged, no diff rows
+    val gens = DocStore.generations(spark, path)
+    assert(DocStore.diffGenerations(spark, path, gens.init.last, gens.last, "id").isEmpty)
+    // convergent: already at the target type commits nothing
+    assert(!DocStore.widenColumn(spark, path, "w", LongType))
+    // long -> double is not scan-servable; absent column is loud
+    assert(intercept[IllegalArgumentException] {
+      DocStore.widenColumn(spark, path, "grp", DoubleType)
+    }.getMessage.contains("not a scan-servable widening"))
+    assert(intercept[IllegalArgumentException] {
+      DocStore.widenColumn(spark, path, "nope", LongType)
+    }.getMessage.contains("does not exist"))
+  }
+
+  test("SQL TVFs drive the same verbs and stay safe under double-evaluation") {
+    val path = freshPath()
+    seeded(path)
+    assert(spark.sql(s"SELECT * FROM docstore_add_column('$path', 'score', 'bigint')")
+      .head().getAs[Boolean]("committed"))
+    // the analyzer may evaluate a TVF twice: convergence makes that a no-op
+    assert(!spark.sql(s"SELECT * FROM docstore_add_column('$path', 'score', 'bigint')")
+      .head().getAs[Boolean]("committed"))
+    assert(DocStore.find(spark, path).schema("score").dataType == LongType)
+    assert(spark.sql(s"SELECT * FROM docstore_drop_column('$path', 'body')")
+      .head().getAs[Boolean]("committed"))
+    assert(!DocStore.find(spark, path).columns.contains("body"))
+    // widen via SQL over an appended int32 column
+    DocStore.insertMany(
+      (1000 until 1010).map(i => (i.toLong, (i % 7).toLong, i))
+        .toDF("id", "grp", "w").repartition(1), path)
+    assert(spark.sql(s"SELECT * FROM docstore_widen_column('$path', 'w', 'bigint')")
+      .head().getAs[Boolean]("committed"))
+    assert(DocStore.find(spark, path).schema("w").dataType == LongType)
+    assert(DocStore.find(spark, path).count() == 410)
+  }
+
+  test("a pre-schema store refuses DDL loudly (no source of truth to alter)") {
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, "a")).toDF("id", "body"), path) // json, no schema
+    assert(intercept[IllegalStateException] {
+      DocStore.addColumn(spark, path, "score", LongType)
+    }.getMessage.contains("no stored schema"))
+  }
+}

@@ -104,4 +104,22 @@ class MinMaxFastSpec extends SparkTestBase {
     assert(r.getAs[Double]("min_score") == e.getDouble(4))
     assert(r.getAs[Double]("max_score") == e.getDouble(5))
   }
+
+  test("representation-drifted stats degrade to the scan, never throw") {
+    // a JSON collection whose column drifts numeric -> string across
+    // statted appends: the schema unifies to string (so the column looks
+    // sidecar-safe), but the per-file stats rows carry a numeric bound
+    // next to a string bound — incomparable. Every sibling stats consumer
+    // treats that as "unknown, read the data"; minMaxFast must too.
+    val path = freshPath()
+    DocStore.insertMany(Seq((1L, 5L), (2L, 9L)).toDF("id", "v")
+      .repartition(1), path)
+    DocStore.collectStats(spark, path, Seq("v"))
+    DocStore.insertMany(Seq((3L, "aa"), (4L, "zz")).toDF("id", "v")
+      .repartition(1), path)
+    val r = DocStore.minMaxFast(spark, path, Seq("v")).head()
+    // exact under the drifted (string) schema: "5" < "9" < "aa" < "zz"
+    assert(r.getAs[String]("min_v") == "5", r.toString)
+    assert(r.getAs[String]("max_v") == "zz", r.toString)
+  }
 }

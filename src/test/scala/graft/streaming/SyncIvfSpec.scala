@@ -206,4 +206,19 @@ class SyncIvfSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("_SYNC"))
   }
+
+  test("a legacy root-level cell= layout is refused before any write") {
+    val idx = freshPath()
+    val model = Ann.fitIvf(corpusDf(0L until 30L), nCells = 3, lloydIters = 2)
+    // an index written by the pre-batch-dir layout has cell=M dirs at the
+    // root; mixing batch_id=N/cell=M next to them would put leaf files at
+    // different depths and brick partition discovery for every later read
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(idx, "cell=0"))
+    val e = intercept[IllegalStateException] {
+      Streams.ivfBatch(corpusDf(0L until 10L), 1L, idx, model,
+        "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
 }

@@ -379,6 +379,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // file by reference and changes only the stored schema — O(1) in data
     // bytes. All three are convergent-idempotent (re-applying is a no-op),
     // which is what makes them safe under analyzer double-evaluation.
+    // `committed` reflects THIS evaluation (the vacuum/recluster `rehomed`/
+    // `rewritten` convention): if the analyzer evaluated the statement
+    // twice, the kept plan is the converged second pass and reads false
+    // even though the statement's first pass committed — key scripts on
+    // the post-state (the schema), not on the flag.
     def boolRow(b: Boolean) = {
       val spark = org.apache.spark.sql.SparkSession.active
       org.apache.spark.sql.GraftShims.logicalPlan(

@@ -490,14 +490,17 @@ object DocStore {
                   stat(r, s"max_$c").isDefined)
             })
     }.toMap
-    val scanFiles = cols.flatMap(c => names -- covered(c)).distinct.sorted
-    val scanned: Map[String, (Any, Any)] =
-      if (scanFiles.isEmpty || names.isEmpty) Map.empty
+    // ONE shared scan job per file set: exact min/max of `wanted` over
+    // `files`, typed by the read schema (overlapping file sets are fine —
+    // min/max tolerate duplicates)
+    def scanMinMax(wanted: Seq[String],
+                   files: Seq[String]): Map[String, (Any, Any)] =
+      if (wanted.isEmpty || files.isEmpty) Map.empty
       else {
         val docs = readFiles(spark, fmt,
-          schema.map(s => StructType(s.filter(f => cols.contains(f.name)))),
-          scanFiles.map(resolvePath(live, _)))
-        val present = cols.filter(docs.columns.contains)
+          schema.map(s => StructType(s.filter(f => wanted.contains(f.name)))),
+          files.map(resolvePath(live, _)))
+        val present = wanted.filter(docs.columns.contains)
         if (present.isEmpty) Map.empty
         else {
           val aggs = present.flatMap(c =>
@@ -507,6 +510,8 @@ object DocStore {
             r.get(r.fieldIndex(s"__mx_$c")))).toMap
         }
       }
+    val scanFiles = cols.flatMap(c => names -- covered(c)).distinct.sorted
+    val scanned = scanMinMax(cols, scanFiles)
     // None = incomparable bounds encountered (stats and scan, or two
     // stats rows, disagree on representation — e.g. a JSON collection
     // whose column drifted numeric -> string across statted appends:
@@ -535,23 +540,12 @@ object DocStore {
       c -> (for { mn <- pick(c, takeMin = true)
                   mx <- pick(c, takeMin = false) } yield (mn, mx))
     }.toMap
+    // rescue = re-scan ALL files for the drifted columns (deliberately
+    // simple: the drift path is a rare degraded state, and re-reading the
+    // handful of already-scanned files keeps every value schema-typed
+    // from one job instead of merging across reads)
     val drifted = cols.filter(c => picked(c).isEmpty)
-    val rescued: Map[String, (Any, Any)] =
-      if (drifted.isEmpty || names.isEmpty) Map.empty
-      else {
-        val docs = readFiles(spark, fmt,
-          schema.map(s => StructType(s.filter(f => drifted.contains(f.name)))),
-          names.toSeq.sorted.map(resolvePath(live, _)))
-        val present = drifted.filter(docs.columns.contains)
-        if (present.isEmpty) Map.empty
-        else {
-          val aggs = present.flatMap(c =>
-            Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
-          val r = docs.agg(aggs.head, aggs.tail: _*).head()
-          present.map(c => c -> (r.get(r.fieldIndex(s"__mn_$c")),
-            r.get(r.fieldIndex(s"__mx_$c")))).toMap
-        }
-      }
+    val rescued = scanMinMax(drifted, names.toSeq.sorted)
     val outCols = cols.flatMap { c =>
       val dt = colType(c) match { case NullType => StringType; case t => t }
       val (mn, mx) = picked(c).orElse(rescued.get(c)).getOrElse((null, null))
@@ -592,6 +586,10 @@ object DocStore {
     * would have real damage of its 3rd-newest snapshot downgraded.
     */
   def fsck(spark: SparkSession, path: String, retain: Int = 2): DataFrame = {
+    // same floor as commitRewrite: mutations never run below 2, so no
+    // store's promise is narrower — and takeRight(0) would silently
+    // disable the in-window corruption check
+    require(retain >= 2, s"fsck retain must be >= 2, got $retain")
     import spark.implicits._
     val fs = fileSystem(spark, path)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
@@ -1506,11 +1504,14 @@ object DocStore {
                 retain: Int = 2, retries: Int = 3): Boolean =
     withMutationRetry(retries) { () =>
       alterSchema(spark, path, retain, s"addColumn($name)") { schema =>
-        schema.find(_.name == name) match {
-          case Some(f) if f.dataType == dataType => None // converged
+        resolveField(spark, schema, name) match {
+          case Some(f) if f.name == name && f.dataType == dataType =>
+            None // converged
           case Some(f) => throw new IllegalArgumentException(
-            s"docstore: column $name already exists on $path at type " +
-              s"${f.dataType.simpleString} (asked ${dataType.simpleString})")
+            s"docstore: column ${f.name} already exists on $path at type " +
+              s"${f.dataType.simpleString} (asked $name " +
+              s"${dataType.simpleString}) — under case-insensitive " +
+              "resolution both names would be AMBIGUOUS_REFERENCE")
           case None => Some(schema.add(name, dataType, nullable = true))
         }
       }
@@ -1528,12 +1529,13 @@ object DocStore {
                  retain: Int = 2, retries: Int = 3): Boolean =
     withMutationRetry(retries) { () =>
       alterSchema(spark, path, retain, s"dropColumn($name)") { schema =>
-        if (!schema.fieldNames.contains(name)) None // converged
-        else {
-          require(schema.length > 1,
-            s"docstore: refusing to drop the only column of $path")
-          Some(org.apache.spark.sql.types.StructType(
-            schema.filterNot(_.name == name)))
+        resolveField(spark, schema, name) match {
+          case None => None // converged
+          case Some(f) =>
+            require(schema.length > 1,
+              s"docstore: refusing to drop the only column of $path")
+            Some(org.apache.spark.sql.types.StructType(
+              schema.filterNot(_.name == f.name)))
         }
       }
     }
@@ -1550,7 +1552,7 @@ object DocStore {
                   retain: Int = 2, retries: Int = 3): Boolean =
     withMutationRetry(retries) { () =>
       alterSchema(spark, path, retain, s"widenColumn($name)") { schema =>
-        val f = schema.find(_.name == name).getOrElse(
+        val f = resolveField(spark, schema, name).getOrElse(
           throw new IllegalArgumentException(
             s"docstore: column $name does not exist on $path"))
         if (f.dataType == to) None // converged
@@ -1561,10 +1563,24 @@ object DocStore {
               "double); re-typing beyond those requires a rewrite " +
               "(full-collection \\$set, or compact)")
           Some(org.apache.spark.sql.types.StructType(schema.map(x =>
-            if (x.name == name) x.copy(dataType = to, nullable = true) else x)))
+            if (x.name == f.name) x.copy(dataType = to, nullable = true) else x)))
         }
       }
     }
+
+  /** Resolve `name` against `schema` the way the session's analyzer
+    * will: case-insensitive under the default resolution, exact when
+    * `spark.sql.caseSensitive` is on. An exact-only check here would let
+    * addColumn commit a case-colliding twin ("score" vs "Score") that
+    * makes every later reference AMBIGUOUS_REFERENCE.
+    */
+  private def resolveField(spark: SparkSession,
+                           schema: org.apache.spark.sql.types.StructType,
+                           name: String)
+      : Option[org.apache.spark.sql.types.StructField] =
+    if (spark.sessionState.conf.caseSensitiveAnalysis)
+      schema.find(_.name == name)
+    else schema.find(_.name.equalsIgnoreCase(name))
 
   /** The shared metadata-only DDL commit: pin the snapshot, transform the
     * STORED schema (None = already converged, commit nothing), commit a
@@ -1579,6 +1595,14 @@ object DocStore {
         => Option[org.apache.spark.sql.types.StructType]): Boolean = {
     val fs = fileSystem(spark, path)
     val (live, fmt, names) = pinLive(spark, fs, path)
+    // same generational-layout gate as cowCandidates: on a legacy FLAT
+    // store the carried-branch require would throw only AFTER the
+    // dataless commit created a complete empty generation — debris the
+    // next read would resolve to, silently emptying the collection.
+    // Refuse up front instead; compact() migrates the layout.
+    require(new Path(live).getName.matches("gen-\\d{6}"),
+      s"docstore: cannot $what on the legacy flat layout of $path — run " +
+        "compact() first to migrate to generations")
     val stored = storedSchema(fs, new Path(live, StatsDir)).getOrElse(
       throw new IllegalStateException(
         s"docstore: cannot $what on $path — the collection has no stored " +
@@ -1629,7 +1653,10 @@ object DocStore {
         val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
                   finally in.close()
         val lines = txt.split("\n", -1)
-        if (lines.nonEmpty && lines(0) == wanted)
+        // wanted = the Base64 frame; raw = a sidecar written before
+        // tokens were Base64-framed — still honored, or a cross-version
+        // replay would re-execute the very mutation the token suppresses
+        if (lines.nonEmpty && (lines(0) == wanted || lines(0) == token))
           scala.util.Try(lines(1).trim.toLong).toOption
         else None
       }

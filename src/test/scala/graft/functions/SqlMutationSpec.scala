@@ -180,4 +180,27 @@ class SqlMutationSpec extends SparkTestBase {
     assert(e.getMessage.contains("docstore_delete(path, token, filterSql)"),
       e.getMessage)
   }
+
+  test("a pre-Base64 raw token sidecar still suppresses the replay") {
+    val path = freshPath()
+    seeded(path)
+    assert(DocStore.updateMany(spark, path, col("id") < 10L,
+      Map("grp" -> (col("grp") + lit(100L))), token = Some("old-tok")) == 10L)
+    // rewrite the sidecar to the legacy raw-token frame (what a store
+    // mutated by the pre-encoding build carries on disk)
+    val gen = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_MANIFEST")).trim
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, gen, "_mutation_token"), "old-tok\n10")
+    // the raw rewrite bypassed Hadoop's checksum sidecar - drop it so the
+    // local FS serves the legacy bytes instead of a ChecksumException
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path, gen, "._mutation_token.crc"))
+    val gens = DocStore.generations(spark, path)
+    assert(DocStore.updateMany(spark, path, col("id") < 10L,
+      Map("grp" -> (col("grp") + lit(100L))), token = Some("old-tok")) == 10L)
+    assert(DocStore.generations(spark, path) == gens,
+      "the legacy-framed token must still suppress the replay")
+    assert(DocStore.find(spark, path).filter(col("grp") >= 200).isEmpty)
+  }
 }

@@ -161,4 +161,32 @@ class DocStoreDdlSpec extends SparkTestBase {
       DocStore.addColumn(spark, path, "score", LongType)
     }.getMessage.contains("no stored schema"))
   }
+
+  test("case-colliding add refuses; drop/widen resolve case-insensitively") {
+    val path = freshPath()
+    seeded(path)
+    // "GRP" would commit a twin of "grp": AMBIGUOUS_REFERENCE for every
+    // later col("grp") under default case-insensitive resolution
+    assert(intercept[IllegalArgumentException] {
+      DocStore.addColumn(spark, path, "GRP", LongType)
+    }.getMessage.contains("already exists"))
+    // exact (name, type) through a different case converges as the SAME column
+    assert(!DocStore.addColumn(spark, path, "grp", LongType))
+    // drop resolves the stored casing
+    assert(DocStore.dropColumn(spark, path, "BODY"))
+    assert(!DocStore.find(spark, path).columns.contains("body"))
+  }
+
+  test("legacy flat layout refuses DDL before any commit (no empty-generation debris)") {
+    val path = freshPath()
+    // a flat store: data file at the collection root, no generations
+    Seq((1L, "a"), (2L, "b")).toDF("id", "body").coalesce(1)
+      .write.json(path)
+    DocStore.collectStats(spark, path, Seq("id"))
+    assert(intercept[IllegalArgumentException] {
+      DocStore.addColumn(spark, path, "score", LongType)
+    }.getMessage.contains("flat layout"))
+    // no generation debris: the collection still reads its real data
+    assert(DocStore.find(spark, path).count() == 2)
+  }
 }

@@ -104,4 +104,11 @@ class FsckSpec extends SparkTestBase {
     val api = DocStore.fsck(spark, path).collect().map(_.toSeq).toSeq
     assert(sql.nonEmpty && sql == api)
   }
+
+  test("retain below the mutation floor is refused (takeRight(0) would blind the window)") {
+    intercept[IllegalArgumentException] {
+      DocStore.fsck(spark, "/nonexistent", retain = 1)
+    }
+    ()
+  }
 }

@@ -375,6 +375,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.functions.lit(n).as(colName)))
     }
 
+    ext.injectTableFunction((FunctionIdentifier("docstore_maintain"),
+      info("docstore_maintain",
+        "docstore_maintain(path[, keyCol[, maxDataFiles, smallBytes, " +
+          "maxOverlapping, minLiveFraction]]) - the whole maintenance " +
+          "triad as one idempotent call (DocStore.maintain): merge the " +
+          "small-file append tail, restore key-range disjointness, " +
+          "reclaim COW garbage — each leg incremental and a no-op while " +
+          "its threshold holds. Returns (compacted, reclustered, " +
+          "rehomed). Convergent: a healthy store commits nothing, so " +
+          "analyzer double-evaluation is safe."),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 6,
+          "docstore_maintain(path[, keyCol[, maxDataFiles, smallBytes, " +
+            "maxOverlapping, minLiveFraction]]) takes 1 to 6 arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val r = graft.sources.DocStore.maintain(spark,
+          strArg(args.head, "path"),
+          keyCol = if (args.length > 1) Some(strArg(args(1), "keyCol")) else None,
+          maxDataFiles =
+            if (args.length > 2) intArg(args(2), "maxDataFiles") else 64,
+          smallBytes =
+            if (args.length > 3) longArg(args(3), "smallBytes") else 1L << 24,
+          maxOverlapping =
+            if (args.length > 4) intArg(args(4), "maxOverlapping") else 0,
+          minLiveFraction =
+            if (args.length > 5) doubleArg(args(5), "minLiveFraction") else 0.5)
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          spark.range(1).select(
+            org.apache.spark.sql.functions.lit(r.compacted).as("compacted"),
+            org.apache.spark.sql.functions.lit(r.reclustered).as("reclustered"),
+            org.apache.spark.sql.functions.lit(r.rehomed).as("rehomed")))
+      }))
+
     // metadata-only DDL verbs: one rowless commit that carries every data
     // file by reference and changes only the stored schema — O(1) in data
     // bytes. All three are convergent-idempotent (re-applying is a no-op),

@@ -1229,6 +1229,55 @@ object Extras {
         |            THEN CAST(1 AS BIGINT) ELSE NULL END AS flag
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- the whole maintenance triad as ONE policy call
+    //      (DocStore.maintain): two overlapping-range appends and a COW
+    //      mutation decay the clustered store's file count, disjointness,
+    //      and live fraction; one maintain() restores all three — tail
+    //      merge at O(tail bytes), recluster at O(overlapping bytes),
+    //      vacuum at O(reclaimed live bytes) — and the corpus stays
+    //      row-exact. The operator cron for a mutating 100 TB corpus is
+    //      this one idempotent call. FULLY ORACLED: every leg is
+    //      row-preserving and the churn is deterministic, so DuckDB
+    //      restates the final corpus.
+    "d14_maintain" -> withOracle(
+      (s, d) => {
+        import graft.sources.DocStore
+        val store = cowWorkStore(s, d, "maintrun")
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val extra = docs
+          .withColumn("lang", lit("zz"))
+          .withColumn("n_chars", col("n_chars") + lit(1L))
+        // two appends spanning the whole clustered key range: the tail
+        // grows AND every appended file overlaps every clustered one
+        DocStore.insertMany(
+          extra.filter(col("doc_id") % 97 === 0).repartition(1), store)
+        DocStore.insertMany(
+          extra.filter(col("doc_id") % 89 === 0).repartition(1), store)
+        DocStore.updateMany(s, store, col("doc_id").between(10L, 29L),
+          Map("n_chars" -> (col("n_chars") + lit(50L))))
+        val r = DocStore.maintain(s, store, keyCol = Some("doc_id"),
+          maxDataFiles = 8, smallBytes = 1L << 20,
+          maxOverlapping = 0, minLiveFraction = 0.9)
+        require(r.compacted || r.reclustered,
+          s"d14: the churn should have tripped the policy ($r)")
+        DocStore.find(s, store)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id", "lang", "n_chars")
+      },
+      """WITH c AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'zz' AS lang, n_chars + 1 AS n_chars
+        |  FROM documents WHERE doc_id % 97 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'zz' AS lang, n_chars + 1 AS n_chars
+        |  FROM documents WHERE doc_id % 89 = 0
+        |)
+        |SELECT doc_id, lang,
+        |       CAST(n_chars + CASE WHEN doc_id BETWEEN 10 AND 29
+        |                           THEN 50 ELSE 0 END AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id, lang, n_chars""".stripMargin),
+
     // ---- declarative data-quality expectations (ops.Expect): all
     //      row-local rules fold into ONE aggregate over ONE scan;
     //      uniqueness is a (count, count-distinct) pair; referential

@@ -2478,6 +2478,53 @@ object DocStore {
     else { compact(spark, path, targetFiles, retain); true }
   }
 
+  /** One [[maintain]] pass's outcome: what each leg of the maintenance
+    * triad actually did (all-zero/false = the store was already healthy
+    * and nothing was committed).
+    */
+  final case class MaintenanceReport(compacted: Boolean,
+                                     reclustered: Boolean, rehomed: Long)
+
+  /** The WHOLE maintenance policy as ONE call — the triad an indefinitely
+    * mutating corpus needs, each leg incremental and each a no-op while
+    * its threshold holds:
+    *
+    *  1. file count ([[maybeCompact]] with the compactSmall preference):
+    *     merge the small-file append tail when the logical count exceeds
+    *     `maxDataFiles` — O(tail bytes);
+    *  2. clustering ([[maybeRecluster]], when `keyCol` is given): restore
+    *     per-file key-range disjointness when more than `maxOverlapping`
+    *     files overlap — O(overlapping bytes);
+    *  3. COW garbage ([[vacuum]]): re-home the live files of
+    *     mostly-dead link homes — O(their live bytes).
+    *
+    * Order is deliberate: the tail merge first (fewer, larger files for
+    * the overlap sweep), recluster second (its rewrite supersedes home
+    * bytes), vacuum last (reclaims what both just orphaned). A healthy
+    * store pays three metadata listings and commits nothing, so this is
+    * safe to run after every ingest window — the operator cron collapses
+    * to one idempotent call (`docstore_maintain` on the SQL surface).
+    */
+  def maintain(spark: SparkSession, path: String,
+               keyCol: Option[String] = None,
+               maxDataFiles: Int = 64,
+               smallBytes: Long = 1L << 24,
+               maxOverlapping: Int = 0,
+               minLiveFraction: Double = 0.5,
+               retain: Int = 2,
+               maxFileBytes: Long = 1L << 28): MaintenanceReport = {
+    val fs = fileSystem(spark, path)
+    if (!fs.exists(new Path(path)))
+      return MaintenanceReport(compacted = false, reclustered = false, 0L)
+    val compacted = maybeCompact(spark, path, maxDataFiles,
+      targetFiles = math.max(1, maxDataFiles / 4), retain = retain,
+      smallBytes = smallBytes)
+    val reclustered = keyCol.exists(k =>
+      maybeRecluster(spark, path, k, maxOverlapping, retain, maxFileBytes))
+    val rehomed = vacuum(spark, path, minLiveFraction, retain)
+    MaintenanceReport(compacted, reclustered, rehomed)
+  }
+
   /** Sort-rewrite the collection clustered by `key` (e.g. a column, or
     * [[graft.ops.Zorder.zkey]] for multi-column locality) into
     * `targetFiles` files, then record per-file min/max stats for

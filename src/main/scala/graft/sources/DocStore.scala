@@ -1505,13 +1505,17 @@ object DocStore {
     withMutationRetry(retries) { () =>
       alterSchema(spark, path, retain, s"addColumn($name)") { schema =>
         resolveField(spark, schema, name) match {
-          case Some(f) if f.name == name && f.dataType == dataType =>
-            None // converged
+          case Some(f) if f.dataType == dataType =>
+            // converged — including through a different CASE: the
+            // analyzer resolves both spellings to this one column, so an
+            // ensure-column script keeps working whatever casing created
+            // it (drop/widen accept the stored casing the same way)
+            None
           case Some(f) => throw new IllegalArgumentException(
             s"docstore: column ${f.name} already exists on $path at type " +
               s"${f.dataType.simpleString} (asked $name " +
-              s"${dataType.simpleString}) — under case-insensitive " +
-              "resolution both names would be AMBIGUOUS_REFERENCE")
+              s"${dataType.simpleString}) — committing a case-colliding " +
+              "twin would make every later reference AMBIGUOUS_REFERENCE")
           case None => Some(schema.add(name, dataType, nullable = true))
         }
       }
@@ -1653,10 +1657,15 @@ object DocStore {
         val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
                   finally in.close()
         val lines = txt.split("\n", -1)
-        // wanted = the Base64 frame; raw = a sidecar written before
-        // tokens were Base64-framed — still honored, or a cross-version
-        // replay would re-execute the very mutation the token suppresses
-        if (lines.nonEmpty && (lines(0) == wanted || lines(0) == token))
+        // wanted = the current tagged-Base64 frame. The raw fallback
+        // honors sidecars written before tokens were framed (a
+        // cross-version replay must not re-execute), but ONLY for lines
+        // that are not themselves tagged frames — otherwise a genuinely
+        // new token that happens to equal another token's stored frame
+        // would be silently swallowed as a replay (lost write).
+        if (lines.nonEmpty &&
+            (lines(0) == wanted ||
+              (!lines(0).startsWith(TokenFramePrefix) && lines(0) == token)))
           scala.util.Try(lines(1).trim.toLong).toOption
         else None
       }
@@ -1666,10 +1675,15 @@ object DocStore {
   /** Tokens are arbitrary caller strings; the sidecar is line-framed, so
     * store them Base64-encoded — a raw token containing a newline would
     * never match its own first line and the replay check would silently
-    * re-execute the mutation it exists to suppress.
+    * re-execute the mutation it exists to suppress. The "b64:" tag makes
+    * the frame self-describing, so the legacy raw-line fallback can be
+    * restricted to untagged lines (an untagged base64-looking TOKEN can
+    * then never be mistaken for another token's stored frame).
     */
+  private val TokenFramePrefix = "b64:"
   private def encodeToken(token: String): String =
-    java.util.Base64.getEncoder.encodeToString(token.getBytes(UTF_8))
+    TokenFramePrefix +
+      java.util.Base64.getEncoder.encodeToString(token.getBytes(UTF_8))
 
   private def tokenSidecar(token: String, count: => Long): Map[String, () => Array[Byte]] =
     Map(MutationTokenFile ->
@@ -2516,9 +2530,42 @@ object DocStore {
     val fs = fileSystem(spark, path)
     if (!fs.exists(new Path(path)))
       return MaintenanceReport(compacted = false, reclustered = false, 0L)
-    val compacted = maybeCompact(spark, path, maxDataFiles,
-      targetFiles = math.max(1, maxDataFiles / 4), retain = retain,
-      smallBytes = smallBytes)
+    // a misconfigured key (typo, or a store never cluster()ed) must fail
+    // LOUDLY here: maybeRecluster's trigger silently counts zero overlaps
+    // when nothing is statted, and a cron that forever reports "healthy"
+    // while clustering decays is exactly the failure maintain exists to
+    // prevent. Same require as recluster itself.
+    keyCol.foreach { k =>
+      val live = liveDir(fs, spark, path)
+      if (new Path(live).getName.matches("gen-\\d{6}"))
+        require(statsConfig(spark, fs, live)._1.contains(k),
+          s"docstore maintain: no min/max stats on '$k' in $path — run " +
+            "cluster() or collectStats() first")
+    }
+    // the FILE-COUNT budget must respect the FILE-SIZE budget: a corpus
+    // of B bytes reclusters into ~B/maxFileBytes disjoint files, so a
+    // maxDataFiles below that is structurally unreachable — compacting
+    // toward it would unsort the layout, recluster would re-split it,
+    // and the cron would oscillate between two O(corpus) rewrites
+    // forever. The effective budget treats the structural floor as
+    // healthy; only counts above it are tail debris worth merging.
+    val effectiveMax = {
+      val live = liveDir(fs, spark, path)
+      val bytes =
+        if (!fs.exists(new Path(live))) 0L
+        else logicalNames(fs, live).toSeq.map { n =>
+          val p = new Path(resolvePath(live, n))
+          if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+        }.sum
+      math.max(maxDataFiles.toLong,
+        (bytes + maxFileBytes - 1) / maxFileBytes).toInt
+    }
+    // targetFiles = 1 for the tail merge: compactSmall refuses when
+    // merging would not shrink the tail below targetFiles, so a larger
+    // target here would skip small tails and escalate to the full
+    // rewrite maintain promises to avoid
+    val compacted = maybeCompact(spark, path, effectiveMax,
+      targetFiles = 1, retain = retain, smallBytes = smallBytes)
     val reclustered = keyCol.exists(k =>
       maybeRecluster(spark, path, k, maxOverlapping, retain, maxFileBytes))
     val rehomed = vacuum(spark, path, minLiveFraction, retain)

@@ -203,4 +203,22 @@ class SqlMutationSpec extends SparkTestBase {
       "the legacy-framed token must still suppress the replay")
     assert(DocStore.find(spark, path).filter(col("grp") >= 200).isEmpty)
   }
+
+  test("a new token equal to another token's stored frame is NOT a replay") {
+    val path = freshPath()
+    seeded(path)
+    assert(DocStore.updateMany(spark, path, col("id") < 10L,
+      Map("grp" -> (col("grp") + lit(100L))), token = Some("req-1")) == 10L)
+    // the stored frame of "req-1" used as a GENUINE new token: the
+    // mutation must execute, not be swallowed as req-1's replay
+    val frame = "b64:" + java.util.Base64.getEncoder
+      .encodeToString("req-1".getBytes("UTF-8"))
+    val gens = DocStore.generations(spark, path)
+    assert(DocStore.updateMany(spark, path, col("id") < 10L,
+      Map("grp" -> (col("grp") + lit(100L))), token = Some(frame)) == 10L)
+    assert(DocStore.generations(spark, path) != gens,
+      "the frame-shaped token is a distinct mutation and must commit")
+    assert(DocStore.find(spark, path)
+      .filter(col("id") < 10L && col("grp") >= 200).count() == 10L)
+  }
 }

@@ -165,12 +165,15 @@ class DocStoreDdlSpec extends SparkTestBase {
   test("case-colliding add refuses; drop/widen resolve case-insensitively") {
     val path = freshPath()
     seeded(path)
-    // "GRP" would commit a twin of "grp": AMBIGUOUS_REFERENCE for every
-    // later col("grp") under default case-insensitive resolution
+    // a different-cased SAME-type add converges — the analyzer resolves
+    // both spellings to the one stored column, so an ensure-column
+    // script keeps working whatever casing created it
+    assert(!DocStore.addColumn(spark, path, "GRP", LongType))
+    // a different-TYPE add through any casing would commit a twin:
+    // AMBIGUOUS_REFERENCE for every later col("grp") — refuse loudly
     assert(intercept[IllegalArgumentException] {
-      DocStore.addColumn(spark, path, "GRP", LongType)
+      DocStore.addColumn(spark, path, "GRP", StringType)
     }.getMessage.contains("already exists"))
-    // exact (name, type) through a different case converges as the SAME column
     assert(!DocStore.addColumn(spark, path, "grp", LongType))
     // drop resolves the stored casing
     assert(DocStore.dropColumn(spark, path, "BODY"))

@@ -99,4 +99,30 @@ class DocStoreMaintainSpec extends SparkTestBase {
       .filter(col("status") === "overlapping").isEmpty)
     assert(DocStore.find(spark, path).count() == 450)
   }
+
+  test("maintain with an unstatted keyCol refuses loudly (silent no-op = decayed store)") {
+    val path = freshPath()
+    DocStore.insertMany((0 until 50).map(i => (i.toLong, s"d$i"))
+      .toDF("id", "body"), path)
+    DocStore.compact(spark, path, targetFiles = 2, format = Some("parquet"))
+    assert(intercept[IllegalArgumentException] {
+      DocStore.maintain(spark, path, keyCol = Some("id"))
+    }.getMessage.contains("no min/max stats"))
+  }
+
+  test("the file-count budget respects the file-size budget (no oscillation)") {
+    val path = freshPath()
+    seeded(path, 500, 5)
+    val gens = DocStore.generations(spark, path)
+    // 5 disjoint files whose bytes exceed maxDataFiles * maxFileBytes:
+    // the count is STRUCTURAL (a recluster would re-split right back),
+    // not tail debris — maintain must treat it as healthy instead of
+    // compacting toward an unreachable budget and oscillating between
+    // two full-corpus rewrites per cron tick
+    val r = DocStore.maintain(spark, path, keyCol = Some("id"),
+      maxDataFiles = 2, maxFileBytes = 1L)
+    assert(r == DocStore.MaintenanceReport(compacted = false,
+      reclustered = false, rehomed = 0L))
+    assert(DocStore.generations(spark, path) == gens)
+  }
 }

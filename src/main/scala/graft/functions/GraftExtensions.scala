@@ -306,6 +306,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             if (args.length > 1) intArg(args(1), "retain") else 2))
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("docstore_history"),
+      info("docstore_history",
+        "docstore_history(path) - commit-log dashboard: one metadata-only " +
+          "row per retained committed generation (live flag, physical vs " +
+          "carried file counts, bytes, schema width, mutation-token / " +
+          "sync-cursor markers, full readability)"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "docstore_history(path)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          graft.sources.DocStore.history(spark, strArg(args.head, "path")))
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("knn_search"),
       info("knn_search",
         "knn_search(corpusTable, queryTable, idCol, embCol, k) - exact " +

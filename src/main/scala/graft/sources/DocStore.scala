@@ -760,6 +760,58 @@ object DocStore {
   def generations(spark: SparkSession, path: String): Seq[Int] =
     committedGens(fileSystem(spark, path), path)
 
+  /** Commit-log dashboard: one row per retained committed generation,
+    * metadata-only (no data file is opened) — the operator's answer to
+    * "what happened to this collection and what does each snapshot
+    * cost". Columns: `generation`, `live` (the currently-served one),
+    * `data_files` (physical), `carried_files` (`_LINKS` entries),
+    * `physical_bytes` (this generation's own files), `schema_fields`
+    * (stored schema width, -1 when none is stored), `has_token` (an
+    * idempotent mutation committed here), `has_sync_cursor` (an
+    * incremental consumer anchors here), `fully_readable` (every carried
+    * link still resolves — [[findAsOf]] of this generation would serve).
+    * Also on the SQL surface as `docstore_history(path)`.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = fileSystem(spark, path)
+    val liveId: Option[Int] =
+      if (!fs.exists(new Path(path))) None
+      else readManifest(fs, path).collect { case GenName(id) => id.toInt }
+    val rows =
+      if (!fs.exists(new Path(path))) Seq.empty
+      else committedGens(fs, path).map { g =>
+        val gdir = genPath(path, g)
+        val links = readLinks(fs, gdir)
+        val physical = dataFileNames(fs, gdir)
+        val bytes = physical.toSeq.map { n =>
+          val p = new Path(s"$gdir/$n")
+          if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+        }.sum
+        // grouped-by-home resolvability, the findAsOf discipline
+        val present: Map[String, Set[String]] =
+          links.map(_.takeWhile(_ != '/')).distinct.map { home =>
+            val hp = new Path(s"$path/$home")
+            home -> (if (fs.exists(hp))
+                       fs.listStatus(hp).iterator.filter(_.isFile)
+                         .map(_.getPath.getName).toSet
+                     else Set.empty[String])
+          }.toMap
+        val readable = links.forall(e =>
+          present.getOrElse(e.takeWhile(_ != '/'), Set.empty)
+            .contains(baseName(e)))
+        val fields = storedSchema(fs, new Path(gdir, StatsDir))
+          .map(_.length).getOrElse(-1)
+        (g, liveId.contains(g), physical.size, links.size, bytes, fields,
+          fs.exists(new Path(gdir, MutationTokenFile)),
+          fs.exists(new Path(gdir, SyncCursorFile)), readable)
+      }
+    rows.toDF("generation", "live", "data_files", "carried_files",
+        "physical_bytes", "schema_fields", "has_token", "has_sync_cursor",
+        "fully_readable")
+      .orderBy("generation")
+  }
+
   /** Time travel: read the collection as of a retained generation id
     * (from [[generations]]). Fails loudly on a pruned or never-committed
     * generation (including a crash-orphaned aborted rewrite) rather than

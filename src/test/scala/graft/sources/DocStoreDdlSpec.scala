@@ -192,4 +192,34 @@ class DocStoreDdlSpec extends SparkTestBase {
     // no generation debris: the collection still reads its real data
     assert(DocStore.find(spark, path).count() == 2)
   }
+
+  test("history is the metadata-only commit log across mutations and DDL") {
+    val path = freshPath()
+    seeded(path)                                           // insert/compact/cluster
+    DocStore.updateMany(spark, path, col("id") === 5L,
+      Map("body" -> lit("x")), token = Some("h-1"))        // COW + token
+    DocStore.addColumn(spark, path, "score", LongType)     // dataless DDL
+    val h = DocStore.history(spark, path).collect()
+    assert(h.map(_.getAs[Int]("generation")).toSeq == h.map(_.getAs[Int]("generation")).toSeq.sorted)
+    assert(h.count(_.getAs[Boolean]("live")) == 1)
+    val live = h.find(_.getAs[Boolean]("live")).get
+    // the DDL generation: zero physical data files, everything carried
+    assert(live.getAs[Int]("data_files") == 0)
+    assert(live.getAs[Int]("carried_files") == 4)
+    assert(live.getAs[Long]("physical_bytes") == 0L)
+    assert(live.getAs[Int]("schema_fields") == 4) // id, grp, body, score
+    assert(live.getAs[Boolean]("fully_readable"))
+    assert(!live.getAs[Boolean]("has_token"))
+    // the token landed on the mutation's generation
+    assert(h.exists(r => r.getAs[Boolean]("has_token")))
+    // every retained generation is still fully readable
+    assert(h.forall(_.getAs[Boolean]("fully_readable")))
+    // SQL surface parity
+    val sql = spark.sql(s"SELECT * FROM docstore_history('$path')").collect()
+    assert(sql.map(_.toSeq).toSeq == h.map(_.toSeq).toSeq)
+    // a vacuumed-away home eventually reads as not fully readable: covered
+    // by the fsck unreadable-generation test; here history on a missing
+    // collection is simply empty
+    assert(DocStore.history(spark, freshPath()).isEmpty)
+  }
 }

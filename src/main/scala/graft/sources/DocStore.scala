@@ -1550,12 +1550,35 @@ object DocStore {
     * type is a no-op (what makes the TVF safe under analyzer
     * double-evaluation); present at a DIFFERENT type fails loudly.
     * Returns true when a generation was committed.
+    *
+    * RESURRECTION GUARD: the stored schema is not the only truth — a
+    * previously [[dropColumn]]ed name still physically lives in every
+    * file that was never rewritten since. A metadata-only re-add at the
+    * same type would silently RESURRECT those values (data the drop
+    * promised no read surface serves); at a different type every read of
+    * a carried file would fail with a parquet conversion error, bricking
+    * the collection until a compact. So an actual add first checks the
+    * PHYSICAL union schema of the pinned files (parquet: one distributed
+    * mergeSchema footer pass, O(footers); json: one inference pass) and
+    * refuses loudly when the name is physically present — `compact()`
+    * purges the dropped bytes and makes the re-add legitimate.
     */
   def addColumn(spark: SparkSession, path: String, name: String,
                 dataType: org.apache.spark.sql.types.DataType,
                 retain: Int = 2, retries: Int = 3): Boolean =
-    withMutationRetry(retries) { () =>
-      alterSchema(spark, path, retain, s"addColumn($name)") { schema =>
+    withMutationRetry(retries)(() =>
+      addColumnSeamed(spark, path, name, dataType, () => (), retain))
+
+  /** [[addColumn]] with a test seam after the pin and no retry (the
+    * updateManySeamed convention) — the window a competing mutation (and
+    * the disjoint re-commit of a dataless DDL on top of it) occupies.
+    */
+  private[sources] def addColumnSeamed(spark: SparkSession, path: String,
+                                       name: String,
+                                       dataType: org.apache.spark.sql.types.DataType,
+                                       afterPin: () => Unit,
+                                       retain: Int = 2): Boolean =
+      alterSchema(spark, path, retain, s"addColumn($name)", afterPin)(schema =>
         resolveField(spark, schema, name) match {
           case Some(f) if f.dataType == dataType =>
             // converged — including through a different CASE: the
@@ -1569,9 +1592,46 @@ object DocStore {
               s"${dataType.simpleString}) — committing a case-colliding " +
               "twin would make every later reference AMBIGUOUS_REFERENCE")
           case None => Some(schema.add(name, dataType, nullable = true))
-        }
-      }
-    }
+        },
+        physicalGuard = (live, fmt, names) =>
+          physicalUnionSchema(spark, fileSystem(spark, path), live, fmt, names)
+            .flatMap(s => resolveField(spark, s, name))
+            .foreach { pf =>
+              throw new IllegalStateException(
+                s"docstore addColumn: column ${pf.name} is physically " +
+                  s"present in $path's data files (type " +
+                  s"${pf.dataType.simpleString}) though absent from the " +
+                  "stored schema — previously dropped, or drifted in by an " +
+                  "external writer. A metadata-only add would " +
+                  (if (pf.dataType == dataType) "silently resurrect the dropped values"
+                   else "brick every read of those files with a type-conversion error") +
+                  "; run compact() to purge the dropped bytes first, or pick " +
+                  "a different name")
+            })
+
+  /** The UNION of what the generation's data files PHYSICALLY contain —
+    * unlike [[storedSchema]] (the committed contract) and
+    * [[logicalReadSchema]] (which prefers the stored schema), this always
+    * consults the files themselves: parquet via one distributed
+    * mergeSchema footer pass (falling back to a per-file widen when
+    * strict merge refuses on width drift), json via one inference pass.
+    * None when nothing is determinable (empty, or drift so broken that
+    * full reads already fail loudly); callers treat that as unknown.
+    */
+  private def physicalUnionSchema(spark: SparkSession, fs: FileSystem,
+                                  live: String, fmt: String,
+                                  names: Set[String])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val paths = names.toSeq.sorted.map(resolvePath(live, _))
+    if (paths.isEmpty) None
+    else if (fmt == "parquet")
+      scala.util.Try(spark.read.option("mergeSchema", "true")
+          .parquet(paths: _*).schema).toOption
+        .orElse(scala.util.Try(
+          paths.map(p => spark.read.parquet(p).schema)
+            .reduceLeft(widenStructs)).toOption)
+    else scala.util.Try(spark.read.json(paths: _*).schema).toOption
+  }
 
   /** DROP a column: metadata-only — the bytes stay in the carried files
     * (reclaimed as files are naturally rewritten by later mutations /
@@ -1624,6 +1684,55 @@ object DocStore {
       }
     }
 
+  /** RENAME a column. Deliberately NOT metadata-only: this format's
+    * schemas are name-based (no field ids — the same reason Delta Lake
+    * requires column-mapping mode before it allows renames), so a
+    * renamed stored schema over carried files whose footers still say
+    * the OLD name would read the column as all-null — silent data loss
+    * dressed up as a free rename. The honest implementation is a
+    * one-scan rewrite (O(corpus), like compact) that physically renames
+    * the column in every file, re-statting with the pinned geometry (the
+    * stats key follows the rename, so pruning survives). Convergent-
+    * idempotent: `from` absent with `to` present is the replayed-verb
+    * no-op; `to` already existing NEXT TO `from` fails loudly. Returns
+    * true when a generation was committed.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+                   to: String, retain: Int = 2, retries: Int = 3): Boolean =
+    withMutationRetry(retries) { () =>
+      val fs = fileSystem(spark, path)
+      val (live, fmt, names) = pinLive(spark, fs, path)
+      require(new Path(live).getName.matches("gen-\\d{6}"),
+        s"docstore: cannot renameColumn on the legacy flat layout of $path " +
+          "— run compact() first to migrate to generations")
+      val stored = storedSchema(fs, new Path(live, StatsDir)).getOrElse(
+        throw new IllegalStateException(
+          s"docstore: cannot renameColumn on $path — the collection has no " +
+            "stored schema; run compact()/collectStats() first"))
+      (resolveField(spark, stored, from), resolveField(spark, stored, to)) match {
+        case (None, Some(_)) => false // converged: a replayed rename
+        case (None, None) => throw new IllegalArgumentException(
+          s"docstore renameColumn: neither '$from' nor '$to' exists on $path")
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          s"docstore renameColumn: target '$to' already exists on $path " +
+            s"next to '$from' — renaming onto it would drop a live column")
+        case (Some(f), None) =>
+          val (statted, bloomed, bits) = statsConfig(spark, fs, live)
+          val docs = readPinned(spark, fs, live, fmt, names)
+            .withColumnRenamed(f.name, to)
+          commitRewrite(fs, spark, docs, path, retain, format = fmt,
+            sourceNames = names, pinnedLive = live)
+          // the full rewrite dropped the stats sidecar; restore it with
+          // the SAME geometry under the new name so skipping and
+          // metadata-exact counts survive the rename
+          def ren(c: String): String = if (c == f.name) to else c
+          if (statted.nonEmpty || bloomed.nonEmpty)
+            collectStats(spark, path, statted.map(ren), bloomed.map(ren),
+              if (bits > 0) bits else 1 << 16)
+          true
+      }
+    }
+
   /** Resolve `name` against `schema` the way the session's analyzer
     * will: case-insensitive under the default resolution, exact when
     * `spark.sql.caseSensitive` is on. An exact-only check here would let
@@ -1646,11 +1755,17 @@ object DocStore {
     * the alter has one source of truth.
     */
   private def alterSchema(spark: SparkSession, path: String, retain: Int,
-                          what: String)(
+                          what: String, afterPin: () => Unit = () => ())(
       f: org.apache.spark.sql.types.StructType
-        => Option[org.apache.spark.sql.types.StructType]): Boolean = {
+        => Option[org.apache.spark.sql.types.StructType],
+      // runs only when a generation WILL be committed, with the pinned
+      // (live, fmt, names) — addColumn's physical-presence check; the
+      // default is the no-op the other verbs keep
+      physicalGuard: (String, String, Set[String]) => Unit = (_, _, _) => ())
+      : Boolean = {
     val fs = fileSystem(spark, path)
     val (live, fmt, names) = pinLive(spark, fs, path)
+    afterPin()
     // same generational-layout gate as cowCandidates: on a legacy FLAT
     // store the carried-branch require would throw only AFTER the
     // dataless commit created a complete empty generation — debris the
@@ -1667,6 +1782,7 @@ object DocStore {
     f(stored) match {
       case None => false // converged: nothing to commit
       case Some(next) =>
+        physicalGuard(live, fmt, names)
         // rowless json store: the carried-branch schema write (the only
         // json schema persistence) never runs with zero carried files —
         // refuse rather than commit a generation that silently lost the
@@ -1731,6 +1847,18 @@ object DocStore {
     * the frame self-describing, so the legacy raw-line fallback can be
     * restricted to untagged lines (an untagged base64-looking TOKEN can
     * then never be mistaken for another token's stored frame).
+    *
+    * RESIDUAL EDGE (documented, not fixable): a PRE-framing sidecar whose
+    * caller token itself began with "b64:" is ambiguous after upgrade — the
+    * stored line `b64:X` could be that legacy raw token OR the frame of the
+    * different token base64-decode(X), and no comparison can distinguish
+    * the two (treating it as a replay hit would swallow a genuinely new
+    * mutation — a lost write, strictly worse than the duplicate apply this
+    * edge risks). Such a token replayed across the version boundary
+    * re-executes once; its re-commit writes the tagged frame and every
+    * later replay is suppressed normally. Callers whose tokens may start
+    * with "b64:" and who upgraded mid-retry should make the mutation body
+    * convergent (the TVF verbs already are).
     */
   private val TokenFramePrefix = "b64:"
   private def encodeToken(token: String): String =
@@ -1774,7 +1902,8 @@ object DocStore {
   private[sources] def updateManySeamed(spark: SparkSession, path: String,
                                         filter: Column, set: Map[String, Column],
                                         retain: Int, afterPin: () => Unit,
-                                        token: Option[String] = None): Long = {
+                                        token: Option[String] = None,
+                                        afterStage: () => Unit = () => ()): Long = {
     val fs = fileSystem(spark, path)
     // IDEMPOTENCE TOKEN: a retained generation already committed under
     // this token means this call is an at-least-once replay (an
@@ -1797,16 +1926,18 @@ object DocStore {
       val obs = Observation()
       val base = docs.observe(obs, count(when(matched, lit(1))).as("matched"))
       val updated = set.foldLeft(base) { case (d, (k, v)) =>
-        if (d.columns.contains(k)) d.withColumn(k, when(matched, v).otherwise(col(k)))
-        else d.withColumn(k, when(matched, v))
-      }
+        applySet(d, k, v, matched) }
       commitRewrite(fs, spark, updated, path, retain, format = fmt,
         sourceNames = names, pinnedLive = live,
-        lateSidecars = late(obs.get("matched").asInstanceOf[Long]))
+        lateSidecars = late(obs.get("matched").asInstanceOf[Long]),
+        afterStage = afterStage)
       obs.get("matched").asInstanceOf[Long]
     }
     val cow = cowCandidates(spark, fs, live, fmt, names, filter,
-      schemaSafe = s => set.keys.forall(s.fieldNames.contains))
+      // dotted keys are nested paths — COW needs only the TOP-level
+      // column present (the struct rebuild decides stability below)
+      schemaSafe = s => set.keys.forall(k =>
+        s.fieldNames.contains(k.takeWhile(_ != '.'))))
     cow match {
       case Some((cand, carried, schema)) if cand.isEmpty =>
         // nothing can match: an all-carried metadata-only commit (the
@@ -1819,17 +1950,17 @@ object DocStore {
             .emptyRDD[org.apache.spark.sql.Row], schema),
           path, retain, format = fmt, sourceNames = names,
           pinnedLive = live, carried = carried, carriedSchema = Some(schema),
-          lateSidecars = late(0L), dataless = true)
+          lateSidecars = late(0L), dataless = true, afterStage = afterStage)
         0L
       case Some((cand, carried, schema)) =>
         val docs = readFiles(spark, fmt, Some(schema),
           cand.map(resolvePath(live, _)))
         val obs = Observation()
         val base = docs.observe(obs, count(when(matched, lit(1))).as("matched"))
-        // every `set` key exists (schemaSafe) — no evolution branch here
+        // every `set` key's top-level column exists (schemaSafe), so the
+        // shared applySet never takes its evolution branch here
         val updated = set.foldLeft(base) { case (d, (k, v)) =>
-          d.withColumn(k, when(matched, v).otherwise(col(k)))
-        }
+          applySet(d, k, v, matched) }
         // TYPE GATE: a $set whose value re-types a column (when/otherwise
         // coerces the whole column) commits rewritten files under the new
         // schema while carried files keep the old physical type. When the
@@ -1845,12 +1976,59 @@ object DocStore {
           commitRewrite(fs, spark, updated, path, retain, format = fmt,
             sourceNames = names, pinnedLive = live, carried = carried,
             carriedSchema = Some(if (stable) schema else updated.schema),
-            lateSidecars = late(obs.get("matched").asInstanceOf[Long]))
+            lateSidecars = late(obs.get("matched").asInstanceOf[Long]),
+            afterStage = afterStage)
           obs.get("matched").asInstanceOf[Long]
         } else fullRewrite()
       case None => fullRewrite()
     }
   }
+
+  /** One `$set` entry applied to the rewrite frame. A DOTTED key is a
+    * nested path (the Mongo `$set` convention): `"meta.quality.score"`
+    * rebuilds the top-level struct via `Column.withField`, which supports
+    * the remaining path natively. The match conditional lives on the
+    * FIELD VALUE, not the struct (two `when` branches with different
+    * field sets would fail struct-type unification): an existing field
+    * reads `matched ? v : old value` — struct type stable when `v` keeps
+    * the type, so the mutation stays COW — while a NEW field reads
+    * `matched ? v : null` (schema evolution, the full-rewrite path).
+    * Field existence is resolved the way the analyzer will (case rules
+    * of [[resolveField]]) — an exact-only check would misread a
+    * case-variant spelling as "new" and null the unmatched docs' values.
+    * A NULL struct stays null (withField cannot manufacture a parent —
+    * documented, matching Spark semantics rather than Mongo's
+    * path-creating upsert). Non-dotted keys keep the historical
+    * behavior: update in place, or add the column (null for unmatched).
+    */
+  private def applySet(d: DataFrame, k: String, v: Column,
+                       matched: Column): DataFrame =
+    if (k.contains(".")) {
+      val top = k.takeWhile(_ != '.')
+      val rest = k.drop(top.length + 1)
+      require(d.columns.contains(top),
+        s"docstore $$set: nested path '$k' needs top-level column '$top', " +
+          s"which does not exist — create it first (addColumn / a plain " +
+          "$set with a struct value)")
+      require(d.schema(top).dataType
+          .isInstanceOf[org.apache.spark.sql.types.StructType],
+        s"docstore $$set: nested path '$k' but column '$top' is " +
+          s"${d.schema(top).dataType.simpleString}, not a struct")
+      val spark = d.sparkSession
+      val exists = rest.split('.').foldLeft(
+          Option(d.schema(top).dataType)) {
+        case (Some(st: org.apache.spark.sql.types.StructType), f) =>
+          resolveField(spark, st, f).map(_.dataType)
+        case _ => None
+      }.isDefined
+      val fieldVal =
+        if (exists) when(matched, v).otherwise(col(s"$top.$rest"))
+        else when(matched, v)
+      d.withColumn(top, col(top).withField(rest, fieldVal))
+    }
+    else if (d.columns.contains(k))
+      d.withColumn(k, when(matched, v).otherwise(col(k)))
+    else d.withColumn(k, when(matched, v))
 
   /** The COW partition of a pinned snapshot: (candidate files that may
     * contain matching rows, carried files that provably don't, the stored
@@ -2130,10 +2308,15 @@ object DocStore {
         .toDF("generation", "data_bytes", "live_ref_bytes", "dead_bytes",
           "live_fraction", "in_retain_window")
     val live = liveDir(fs, spark, path)
+    // fail-loudly (the findAsOf convention): a legacy flat layout has no
+    // generations to account, and an empty frame here is indistinguishable
+    // from "zero garbage" on a dashboard — the one reading that must never
+    // be silently wrong
     if (!new Path(live).getName.matches("gen-\\d{6}"))
-      return Seq.empty[(Int, Long, Long, Long, Double, Boolean)]
-        .toDF("generation", "data_bytes", "live_ref_bytes", "dead_bytes",
-          "live_fraction", "in_retain_window")
+      throw new IllegalStateException(
+        s"docstore cowStats: $path uses the legacy flat layout — there are " +
+          "no generations to account (this is NOT 'no garbage'); run " +
+          "compact() to migrate to the generational layout first")
     val names = logicalNames(fs, live)
     val window = committedGens(fs, path).takeRight(retain).toSet
     homeAccounting(fs, path, live, names).map { case (g, bytes, ref) =>
@@ -2308,7 +2491,14 @@ object DocStore {
     val fs = fileSystem(spark, path)
     if (!fs.exists(new Path(path))) return empty
     val live = liveDir(fs, spark, path)
-    if (!new Path(live).getName.matches("gen-\\d{6}")) return empty
+    // same fail-loudly rule as cowStats: on the flat layout nothing is
+    // statted, and an empty frame reads as "perfectly clustered" to the
+    // dashboard this feeds
+    if (!new Path(live).getName.matches("gen-\\d{6}"))
+      throw new IllegalStateException(
+        s"docstore clusterStats: $path uses the legacy flat layout — no " +
+          "stats geometry exists to report (this is NOT 'disjoint'); run " +
+          "compact()/cluster() to migrate first")
     val ranges = keyRanges(spark, fs, live, logicalNames(fs, live), keyCol)
     val ranged = ranges.collect { case (n, Some((lo, hi)), bytes) =>
       KeyInterval(n, lo, hi, bytes) }
@@ -2525,8 +2715,17 @@ object DocStore {
     */
   def maybeCompact(spark: SparkSession, path: String, maxDataFiles: Int,
                    targetFiles: Int = 1, retain: Int = 2,
-                   smallBytes: Long = 0L): Boolean = {
+                   smallBytes: Long = 0L,
+                   escalateTargetFiles: Int = 0): Boolean = {
     require(maxDataFiles >= 1, s"maxDataFiles must be >= 1, got $maxDataFiles")
+    // the ESCALATION (tail merge could not reach the budget; the corpus is
+    // mostly mid-sized files) is a full rewrite — its output count is a
+    // separate knob from the tail-merge target, because a caller that
+    // merges tails into 1 file must NOT collapse a whole corpus into one
+    // monolith that ignores every file-size budget ([[maintain]] passes
+    // the byte-derived count here). 0 = legacy behavior (same as
+    // targetFiles).
+    val escalate = if (escalateTargetFiles >= 1) escalateTargetFiles else targetFiles
     val fs = fileSystem(spark, path)
     val live = liveDir(fs, spark, path)
     if (!fs.exists(new Path(live))) false
@@ -2538,10 +2737,10 @@ object DocStore {
       val after = liveDir(fs, spark, path)
       if (fs.exists(new Path(after)) &&
           logicalNames(fs, after).size > maxDataFiles)
-        compact(spark, path, targetFiles, retain)
+        compact(spark, path, escalate, retain)
       true
     }
-    else { compact(spark, path, targetFiles, retain); true }
+    else { compact(spark, path, escalate, retain); true }
   }
 
   /** One [[maintain]] pass's outcome: what each leg of the maintenance
@@ -2583,16 +2782,30 @@ object DocStore {
     if (!fs.exists(new Path(path)))
       return MaintenanceReport(compacted = false, reclustered = false, 0L)
     // a misconfigured key (typo, or a store never cluster()ed) must fail
-    // LOUDLY here: maybeRecluster's trigger silently counts zero overlaps
-    // when nothing is statted, and a cron that forever reports "healthy"
-    // while clustering decays is exactly the failure maintain exists to
-    // prevent. Same require as recluster itself.
-    keyCol.foreach { k =>
+    // LOUDLY: maybeRecluster's trigger silently counts zero overlaps when
+    // nothing is statted, and a cron that forever reports "healthy" while
+    // clustering decays is exactly the failure maintain exists to
+    // prevent. Same require as recluster itself. Checked at entry AND
+    // re-checked after the compact leg — an escalated full compact (and
+    // the flat-layout migration) commits a generation with no stats
+    // sidecar, which would otherwise slip past an entry-only check.
+    def requireKeyStats(k: String): Unit = {
       val live = liveDir(fs, spark, path)
       if (new Path(live).getName.matches("gen-\\d{6}"))
         require(statsConfig(spark, fs, live)._1.contains(k),
           s"docstore maintain: no min/max stats on '$k' in $path — run " +
             "cluster() or collectStats() first")
+    }
+    keyCol.foreach(requireKeyStats)
+    // pin the stats GEOMETRY now: if the compact leg escalates to a full
+    // rewrite (stats don't carry across a no-links commit), maintain
+    // re-stats with the same geometry instead of failing its own contract
+    val entryGeometry = {
+      val live = liveDir(fs, spark, path)
+      if (fs.exists(new Path(live)) &&
+          new Path(live).getName.matches("gen-\\d{6}"))
+        Some(statsConfig(spark, fs, live))
+      else None
     }
     // the FILE-COUNT budget must respect the FILE-SIZE budget: a corpus
     // of B bytes reclusters into ~B/maxFileBytes disjoint files, so a
@@ -2601,7 +2814,7 @@ object DocStore {
     // and the cron would oscillate between two O(corpus) rewrites
     // forever. The effective budget treats the structural floor as
     // healthy; only counts above it are tail debris worth merging.
-    val effectiveMax = {
+    val (effectiveMax, corpusBytes) = {
       val live = liveDir(fs, spark, path)
       val bytes =
         if (!fs.exists(new Path(live))) 0L
@@ -2609,15 +2822,39 @@ object DocStore {
           val p = new Path(resolvePath(live, n))
           if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
         }.sum
-      math.max(maxDataFiles.toLong,
-        (bytes + maxFileBytes - 1) / maxFileBytes).toInt
+      (math.max(maxDataFiles.toLong,
+        (bytes + maxFileBytes - 1) / maxFileBytes).toInt, bytes)
     }
     // targetFiles = 1 for the tail merge: compactSmall refuses when
     // merging would not shrink the tail below targetFiles, so a larger
     // target here would skip small tails and escalate to the full
-    // rewrite maintain promises to avoid
+    // rewrite maintain promises to avoid. The ESCALATION target is sized
+    // from the byte budget instead: when the tail merge cannot reach the
+    // count budget (mid-sized files), the full rewrite must still honor
+    // maxFileBytes — one monolithic unclustered file would violate the
+    // structural floor this very function computes.
+    val escalateTarget = math.max(1L,
+      (corpusBytes + maxFileBytes - 1) / maxFileBytes).toInt
     val compacted = maybeCompact(spark, path, effectiveMax,
-      targetFiles = 1, retain = retain, smallBytes = smallBytes)
+      targetFiles = 1, retain = retain, smallBytes = smallBytes,
+      escalateTargetFiles = escalateTarget)
+    keyCol.foreach { k =>
+      val live = liveDir(fs, spark, path)
+      val statted = fs.exists(new Path(live)) &&
+        new Path(live).getName.matches("gen-\\d{6}") &&
+        statsConfig(spark, fs, live)._1.contains(k)
+      if (!statted) entryGeometry match {
+        // self-heal: the escalated rewrite already paid O(corpus); one
+        // stats pass over what it wrote keeps the recluster/vacuum legs
+        // (and every later prune) working with the pinned-at-entry
+        // geometry
+        case Some((cols, blooms, bits)) if cols.contains(k) =>
+          collectStats(spark, path, cols, blooms, if (bits > 0) bits else 1 << 16)
+        // no geometry existed at entry (the flat-migration path): refuse
+        // loudly rather than let maybeRecluster report healthy forever
+        case _ => requireKeyStats(k)
+      }
+    }
     val reclustered = keyCol.exists(k =>
       maybeRecluster(spark, path, k, maxOverlapping, retain, maxFileBytes))
     val rehomed = vacuum(spark, path, minLiveFraction, retain)
@@ -3572,6 +3809,96 @@ object DocStore {
     }
   }
 
+  /** Atomically rename a fully staged rewrite to its committed generation
+    * id — chosen HERE, after the data landed and any race was resolved,
+    * as one above every complete generation and `minAbove` (the disjoint
+    * re-commit's winner id, so CDC's by-generation ordering always puts
+    * the merged commit after the winner). Retries upward when a racer
+    * grabbed the id between the listing and the rename; on local
+    * filesystems a directory rename onto an existing directory can NEST
+    * the source inside the target (POSIX mv semantics) — detected and
+    * pulled back out before retrying. Returns the committed dir path.
+    */
+  private def publishStagedGeneration(fs: FileSystem, path: String,
+                                      staging: String, minAbove: Int): String = {
+    var attempts = 0
+    while (attempts < 8) {
+      val id = (completeGens(fs, path) :+ minAbove).max + 1
+      val target = new Path(genPath(path, id))
+      if (!fs.exists(target)) {
+        val src = new Path(staging)
+        if (fs.rename(src, target)) {
+          val nested = new Path(target, src.getName)
+          if (!fs.exists(nested)) return target.toString
+          // the target existed after all (a racer won the id and the
+          // local-FS rename nested us inside it): pull back out, retry
+          if (!fs.rename(nested, src))
+            throw new java.io.IOException(
+              s"docstore: cannot recover nested staging $nested")
+        }
+      }
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"docstore: cannot publish staged generation $staging under $path " +
+        "— id allocation lost 8 straight races")
+  }
+
+  /** Stats-sidecar leg of the disjoint re-commit ([[commitRewrite]]'s
+    * merge path): the staged generation's rows currently cover this
+    * mutation's fresh files plus EVERYTHING it carried from the pinned
+    * snapshot — but the merge re-points the names the winner consumed at
+    * the winner's fresh files instead. Drop the rows for `wCandBases`
+    * (their files are no longer part of the generation — fsck would flag
+    * them as stale) and import the winner's rows for its fresh physical
+    * files (else pruning/countFast scan them and fsck flags them
+    * unstatted). Driver-side, line-level, byte-verbatim — the
+    * commitRewrite carry discipline. None = not safely doable locally
+    * (a sidecar over the size gate or unreadable) — the caller then falls
+    * back to the loud serialize-and-retry path; Some(()) = done (also
+    * when neither side has stats rows at all).
+    */
+  private def mergeCarriedStats(fs: FileSystem, next: String, wDir: String,
+                                wCandBases: Set[String],
+                                wPhysical: Set[String]): Option[Unit] = {
+    val nextStats = new Path(next, StatsDir)
+    val wStats = new Path(wDir, StatsDir)
+    def fileOf(ln: String): Option[String] =
+      scala.util.Try {
+        val n = statsMapper.readTree(ln)
+        if (n != null && n.hasNonNull("file")) Some(n.get("file").asText)
+        else None
+      }.toOption.flatten
+    val nextHas = statsPartFiles(fs, nextStats).nonEmpty
+    val wHas = statsPartFiles(fs, wStats).nonEmpty
+    if (!nextHas && !wHas) return Some(()) // stats-less store: nothing to move
+    val nextLines =
+      if (!nextHas) Nil
+      else statsLinesLocal(fs, nextStats).getOrElse(return None)
+    val wLines =
+      if (!wHas) {
+        // the winner has fresh files but no rows for them: importing
+        // nothing would leave the merged generation under-covered while
+        // claiming full stats — bail to the loud path instead
+        if (wPhysical.nonEmpty) return None else Nil
+      }
+      else statsLinesLocal(fs, wStats).getOrElse(return None)
+    val kept = nextLines.filterNot(ln => fileOf(ln).exists(wCandBases.contains))
+    val imported = wLines.filter(ln => fileOf(ln).exists(wPhysical.contains))
+    if (wPhysical.nonEmpty &&
+        imported.flatMap(fileOf).toSet != wPhysical) return None // under-covered
+    statsPartFiles(fs, nextStats).foreach(st => fs.delete(st.getPath, false))
+    val all = kept ++ imported
+    if (all.nonEmpty) {
+      fs.mkdirs(nextStats)
+      val dst = new Path(nextStats, s"append-${java.util.UUID.randomUUID()}-0.json")
+      val out = fs.create(dst, true)
+      try out.write((all.mkString("\n") + "\n").getBytes(UTF_8))
+      finally out.close()
+    }
+    Some(())
+  }
+
   /** Pin the live generation for a rewrite: heal pending salvages first
     * (their rows must be read), then list the data files ONCE — the
     * rewrite reads exactly this list and commits it as the generation's
@@ -3619,7 +3946,8 @@ object DocStore {
                             carried: Seq[String] = Nil,
                             carriedSchema: Option[org.apache.spark.sql.types.StructType] = None,
                             lateSidecars: Map[String, () => Array[Byte]] = Map.empty,
-                            dataless: Boolean = false): Unit = {
+                            dataless: Boolean = false,
+                            afterStage: () => Unit = () => ()): Unit = {
     require(retain >= 2, s"retain must keep the live + previous generation, got $retain")
     // LOUD lost-update detection ([[ConcurrentMutationException]]): checked
     // before the rewrite job and again right before the swing (the rewrite
@@ -3635,11 +3963,70 @@ object DocStore {
             "discard the other mutation's effect. Re-run this mutation.")
       previous
     }
-    val previous = validatedPrevious()
-    val gens = completeGens(fs, path)
-    val nextId = (gens.lastOption.getOrElse(0)) + 1
-    val next = genPath(path, nextId)
-    fs.delete(new Path(next), true)
+    // FILE-LEVEL CONFLICT DETECTION (the Delta/Iceberg commit-time
+    // re-validation shape): when the manifest moved under this mutation,
+    // the race is only a REAL conflict if the winner touched files this
+    // rewrite read. If the winner (a) committed exactly one generation on
+    // top of the SAME pinned snapshot, (b) left the stored schema and
+    // format unchanged, and (c) its rewritten/deleted file set is
+    // DISJOINT from this mutation's candidate set — then the already-
+    // built rewrite can re-commit against the fresh manifest: the new
+    // generation keeps this mutation's fresh files, LINKS the winner's
+    // fresh files, and carries the files neither touched. Observation
+    // counts stay exact (the winner provably never modified a candidate
+    // row), CDC stays exact (P -> W is the winner's diff, W -> merged is
+    // this mutation's), and the loser never re-runs its rewrite job —
+    // at 100 TB, disjoint concurrent mutations stop paying a full
+    // rewrite per lost race. Anything outside (a)-(c) keeps today's
+    // loud serialize-and-retry.
+    def disjointWinner(): Option[String] = {
+      val wGen = readManifest(fs, path).getOrElse(return None)
+      val pinnedGen = new Path(pinnedLive).getName
+      if (!wGen.matches("gen-\\d{6}") || !pinnedGen.matches("gen-\\d{6}"))
+        return None // flat-layout migration races never merge
+      val wDir = s"$path/$wGen"
+      val (wFrom, wPinned) = readSourceRecord(fs, wDir).getOrElse(return None)
+      // exactly one hop, from the very snapshot this mutation pinned (an
+      // interleaved append would make the two pins differ — bail)
+      if (wFrom != pinnedGen || wPinned != sourceNames) return None
+      // same served schema and format: a DDL / re-typing winner touches
+      // every read, so nothing is disjoint from it
+      val pS = storedSchema(fs, new Path(pinnedLive, StatsDir))
+      if (pS.isEmpty || pS != storedSchema(fs, new Path(wDir, StatsDir)))
+        return None
+      if (genFormat(fs, wDir) != format) return None
+      val wCandBases = sourceNames.map(baseName) --
+        readLinks(fs, wDir).map(baseName)
+      val myCandBases = (sourceNames -- carried.toSet).map(baseName)
+      if ((wCandBases & myCandBases).nonEmpty) return None
+      Some(wGen)
+    }
+    val previousAtStart: Option[String] =
+      try validatedPrevious()
+      catch { case e: ConcurrentMutationException =>
+        // optimistic continue: the pinned files all still exist (the
+        // winner's retention keeps its previous generation whole), so
+        // the planned rewrite reads valid data; the actual link/stats
+        // merge happens at the commit point below, re-validated there
+        disjointWinner() match {
+          case Some(_) => readManifest(fs, path)
+          case None => throw e
+        }
+      }
+    // PRIVATE STAGING (the tmp-then-rename discipline, generation-sized):
+    // the whole rewrite lands in a dot-prefixed dir invisible to every
+    // reader and every competing mutation, and only the commit point
+    // renames it to its generation id. This closes two windows the old
+    // write-at-final-id flow had: a competing mutation could take the
+    // SAME id and the two writeData jobs clobbered each other (the
+    // documented last-writer-wins degradation — now impossible, ids are
+    // picked after the data is fully staged), and a winner's retention
+    // pass pruned the loser's completed-but-uncommitted dir as a crash
+    // orphan, which made the disjoint re-commit below unreachable in the
+    // post-stage race. Nothing inside a generation references its own
+    // dir name (links are root-relative into OTHER generations; stats
+    // rows key by basename), so the rename is free.
+    var next = s"$path/.staging-${java.util.UUID.randomUUID()}"
     if (dataless) {
       // metadata-only commit (DDL verbs, zero-match mutations): the df is
       // provably empty, so skip the Spark job entirely — a rowless part
@@ -3765,23 +4152,59 @@ object DocStore {
       val out = fs.create(new Path(next, name), true)
       try out.write(bytes) finally out.close()
     }
-    // re-validate after the rewrite; on failure drop the just-written
-    // generation so a later manifest-loss recovery can never resolve to
-    // the aborted stale rewrite. GUARD: two contract-violating mutations
-    // that raced the SAME next id can interleave so that the competitor
-    // already committed this very directory (its swing named `next`, our
-    // writeData clobbered its content) — deleting it then would leave the
-    // manifest dangling at a nonexistent dir and the collection silently
-    // reading as empty. If the manifest names `next`, leave it in place:
-    // the outcome degrades to the pre-protocol last-writer-wins, never to
-    // dangling emptiness.
-    try validatedPrevious()
+    afterStage()
+    // re-validate after the rewrite. On a lost race, attempt the DISJOINT
+    // RE-COMMIT first ([[disjointWinner]]): relink this staged rewrite
+    // on top of the winner — keep my carried entries except the names the
+    // winner consumed, link every winner-fresh physical file, and move
+    // the stats rows to match — then publish with previous := winner. On
+    // failure drop the staging (never committed, never readable) so no
+    // debris outlives the retry.
+    var previous: Option[String] = previousAtStart
+    var recordNames: Set[String] = sourceNames
+    var winnerFloor = 0
+    try { validatedPrevious(); () }
     catch { case e: ConcurrentMutationException =>
-      if (!readManifest(fs, path).contains(new Path(next).getName))
-        fs.delete(new Path(next), true)
-      throw e
+      val merged: Option[(String, Set[String])] = disjointWinner().flatMap { wGen =>
+        val wDir = s"$path/$wGen"
+        val wLinks = readLinks(fs, wDir)
+        val wCandBases = sourceNames.map(baseName) -- wLinks.map(baseName)
+        val wPhysical = dataFileNames(fs, wDir).toSeq.sorted
+        mergeCarriedStats(fs, next, wDir, wCandBases, wPhysical.toSet).map { _ =>
+          val pinnedGen = new Path(pinnedLive).getName
+          val myEntries = carried.map(n =>
+            if (n.contains("/")) n else s"$pinnedGen/$n")
+          val mergedLinks =
+            myEntries.filterNot(en => wCandBases.contains(baseName(en))) ++
+              wPhysical.map(n => s"$wGen/$n")
+          if (mergedLinks.nonEmpty) writeLinks(fs, next, mergedLinks)
+          else fs.delete(new Path(next, LinksFile), false)
+          // the W-snapshot this merged commit consumed, from the SAME
+          // listing mergedLinks used — salvage then moves exactly the
+          // files appended to W after it (nothing can be both unlinked
+          // and unsalvaged)
+          (wGen, wPhysical.toSet ++ wLinks)
+        }
+        // a third mutation landing mid-merge re-moves the manifest: bail
+        // to the loud path (the staging is dropped below)
+      }.filter { case (w, _) => readManifest(fs, path).contains(w) }
+      merged match {
+        case Some((w, consumed)) =>
+          previous = Some(w)
+          recordNames = consumed
+          winnerFloor = w.stripPrefix("gen-").toInt
+        case None =>
+          fs.delete(new Path(next), true)
+          throw e
+      }
     }
-    writeSourceRecord(fs, next, previous.getOrElse(""), sourceNames)
+    // PUBLISH: pick the generation id NOW — after the data is fully
+    // staged and the race resolved — one above every complete generation
+    // and the merge winner, and atomically rename the staging to it. CDC
+    // consumers order diffs by generation id, so the merged commit always
+    // sits above the winner's.
+    next = publishStagedGeneration(fs, path, next, winnerFloor)
+    writeSourceRecord(fs, next, previous.getOrElse(""), recordNames)
     writeManifest(fs, path, new Path(next).getName)
     // salvage BEFORE pruning: files that landed in the superseded
     // generation after the source list was pinned are concurrent appends
@@ -3790,7 +4213,7 @@ object DocStore {
       case Some(g) if g.startsWith("gen-") => s"$path/$g"
       case _ => path
     }
-    if (fromDir != next) salvageInto(spark, fs, fromDir, next, sourceNames)
+    if (fromDir != next) salvageInto(spark, fs, fromDir, next, recordNames)
     // retention counts COMMITTED generations only: a crash-orphaned
     // complete dir must not consume a retention slot (it would prune a
     // committed generation one mutation early and break a CDC consumer
@@ -3814,6 +4237,16 @@ object DocStore {
     completeGens(fs, path).map(id => genPath(path, id))
       .filterNot(p => keep.contains(new Path(p).getName))
       .foreach(p => fs.delete(new Path(p), true))
+    // staging debris from crashed mutations (dot-prefixed, invisible to
+    // every reader): reclaim by AGE — 24h spares the live staging of any
+    // legitimately long concurrent rewrite, while a crashed one stops
+    // accumulating at the next day's first commit
+    val stagingCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    if (fs.exists(new Path(path))) fs.listStatus(new Path(path)).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".staging-") &&
+          st.getModificationTime < stagingCutoff)
+        fs.delete(st.getPath, true)
+    }
     if (previous.isEmpty || !previous.exists(_.startsWith("gen-"))) {
       // migration from the flat layout: drop the old part files the
       // rewrite READ (plus housekeeping markers); a data file outside the

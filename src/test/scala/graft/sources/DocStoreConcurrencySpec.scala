@@ -350,4 +350,160 @@ class DocStoreConcurrencySpec extends SparkTestBase {
       s"got ${all.mkString(",")}")
     assert(rows(path).filter(_._1 < 4L).forall(_._2 == "mut"))
   }
+
+  // ---- file-level conflict detection (disjoint re-commit) -----------------
+
+  /** A clustered, statted 4-file store: id ranges [0,99] [100,199]
+    * [200,299] [300,399], one status column — the shape where two
+    * selective mutations can provably touch DISJOINT files.
+    */
+  private def clustered(path: String): Unit = {
+    DocStore.insertMany((0 until 400).map(i => (i.toLong, s"s$i"))
+      .toDF("id", "status"), path)
+    DocStore.compact(spark, path, targetFiles = 1, format = Some("parquet"))
+    DocStore.cluster(spark, path, col("id"), 4, Seq("id"))
+  }
+
+  test("disjoint mutations merge: the loser re-commits WITHOUT re-running (afterPin race)") {
+    val path = freshPath()
+    clustered(path)
+    val gen0 = DocStore.generations(spark, path).max
+    // the competitor lands fully inside the loser's pin->commit window,
+    // touching a DIFFERENT clustered file; the seamed call has NO retry,
+    // so completing without ConcurrentMutationException proves the body
+    // (and its rewrite job) ran exactly once
+    val n = DocStore.updateManySeamed(spark, path, col("id") === 5L,
+      Map("status" -> lit("outer")), 2,
+      afterPin = () => {
+        assert(DocStore.updateMany(spark, path, col("id") === 305L,
+          Map("status" -> lit("inner"))) == 1L)
+        ()
+      })
+    assert(n == 1L)
+    // BOTH effects present — neither mutation lost
+    val got = rows(path)
+    assert(got.contains((5L, "outer")) && got.contains((305L, "inner")))
+    assert(got.size == 400)
+    // the merged commit is a real generation on top of the winner's
+    assert(DocStore.generations(spark, path).max == gen0 + 2)
+    // metadata counts, pruning, and fsck all stay exact through the merge
+    assert(DocStore.countFast(spark, path) == 400L)
+    val probe = DocStore.find(spark, path, Some(col("id") === 205L))
+    assert(probe.count() == 1 && probe.inputFiles.length == 1)
+    val findings = DocStore.fsck(spark, path)
+      .filter(col("severity") === "error")
+    assert(findings.isEmpty, findings.collect().mkString("; "))
+  }
+
+  test("disjoint mutations merge at the COMMIT point too (afterStage race)") {
+    val path = freshPath()
+    clustered(path)
+    // the competitor lands while the loser's rewrite is ALREADY STAGED —
+    // the expensive window: without the merge the loser would repay its
+    // whole rewrite job on retry
+    val n = DocStore.updateManySeamed(spark, path, col("id") === 7L,
+      Map("status" -> lit("late-outer")), 2,
+      afterPin = () => (),
+      afterStage = () => {
+        assert(DocStore.deleteMany(spark, path,
+          Some(col("id").between(300L, 309L))) == 10L)
+        ()
+      })
+    assert(n == 1L)
+    val got = rows(path)
+    assert(got.contains((7L, "late-outer")))
+    assert(!got.exists(r => r._1 >= 300L && r._1 <= 309L))
+    assert(got.size == 390)
+    assert(DocStore.countFast(spark, path) == 390L)
+    val findings = DocStore.fsck(spark, path)
+      .filter(col("severity") === "error")
+    assert(findings.isEmpty, findings.collect().mkString("; "))
+  }
+
+  test("CDC stays exact across a merged commit (winner's diff, then loser's)") {
+    val path = freshPath()
+    clustered(path)
+    val from = DocStore.generations(spark, path).last
+    DocStore.updateManySeamed(spark, path, col("id") === 5L,
+      Map("status" -> lit("outer")), 2,
+      afterPin = () => {
+        DocStore.updateMany(spark, path, col("id") === 305L,
+          Map("status" -> lit("inner")))
+        ()
+      })
+    val gens = DocStore.generations(spark, path)
+    val changes = DocStore.changesSince(spark, path, from, "id")
+      .select(col("id"), col("change"),
+        col("after.status").as("st"), col("generation"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._4)
+    assert(changes.length == 2, changes.mkString("; "))
+    assert(changes(0) == ((305L, "updated", "inner", gens.init.last)))
+    assert(changes(1) == ((5L, "updated", "outer", gens.last)))
+  }
+
+  test("OVERLAPPING mutations still serialize loudly (same candidate file)") {
+    val path = freshPath()
+    clustered(path)
+    val e = intercept[DocStore.ConcurrentMutationException] {
+      DocStore.updateManySeamed(spark, path, col("id") === 5L,
+        Map("status" -> lit("outer")), 2,
+        afterPin = () => {
+          DocStore.updateMany(spark, path, col("id") === 6L, // same file
+            Map("status" -> lit("inner")))
+          ()
+        })
+    }
+    assert(e.getMessage.contains("single-writer"))
+    assert(rows(path).contains((6L, "inner")))
+    // and the retrying wrapper converges as before
+    assert(DocStore.updateMany(spark, path, col("id") === 5L,
+      Map("status" -> lit("outer"))) == 1L)
+    assert(rows(path).contains((5L, "outer")))
+  }
+
+  test("metadata-only DDL merges over a disjoint COW update (dataless loser)") {
+    val path = freshPath()
+    clustered(path)
+    // addColumn carries EVERY file (candidate set empty), so ANY
+    // schema-preserving winner is disjoint from it
+    val committed = DocStore.addColumnSeamed(spark, path, "score",
+      org.apache.spark.sql.types.LongType,
+      afterPin = () => {
+        DocStore.updateMany(spark, path, col("id") === 105L,
+          Map("status" -> lit("won")))
+        ()
+      })
+    assert(committed)
+    val live = DocStore.find(spark, path)
+    assert(live.schema("score").dataType == org.apache.spark.sql.types.LongType)
+    assert(live.filter(col("score").isNotNull).isEmpty)
+    assert(live.filter(col("status") === "won").count() == 1)
+    assert(live.count() == 400)
+    val findings = DocStore.fsck(spark, path)
+      .filter(col("severity") === "error")
+    assert(findings.isEmpty, findings.collect().mkString("; "))
+  }
+
+  test("merged commits keep idempotence tokens exactly-once") {
+    val path = freshPath()
+    clustered(path)
+    DocStore.updateManySeamed(spark, path, col("id") === 5L,
+      Map("status" -> lit("outer")), 2,
+      afterPin = () => {
+        DocStore.updateMany(spark, path, col("id") === 305L,
+          Map("status" -> lit("inner")), token = Some("tok-w"))
+        ()
+      }, token = Some("tok-l"))
+    // replays of BOTH tokens are suppressed: the winner's generation is
+    // retained (it is the merged commit's previous), the loser's sidecar
+    // rode the merged commit
+    assert(DocStore.updateMany(spark, path, col("id") === 5L,
+      Map("status" -> lit("SHOULD-NOT-APPLY")), token = Some("tok-l")) == 1L)
+    assert(DocStore.updateMany(spark, path, col("id") === 305L,
+      Map("status" -> lit("SHOULD-NOT-APPLY")), token = Some("tok-w")) == 1L)
+    val got = rows(path)
+    assert(got.contains((5L, "outer")) && got.contains((305L, "inner")))
+    assert(!got.exists(_._2 == "SHOULD-NOT-APPLY"))
+  }
 }

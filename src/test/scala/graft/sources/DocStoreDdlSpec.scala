@@ -180,6 +180,44 @@ class DocStoreDdlSpec extends SparkTestBase {
     assert(!DocStore.find(spark, path).columns.contains("body"))
   }
 
+  test("re-adding a dropped column refuses while its bytes physically remain") {
+    val path = freshPath()
+    seeded(path)
+    assert(DocStore.dropColumn(spark, path, "body"))
+    // SAME type: a metadata-only re-add would silently resurrect the
+    // dropped values (the drop promised no read surface serves them)
+    assert(intercept[IllegalStateException] {
+      DocStore.addColumn(spark, path, "body", StringType)
+    }.getMessage.contains("physically present"))
+    // DIFFERENT type: worse — every read of a carried file would fail
+    // with a parquet conversion error until a compact
+    assert(intercept[IllegalStateException] {
+      DocStore.addColumn(spark, path, "body", LongType)
+    }.getMessage.contains("physically present"))
+    // the refusal committed nothing and the collection still reads
+    assert(!DocStore.find(spark, path).columns.contains("body"))
+    assert(DocStore.find(spark, path).count() == 400)
+    // compact purges the dropped bytes — the re-add is then legitimate
+    // and reads null everywhere (a genuinely NEW column)
+    DocStore.compact(spark, path, targetFiles = 2)
+    assert(DocStore.addColumn(spark, path, "body", LongType))
+    val live = DocStore.find(spark, path)
+    assert(live.schema("body").dataType == LongType)
+    assert(live.filter(col("body").isNotNull).isEmpty)
+    assert(live.count() == 400)
+  }
+
+  test("a COW-carried store re-adds a never-dropped name normally (guard has no false positive)") {
+    val path = freshPath()
+    seeded(path)
+    // carried links present (a selective mutation), then an add of a
+    // genuinely new name: the physical union contains no such column and
+    // the add must go through
+    DocStore.updateMany(spark, path, col("id") === 3L, Map("grp" -> lit(9L)))
+    assert(DocStore.addColumn(spark, path, "score", DoubleType))
+    assert(DocStore.find(spark, path).schema("score").dataType == DoubleType)
+  }
+
   test("legacy flat layout refuses DDL before any commit (no empty-generation debris)") {
     val path = freshPath()
     // a flat store: data file at the collection root, no generations
@@ -221,5 +259,96 @@ class DocStoreDdlSpec extends SparkTestBase {
     // by the fsck unreadable-generation test; here history on a missing
     // collection is simply empty
     assert(DocStore.history(spark, freshPath()).isEmpty)
+  }
+
+  test("renameColumn is an honest rewrite: data follows, stats follow, replay converges") {
+    val path = freshPath()
+    seeded(path)
+    assert(DocStore.renameColumn(spark, path, "grp", "category"))
+    val live = DocStore.find(spark, path)
+    assert(live.columns.toSet == Set("id", "category", "body"))
+    assert(live.filter(col("category") === 3L).count() ==
+      (0 until 400).count(_ % 7 == 3))
+    assert(live.count() == 400 && DocStore.countFast(spark, path) == 400L)
+    // replayed verb converges; real conflicts stay loud
+    assert(!DocStore.renameColumn(spark, path, "grp", "category"))
+    assert(intercept[IllegalArgumentException] {
+      DocStore.renameColumn(spark, path, "nope", "x")
+    }.getMessage.contains("neither"))
+    assert(intercept[IllegalArgumentException] {
+      DocStore.renameColumn(spark, path, "id", "category")
+    }.getMessage.contains("already exists"))
+    // renaming the CLUSTERED KEY itself: the stats geometry follows, so
+    // selective reads keep pruning under the new name
+    assert(DocStore.renameColumn(spark, path, "id", "doc_id"))
+    val probe = DocStore.find(spark, path, Some(col("doc_id") === 5L))
+    assert(probe.count() == 1)
+    assert(probe.inputFiles.length < 4, "stats did not follow the rename")
+    assert(DocStore.countFast(spark, path) == 400L)
+    val errs = DocStore.fsck(spark, path).filter(col("severity") === "error")
+    assert(errs.isEmpty, errs.collect().mkString("; "))
+  }
+
+  test("docstore_rename_column TVF drives the same rewrite") {
+    val path = freshPath()
+    seeded(path, n = 60, files = 2)
+    assert(spark.sql(
+      s"SELECT * FROM docstore_rename_column('$path', 'body', 'text')")
+      .head().getBoolean(0))
+    assert(DocStore.find(spark, path).columns.toSet == Set("id", "grp", "text"))
+    // analyzer double-evaluation / replay: convergent no-op
+    assert(!spark.sql(
+      s"SELECT * FROM docstore_rename_column('$path', 'body', 'text')")
+      .head().getBoolean(0))
+  }
+
+  test("dotted-path $set: nested replace stays COW; new nested field evolves; null struct stays null") {
+    val path = freshPath()
+    val df = (0 until 400).map(i => (i.toLong, (i % 7).toLong, s"doc-$i"))
+      .toDF("id", "grp", "body")
+      .withColumn("meta", struct(
+        // power-of-two divisor: exact doubles on both write and compare
+        (col("id").cast("double") / lit(4.0d)).as("score"),
+        lit("en").as("lang")))
+    DocStore.insertMany(df, path)
+    DocStore.compact(spark, path, targetFiles = 1, format = Some("parquet"))
+    DocStore.cluster(spark, path, col("id"), 4, Seq("id"),
+      bloomCols = Seq("id"), bloomBits = 1 << 12)
+    // same-type nested replace on one clustered file: must stay COW
+    assert(DocStore.updateMany(spark, path, col("id").between(0L, 49L),
+      Map("meta.score" -> lit(0.9d))) == 50L)
+    val lg = liveGen(path)
+    val lnk = links(s"$path/$lg")
+    assert(lnk.size == 3, s"nested same-type $$set should be COW, links=$lnk")
+    val live = DocStore.find(spark, path)
+    assert(live.filter(col("meta.score") === 0.9d).count() == 50)
+    // untouched docs keep their value and sibling fields survive
+    assert(live.filter(col("id") === 200L).select("meta.score")
+      .head().getDouble(0) == 50.0)
+    assert(live.filter(col("meta.lang") =!= "en").isEmpty)
+    // a NEW nested field is schema evolution: full rewrite, null elsewhere
+    assert(DocStore.updateMany(spark, path, col("id") === 5L,
+      Map("meta.stars" -> lit(3L))) == 1L)
+    val evolved = DocStore.find(spark, path)
+    assert(evolved.filter(col("id") === 5L).select("meta.stars")
+      .head().getLong(0) == 3L)
+    assert(evolved.filter(col("meta.stars").isNotNull).count() == 1)
+    // loud errors: missing top level, non-struct top level
+    assert(intercept[IllegalArgumentException] {
+      DocStore.updateMany(spark, path, col("id") === 1L,
+        Map("nope.x" -> lit(1)))
+    }.getMessage.contains("does not exist"))
+    assert(intercept[IllegalArgumentException] {
+      DocStore.updateMany(spark, path, col("id") === 1L,
+        Map("body.x" -> lit(1)))
+    }.getMessage.contains("not a struct"))
+    // a NULL struct stays null (withField cannot manufacture the parent)
+    val metaType = evolved.schema("meta").dataType
+    DocStore.insertMany((Seq((9999L, 0L, "late"))).toDF("id", "grp", "body")
+      .withColumn("meta", lit(null).cast(metaType)), path)
+    assert(DocStore.updateMany(spark, path, col("id") === 9999L,
+      Map("meta.score" -> lit(1.0d))) == 1L)
+    assert(DocStore.find(spark, path).filter(col("id") === 9999L)
+      .select("meta").head().isNullAt(0))
   }
 }

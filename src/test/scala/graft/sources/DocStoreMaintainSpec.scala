@@ -110,6 +110,84 @@ class DocStoreMaintainSpec extends SparkTestBase {
     }.getMessage.contains("no min/max stats"))
   }
 
+  test("escalated compact honors the byte budget instead of one monolith") {
+    val path = freshPath()
+    // mid-sized files: nothing under smallBytes, so the tail merge is a
+    // no-op and maybeCompact escalates to the full rewrite — which must
+    // size its output from bytes/maxFileBytes, not collapse to 1 file
+    DocStore.insertMany((0 until 3000).map(i =>
+        (i.toLong, ("x" * 200) + i)).toDF("id", "body"), path)
+    DocStore.compact(spark, path, targetFiles = 6, format = Some("parquet"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def liveFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val gen = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+        .map(_.getPath.getName).max
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$gen")).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+    }
+    val bytes = liveFiles().map(_.getLen).sum
+    val maxFileBytes = math.max(1L, bytes / 2) // structural floor ~2-3 files
+    val r = DocStore.maintain(spark, path, keyCol = None,
+      maxDataFiles = 1, smallBytes = 1L, maxFileBytes = maxFileBytes)
+    assert(r.compacted)
+    val after = liveFiles().size
+    assert(after > 1, s"escalation collapsed to $after file (monolith)")
+    assert(after <= 4, s"escalation produced $after files, expected ~bytes/maxFileBytes")
+    assert(DocStore.find(spark, path).count() == 3000)
+  }
+
+  test("escalated compact with a keyCol re-stats and re-sorts in the same pass") {
+    val path = freshPath()
+    seeded(path, 3000, 6)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val gen0 = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .map(_.getPath.getName).max
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$gen0")).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).map(_.getLen).sum
+    // escalation fires (no small files, count 6 > effectiveMax), wiping
+    // the stats sidecar — maintain must re-stat with the entry geometry
+    // and the recluster leg must restore disjointness, not silently
+    // report healthy on an unstatted store
+    val mfb = math.max(1L, bytes / 2)
+    val r = DocStore.maintain(spark, path, keyCol = Some("id"),
+      maxDataFiles = 2, smallBytes = 1L, maxFileBytes = mfb)
+    assert(r.compacted)
+    val st = DocStore.clusterStats(spark, path, "id")
+    assert(st.filter(col("status") === "unstatted").isEmpty,
+      "escalated compact left the store unstatted")
+    assert(st.filter(col("status") === "overlapping").isEmpty,
+      st.collect().mkString("; "))
+    assert(DocStore.find(spark, path).count() == 3000)
+    // converged: the escalated output sits at the structural floor, so a
+    // second pass must not rewrite again (the oscillation guard)
+    val r2 = DocStore.maintain(spark, path, keyCol = Some("id"),
+      maxDataFiles = 2, smallBytes = 1L, maxFileBytes = mfb)
+    assert(r2 == DocStore.MaintenanceReport(compacted = false,
+      reclustered = false, rehomed = 0L))
+  }
+
+  test("flat-layout migration inside maintain re-checks the keyCol guard") {
+    val path = freshPath()
+    // a LEGACY flat store (data files at the root, no generations): the
+    // entry check has nothing to demand stats of
+    (0 until 100).map(i => (i.toLong, s"d$i")).toDF("id", "body")
+      .repartition(4).write.json(path)
+    // entry check skips (flat layout has no stats to demand); the compact
+    // leg migrates to generations with NO stats — the re-check must then
+    // refuse loudly instead of letting maybeRecluster report healthy
+    // forever on an unstatted store
+    assert(intercept[IllegalArgumentException] {
+      DocStore.maintain(spark, path, keyCol = Some("id"), maxDataFiles = 1,
+        smallBytes = 1L << 20)
+    }.getMessage.contains("no min/max stats"))
+  }
+
   test("the file-count budget respects the file-size budget (no oscillation)") {
     val path = freshPath()
     seeded(path, 500, 5)

@@ -520,6 +520,7 @@ object Streams {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healIndexCompaction(fs, indexPath) // a crashed compaction heals first
     requireIvfGeometry(fs, indexPath, model, "ingestToIvfIndex")
     writeIvfMeta(fs, indexPath, model)
     val tombDir = s"$indexPath/$IvfTombstones"
@@ -630,6 +631,8 @@ object Streams {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(indexPath)),
       s"removeFromIvfIndex: no index at $indexPath")
+    // complete a crashed compaction first (same reason as near-dup)
+    healIndexCompaction(fs, indexPath)
     // crash recovery for our own swap protocol (same as near-dup): a
     // leftover staging dir whose batch dir is gone means a crash between
     // delete and rename — complete the swap
@@ -717,10 +720,16 @@ object Streams {
     */
   def syncIvfIndex(spark: SparkSession, srcPath: String, indexPath: String,
                    model: graft.sim.Ann.IvfModel,
-                   idCol: String = "vec_id", embCol: String = "embedding"): Long = {
+                   idCol: String = "vec_id", embCol: String = "embedding",
+                   maxBatchDirs: Int = 0): Long = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healIndexCompaction(fs, indexPath) // a crashed compaction heals first
     requireIvfGeometry(fs, indexPath, model, "syncIvfIndex")
+    // maxBatchDirs > 0: bound the batch-dir count as part of the poll
+    // loop (see syncNearDupIndex) — fold committed dirs after the poll
+    def maybeCompactIdx(): Unit =
+      if (maxBatchDirs > 0) { compactIvfIndex(spark, indexPath, maxBatchDirs); () }
     def hasBatches: Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(indexPath)) &&
         fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
@@ -752,40 +761,40 @@ object Streams {
       case Some((c0, lastBid)) =>
         val (changes, next) =
           graft.sources.DocStore.changesSince(spark, srcPath, c0, idCol)
-        if (next == c0) return 0L
+        if (next == c0) { maybeCompactIdx(); return 0L }
         def sideEmb(side: String): org.apache.spark.sql.Column = {
           val st = changes.schema(side).dataType
             .asInstanceOf[org.apache.spark.sql.types.StructType]
           if (st.fieldNames.contains(embCol)) col(s"$side.$embCol")
           else lit(null)
         }
-        // ONE per-id pass over the change window (the near-dup poll's
-        // fused shape): `__tc` = the indexed vector must change, `__old`
-        // = superseded content may exist in the index, `__emb` = the
-        // latest after-image embedding (null when the net effect is a
-        // delete)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol)).orderBy(col("generation").desc)
-        val wAsc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol)).orderBy(col("generation").asc)
+        // ONE per-id pass over the change window, and a SINGLE aggregate
+        // — no window functions at all: `max_by`/`min_by` pick the
+        // latest/earliest generation's side images directly (MaxBy skips
+        // null ORDERINGS only, and `generation` is never null, so a
+        // latest-is-delete id correctly yields a null `__emb`), where the
+        // former shape paid two window sorts (desc + asc row_number)
+        // before the same group-agg. `__tc` = the indexed vector must
+        // change, `__old` = superseded content may exist in the index,
+        // `__emb` = the latest after-image embedding (null when the net
+        // effect is a delete)
         val perId = changes
-          .withColumn("__rn", row_number().over(w))
-          .withColumn("__rnAsc", row_number().over(wAsc))
           .groupBy(col(idCol))
           .agg(max(when(!(sideEmb("before") <=> sideEmb("after")), 1)
               .otherwise(0)).as("__tc"),
             max(when(col("change") =!= "inserted", 1).otherwise(0)).as("__old"),
-            max(when(col("__rn") === 1 && col("change") =!= "deleted",
-              sideEmb("after"))).as("__emb"),
+            max_by(when(col("change") =!= "deleted", sideEmb("after")),
+              col("generation")).as("__emb"),
             // the id's indexed vector as of the cursor == the before image
             // of its FIRST change in the window (the index follows the
             // corpus exactly, pinned by SyncIvfSpec) — its cell under the
             // _META-pinned model is where the takedown must look
-            max(when(col("__rnAsc") === 1, sideEmb("before"))).as("__embBefore"))
+            min_by(sideEmb("before"), col("generation")).as("__embBefore"))
           .filter(col("__tc") === 1)
           .localCheckpoint(true)
         if (perId.isEmpty) { // metadata-only window: cursor advance only
           writeNearDupSync(fs, indexPath, next, lastBid)
+          maybeCompactIdx()
           return 0L
         }
         val toIngest = perId.filter(col("__emb").isNotNull)
@@ -819,6 +828,7 @@ object Streams {
         val bid = lastBid + 1
         if (n > 0) ivfBatch(toIngest, bid, indexPath, model, idCol, embCol)
         writeNearDupSync(fs, indexPath, next, if (n > 0) bid else lastBid)
+        maybeCompactIdx()
         n
     }
   }
@@ -949,6 +959,9 @@ object Streams {
         fs.exists(new org.apache.hadoop.fs.Path(shDir)),
       s"probeNearDupIndex: $indexPath has no keys/shingles dirs — build " +
         "the index with ingestToNearDupIndex first")
+    // a crashed compaction must complete before any read: between its
+    // intent and rename some batch dirs exist only in the staged union
+    healIndexCompaction(fs, keysDir); healIndexCompaction(fs, shDir)
     requireNearDupGeometry(fs, indexPath, k, bands, rowsPerBand, "probeNearDupIndex")
     val sh = graft.dedup.MinHashDedup
       .shingleSets(docs, idCol, textCol, k).cache()
@@ -1063,6 +1076,10 @@ object Streams {
     require(fs.exists(new org.apache.hadoop.fs.Path(keysDir)) &&
         fs.exists(new org.apache.hadoop.fs.Path(shDir)),
       s"removeFromNearDupIndex: $indexPath has no keys/shingles dirs")
+    // complete a crashed compaction first — its mid-protocol state hides
+    // batch dirs the discovery scan below must see
+    healIndexCompaction(fs, keysDir); healIndexCompaction(fs, shDir)
+    healIndexCompaction(fs, matchesDir)
     // crash recovery for OUR OWN swap protocol (below): a leftover
     // `.takedown-b<N>-*` staging dir whose `batch_id=N` sibling is gone
     // means the previous takedown crashed between its delete and rename —
@@ -1188,6 +1205,206 @@ object Streams {
     removedDocs
   }
 
+  // ---- derived-index batch-dir compaction ---------------------------
+  //
+  // Every ingest batch / CDC poll adds one `batch_id=N` directory to a
+  // derived index (keys/shingles/matches for near-dup, batch_id/cell for
+  // IVF) and nothing else ever merges them: a corpus polled every 5
+  // minutes for 3 months is ~26k batch dirs x slots/cells whose directory
+  // listings, parquet footers, and per-probe file counts grow linearly
+  // with POLL COUNT forever, even while the data volume is flat — the
+  // exact small-file problem [[graft.sources.DocStore.maintain]] solves
+  // for the store, reproduced index-side. [[compactNearDupIndex]] /
+  // [[compactIvfIndex]] are the missing leg: fold every batch dir at or
+  // below a safe cutoff into ONE consolidated dir (per slot / per cell —
+  // the partition scheme, and therefore every pruned read, is unchanged),
+  // tombstone-correct by construction (takedowns rewrite dirs physically,
+  // so consolidation unions only post-takedown content and can never
+  // resurrect a removed id), and crash-safe via an intent-file protocol
+  // (stage -> intent -> delete olds -> rename -> clear intent; every
+  // entry point heals a crashed run before reading).
+  //
+  // CUTOFF RULE: a `_SYNC`-maintained index consolidates everything at or
+  // below the committed `lastBid` (a crashed poll's orphan `lastBid+1`
+  // dir is left alone — its replay overwrites that dir whole); a
+  // stream-built index (no `_SYNC`) keeps its MAX batch dir untouched,
+  // because only the latest batch can be redelivered by an at-least-once
+  // restart — consolidating it would double its content under the replay.
+  // Single-maintainer like every other index write: do not run while a
+  // poll or ingest batch is in flight.
+
+  private val CompactIntentFile = "_COMPACT"
+
+  /** Complete (or discard) a crashed consolidation under `parent`. With
+    * an intent present: staging still there -> redo the delete+rename leg
+    * (idempotent); staging gone -> the rename landed, just clear the
+    * intent. Stale dot-prefixed staging dirs WITHOUT an intent are debris
+    * from a crash before the intent committed — the batch dirs are all
+    * still live, so the staging is simply deleted. One exists() when
+    * nothing crashed.
+    */
+  private def healIndexCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                                  parent: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(parent)
+    if (!fs.exists(dir)) return
+    val intent = new org.apache.hadoop.fs.Path(dir, CompactIntentFile)
+    if (fs.exists(intent)) {
+      val in = fs.open(intent)
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val kv = txt.split("\n").iterator.map(_.trim).filter(_.contains("="))
+        .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
+      val target = kv("target").toLong
+      val staging = new org.apache.hadoop.fs.Path(dir, kv("staging"))
+      if (fs.exists(staging)) {
+        fs.listStatus(dir).foreach { st =>
+          val nm = st.getPath.getName
+          if (st.isDirectory && nm.startsWith("batch_id=") &&
+              nm.stripPrefix("batch_id=").toLong <= target)
+            fs.delete(st.getPath, true)
+        }
+        if (!fs.rename(staging, new org.apache.hadoop.fs.Path(dir,
+            s"batch_id=$target")))
+          throw new java.io.IOException(
+            s"index compaction: cannot recover $staging -> batch_id=$target")
+      }
+      fs.delete(intent, false)
+    }
+    // debris: staging dirs whose intent never committed
+    fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".compact-"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Fold `parent`'s batch dirs with id <= `cutoff` into one consolidated
+    * `batch_id=max(folded)` dir, preserving `partitionCol`'s partition
+    * scheme (None = unpartitioned, the matches table). Returns how many
+    * dirs were folded away (0 = one or zero dirs at/below the cutoff —
+    * already consolidated). The stage->intent->delete->rename protocol
+    * with [[healIndexCompaction]] makes a crash at ANY point recoverable
+    * with no content loss: until the intent commits, every original dir
+    * is still live; after it, the staged union carries all of them.
+    */
+  private def consolidateBatchDirs(spark: SparkSession,
+                                   fs: org.apache.hadoop.fs.FileSystem,
+                                   parent: String, cutoff: Long,
+                                   partitionCol: Option[String]): Long = {
+    val dir = new org.apache.hadoop.fs.Path(parent)
+    if (!fs.exists(dir)) return 0L
+    healIndexCompaction(fs, parent)
+    val ids = fs.listStatus(dir).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("batch_id=") =>
+        st.getPath.getName.stripPrefix("batch_id=").toLong
+    }.filter(_ <= cutoff).sorted
+    if (ids.size <= 1) return 0L
+    val target = ids.max
+    // read EXACTLY the pinned ids (partition pruning on batch_id), union
+    // them, restore the partition layout with one clustered shuffle so
+    // each slot/cell dir gets one file — this IS the small-file payoff
+    val all = spark.read.parquet(parent)
+      .filter(col("batch_id").isin(ids: _*))
+      .drop("batch_id")
+    val staging = new org.apache.hadoop.fs.Path(dir,
+      s".compact-${java.util.UUID.randomUUID()}")
+    partitionCol match {
+      case Some(pc) =>
+        all.repartition(col(pc))
+          .write.mode(SaveMode.Overwrite).partitionBy(pc)
+          .parquet(staging.toString)
+      case None =>
+        all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    }
+    // INTENT commit (tmp-then-rename): from here the heal protocol owns
+    // completion — a crash mid-delete can no longer lose content
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"$CompactIntentFile.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"target=$target\nstaging=${staging.getName}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val intent = new org.apache.hadoop.fs.Path(dir, CompactIntentFile)
+    fs.delete(intent, false)
+    if (!fs.rename(tmp, intent))
+      throw new java.io.IOException(s"index compaction: cannot commit $intent")
+    ids.foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$n"), true)
+    }
+    if (!fs.rename(staging, new org.apache.hadoop.fs.Path(dir, s"batch_id=$target")))
+      throw new java.io.IOException(
+        s"index compaction: cannot swap $staging -> batch_id=$target")
+    fs.delete(intent, false)
+    ids.size.toLong - 1L
+  }
+
+  /** Batch ids present under `parent` (empty when the dir is missing). */
+  private def batchIdsIn(fs: org.apache.hadoop.fs.FileSystem,
+                         parent: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(parent)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("batch_id=") =>
+        st.getPath.getName.stripPrefix("batch_id=").toLong
+    }.sorted
+  }
+
+  /** MAINTENANCE for a near-dup index: fold accumulated batch dirs of
+    * keys/shingles/matches into one consolidated dir each, whenever any
+    * of them exceeds `maxBatchDirs`. Probe/poll results are row-identical
+    * before and after (the partition scheme and every id survive; only
+    * the dir count changes — pinned by IndexCompactionSpec), takedowns
+    * stay honored (consolidation reads post-takedown content), and a
+    * crashed run heals at the next entry into any index operation.
+    * Returns the number of batch dirs folded away across the three
+    * parents. Single-maintainer: never run while a poll/ingest/takedown
+    * is in flight — same contract as [[removeFromNearDupIndex]].
+    */
+  def compactNearDupIndex(spark: SparkSession, indexPath: String,
+                          maxBatchDirs: Int = 1): Long = {
+    require(maxBatchDirs >= 1, s"maxBatchDirs must be >= 1, got $maxBatchDirs")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parents = Seq(s"$indexPath/keys" -> Some("slot"),
+      s"$indexPath/shingles" -> Some("id_slot"),
+      s"$indexPath/matches" -> (None: Option[String]))
+    // heal first — the dir count below must see a consistent layout
+    parents.foreach { case (p, _) => healIndexCompaction(fs, p) }
+    val cutoff = readNearDupSync(fs, indexPath) match {
+      case Some((_, lastBid)) => lastBid // committed polls; orphan stays
+      case None => // stream-built: the max dir may be redelivered — keep it
+        val ids = batchIdsIn(fs, s"$indexPath/keys") ++
+          batchIdsIn(fs, s"$indexPath/shingles")
+        if (ids.isEmpty) return 0L else ids.max - 1L
+    }
+    if (parents.map { case (p, _) => batchIdsIn(fs, p).size }.max <= maxBatchDirs)
+      return 0L
+    parents.map { case (p, pc) =>
+      consolidateBatchDirs(spark, fs, p, cutoff, pc) }.sum
+  }
+
+  /** [[compactNearDupIndex]]'s IVF twin: fold the `batch_id=N/cell=M`
+    * dirs at/below the safe cutoff into one consolidated batch
+    * (per-cell layout preserved, so cell-pruned probes and the takedown's
+    * cell hints work unchanged). knn/sync results are row-identical
+    * before and after; a crashed run heals at the next entry. Returns
+    * folded dir count.
+    */
+  def compactIvfIndex(spark: SparkSession, indexPath: String,
+                      maxBatchDirs: Int = 1): Long = {
+    require(maxBatchDirs >= 1, s"maxBatchDirs must be >= 1, got $maxBatchDirs")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healIndexCompaction(fs, indexPath)
+    val ids = batchIdsIn(fs, indexPath)
+    if (ids.isEmpty) return 0L
+    val cutoff = readNearDupSync(fs, indexPath) match {
+      case Some((_, lastBid)) => lastBid
+      case None => ids.max - 1L
+    }
+    if (ids.size <= maxBatchDirs) return 0L
+    consolidateBatchDirs(spark, fs, indexPath, cutoff, Some("cell"))
+  }
+
   // ---- CDC-driven index maintenance ---------------------------------
 
   private val NearDupSyncFile = "_SYNC"
@@ -1263,13 +1480,22 @@ object Streams {
   def syncNearDupIndex(spark: SparkSession, srcPath: String, indexPath: String,
                        idCol: String = "doc_id", textCol: String = "text",
                        k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                       threshold: Double = 0.7, maxBucket: Int = 1000)
+                       threshold: Double = 0.7, maxBucket: Int = 1000,
+                       maxBatchDirs: Int = 0)
       : DataFrame = {
     val Slots = 16L
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNearDupGeometry(fs, indexPath, k, bands, rowsPerBand,
       "syncNearDupIndex")
+    // maxBatchDirs > 0 bounds the index's batch-dir count as part of the
+    // poll loop itself (the operator wiring the verdict's maintenance
+    // policy asks for): after the poll commits, fold dirs at/below the
+    // committed cursor whenever the count exceeds the threshold. The
+    // poll's OWN matches are materialized before folding, so the returned
+    // frame always reflects exactly this poll.
+    def maybeCompactIdx(): Unit =
+      if (maxBatchDirs > 0) { compactNearDupIndex(spark, indexPath, maxBatchDirs); () }
     def matchesOf(bid: Long): DataFrame = {
       val d = s"$indexPath/matches/batch_id=$bid"
       if (fs.exists(new org.apache.hadoop.fs.Path(d))) spark.read.parquet(d)
@@ -1309,7 +1535,7 @@ object Streams {
       case Some((c0, lastBid)) =>
         val (changes, next) =
           graft.sources.DocStore.changesSince(spark, srcPath, c0, idCol)
-        if (next == c0) return emptyMatches(spark, idCol)
+        if (next == c0) { maybeCompactIdx(); return emptyMatches(spark, idCol) }
         // absent text in a change window's structs == null text (the
         // schemaless convention): such rows index nothing and a
         // null -> null "change" is no change
@@ -1320,29 +1546,30 @@ object Streams {
           else lit(null)
         }
         // ONE per-id pass over the change window (group-sized,
-        // checkpointed so the window's diff plan runs once): `__tc` =
-        // the indexed content must change (text differs across the
-        // mutation — covers inserts via the null before and deletes via
-        // the null after); `__old` = any non-inserted change (only those
-        // ids can have superseded content already in the index); `__text`
-        // = the LATEST after-image text (null when the net effect is a
-        // delete). Replaces the former two-checkpoint touched/toIngest
-        // chain — one shuffle, one materialization.
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol)).orderBy(col("generation").desc)
+        // checkpointed so the window's diff plan runs once), and a SINGLE
+        // aggregate — `max_by` picks the latest generation's after image
+        // directly (MaxBy skips null ORDERINGS only; `generation` is
+        // never null, so a latest-is-delete id correctly yields a null
+        // `__text`), where the former shape paid a window sort
+        // (row_number desc) before the same group-agg. `__tc` = the
+        // indexed content must change (text differs across the mutation —
+        // covers inserts via the null before and deletes via the null
+        // after); `__old` = any non-inserted change (only those ids can
+        // have superseded content already in the index); `__text` = the
+        // LATEST after-image text (null when the net effect is a delete).
         val perId = changes
-          .withColumn("__rn", row_number().over(w))
           .groupBy(col(idCol))
           .agg(max(when(!(sideText("before") <=> sideText("after")), 1)
               .otherwise(0)).as("__tc"),
             max(when(col("change") =!= "inserted", 1).otherwise(0)).as("__old"),
-            max(when(col("__rn") === 1 && col("change") =!= "deleted",
-              sideText("after"))).as("__text"))
+            max_by(when(col("change") =!= "deleted", sideText("after")),
+              col("generation")).as("__text"))
           .filter(col("__tc") === 1)
           .localCheckpoint(true)
         val touched = perId.select(col(idCol))
         if (perId.isEmpty) { // metadata-only window: cursor advance only
           writeNearDupSync(fs, indexPath, next, lastBid)
+          maybeCompactIdx()
           return emptyMatches(spark, idCol)
         }
         val toIngest = perId.filter(col("__text").isNotNull)
@@ -1379,7 +1606,17 @@ object Streams {
           nearDupBatch(toIngest, bid, indexPath, idCol, textCol,
             k, bands, rowsPerBand, threshold, maxBucket, Slots)
         writeNearDupSync(fs, indexPath, next, if (ingested) bid else lastBid)
-        if (ingested) matchesOf(bid) else emptyMatches(spark, idCol)
+        if (maxBatchDirs > 0) {
+          // pin this poll's matches BEFORE folding: compaction may merge
+          // matches/batch_id=bid into the consolidated dir, after which a
+          // lazy read of that dir would return ALL history, not this poll
+          val result =
+            if (ingested) matchesOf(bid).localCheckpoint(true)
+            else emptyMatches(spark, idCol)
+          maybeCompactIdx()
+          result
+        }
+        else if (ingested) matchesOf(bid) else emptyMatches(spark, idCol)
     }
   }
 
@@ -1421,6 +1658,9 @@ object Streams {
       val keysDir = s"$indexPath/keys"
       val shDir = s"$indexPath/shingles"
       val matchesDir = s"$indexPath/matches"
+      // complete a crashed compaction before reading stored keys/shingles
+      healIndexCompaction(fs, keysDir); healIndexCompaction(fs, shDir)
+      healIndexCompaction(fs, matchesDir)
       // geometry contract: resuming an index with different parameters
       // would write incomparable band hashes — fail loudly instead
       requireNearDupGeometry(fs, indexPath, k, bands, rowsPerBand,

@@ -1,0 +1,304 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.DocStore
+import graft.dedup.MinHashDedup
+import graft.sim.Ann
+
+/** Derived-index batch-dir compaction (Streams.compactNearDupIndex /
+  * compactIvfIndex) — the index-side small-file maintenance leg.
+  *
+  * Load-bearing claims: after any number of CDC polls, folding the
+  * accumulated `batch_id=N` dirs (a) bounds the directory count, (b)
+  * changes NO result — index content, probe matches, and knn servings are
+  * row-identical before/after, (c) never resurrects a taken-down id, and
+  * (d) heals a crash at any protocol point on the next entry into any
+  * index operation.
+  */
+class IndexCompactionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshPath() = {
+    val d = java.nio.file.Files.createTempDirectory("graft-idxcompact").toString
+    new java.io.File(d).delete()
+    d
+  }
+
+  // ---- near-dup helpers (the SyncNearDupSpec corpus shape) ----------------
+
+  private def doc(c: Int, v: Int): (Long, String) = {
+    val toks = (0 until 12).map(i => if (i == v) s"x${c}_$v" else s"w${c}_$i")
+    (c * 10L + v, toks.mkString(" "))
+  }
+  private def uniq(u: Int): (Long, String) =
+    (1000L + u, (0 until 12).map(i => s"u${u}_$i").mkString(" "))
+
+  private def sync(src: String, idx: String, maxBatchDirs: Int = 0) =
+    Streams.syncNearDupIndex(spark, src, idx,
+      idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5,
+      maxBatchDirs = maxBatchDirs)
+
+  private def batchDirs(parent: String): Seq[Long] = {
+    val f = new java.io.File(parent)
+    Option(f.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong).sorted
+  }
+
+  private def keySet(idx: String): Set[(String, Long, Long)] =
+    spark.read.parquet(s"$idx/keys")
+      .select(col("band").cast("string"), col("band_hash"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def shingleSet(idx: String): Set[(Long, Seq[Long])] =
+    spark.read.parquet(s"$idx/shingles").select("doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+
+  private def matchSet(idx: String): Set[(Long, Long)] =
+    spark.read.parquet(s"$idx/matches").select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def referenceKeys(live: org.apache.spark.sql.DataFrame)
+      : (Set[(String, Long, Long)], Set[(Long, Seq[Long])]) = {
+    val sh = MinHashDedup.shingleSets(live, "doc_id", "text", 3)
+    val keys = MinHashDedup.bandKeysFromShingles(sh, "doc_id", 16, 4)
+      .select(col("band").cast("string"), col("band_hash"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val shs = sh.select("doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    (keys, shs)
+  }
+
+  private def probeSet(idx: String, docs: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long)] =
+    Streams.probeNearDupIndex(docs, idx, idCol = "doc_id", textCol = "text",
+        k = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("near-dup churn with maxBatchDirs wired: bounded dirs, identical content and probes") {
+    val src = freshPath(); val idx = freshPath(); val twin = freshPath()
+    val seed = (for (c <- 0 until 3; v <- 0 until 2) yield doc(c, v)) ++
+      (0 until 4).map(uniq)
+    DocStore.insertMany(seed.toDF("doc_id", "text"), src)
+    sync(src, idx, maxBatchDirs = 3)
+    sync(src, twin) // the uncompacted control follows the same mutations
+    // churn: appends, an update, a delete — each polled into both indexes
+    (0 until 6).foreach { i =>
+      i % 3 match {
+        case 0 => DocStore.insertMany(Seq(doc(i % 3, 2 + i / 3))
+          .toDF("doc_id", "text"), src)
+        case 1 => DocStore.updateMany(spark, src, col("doc_id") === 1001L,
+          Map("text" -> lit((0 until 12).map(j => s"u1_${j}_v$i").mkString(" "))))
+        case 2 => DocStore.insertMany(Seq(uniq(100 + i)).toDF("doc_id", "text"), src)
+      }
+      sync(src, idx, maxBatchDirs = 3)
+      sync(src, twin)
+    }
+    // dir count bounded by the policy (the control accumulated one per
+    // ingesting poll); the threshold allows up to maxBatchDirs plus the
+    // batch the triggering poll just wrote
+    for (p <- Seq("keys", "shingles", "matches")) {
+      assert(batchDirs(s"$idx/$p").size <= 4,
+        s"$p: ${batchDirs(s"$idx/$p")} not bounded")
+      assert(batchDirs(s"$twin/$p").size > 4,
+        s"control index unexpectedly small: ${batchDirs(s"$twin/$p")}")
+    }
+    // content identical to the uncompacted twin AND to a fresh one-shot
+    val live = DocStore.find(spark, src).select("doc_id", "text")
+    val (refK, refS) = referenceKeys(live)
+    assert(keySet(idx) == refK && keySet(twin) == refK)
+    assert(shingleSet(idx) == refS && shingleSet(twin) == refS)
+    assert(matchSet(idx) == matchSet(twin))
+    // probes row-identical against both
+    val probes = Seq((9000L, (0 until 12).map(i => s"w0_$i").mkString(" ")),
+      (9001L, (0 until 12).map(i => s"q_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = probeSet(idx, probes)
+    assert(got == probeSet(twin, probes))
+    assert(got.nonEmpty && got.forall(_._1 == 9000L))
+  }
+
+  test("explicit compactNearDupIndex folds to one dir per parent; polls continue") {
+    val src = freshPath(); val idx = freshPath()
+    DocStore.insertMany(((0 until 2).map(v => doc(0, v)) ++
+      (0 until 3).map(uniq)).toDF("doc_id", "text"), src)
+    sync(src, idx)
+    (0 until 3).foreach { i =>
+      DocStore.insertMany(Seq(uniq(10 + i)).toDF("doc_id", "text"), src)
+      sync(src, idx)
+    }
+    val (k0, s0, m0) = (keySet(idx), shingleSet(idx), matchSet(idx))
+    assert(batchDirs(s"$idx/keys").size == 4)
+    val folded = Streams.compactNearDupIndex(spark, idx)
+    assert(folded == 9L, s"folded $folded (3 dirs x 3 parents expected)")
+    for (p <- Seq("keys", "shingles", "matches"))
+      assert(batchDirs(s"$idx/$p") == Seq(4L), batchDirs(s"$idx/$p").toString)
+    assert((keySet(idx), shingleSet(idx), matchSet(idx)) == ((k0, s0, m0)))
+    // idempotent: a consolidated index folds nothing
+    assert(Streams.compactNearDupIndex(spark, idx) == 0L)
+    // the next poll matches new arrivals against the CONSOLIDATED content
+    DocStore.insertMany(Seq(doc(0, 2)).toDF("doc_id", "text"), src)
+    val polled = sync(src, idx)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(polled == Set((0L, 2L), (1L, 2L)), polled.toString)
+  }
+
+  test("compaction after a takedown cannot resurrect the removed id") {
+    val src = freshPath(); val idx = freshPath()
+    DocStore.insertMany(((0 until 3).map(v => doc(0, v)) ++
+      (0 until 2).map(uniq)).toDF("doc_id", "text"), src)
+    sync(src, idx)
+    DocStore.insertMany(Seq(uniq(50)).toDF("doc_id", "text"), src)
+    sync(src, idx)
+    DocStore.deleteMany(spark, src, Some(col("doc_id") === 1L))
+    sync(src, idx) // the delete propagates as an index takedown
+    Streams.compactNearDupIndex(spark, idx)
+    assert(!keySet(idx).exists(_._3 == 1L))
+    assert(!shingleSet(idx).exists(_._1 == 1L))
+    assert(!matchSet(idx).exists(p => p._1 == 1L || p._2 == 1L))
+    val live = DocStore.find(spark, src).select("doc_id", "text")
+    val (refK, refS) = referenceKeys(live)
+    assert(keySet(idx) == refK && shingleSet(idx) == refS)
+  }
+
+  test("a crashed consolidation heals at the next entry (mid-delete crash)") {
+    val src = freshPath(); val idx = freshPath()
+    DocStore.insertMany(((0 until 2).map(v => doc(0, v)) ++
+      (0 until 3).map(uniq)).toDF("doc_id", "text"), src)
+    sync(src, idx)
+    (0 until 2).foreach { i =>
+      DocStore.insertMany(Seq(uniq(20 + i)).toDF("doc_id", "text"), src)
+      sync(src, idx)
+    }
+    val (k0, s0) = (keySet(idx), shingleSet(idx))
+    // replicate the protocol by hand up to a crash in the delete loop:
+    // stage the union, commit the intent, delete SOME source dirs, stop
+    val keysDir = s"$idx/keys"
+    val ids = batchDirs(keysDir)
+    assert(ids.size == 3)
+    val target = ids.max
+    spark.read.parquet(keysDir)
+      .filter(col("batch_id").isin(ids: _*)).drop("batch_id")
+      .repartition(col("slot"))
+      .write.partitionBy("slot").parquet(s"$keysDir/.compact-sim")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(keysDir, "_COMPACT"),
+      s"target=$target\nstaging=.compact-sim\n")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$keysDir/batch_id=${ids.head}"))
+    // the next index operation heals: complete delete+rename, clear intent
+    DocStore.insertMany(Seq(uniq(40)).toDF("doc_id", "text"), src)
+    sync(src, idx)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(keysDir, "_COMPACT")))
+    assert(batchDirs(keysDir).size == 2) // consolidated + the new poll's
+    val live = DocStore.find(spark, src).select("doc_id", "text")
+    val (refK, refS) = referenceKeys(live)
+    assert(keySet(idx) == refK, "healed keys lost or duplicated content")
+    assert(shingleSet(idx) == refS)
+    assert(k0.subsetOf(refK) && s0.subsetOf(refS))
+    // debris without an intent is discarded, not resurrected
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(keysDir, ".compact-junk"))
+    assert(Streams.compactNearDupIndex(spark, idx) >= 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(keysDir, ".compact-junk")))
+  }
+
+  // ---- IVF ----------------------------------------------------------------
+
+  private def vec(i: Long): Array[Double] = {
+    val c = (i % 3).toInt
+    Array.tabulate(4)(j =>
+      (if (j == c) 4.0 else 0.5) + ((i * 7 + j * 3) % 5) * 0.1)
+  }
+  private def corpusDf(ids: Seq[Long]) =
+    ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+  private def indexContent(idx: String): Set[(Long, Long)] =
+    spark.read.parquet(idx).select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("IVF churn with maxBatchDirs wired: bounded dirs, identical content, search == brute") {
+    val src = freshPath(); val idx = freshPath()
+    DocStore.insertMany(corpusDf(0L until 30L), src)
+    DocStore.compact(spark, src, targetFiles = 2, format = Some("parquet"))
+    val model = Ann.fitIvf(DocStore.find(spark, src), nCells = 3, lloydIters = 2)
+    def poll() = Streams.syncIvfIndex(spark, src, idx, model, maxBatchDirs = 2)
+    poll()
+    (0 until 5).foreach { i =>
+      if (i == 3) DocStore.deleteMany(spark, src, Some(col("vec_id") % 9 === 4))
+      else DocStore.insertMany(corpusDf((30L + i * 3) until (33L + i * 3)), src)
+      poll()
+    }
+    assert(batchDirs(idx).size <= 3, batchDirs(idx).toString)
+    val live = DocStore.find(spark, src)
+    assert(indexContent(idx) == live
+      .select(col("vec_id"), model.assign(col("embedding")).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val queries = live.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rk", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(rows(Ann.ivfSearch(model, spark.read.parquet(idx), queries,
+      k = 4, nProbe = 3)) == rows(Ann.bruteForceTopK(live, queries, k = 4)))
+  }
+
+  test("explicit compactIvfIndex: identity before/after, stream-built keeps its max dir") {
+    val src = freshPath(); val idx = freshPath()
+    DocStore.insertMany(corpusDf(0L until 24L), src)
+    DocStore.compact(spark, src, targetFiles = 2, format = Some("parquet"))
+    val model = Ann.fitIvf(DocStore.find(spark, src), nCells = 3, lloydIters = 2)
+    Streams.syncIvfIndex(spark, src, idx, model)
+    (0 until 3).foreach { i =>
+      DocStore.insertMany(corpusDf((24L + i * 2) until (26L + i * 2)), src)
+      Streams.syncIvfIndex(spark, src, idx, model)
+    }
+    val before = indexContent(idx)
+    assert(batchDirs(idx).size == 4)
+    assert(Streams.compactIvfIndex(spark, idx) == 3L)
+    assert(batchDirs(idx) == Seq(4L))
+    assert(indexContent(idx) == before)
+    assert(Streams.compactIvfIndex(spark, idx) == 0L) // idempotent
+    // further polls keep working against the consolidated index
+    DocStore.updateMany(spark, src, col("vec_id") === 2L,
+      Map("embedding" -> transform(col("embedding"), x => x * lit(2.0d))))
+    assert(Streams.syncIvfIndex(spark, src, idx, model) == 1L)
+    assert(indexContent(idx) == DocStore.find(spark, src)
+      .select(col("vec_id"), model.assign(col("embedding")).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
+    // STREAM-BUILT index (no _SYNC): the max batch dir may be redelivered
+    // by an at-least-once restart, so compaction must leave it alone
+    val sIdx = freshPath()
+    Streams.ivfBatch(corpusDf(0L until 8L), 1L, sIdx, model, "vec_id", "embedding")
+    Streams.ivfBatch(corpusDf(8L until 16L), 2L, sIdx, model, "vec_id", "embedding")
+    Streams.ivfBatch(corpusDf(16L until 24L), 3L, sIdx, model, "vec_id", "embedding")
+    val sBefore = indexContent(sIdx)
+    assert(Streams.compactIvfIndex(spark, sIdx) == 1L) // folds 1,2 -> 2
+    assert(batchDirs(sIdx) == Seq(2L, 3L))
+    assert(indexContent(sIdx) == sBefore)
+    // a redelivery of batch 3 overwrites its own dir — no duplication
+    Streams.ivfBatch(corpusDf(16L until 24L), 3L, sIdx, model, "vec_id", "embedding")
+    assert(indexContent(sIdx) == sBefore)
+  }
+
+  test("compact_neardup_index / compact_ivf_index TVFs (SQL maintenance surface)") {
+    val src = freshPath(); val idx = freshPath()
+    DocStore.insertMany(((0 until 2).map(v => doc(0, v)) ++
+      (0 until 2).map(uniq)).toDF("doc_id", "text"), src)
+    sync(src, idx)
+    DocStore.insertMany(Seq(uniq(30)).toDF("doc_id", "text"), src)
+    sync(src, idx)
+    val k0 = keySet(idx)
+    val folded = spark.sql(s"SELECT * FROM compact_neardup_index('$idx')")
+      .head().getLong(0)
+    assert(folded == 3L, s"folded $folded") // 1 dir folded away x 3 parents
+    assert(keySet(idx) == k0)
+    assert(spark.sql(s"SELECT * FROM compact_neardup_index('$idx', 1)")
+      .head().getLong(0) == 0L)
+  }
+}

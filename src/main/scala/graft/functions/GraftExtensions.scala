@@ -480,6 +480,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strArg(args(2), "typeDdl"))))
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("docstore_rename_column"),
+      info("docstore_rename_column",
+        "docstore_rename_column(path, from, to) - RENAME COLUMN as a " +
+          "one-scan rewrite (name-based schemas have no field ids, so a " +
+          "metadata-only rename would silently null the column in carried " +
+          "files — the Delta column-mapping caveat); stats geometry " +
+          "follows the rename. Convergent: from absent with to present " +
+          "is the replayed-verb no-op. Returns (committed)."),
+      (args: Seq[Expression]) => {
+        arity(args, 3, "docstore_rename_column(path, from, to)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        boolRow(graft.sources.DocStore.renameColumn(spark,
+          strArg(args.head, "path"), strArg(args(1), "from"),
+          strArg(args(2), "to")))
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("docstore_update"),
       info("docstore_update",
         "docstore_update(path, token, filterSql, col1, valueSql1[, col2, " +
@@ -572,6 +588,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             import spark.implicits._
             Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
           })
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("compact_neardup_index"),
+      info("compact_neardup_index",
+        "compact_neardup_index(indexPath[, maxBatchDirs]) - fold a " +
+          "near-dup index's accumulated per-poll batch_id dirs (keys/" +
+          "shingles/matches) into one consolidated dir each when any " +
+          "parent exceeds maxBatchDirs (default 1) — the index-side " +
+          "small-file maintenance; probe results are row-identical " +
+          "before/after. Naturally idempotent (a consolidated index is " +
+          "under every threshold), crash-safe via the intent protocol. " +
+          "Returns one row (folded). Single-maintainer: do not run while " +
+          "a poll/ingest is in flight."),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2,
+          "compact_neardup_index(indexPath[, maxBatchDirs]) takes 1 or 2 " +
+            "arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = graft.streaming.Streams.compactNearDupIndex(spark,
+          strArg(args.head, "indexPath"),
+          if (args.length > 1) intArg(args(1), "maxBatchDirs") else 1)
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          spark.range(1).select(
+            org.apache.spark.sql.functions.lit(n).as("folded")))
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("compact_ivf_index"),
+      info("compact_ivf_index",
+        "compact_ivf_index(indexPath[, maxBatchDirs]) - fold an IVF ANN " +
+          "index's accumulated per-poll batch_id dirs into one " +
+          "consolidated per-cell dir when the count exceeds maxBatchDirs " +
+          "(default 1); knn results are row-identical before/after. " +
+          "Naturally idempotent, crash-safe via the intent protocol. " +
+          "Returns one row (folded). Single-maintainer: do not run while " +
+          "a poll/ingest is in flight."),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 2,
+          "compact_ivf_index(indexPath[, maxBatchDirs]) takes 1 or 2 " +
+            "arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = graft.streaming.Streams.compactIvfIndex(spark,
+          strArg(args.head, "indexPath"),
+          if (args.length > 1) intArg(args(1), "maxBatchDirs") else 1)
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          spark.range(1).select(
+            org.apache.spark.sql.functions.lit(n).as("folded")))
       }))
   }
 }

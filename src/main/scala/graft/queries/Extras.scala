@@ -40,6 +40,49 @@ private[queries] object TmpDirs {
   }
 }
 
+/** Shared staging for the d9-family IVF-sync queries: the lifecycle seed
+  * (clustered parquet src store + its seeded IVF index + a PENDING mixed
+  * CDC window of a 2.5% insert batch and a selective COW delete the index
+  * has not seen) is built ONCE per (dataset, JVM) — the src store is
+  * maintained the way a production corpus is (clustered + statted on the
+  * key, so the staged delete is a pruned COW rewrite), and the corpus-
+  * mutation cost itself is the d8 family's bench, not the d9 family's.
+  * Each caller then copies the staging into its own `tag`-keyed work dir,
+  * so bench repeats are deterministic and d9b/d9c never clobber each
+  * other's live dirs.
+  */
+private[queries] object IvfSyncStage {
+  def work(s: org.apache.spark.sql.SparkSession, d: String,
+           emb: org.apache.spark.sql.DataFrame,
+           model: graft.sim.Ann.IvfModel, tag: String): String = {
+    import graft.sources.DocStore
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val pid = ProcessHandle.current().pid()
+    val seed = TmpDirs.cleanupOnExit(
+      s"$tmp/graft-ivfsyncseed-${Integer.toHexString(d.hashCode)}-p$pid")
+    // queries run sequentially within one JVM (Verify/Bench both), so the
+    // staged-seed check needs no lock — the pid key isolates across JVMs
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
+      DocStore.insertMany(emb.filter(col("vec_id") % 40 =!= 7), s"$seed/src")
+      DocStore.compact(s, s"$seed/src", targetFiles = 1, format = Some("parquet"))
+      DocStore.cluster(s, s"$seed/src", col("vec_id"), targetFiles = 8,
+        statsCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
+      graft.streaming.Streams.syncIvfIndex(s, s"$seed/src", s"$seed/idx", model)
+      DocStore.insertMany(emb.filter(col("vec_id") % 40 === 7), s"$seed/src")
+      DocStore.deleteMany(s, s"$seed/src",
+        Some(col("vec_id").between(100L, 119L)), retain = 3)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
+    }
+    val work = TmpDirs.cleanupOnExit(
+      s"$tmp/graft-$tag-${Integer.toHexString(d.hashCode)}-p$pid")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(seed), new java.io.File(work))
+    work
+  }
+}
+
 object StreamingQuery {
   /** Stage `<d>/<table>.parquet` into a deterministic landing directory
     * (file-stream sources require a DIRECTORY — this simulates the
@@ -1837,50 +1880,63 @@ object Extras {
     //      for d9's reason (fitted centroids have no DuckDB twin).
     "d9b_ivf_poll" -> rowsOnly(
       (s, d) => {
-        import graft.sources.DocStore
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-        val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-        val pid = ProcessHandle.current().pid()
         val model = graft.sim.Ann.cachedIvf(d,
           Tables.embeddings(s, d), nCells = 16, lloydIters = 2)
-        val seed = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-ivfsyncseed-${Integer.toHexString(d.hashCode)}-p$pid")
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(seed, "_SEEDED"))) {
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seed))
-          // the src store is maintained the way a production corpus is:
-          // clustered + statted on the key, so the poll's selective
-          // delete is a pruned COW rewrite, not a corpus rewrite
-          DocStore.insertMany(emb.filter(col("vec_id") % 40 =!= 7), s"$seed/src")
-          DocStore.compact(s, s"$seed/src", targetFiles = 1, format = Some("parquet"))
-          DocStore.cluster(s, s"$seed/src", col("vec_id"), targetFiles = 8,
-            statsCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
-          graft.streaming.Streams.syncIvfIndex(s, s"$seed/src", s"$seed/idx", model)
-          // the PENDING delta is staged too (a 2.5% insert batch + a
-          // selective COW delete the index hasn't seen): the corpus-
-          // mutation cost is the d8 family's bench, not this one's —
-          // each rep measures exactly what a production poll pays
-          DocStore.insertMany(emb.filter(col("vec_id") % 40 === 7), s"$seed/src")
-          DocStore.deleteMany(s, s"$seed/src",
-            Some(col("vec_id").between(100L, 119L)), retain = 3)
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(seed, "_SEEDED"))
-        }
-        val work = TmpDirs.cleanupOnExit(
-          s"$tmp/graft-ivfsyncpoll-${Integer.toHexString(d.hashCode)}-p$pid")
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
-        org.apache.commons.io.FileUtils.copyDirectory(
-          new java.io.File(seed), new java.io.File(work))
-        val src = s"$work/src"; val idx = s"$work/idx"
         // the steady state: ONE poll folds the staged mixed window —
         // ingest the inserts, take down the deleted vectors (cell-hinted
         // discovery) — then the serving search runs over the result
-        graft.streaming.Streams.syncIvfIndex(s, src, idx, model)
-        graft.sim.Ann.ivfSearch(model, s.read.parquet(idx),
+        val work = IvfSyncStage.work(s, d, emb, model, "ivfsyncpoll")
+        graft.streaming.Streams.syncIvfIndex(s, s"$work/src", s"$work/idx", model)
+        graft.sim.Ann.ivfSearch(model, s.read.parquet(s"$work/idx"),
             emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
           .select(col("q_id"), col("rk"), col("vec_id"))
           .orderBy("q_id", "rk")
           .localCheckpoint(true)
       }),
+
+    // ---- the IVF-SYNC SERVING PATH, DuckDB-hash-pinned (closing d9/d9b's
+    //      rows-only gap the r11 verdict flagged): same staged lifecycle
+    //      as d9b — seed index, one mixed CDC window (insert batch +
+    //      selective delete) — then the index's batch dirs are FOLDED
+    //      (Streams.compactIvfIndex, the index-maintenance leg) and the
+    //      index serves EXHAUSTIVELY (nProbe = nCells probes every cell).
+    //      Exhaustive probing makes the fitted centroids irrelevant to
+    //      the RESULT: top-k over the synced+compacted index must equal
+    //      brute-force cosine over the live corpus, which DuckDB restates
+    //      exactly (the e1 shape over the post-mutation row set). One
+    //      green hash row pins "index follows corpus" AND "compaction
+    //      changes nothing" end-to-end.
+    "d9c_ivf_serve_exhaustive" -> withOracle(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val model = graft.sim.Ann.cachedIvf(d,
+          Tables.embeddings(s, d), nCells = 16, lloydIters = 2)
+        val work = IvfSyncStage.work(s, d, emb, model, "ivfsyncserve")
+        graft.streaming.Streams.syncIvfIndex(s, s"$work/src", s"$work/idx", model)
+        graft.streaming.Streams.compactIvfIndex(s, s"$work/idx")
+        graft.sim.Ann.ivfSearch(model, s.read.parquet(s"$work/idx"),
+            emb.filter(col("vec_id") < 10), k = 5, nProbe = 16)
+          .select(col("q_id"), col("rk"), col("vec_id"))
+          .orderBy("q_id", "rk")
+          .localCheckpoint(true)
+      },
+      """SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id
+        |FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY (list_sum(list_transform(range(1, 65),
+        |                       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))) DESC,
+        |           c.vec_id)
+        |           AS rk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |   AND NOT (c.vec_id BETWEEN 100 AND 119)
+        |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
 
     // ---- st12's read-side twin: per-batch sketches STORED as a table
     //      (overwrite-by-batch = replay-idempotent), served by pure SQL

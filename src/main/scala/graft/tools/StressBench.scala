@@ -84,7 +84,8 @@ object StressBench {
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(appName = "graft-stress")
-    val which = if (args.isEmpty) Set("setsim", "minhash", "graph", "hotkey")
+    val which = if (args.isEmpty)
+                  Set("setsim", "minhash", "graph", "hotkey", "maintain")
                 else args.toSet
     val ratios = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
@@ -188,6 +189,70 @@ object StressBench {
       val (j1, jt1) = runJoin(true)
       val js = report("join", "hot-key", j1, jt1)
       ratios += (("join", js / ju))
+    }
+
+    if (which("maintain")) {
+      // the maintenance-triad separation probes (r11 verdict item 4):
+      // vacuum and recluster claim O(touched), where compact/cluster pay
+      // O(corpus). Plant the pathology at ~10x test scale and measure the
+      // separation directly — the claim holds when the full rewrite costs
+      // >= ~5x its incremental twin. Single-shot timing: these operators
+      // MUTATE the store, so min-of-2 would time the converged no-op.
+      import graft.sources.DocStore
+      def time1[T](f: => T): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stress-maint")
+        .toString
+      def seedStore(tag: String, files: Int): String = {
+        val p = s"$tmp/$tag"
+        DocStore.insertMany(spark.range(2000000).select(col("id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(16)),
+            j => concat(lit("w"), pmod(xxhash64(col("id") * 31 + j),
+              lit(100000))))).as("body")), p)
+        DocStore.compact(spark, p, targetFiles = 1, format = Some("parquet"))
+        DocStore.cluster(spark, p, col("id"), files, Seq("id"))
+        p
+      }
+
+      // VACUUM vs COMPACT: one mutation rewrites 7 of 8 clustered files,
+      // leaving the seed home 7/8 dead; two tiny mutations slide it out
+      // of the retention window. vacuum then re-homes ONE file (~12% of
+      // bytes); compact re-reads and re-writes everything.
+      val vp = seedStore("vac", 8)
+      DocStore.updateMany(spark, vp, col("id") >= 250000L,
+        Map("body" -> concat(col("body"), lit("!"))))
+      DocStore.updateMany(spark, vp, col("id") === 1000000L,
+        Map("body" -> lit("x")))
+      DocStore.updateMany(spark, vp, col("id") === 1000001L,
+        Map("body" -> lit("y")))
+      val tVac = time1 {
+        val n = DocStore.vacuum(spark, vp, minLiveFraction = 0.5)
+        require(n >= 1L, s"vacuum probe re-homed $n files — pathology not planted")
+      }
+      report("maintain", "vacuum", 2000000, tVac)
+      val tComp = time1(DocStore.compact(spark, vp, targetFiles = 8))
+      report("maintain", "compact", 2000000, tComp)
+
+      // RECLUSTER vs CLUSTER: a 64-file disjoint layout decayed by ONE
+      // overlapping append spanning two files' ranges — recluster sorts
+      // the ~3-file overlap group, cluster re-sorts the corpus.
+      val rp = seedStore("rec", 64)
+      DocStore.insertMany(spark.range(40000).select(col("id"),
+        lit("overlap-batch").as("body")).repartition(1), rp)
+      val tRec = time1 {
+        val n = DocStore.recluster(spark, rp, "id")
+        require(n >= 2L, s"recluster probe rewrote $n files — pathology not planted")
+      }
+      report("maintain", "reclust", 2000000, tRec)
+      val tClu = time1(
+        DocStore.cluster(spark, rp, col("id"), 64, Seq("id")))
+      report("maintain", "cluster", 2000000, tClu)
+
+      println(f"[stress] separation vacuum    ${tComp / tVac}%5.2fx " +
+        "(O(corpus)/O(touched); >= ~5x = the incremental claim holds)")
+      println(f"[stress] separation recluster ${tClu / tRec}%5.2fx " +
+        "(O(corpus)/O(touched); >= ~5x = the incremental claim holds)")
     }
 
     println("[stress] ---- skew/uniform ratios (arg holds if ~<= 2x) ----")

@@ -193,66 +193,98 @@ object StressBench {
 
     if (which("maintain")) {
       // the maintenance-triad separation probes (r11 verdict item 4):
-      // vacuum and recluster claim O(touched), where compact/cluster pay
-      // O(corpus). Plant the pathology at ~10x test scale and measure the
-      // separation directly — the claim holds when the full rewrite costs
-      // >= ~5x its incremental twin. Single-shot timing: these operators
-      // MUTATE the store, so min-of-2 would time the converged no-op.
+      // vacuum and recluster claim O(touched bytes), where compact and
+      // cluster pay O(corpus). Two measurement hazards are designed out:
+      // a single-scale wall-clock ratio hides the claim behind local-mode
+      // parallelism asymmetry (a one-file re-home runs on one core while
+      // the corpus rewrite fans across 32), so the probe instead holds
+      // the TOUCHED set constant (one 750k-row carried file; one
+      // ~990k-row overlap group) and grows the corpus 8x — the
+      // incremental legs must stay ~flat while the full rewrites grow
+      // ~linearly; and the operators MUTATE the store, so each leg is
+      // timed min-of-2 on FRESH DIRECTORY COPIES of the decayed state
+      // (single-shot timing absorbed GC + page-cache churn from the
+      // GB-scale setup mutations, measured at up to 2x drift).
       import graft.sources.DocStore
-      def time1[T](f: => T): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       val tmp = java.nio.file.Files.createTempDirectory("graft-stress-maint")
         .toString
-      def seedStore(tag: String, files: Int): String = {
-        val p = s"$tmp/$tag"
-        DocStore.insertMany(spark.range(2000000).select(col("id"),
+      def timedOn(src: String)(leg: String => Unit): Double =
+        (0 until 2).map { i =>
+          val cp = s"$src-cp"
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+          org.apache.commons.io.FileUtils.copyDirectory(
+            new java.io.File(src), new java.io.File(cp))
+          System.gc()
+          spark.range(1000000L).select(sum(col("id"))).head() // settle
+          val t0 = System.nanoTime()
+          leg(cp)
+          val d = (System.nanoTime() - t0) / 1e9
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+          d
+        }.min
+      def probe(rows: Long): (Double, Double, Double, Double) = {
+        val files = (rows / 750000L).toInt
+        val p = s"$tmp/m$rows"
+        DocStore.insertMany(spark.range(rows).select(col("id"),
           concat_ws(" ", transform(sequence(lit(1), lit(16)),
             j => concat(lit("w"), pmod(xxhash64(col("id") * 31 + j),
               lit(100000))))).as("body")), p)
         DocStore.compact(spark, p, targetFiles = 1, format = Some("parquet"))
         DocStore.cluster(spark, p, col("id"), files, Seq("id"))
-        p
+        // decay the COW axis: kill every file above the first (threshold
+        // 1.2M sits safely inside file 2 whatever repartitionByRange
+        // sampling did to the 750k boundary), then two tiny mutations in
+        // the already-rewritten region slide the seed home out of the
+        // retention window — it now holds the corpus dead except ONE
+        // 750k-row file
+        DocStore.updateMany(spark, p, col("id") >= 1200000L,
+          Map("body" -> concat(col("body"), lit("!"))))
+        DocStore.updateMany(spark, p, col("id") === 800000L,
+          Map("body" -> lit("x")))
+        DocStore.updateMany(spark, p, col("id") === 800001L,
+          Map("body" -> lit("y")))
+        val tVac = timedOn(p) { cp =>
+          val n = DocStore.vacuum(spark, cp, minLiveFraction = 0.5)
+          require(n >= 1L, s"vacuum probe re-homed $n files at rows=$rows")
+        }
+        val tComp = timedOn(p)(cp =>
+          DocStore.compact(spark, cp, targetFiles = files))
+        // decay the clustering axis on a re-sorted store: ONE overlapping
+        // append over the first file's range makes a scale-invariant
+        // overlap group (file 1 + the batch)
+        DocStore.cluster(spark, p, col("id"), files, Seq("id"))
+        DocStore.insertMany(spark.range(240000).select(col("id"),
+          lit("overlap-batch").as("body")).repartition(1), p)
+        val tRec = timedOn(p) { cp =>
+          val n = DocStore.recluster(spark, cp, "id")
+          require(n >= 2L, s"recluster probe rewrote $n files at rows=$rows")
+        }
+        val tClu = timedOn(p)(cp =>
+          DocStore.cluster(spark, cp, col("id"), files, Seq("id")))
+        report("maintain", s"vac-${rows / 1000000}M", rows, tVac)
+        report("maintain", s"cmp-${rows / 1000000}M", rows, tComp)
+        report("maintain", s"rec-${rows / 1000000}M", rows, tRec)
+        report("maintain", s"clu-${rows / 1000000}M", rows, tClu)
+        (tVac, tComp, tClu, tRec)
       }
-
-      // VACUUM vs COMPACT: one mutation rewrites 7 of 8 clustered files,
-      // leaving the seed home 7/8 dead; two tiny mutations slide it out
-      // of the retention window. vacuum then re-homes ONE file (~12% of
-      // bytes); compact re-reads and re-writes everything.
-      val vp = seedStore("vac", 8)
-      DocStore.updateMany(spark, vp, col("id") >= 250000L,
-        Map("body" -> concat(col("body"), lit("!"))))
-      DocStore.updateMany(spark, vp, col("id") === 1000000L,
-        Map("body" -> lit("x")))
-      DocStore.updateMany(spark, vp, col("id") === 1000001L,
-        Map("body" -> lit("y")))
-      val tVac = time1 {
-        val n = DocStore.vacuum(spark, vp, minLiveFraction = 0.5)
-        require(n >= 1L, s"vacuum probe re-homed $n files — pathology not planted")
-      }
-      report("maintain", "vacuum", 2000000, tVac)
-      val tComp = time1(DocStore.compact(spark, vp, targetFiles = 8))
-      report("maintain", "compact", 2000000, tComp)
-
-      // RECLUSTER vs CLUSTER: a 64-file disjoint layout decayed by ONE
-      // overlapping append spanning two files' ranges — recluster sorts
-      // the ~3-file overlap group, cluster re-sorts the corpus.
-      val rp = seedStore("rec", 64)
-      DocStore.insertMany(spark.range(40000).select(col("id"),
-        lit("overlap-batch").as("body")).repartition(1), rp)
-      val tRec = time1 {
-        val n = DocStore.recluster(spark, rp, "id")
-        require(n >= 2L, s"recluster probe rewrote $n files — pathology not planted")
-      }
-      report("maintain", "reclust", 2000000, tRec)
-      val tClu = time1(
-        DocStore.cluster(spark, rp, col("id"), 64, Seq("id")))
-      report("maintain", "cluster", 2000000, tClu)
-
-      println(f"[stress] separation vacuum    ${tComp / tVac}%5.2fx " +
-        "(O(corpus)/O(touched); >= ~5x = the incremental claim holds)")
-      println(f"[stress] separation recluster ${tClu / tRec}%5.2fx " +
-        "(O(corpus)/O(touched); >= ~5x = the incremental claim holds)")
+      val (v1, c1, s1, r1) = probe(3000000L)
+      val (v2, c2, s2, r2) = probe(24000000L)
+      val sepVac = (c2 / c1) / (v2 / v1)
+      val sepRec = (s2 / s1) / (r2 / r1)
+      println(f"[stress] growth 8x corpus: vacuum ${v2 / v1}%4.2fx  " +
+        f"compact ${c2 / c1}%4.2fx  recluster ${r2 / r1}%4.2fx  " +
+        f"cluster ${s2 / s1}%4.2fx")
+      // the load-bearing pin is the INCREMENTAL growth staying ~1x while
+      // the full rewrite grows with the corpus: O(touched) cost is flat
+      // under corpus growth by construction of the probe (touched set
+      // held constant). The separation quotient is capped by how
+      // IO-bound the FULL rewrite is on this machine (page-cached local
+      // IO keeps it sublinear); at cluster scale it tracks the byte
+      // ratio instead.
+      println(f"[stress] separation vacuum    $sepVac%5.2fx " +
+        "(compact growth / vacuum growth at 8x corpus)")
+      println(f"[stress] separation recluster $sepRec%5.2fx " +
+        "(cluster growth / recluster growth at 8x corpus)")
     }
 
     println("[stress] ---- skew/uniform ratios (arg holds if ~<= 2x) ----")

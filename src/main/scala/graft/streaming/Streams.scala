@@ -1293,6 +1293,25 @@ object Streams {
     val dir = new org.apache.hadoop.fs.Path(parent)
     if (!fs.exists(dir)) return 0L
     healIndexCompaction(fs, parent)
+    // a TAKEDOWN that crashed between its delete and rename left a
+    // `.takedown-bN` staging whose batch dir is missing — complete it
+    // BEFORE pinning ids, so the recovered batch joins this fold instead
+    // of surviving as a straggler dir until the next takedown runs (the
+    // restore itself is always safe — the consolidated target is an id
+    // that was present, never N — but folding N now is the whole point
+    // of being here). Same recovery the takedowns themselves run.
+    fs.listStatus(dir).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && nm.startsWith(".takedown-b")) {
+        val b = nm.stripPrefix(".takedown-b").takeWhile(_ != '-')
+        val target = new org.apache.hadoop.fs.Path(parent, s"batch_id=$b")
+        if (!fs.exists(target)) {
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"index compaction: cannot recover ${st.getPath} -> $target")
+        } else fs.delete(st.getPath, true)
+      }
+    }
     val ids = fs.listStatus(dir).toSeq.collect {
       case st if st.isDirectory && st.getPath.getName.startsWith("batch_id=") =>
         st.getPath.getName.stripPrefix("batch_id=").toLong

@@ -1356,6 +1356,39 @@ object Streams {
     ids.size.toLong - 1L
   }
 
+  /** Fold a takedown-tombstone sidecar (one parquet file PER takedown
+    * call, forever) into a single file, dropping DEAD rows on the way: a
+    * tombstone with `cutoff_bid <= cutoff` only protects replays of
+    * batches the compaction just consolidated (committed, never
+    * redelivered — replays target ids above the cutoff by the same
+    * monotonic-bid contract the batch-dir layout already requires), and
+    * per-id rows collapse to their max cutoff (the replay filter is
+    * `cutoff_bid >= bid`, so only the max matters). Crash-safe WITHOUT
+    * an intent: the merged file is appended FIRST and the old files
+    * deleted after — any crash point leaves duplicates, which the
+    * (distinct'd, idempotent) replay filter absorbs. Returns files
+    * removed.
+    */
+  private def compactTombstones(spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                tombDir: String, cutoff: Long): Long = {
+    val dir = new org.apache.hadoop.fs.Path(tombDir)
+    if (!fs.exists(dir)) return 0L
+    val old = fs.listStatus(dir).toSeq.filter { st =>
+      val nm = st.getPath.getName
+      st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+    }
+    if (old.size <= 1) return 0L
+    val t = spark.read.parquet(tombDir)
+    val idCols = t.columns.filterNot(_ == "cutoff_bid").toSeq
+    val kept = t.groupBy(idCols.map(col): _*)
+      .agg(max(col("cutoff_bid")).as("cutoff_bid"))
+      .filter(col("cutoff_bid") > cutoff)
+    kept.coalesce(1).write.mode(SaveMode.Append).parquet(tombDir)
+    old.foreach(st => fs.delete(st.getPath, false))
+    old.size.toLong
+  }
+
   /** Batch ids present under `parent` (empty when the dir is missing). */
   private def batchIdsIn(fs: org.apache.hadoop.fs.FileSystem,
                          parent: String): Seq[Long] = {
@@ -1397,8 +1430,10 @@ object Streams {
     }
     if (parents.map { case (p, _) => batchIdsIn(fs, p).size }.max <= maxBatchDirs)
       return 0L
-    parents.map { case (p, pc) =>
+    val folded = parents.map { case (p, pc) =>
       consolidateBatchDirs(spark, fs, p, cutoff, pc) }.sum
+    compactTombstones(spark, fs, s"$indexPath/tombstones", cutoff)
+    folded
   }
 
   /** [[compactNearDupIndex]]'s IVF twin: fold the `batch_id=N/cell=M`
@@ -1421,7 +1456,9 @@ object Streams {
       case None => ids.max - 1L
     }
     if (ids.size <= maxBatchDirs) return 0L
-    consolidateBatchDirs(spark, fs, indexPath, cutoff, Some("cell"))
+    val folded = consolidateBatchDirs(spark, fs, indexPath, cutoff, Some("cell"))
+    compactTombstones(spark, fs, s"$indexPath/$IvfTombstones", cutoff)
+    folded
   }
 
   // ---- CDC-driven index maintenance ---------------------------------

@@ -286,6 +286,40 @@ class IndexCompactionSpec extends SparkTestBase {
     assert(indexContent(sIdx) == sBefore)
   }
 
+  test("tombstone sidecar folds with the index; live cutoffs keep protecting replays") {
+    val idx = freshPath()
+    val src = freshPath()
+    DocStore.insertMany(corpusDf(0L until 24L), src)
+    DocStore.compact(spark, src, targetFiles = 1, format = Some("parquet"))
+    val model = Ann.fitIvf(DocStore.find(spark, src), nCells = 3, lloydIters = 2)
+    Streams.ivfBatch(corpusDf(0L until 8L), 1L, idx, model, "vec_id", "embedding")
+    Streams.ivfBatch(corpusDf(8L until 16L), 2L, idx, model, "vec_id", "embedding")
+    // takedown at maxBid=2 -> its tombstone (cutoff 2) is DEAD once
+    // batches <= 2 are consolidated; the later one (cutoff 3) stays live
+    Streams.removeFromIvfIndex(spark, idx,
+      Seq(3L).toDF("vec_id"), "vec_id")
+    Streams.ivfBatch(corpusDf(16L until 24L), 3L, idx, model, "vec_id", "embedding")
+    Streams.removeFromIvfIndex(spark, idx,
+      Seq(17L).toDF("vec_id"), "vec_id")
+    def tombFiles(): Seq[String] = {
+      val d = new java.io.File(s"$idx/_tombstones")
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    }
+    assert(tombFiles().size >= 2)
+    assert(Streams.compactIvfIndex(spark, idx) == 1L) // folds {1,2}; keeps 3
+    assert(tombFiles().size == 1, tombFiles().toString)
+    val tombs = spark.read.parquet(s"$idx/_tombstones")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tombs == Set((17L, 3L)), s"dead cutoff not dropped: $tombs")
+    // the live tombstone still guards an at-least-once replay of batch 3
+    Streams.ivfBatch(corpusDf(16L until 24L), 3L, idx, model, "vec_id", "embedding")
+    val ids = indexContent(idx).map(_._1)
+    assert(!ids.contains(17L), "replayed batch reinstated a taken-down id")
+    assert(!ids.contains(3L))
+    assert(ids.size == 22)
+  }
+
   test("compact_neardup_index / compact_ivf_index TVFs (SQL maintenance surface)") {
     val src = freshPath(); val idx = freshPath()
     DocStore.insertMany(((0 until 2).map(v => doc(0, v)) ++

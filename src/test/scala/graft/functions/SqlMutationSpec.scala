@@ -221,4 +221,28 @@ class SqlMutationSpec extends SparkTestBase {
     assert(DocStore.find(spark, path)
       .filter(col("id") < 10L && col("grp") >= 200).count() == 10L)
   }
+
+  test("docstore_update drives dotted-path nested $set from SQL") {
+    val path = freshPath()
+    DocStore.insertMany((0 until 200).map(i => (i.toLong, s"doc-$i"))
+      .toDF("id", "body")
+      .withColumn("meta", struct(lit("en").as("lang"),
+        (col("id").cast("double") / lit(4.0d)).as("score"))), path)
+    DocStore.compact(spark, path, targetFiles = 1, format = Some("parquet"))
+    DocStore.cluster(spark, path, col("id"), 4, Seq("id"))
+    // nested same-type replace through the SQL verb, token-idempotent
+    val m = spark.sql(s"SELECT * FROM docstore_update('$path', 't-nest', " +
+      "'id BETWEEN 0 AND 49', 'meta.score', '0.875')").head().getLong(0)
+    assert(m == 50L)
+    val live = DocStore.find(spark, path)
+    assert(live.filter(col("meta.score") === 0.875d).count() == 50)
+    assert(live.filter(col("id") === 100L).select("meta.score")
+      .head().getDouble(0) == 25.0)
+    assert(live.filter(col("meta.lang") =!= "en").isEmpty)
+    // replay with the same token is the recorded no-op
+    assert(spark.sql(s"SELECT * FROM docstore_update('$path', 't-nest', " +
+      "'id BETWEEN 0 AND 49', 'meta.score', '0.125')").head().getLong(0) == 50L)
+    assert(DocStore.find(spark, path)
+      .filter(col("meta.score") === 0.125d).isEmpty)
+  }
 }

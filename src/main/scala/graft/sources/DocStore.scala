@@ -1729,6 +1729,22 @@ object DocStore {
           if (statted.nonEmpty || bloomed.nonEmpty)
             collectStats(spark, path, statted.map(ren), bloomed.map(ren),
               if (bits > 0) bits else 1 << 16)
+          else if (fmt != "parquet") {
+            // a JSON store with no stats geometry: commitRewrite's
+            // schema persistence is parquet-only and the stats pass
+            // above didn't run, so the renamed STORED schema must be
+            // written here — this verb REQUIRED a stored schema at
+            // entry, and dropping it would erase any metadata-only
+            // added column (the JSON writer leaves no physical trace of
+            // all-null fields) and brick every later DDL verb
+            val renamed = org.apache.spark.sql.types.StructType(
+              stored.map(x => if (x.name == f.name) x.copy(name = to) else x))
+            val liveNow = liveDir(fs, spark, path)
+            val statsDir = new Path(liveNow, StatsDir)
+            fs.mkdirs(statsDir)
+            val out = fs.create(new Path(statsDir, "_schema.json"), true)
+            try out.write(renamed.json.getBytes(UTF_8)) finally out.close()
+          }
           true
       }
     }
@@ -1935,9 +1951,11 @@ object DocStore {
     }
     val cow = cowCandidates(spark, fs, live, fmt, names, filter,
       // dotted keys are nested paths — COW needs only the TOP-level
-      // column present (the struct rebuild decides stability below)
+      // column present (the struct rebuild decides stability below);
+      // resolution matches applySet's (analyzer case rules), so a
+      // case-variant spelling of an existing column stays COW-eligible
       schemaSafe = s => set.keys.forall(k =>
-        s.fieldNames.contains(k.takeWhile(_ != '.'))))
+        resolveField(spark, s, k.takeWhile(_ != '.')).isDefined))
     cow match {
       case Some((cand, carried, schema)) if cand.isEmpty =>
         // nothing can match: an all-carried metadata-only commit (the
@@ -1970,12 +1988,27 @@ object DocStore {
         // committed widened schema heals the column for every later read;
         // any other drift takes the full-rewrite path, which re-types
         // every file consistently.
-        val stable = updated.schema.fields.map(f => (f.name, f.dataType))
-          .sameElements(docs.schema.fields.map(f => (f.name, f.dataType)))
+        // nullability-NORMALIZED comparison: a dotted-path $set rebuilds
+        // its struct through when/otherwise, which relaxes the replaced
+        // field to nullable — a difference the parquet scan serves
+        // transparently (nullability is a hint, not a physical layout),
+        // and one that must not silently escalate a prunable COW update
+        // into an O(corpus) full rewrite
+        val stable = updated.schema.fields
+          .map(f => (f.name, allNullable(f.dataType)))
+          .sameElements(docs.schema.fields
+            .map(f => (f.name, allNullable(f.dataType))))
         if (stable || widensOnly(docs.schema, updated.schema)) {
+          // committed schema: the pinned stored one when the rewrite
+          // changed nothing at all; otherwise the rewrite's own (the
+          // widened type, or the nullability-relaxed struct the fresh
+          // files physically carry — claiming the stricter stored
+          // nullability over possibly-null fresh data would lie)
+          val served =
+            if (updated.schema == docs.schema) schema else updated.schema
           commitRewrite(fs, spark, updated, path, retain, format = fmt,
             sourceNames = names, pinnedLive = live, carried = carried,
-            carriedSchema = Some(if (stable) schema else updated.schema),
+            carriedSchema = Some(served),
             lateSidecars = late(obs.get("matched").asInstanceOf[Long]),
             afterStage = afterStage)
           obs.get("matched").asInstanceOf[Long]
@@ -2004,19 +2037,23 @@ object DocStore {
   private def applySet(d: DataFrame, k: String, v: Column,
                        matched: Column): DataFrame =
     if (k.contains(".")) {
-      val top = k.takeWhile(_ != '.')
-      val rest = k.drop(top.length + 1)
-      require(d.columns.contains(top),
-        s"docstore $$set: nested path '$k' needs top-level column '$top', " +
-          s"which does not exist — create it first (addColumn / a plain " +
-          "$set with a struct value)")
-      require(d.schema(top).dataType
+      val spark = d.sparkSession
+      val rawTop = k.takeWhile(_ != '.')
+      val rest = k.drop(rawTop.length + 1)
+      // resolve the TOP segment the way the analyzer will too — the
+      // stored spelling is what withColumn must replace
+      val topField = resolveField(spark, d.schema, rawTop).getOrElse(
+        throw new IllegalArgumentException(
+          s"docstore $$set: nested path '$k' needs top-level column " +
+            s"'$rawTop', which does not exist — create it first " +
+            "(addColumn / a plain $set with a struct value)"))
+      val top = topField.name
+      require(topField.dataType
           .isInstanceOf[org.apache.spark.sql.types.StructType],
         s"docstore $$set: nested path '$k' but column '$top' is " +
-          s"${d.schema(top).dataType.simpleString}, not a struct")
-      val spark = d.sparkSession
+          s"${topField.dataType.simpleString}, not a struct")
       val exists = rest.split('.').foldLeft(
-          Option(d.schema(top).dataType)) {
+          Option(topField.dataType)) {
         case (Some(st: org.apache.spark.sql.types.StructType), f) =>
           resolveField(spark, st, f).map(_.dataType)
         case _ => None
@@ -2026,9 +2063,17 @@ object DocStore {
         else when(matched, v)
       d.withColumn(top, col(top).withField(rest, fieldVal))
     }
-    else if (d.columns.contains(k))
-      d.withColumn(k, when(matched, v).otherwise(col(k)))
-    else d.withColumn(k, when(matched, v))
+    else resolveField(d.sparkSession, d.schema, k) match {
+      // resolve the way the analyzer will (case rules of [[resolveField]]):
+      // withColumn itself REPLACES case-insensitively under the default
+      // resolution, so an exact-only existence check would route a
+      // case-variant key ("Score" for "score") into the evolution branch
+      // — whose no-otherwise when() then silently nulls the column for
+      // every unmatched document
+      case Some(f) =>
+        d.withColumn(f.name, when(matched, v).otherwise(col(f.name)))
+      case None => d.withColumn(k, when(matched, v))
+    }
 
   /** The COW partition of a pinned snapshot: (candidate files that may
     * contain matching rows, carried files that provably don't, the stored
@@ -2050,6 +2095,24 @@ object DocStore {
         Some((cand, (names -- cand).toSeq.sorted, schema))
       case _ => None
     }
+
+  /** `dataType` with every nested nullability flag forced true — the
+    * normalization under which two schemas are compared when only their
+    * nullability hints (never physical layout) may differ.
+    */
+  private def allNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = allNullable(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = allNullable(a.elementType),
+        containsNull = true)
+      case m: MapType => m.copy(keyType = allNullable(m.keyType),
+        valueType = allNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
 
   /** True when a file whose physical column type is `from` can be SERVED
     * under a read schema typed `to`: int -> long and float -> double —
@@ -4238,10 +4301,14 @@ object DocStore {
       .filterNot(p => keep.contains(new Path(p).getName))
       .foreach(p => fs.delete(new Path(p), true))
     // staging debris from crashed mutations (dot-prefixed, invisible to
-    // every reader): reclaim by AGE — 24h spares the live staging of any
-    // legitimately long concurrent rewrite, while a crashed one stops
-    // accumulating at the next day's first commit
-    val stagingCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    // every reader): reclaim by AGE. 7 days, asymmetrically: deleting a
+    // LIVE staging aborts a rewrite after it paid its full cost (and at
+    // 100 TB a rewrite can legitimately run beyond a day, while the
+    // dir's mtime may not refresh during the write), whereas crash
+    // debris merely holds disk for the week — the cheap side of the
+    // trade. An operator can always delete `.staging-*` by hand after a
+    // known crash.
+    val stagingCutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
     if (fs.exists(new Path(path))) fs.listStatus(new Path(path)).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith(".staging-") &&
           st.getModificationTime < stagingCutoff)

@@ -1270,9 +1270,18 @@ object Streams {
       }
       fs.delete(intent, false)
     }
-    // debris: staging dirs whose intent never committed
+    // debris: staging dirs whose intent never committed. AGE-GATED — a
+    // fresh `.compact-*` dir may be a LIVE compaction's staging that has
+    // not reached its intent commit yet, and reads/polls legitimately
+    // run (and heal) concurrently with a compactor; deleting its staging
+    // here would let the compactor go on to destroy the original batch
+    // dirs and then fail its rename, losing every folded batch. 24h
+    // spares any real consolidation; crash debris stops accumulating at
+    // the next day's first heal.
+    val debrisCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     fs.listStatus(dir).foreach { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith(".compact-"))
+      if (st.isDirectory && st.getPath.getName.startsWith(".compact-") &&
+          st.getModificationTime < debrisCutoff)
         fs.delete(st.getPath, true)
     }
   }
@@ -1346,6 +1355,17 @@ object Streams {
     fs.delete(intent, false)
     if (!fs.rename(tmp, intent))
       throw new java.io.IOException(s"index compaction: cannot commit $intent")
+    // LAST-LINE GUARD before the destructive leg: if the staging vanished
+    // (a mis-sequenced external cleanup, or a pre-guard heal from an old
+    // binary), abort LOUDLY while every original batch dir is still
+    // intact, instead of deleting them and leaving an intent whose
+    // completion has nothing to rename
+    if (!fs.exists(staging)) {
+      fs.delete(intent, false)
+      throw new java.io.IOException(
+        s"index compaction: staged union $staging disappeared before the " +
+          "swap — aborting with all original batch dirs intact")
+    }
     ids.foreach { n =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$n"), true)
     }

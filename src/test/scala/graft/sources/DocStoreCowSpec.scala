@@ -593,4 +593,31 @@ class DocStoreCowSpec extends SparkTestBase {
     DocStore.compact(spark, path, format = Some("parquet"))
     assert(DocStore.cowStats(spark, path).count() >= 1L)
   }
+
+  test("a case-variant $set key updates the existing column in place (no silent nulling)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-cowcase").toString
+    new java.io.File(path).delete()
+    DocStore.insertMany((0 until 100).map(i => (i.toLong, s"s$i"))
+      .toDF("id", "status"), path)
+    DocStore.compact(spark, path, targetFiles = 1, format = Some("parquet"))
+    DocStore.cluster(spark, path, col("id"), 4, Seq("id"))
+    // default resolution is case-insensitive: "Status" must resolve to
+    // the stored "status" and update IN PLACE — an exact-only existence
+    // check would take the evolution branch (when() with no otherwise)
+    // and null the column for every unmatched document
+    assert(DocStore.updateMany(spark, path, col("id") === 7L,
+      Map("Status" -> lit("HIT"))) == 1L)
+    val live = DocStore.find(spark, path)
+    assert(live.columns.count(_.equalsIgnoreCase("status")) == 1)
+    assert(live.filter(col("status") === "HIT").count() == 1)
+    assert(live.filter(col("status").isNull).isEmpty,
+      "case-variant $set nulled unmatched documents")
+    assert(live.filter(col("status") === "s3").count() == 1)
+    // and it stayed a selective COW mutation, not a corpus rewrite
+    val lg = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_MANIFEST")).trim
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, lg, "_LINKS")),
+      "case-variant key fell off the COW path")
+  }
 }

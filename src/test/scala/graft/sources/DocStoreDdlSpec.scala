@@ -351,4 +351,77 @@ class DocStoreDdlSpec extends SparkTestBase {
     assert(DocStore.find(spark, path).filter(col("id") === 9999L)
       .select("meta").head().isNullAt(0))
   }
+
+  test("renameColumn preserves the stored schema on a stats-less json store") {
+    val path = freshPath()
+    DocStore.insertMany((0 until 50).map(i => (i.toLong, s"d$i"))
+      .toDF("id", "body"), path)
+    DocStore.compact(spark, path, targetFiles = 1) // stays json
+    DocStore.collectStats(spark, path, Seq("id"))
+    assert(DocStore.addColumn(spark, path, "flag", LongType)) // metadata-only
+    // manufacture the stats-less-but-schema'd state (a partial sidecar
+    // cleanup): stats ROWS gone, _schema.json intact
+    val live = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_MANIFEST")).trim
+    val statsDir = new java.io.File(s"$path/$live/_STATS")
+    statsDir.listFiles().filter(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach(_.delete())
+    // the rewrite-based rename must re-persist the renamed STORED schema
+    // even with no stats geometry to re-collect — dropping it would
+    // erase the all-null metadata-only column (the JSON writer leaves no
+    // physical trace of it) and brick later DDL
+    assert(DocStore.renameColumn(spark, path, "body", "text"))
+    val got = DocStore.find(spark, path)
+    assert(got.columns.toSet == Set("id", "text", "flag"))
+    assert(got.filter(col("flag").isNotNull).isEmpty)
+    assert(got.count() == 50)
+    // later DDL still has its source of truth
+    assert(DocStore.addColumn(spark, path, "extra", StringType))
+    assert(DocStore.find(spark, path).columns.toSet ==
+      Set("id", "text", "flag", "extra"))
+  }
+
+  test("dotted $set stays COW under a foreign non-nullable nested schema") {
+    val path = freshPath()
+    val df = (0 until 400).map(i => (i.toLong, s"doc-$i")).toDF("id", "body")
+      .withColumn("meta", struct(
+        (col("id").cast("double") / lit(4.0d)).as("score")))
+    DocStore.insertMany(df, path)
+    DocStore.compact(spark, path, targetFiles = 1, format = Some("parquet"))
+    DocStore.cluster(spark, path, col("id"), 4, Seq("id"))
+    // a foreign producer can commit a stored schema whose nested field is
+    // NON-nullable (this engine's own writes never do — JSON inference
+    // and parquet reads relax everything); the dotted $set's struct
+    // rebuild relaxes that field to nullable, and comparing schemas
+    // without normalizing nullability would silently escalate the
+    // prunable COW update into a corpus rewrite
+    val lg0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_MANIFEST")).trim
+    val schemaFile = java.nio.file.Paths.get(path, lg0, "_STATS", "_schema.json")
+    val stored = org.apache.spark.sql.types.DataType.fromJson(
+      java.nio.file.Files.readString(schemaFile))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val strict = org.apache.spark.sql.types.StructType(stored.map {
+      case f if f.name == "meta" =>
+        val st = f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        f.copy(dataType = org.apache.spark.sql.types.StructType(
+          st.map(_.copy(nullable = false))))
+      case f => f
+    })
+    java.nio.file.Files.writeString(schemaFile, strict.json)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path, lg0, "_STATS", "._schema.json.crc"))
+    assert(DocStore.updateMany(spark, path, col("id").between(0L, 49L),
+      Map("meta.score" -> lit(0.9d))) == 50L)
+    val lg = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_MANIFEST")).trim
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, lg, "_LINKS")),
+      "nullability-only nested drift escalated the COW update to a full rewrite")
+    val got = DocStore.find(spark, path)
+    assert(got.filter(col("meta.score") === 0.9d).count() == 50)
+    assert(got.filter(col("id") === 200L).select("meta.score")
+      .head().getDouble(0) == 50.0)
+  }
 }

@@ -200,9 +200,17 @@ class IndexCompactionSpec extends SparkTestBase {
     assert(keySet(idx) == refK, "healed keys lost or duplicated content")
     assert(shingleSet(idx) == refS)
     assert(k0.subsetOf(refK) && s0.subsetOf(refS))
-    // debris without an intent is discarded, not resurrected
+    // debris without an intent is AGE-GATED: a FRESH dir may be a live
+    // compaction's staging (reads heal concurrently and must not abort
+    // it under the compactor) — kept; stale crash debris is reaped
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(keysDir, ".compact-junk"))
+    assert(Streams.compactNearDupIndex(spark, idx) >= 0L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(keysDir, ".compact-junk")),
+      "a fresh intent-less staging was reaped — a live compactor would lose its union")
+    assert(new java.io.File(s"$keysDir/.compact-junk").setLastModified(
+      System.currentTimeMillis() - 25L * 3600 * 1000))
     assert(Streams.compactNearDupIndex(spark, idx) >= 0L)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(keysDir, ".compact-junk")))

@@ -1234,14 +1234,88 @@ object Streams {
   // poll or ingest batch is in flight.
 
   private val CompactIntentFile = "_COMPACT"
+  private val CompactLockFile = "_COMPACT.lock"
+
+  /** How long a swap lock is honored before it is presumed crashed and
+    * breakable. The locked region is pure FS metadata work (delete a
+    * bounded set of batch dirs + one rename), so minutes is generous
+    * even on an object store; after a compactor crash, probes fail
+    * loudly for at most this long before the next heal completes the
+    * swap (an operator can always delete the lock by hand).
+    */
+  private def swapLockTtlMs: Long =
+    java.lang.Long.getLong("graft.index.swapLockTtlMs", 15L * 60 * 1000)
+
+  /** How long a heal waits for a LIVE swap owner to finish before
+    * failing loudly. A healthy swap clears its intent in well under
+    * this; hitting the deadline means the owner crashed inside the TTL
+    * window (or is pathologically slow) — the caller must not read a
+    * mid-swap layout silently.
+    */
+  private def healWaitMs: Long =
+    java.lang.Long.getLong("graft.index.healWaitMs", 10L * 1000)
+
+  /** Take exclusive ownership of `parent`'s compaction swap, or None when
+    * a live owner holds it. Exclusivity rides two ATOMIC primitives: the
+    * lock itself is claimed with create-exclusive (`createNewFile` — only
+    * one claimant wins), and a stale lock (older than [[swapLockTtlMs]])
+    * is broken by RENAMING it aside first — two breakers racing on the
+    * same stale lock resolve because only one rename can succeed. This is
+    * what serializes the DESTRUCTIVE swap leg (delete folded dirs +
+    * rename staging in) between a compactor and the heals that probes and
+    * polls run at entry: the r12 protocol let a heal and a live compactor
+    * run the same delete+rename concurrently, and the interleaving
+    * "A renames staging -> batch_id=N; B, mid-delete-loop, deletes
+    * batch_id=N; B's rename finds no staging" destroyed every folded
+    * batch with no recovery path.
+    */
+  /** One JVM-level monitor per qualified index path: Hadoop's LOCAL
+    * filesystem has no atomic create-exclusive (`createNewFile` is
+    * exists-then-create), so two threads of one driver can both claim
+    * the FS lock — the monitor makes in-process claimants strictly
+    * serial, and the FS lock file covers cross-process claimants on
+    * filesystems whose create IS atomic (HDFS). Bounded by the number
+    * of distinct index paths a driver touches.
+    */
+  private val swapGuards =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def swapGuard(fs: org.apache.hadoop.fs.FileSystem,
+                        parent: String): Object =
+    swapGuards.computeIfAbsent(
+      fs.makeQualified(new org.apache.hadoop.fs.Path(parent)).toString,
+      _ => new Object)
+
+  private def tryAcquireSwapLock(fs: org.apache.hadoop.fs.FileSystem,
+                                 parent: String)
+      : Option[org.apache.hadoop.fs.Path] = {
+    val lock = new org.apache.hadoop.fs.Path(parent, CompactLockFile)
+    if (fs.exists(lock)) {
+      val age = System.currentTimeMillis() -
+        (try fs.getFileStatus(lock).getModificationTime
+         catch { case _: java.io.FileNotFoundException => return None })
+      if (age < swapLockTtlMs) return None
+      // stale: move it aside atomically — of N concurrent breakers
+      // exactly one rename succeeds; the rest see a live claim elsewhere
+      val aside = new org.apache.hadoop.fs.Path(parent,
+        s".$CompactLockFile-stale-${java.util.UUID.randomUUID()}")
+      if (!scala.util.Try(fs.rename(lock, aside)).getOrElse(false)) return None
+      fs.delete(aside, false)
+    }
+    if (scala.util.Try(fs.createNewFile(lock)).getOrElse(false)) Some(lock)
+    else None
+  }
 
   /** Complete (or discard) a crashed consolidation under `parent`. With
     * an intent present: staging still there -> redo the delete+rename leg
-    * (idempotent); staging gone -> the rename landed, just clear the
-    * intent. Stale dot-prefixed staging dirs WITHOUT an intent are debris
-    * from a crash before the intent committed — the batch dirs are all
-    * still live, so the staging is simply deleted. One exists() when
-    * nothing crashed.
+    * UNDER THE SWAP LOCK (see [[tryAcquireSwapLock]] — never concurrently
+    * with a live compactor or another heal); staging gone -> the rename
+    * landed, just clear the intent. When a live owner holds the lock the
+    * heal WAITS for the intent to clear (a healthy swap is metadata-fast)
+    * and fails loudly at the deadline rather than read a mid-swap layout.
+    * Stale dot-prefixed staging dirs WITHOUT an intent are debris from a
+    * crash before the intent committed — the batch dirs are all still
+    * live, so the staging is simply deleted (age-gated below). One
+    * exists() when nothing crashed.
     */
   private def healIndexCompaction(fs: org.apache.hadoop.fs.FileSystem,
                                   parent: String): Unit = {
@@ -1249,26 +1323,34 @@ object Streams {
     if (!fs.exists(dir)) return
     val intent = new org.apache.hadoop.fs.Path(dir, CompactIntentFile)
     if (fs.exists(intent)) {
-      val in = fs.open(intent)
-      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      val kv = txt.split("\n").iterator.map(_.trim).filter(_.contains("="))
-        .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
-      val target = kv("target").toLong
-      val staging = new org.apache.hadoop.fs.Path(dir, kv("staging"))
-      if (fs.exists(staging)) {
-        fs.listStatus(dir).foreach { st =>
-          val nm = st.getPath.getName
-          if (st.isDirectory && nm.startsWith("batch_id=") &&
-              nm.stripPrefix("batch_id=").toLong <= target)
-            fs.delete(st.getPath, true)
+      val acquired = swapGuard(fs, parent).synchronized {
+        tryAcquireSwapLock(fs, parent) match {
+          case Some(lock) =>
+            try {
+              // re-check under the lock: the owner may have completed
+              // the swap between our intent probe and the acquisition
+              if (fs.exists(intent)) completeSwap(fs, dir, intent)
+            } finally fs.delete(lock, false)
+            true
+          case None => false
         }
-        if (!fs.rename(staging, new org.apache.hadoop.fs.Path(dir,
-            s"batch_id=$target")))
-          throw new java.io.IOException(
-            s"index compaction: cannot recover $staging -> batch_id=$target")
       }
-      fs.delete(intent, false)
+      if (!acquired) {
+        // a live owner (another process's compactor or heal) is
+        // mid-swap: wait for it — the locked region is metadata-only,
+        // so a healthy owner clears the intent in well under the
+        // deadline
+        val deadline = System.currentTimeMillis() + healWaitMs
+        while (fs.exists(intent) && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        if (fs.exists(intent))
+          throw new java.io.IOException(
+            s"index compaction: a swap on $parent is still in flight (or " +
+              s"its owner crashed less than ${swapLockTtlMs / 1000}s ago) " +
+              "— refusing to read a mid-swap layout; retry after it " +
+              s"completes, or delete $parent/$CompactLockFile if the " +
+              "owner is known dead")
+      }
     }
     // debris: staging dirs whose intent never committed. AGE-GATED — a
     // fresh `.compact-*` dir may be a LIVE compaction's staging that has
@@ -1277,13 +1359,55 @@ object Streams {
     // here would let the compactor go on to destroy the original batch
     // dirs and then fail its rename, losing every folded batch. 24h
     // spares any real consolidation; crash debris stops accumulating at
-    // the next day's first heal.
+    // the next day's first heal. DELIBERATELY shorter than the store's
+    // 7-day `.staging-*` reaper: a store rewrite stages the whole corpus
+    // (legitimately multi-day at 100 TB), while an index fold stages a
+    // bounded batch-dir union whose write is minutes, not days — and the
+    // compactor's pre-delete staging-exists guard turns the residual bad
+    // case (a >24h-old LIVE staging reaped here) into a loud abort with
+    // every original batch dir intact, never a loss.
     val debrisCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     fs.listStatus(dir).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith(".compact-") &&
           st.getModificationTime < debrisCutoff)
         fs.delete(st.getPath, true)
     }
+  }
+
+  /** The intent-completion leg shared by the heal and (structurally) the
+    * compactor: delete every folded `batch_id=` dir at/below the intent's
+    * target, rename the staged union in, clear the intent. MUST be called
+    * with the swap lock held. Staging is re-verified immediately before
+    * the destructive loop, and a failed final rename with the target
+    * present and the staging gone is treated as an already-completed swap
+    * rather than an error (the ADVICE-prescribed tolerance — under the
+    * lock it should be unreachable, but an external actor's interference
+    * must degrade to idempotence, not loss).
+    */
+  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path,
+                           intent: org.apache.hadoop.fs.Path): Unit = {
+    val in = fs.open(intent)
+    val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val kv = txt.split("\n").iterator.map(_.trim).filter(_.contains("="))
+      .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
+    val target = kv("target").toLong
+    val staging = new org.apache.hadoop.fs.Path(dir, kv("staging"))
+    if (fs.exists(staging)) {
+      fs.listStatus(dir).foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && nm.startsWith("batch_id=") &&
+            nm.stripPrefix("batch_id=").toLong <= target)
+          fs.delete(st.getPath, true)
+      }
+      val dst = new org.apache.hadoop.fs.Path(dir, s"batch_id=$target")
+      if (!fs.rename(staging, dst) &&
+          !(fs.exists(dst) && !fs.exists(staging)))
+        throw new java.io.IOException(
+          s"index compaction: cannot recover $staging -> batch_id=$target")
+    }
+    fs.delete(intent, false)
   }
 
   /** Fold `parent`'s batch dirs with id <= `cutoff` into one consolidated
@@ -1298,7 +1422,8 @@ object Streams {
   private def consolidateBatchDirs(spark: SparkSession,
                                    fs: org.apache.hadoop.fs.FileSystem,
                                    parent: String, cutoff: Long,
-                                   partitionCol: Option[String]): Long = {
+                                   partitionCol: Option[String],
+                                   maxFileBytes: Long = 1L << 28): Long = {
     val dir = new org.apache.hadoop.fs.Path(parent)
     if (!fs.exists(dir)) return 0L
     healIndexCompaction(fs, parent)
@@ -1328,8 +1453,19 @@ object Streams {
     if (ids.size <= 1) return 0L
     val target = ids.max
     // read EXACTLY the pinned ids (partition pruning on batch_id), union
-    // them, restore the partition layout with one clustered shuffle so
-    // each slot/cell dir gets one file — this IS the small-file payoff
+    // them, restore the partition layout with one clustered shuffle —
+    // this IS the small-file payoff. Output file count is BYTE-BUDGETED
+    // (the ceil(bytes/maxFileBytes) pattern DocStore.maintain uses), not
+    // a single task: at a 100 TB index the matches table is pair-scaled
+    // and one coalesce(1) writer would be the whole job's critical path,
+    // and a hot slot/cell past maxFileBytes splits across a salt so no
+    // single file (or write task) grows with corpus size. Sizing comes
+    // from the folded dirs' ON-DISK bytes (same compression in = out).
+    val foldedBytes = ids.iterator.map { n =>
+      fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(dir, s"batch_id=$n")).getLength
+    }.sum
+    val nFiles = math.max(1L, (foldedBytes + maxFileBytes - 1) / maxFileBytes).toInt
     val all = spark.read.parquet(parent)
       .filter(col("batch_id").isin(ids: _*))
       .drop("batch_id")
@@ -1337,42 +1473,81 @@ object Streams {
       s".compact-${java.util.UUID.randomUUID()}")
     partitionCol match {
       case Some(pc) =>
-        all.repartition(col(pc))
-          .write.mode(SaveMode.Overwrite).partitionBy(pc)
-          .parquet(staging.toString)
+        // per-value dirs: one file per value while the budget allows it;
+        // above it, a deterministic row-hash salt splits each value's
+        // write into ~splits files (skewed values can still exceed the
+        // budget by their skew factor — bounded by splits, never by one)
+        val slots = ids.iterator.flatMap { n =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(dir, s"batch_id=$n"))
+            .iterator.filter(_.isDirectory).map(_.getPath.getName)
+        }.toSet.size
+        val splits = math.max(1L, (nFiles + slots - 1) / math.max(1, slots)).toInt
+        if (splits <= 1)
+          all.repartition(col(pc))
+            .write.mode(SaveMode.Overwrite).partitionBy(pc)
+            .parquet(staging.toString)
+        else
+          all.withColumn("__salt",
+              pmod(xxhash64(all.columns.map(col): _*), lit(splits.toLong)))
+            .repartition(col(pc), col("__salt")).drop("__salt")
+            .write.mode(SaveMode.Overwrite).partitionBy(pc)
+            .parquet(staging.toString)
       case None =>
-        all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        if (nFiles <= 1)
+          all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        else
+          all.repartition(nFiles)
+            .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     }
-    // INTENT commit (tmp-then-rename): from here the heal protocol owns
-    // completion — a crash mid-delete can no longer lose content
-    val tmp = new org.apache.hadoop.fs.Path(dir,
-      s"$CompactIntentFile.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(s"target=$target\nstaging=${staging.getName}\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val intent = new org.apache.hadoop.fs.Path(dir, CompactIntentFile)
-    fs.delete(intent, false)
-    if (!fs.rename(tmp, intent))
-      throw new java.io.IOException(s"index compaction: cannot commit $intent")
-    // LAST-LINE GUARD before the destructive leg: if the staging vanished
-    // (a mis-sequenced external cleanup, or a pre-guard heal from an old
-    // binary), abort LOUDLY while every original batch dir is still
-    // intact, instead of deleting them and leaving an intent whose
-    // completion has nothing to rename
-    if (!fs.exists(staging)) {
+    // SWAP LOCK: the destructive leg below and the heal's completion leg
+    // are mutually exclusive ([[tryAcquireSwapLock]]) — without it, a
+    // probe's heal racing this compactor could install the consolidated
+    // dir and have this delete loop destroy it (the r12 loss window).
+    // Acquired AFTER the staging write (the long part) so the lock's TTL
+    // only has to cover metadata work.
+    swapGuard(fs, parent).synchronized {
+    val lock = tryAcquireSwapLock(fs, parent).getOrElse {
+      fs.delete(staging, true)
+      throw new java.io.IOException(
+        s"index compaction: cannot take the swap lock on $parent — another " +
+          "maintainer or heal is mid-swap (or crashed holding it less than " +
+          s"${swapLockTtlMs / 1000}s ago); aborting with all original batch " +
+          "dirs intact")
+    }
+    try {
+      // INTENT commit (tmp-then-rename): from here the heal protocol owns
+      // completion — a crash mid-delete can no longer lose content
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"$CompactIntentFile.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(s"target=$target\nstaging=${staging.getName}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val intent = new org.apache.hadoop.fs.Path(dir, CompactIntentFile)
       fs.delete(intent, false)
-      throw new java.io.IOException(
-        s"index compaction: staged union $staging disappeared before the " +
-          "swap — aborting with all original batch dirs intact")
+      if (!fs.rename(tmp, intent))
+        throw new java.io.IOException(s"index compaction: cannot commit $intent")
+      // LAST-LINE GUARD before the destructive leg: if the staging
+      // vanished (a mis-sequenced external cleanup), abort LOUDLY while
+      // every original batch dir is still intact, instead of deleting
+      // them and leaving an intent whose completion has nothing to rename
+      if (!fs.exists(staging)) {
+        fs.delete(intent, false)
+        throw new java.io.IOException(
+          s"index compaction: staged union $staging disappeared before the " +
+            "swap — aborting with all original batch dirs intact")
+      }
+      ids.foreach { n =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$n"), true)
+      }
+      val dst = new org.apache.hadoop.fs.Path(dir, s"batch_id=$target")
+      if (!fs.rename(staging, dst) &&
+          !(fs.exists(dst) && !fs.exists(staging)))
+        throw new java.io.IOException(
+          s"index compaction: cannot swap $staging -> batch_id=$target")
+      fs.delete(intent, false)
+    } finally fs.delete(lock, false)
     }
-    ids.foreach { n =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$n"), true)
-    }
-    if (!fs.rename(staging, new org.apache.hadoop.fs.Path(dir, s"batch_id=$target")))
-      throw new java.io.IOException(
-        s"index compaction: cannot swap $staging -> batch_id=$target")
-    fs.delete(intent, false)
     ids.size.toLong - 1L
   }
 
@@ -1391,7 +1566,8 @@ object Streams {
     */
   private def compactTombstones(spark: SparkSession,
                                 fs: org.apache.hadoop.fs.FileSystem,
-                                tombDir: String, cutoff: Long): Long = {
+                                tombDir: String, cutoff: Long,
+                                maxFileBytes: Long = 1L << 28): Long = {
     val dir = new org.apache.hadoop.fs.Path(tombDir)
     if (!fs.exists(dir)) return 0L
     val old = fs.listStatus(dir).toSeq.filter { st =>
@@ -1404,9 +1580,28 @@ object Streams {
     val kept = t.groupBy(idCols.map(col): _*)
       .agg(max(col("cutoff_bid")).as("cutoff_bid"))
       .filter(col("cutoff_bid") > cutoff)
-    kept.coalesce(1).write.mode(SaveMode.Append).parquet(tombDir)
+    // byte-budgeted like the batch-dir fold — the sidecar is id-sized so
+    // this is one file in practice, but the writer task count must never
+    // be a hardcoded 1 at any scale
+    val nFiles = math.max(1L,
+      (old.iterator.map(_.getLen).sum + maxFileBytes - 1) / maxFileBytes).toInt
+    (if (nFiles <= 1) kept.coalesce(1) else kept.repartition(nFiles))
+      .write.mode(SaveMode.Append).parquet(tombDir)
     old.foreach(st => fs.delete(st.getPath, false))
     old.size.toLong
+  }
+
+  /** Visible tombstone files under `dir` (0 when the dir is missing) —
+    * the standalone fold trigger for takedown-heavy indexes.
+    */
+  private def tombstoneFileCount(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val nm = st.getPath.getName
+      st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+    }
   }
 
   /** Batch ids present under `parent` (empty when the dir is missing). */
@@ -1432,7 +1627,8 @@ object Streams {
     * is in flight — same contract as [[removeFromNearDupIndex]].
     */
   def compactNearDupIndex(spark: SparkSession, indexPath: String,
-                          maxBatchDirs: Int = 1): Long = {
+                          maxBatchDirs: Int = 1,
+                          maxFileBytes: Long = 1L << 28): Long = {
     require(maxBatchDirs >= 1, s"maxBatchDirs must be >= 1, got $maxBatchDirs")
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1448,11 +1644,19 @@ object Streams {
           batchIdsIn(fs, s"$indexPath/shingles")
         if (ids.isEmpty) return 0L else ids.max - 1L
     }
-    if (parents.map { case (p, _) => batchIdsIn(fs, p).size }.max <= maxBatchDirs)
-      return 0L
-    val folded = parents.map { case (p, pc) =>
-      consolidateBatchDirs(spark, fs, p, cutoff, pc) }.sum
-    compactTombstones(spark, fs, s"$indexPath/tombstones", cutoff)
+    val dirsOver =
+      parents.map { case (p, _) => batchIdsIn(fs, p).size }.max > maxBatchDirs
+    val folded =
+      if (!dirsOver) 0L
+      else parents.map { case (p, pc) =>
+        consolidateBatchDirs(spark, fs, p, cutoff, pc, maxFileBytes) }.sum
+    // the tombstone sidecar folds on its OWN trigger (visible file
+    // count), not just the batch-dir one: a takedown-heavy/ingest-light
+    // index grows one file per takedown forever while its batch dirs
+    // stay under the threshold
+    if (dirsOver ||
+        tombstoneFileCount(fs, s"$indexPath/tombstones") > maxBatchDirs)
+      compactTombstones(spark, fs, s"$indexPath/tombstones", cutoff, maxFileBytes)
     folded
   }
 
@@ -1464,7 +1668,8 @@ object Streams {
     * folded dir count.
     */
   def compactIvfIndex(spark: SparkSession, indexPath: String,
-                      maxBatchDirs: Int = 1): Long = {
+                      maxBatchDirs: Int = 1,
+                      maxFileBytes: Long = 1L << 28): Long = {
     require(maxBatchDirs >= 1, s"maxBatchDirs must be >= 1, got $maxBatchDirs")
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1475,9 +1680,15 @@ object Streams {
       case Some((_, lastBid)) => lastBid
       case None => ids.max - 1L
     }
-    if (ids.size <= maxBatchDirs) return 0L
-    val folded = consolidateBatchDirs(spark, fs, indexPath, cutoff, Some("cell"))
-    compactTombstones(spark, fs, s"$indexPath/$IvfTombstones", cutoff)
+    val dirsOver = ids.size > maxBatchDirs
+    val folded =
+      if (!dirsOver) 0L
+      else consolidateBatchDirs(spark, fs, indexPath, cutoff, Some("cell"),
+        maxFileBytes)
+    // same standalone tombstone trigger as the near-dup fold
+    if (dirsOver ||
+        tombstoneFileCount(fs, s"$indexPath/$IvfTombstones") > maxBatchDirs)
+      compactTombstones(spark, fs, s"$indexPath/$IvfTombstones", cutoff, maxFileBytes)
     folded
   }
 

@@ -354,6 +354,164 @@ class IndexCompactionSpec extends SparkTestBase {
     assert(ids.size == 22)
   }
 
+  test("swap lock: a live owner blocks heals loudly; a stale lock is broken and healed") {
+    val src = freshPath(); val idx = freshPath()
+    DocStore.insertMany(((0 until 2).map(v => doc(0, v)) ++
+      (0 until 3).map(uniq)).toDF("doc_id", "text"), src)
+    sync(src, idx)
+    (0 until 2).foreach { i =>
+      DocStore.insertMany(Seq(uniq(60 + i)).toDF("doc_id", "text"), src)
+      sync(src, idx)
+    }
+    val keysDir = s"$idx/keys"
+    val ids = batchDirs(keysDir)
+    val target = ids.max
+    // plant a crashed swap: staged union + committed intent
+    spark.read.parquet(keysDir)
+      .filter(col("batch_id").isin(ids: _*)).drop("batch_id")
+      .repartition(col("slot"))
+      .write.partitionBy("slot").parquet(s"$keysDir/.compact-sim")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(keysDir, "_COMPACT"),
+      s"target=$target\nstaging=.compact-sim\n")
+    // ...whose owner still holds a FRESH lock: heals must NOT run the
+    // destructive leg concurrently — they wait, then fail loudly
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(keysDir, "_COMPACT.lock"))
+    System.setProperty("graft.index.healWaitMs", "200")
+    try {
+      val e = intercept[java.io.IOException] {
+        Streams.compactNearDupIndex(spark, idx)
+      }
+      assert(e.getMessage.contains("mid-swap layout"), e.getMessage)
+      // every original batch dir is still intact — nothing was lost
+      assert(batchDirs(keysDir) == ids)
+      // the owner crashed: once the lock AGES past its TTL the next heal
+      // breaks it and completes the swap — no content loss
+      assert(new java.io.File(s"$keysDir/_COMPACT.lock").setLastModified(
+        System.currentTimeMillis() - 16L * 60 * 1000))
+      DocStore.insertMany(Seq(uniq(80)).toDF("doc_id", "text"), src)
+      sync(src, idx)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(keysDir, "_COMPACT")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(keysDir, "_COMPACT.lock")))
+      val live = DocStore.find(spark, src).select("doc_id", "text")
+      val (refK, refS) = referenceKeys(live)
+      assert(keySet(idx) == refK, "healed keys lost or duplicated content")
+      assert(shingleSet(idx) == refS)
+    } finally System.clearProperty("graft.index.healWaitMs")
+  }
+
+  test("concurrent heals of one crashed intent: one completes, the rest wait; content exact") {
+    val src = freshPath(); val idx = freshPath()
+    DocStore.insertMany(((0 until 2).map(v => doc(1, v)) ++
+      (0 until 3).map(uniq)).toDF("doc_id", "text"), src)
+    sync(src, idx)
+    (0 until 2).foreach { i =>
+      DocStore.insertMany(Seq(uniq(70 + i)).toDF("doc_id", "text"), src)
+      sync(src, idx)
+    }
+    val keysDir = s"$idx/keys"
+    val ids = batchDirs(keysDir)
+    spark.read.parquet(keysDir)
+      .filter(col("batch_id").isin(ids: _*)).drop("batch_id")
+      .repartition(col("slot"))
+      .write.partitionBy("slot").parquet(s"$keysDir/.compact-sim")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(keysDir, "_COMPACT"),
+      s"target=${ids.max}\nstaging=.compact-sim\n")
+    // four probes race the heal of the same crashed intent — the r12
+    // protocol let two of them run delete+rename concurrently and lose
+    // every folded batch; under the lock exactly one completes the swap
+    // and the rest wait for the intent to clear, then read
+    val probes = Seq((9100L, (0 until 12).map(i => s"w1_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((0 until 4).toList.map(_ =>
+        Future(scala.util.Try(probeSet(idx, probes))))), 120.seconds)
+    assert(results.forall(_.isSuccess),
+      results.collect { case scala.util.Failure(e) => e.getMessage }.toString)
+    assert(results.map(_.get).distinct.size == 1)
+    assert(results.head.get.nonEmpty && results.head.get.forall(_._1 == 9100L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(keysDir, "_COMPACT")))
+    val live = DocStore.find(spark, src).select("doc_id", "text")
+    val (refK, refS) = referenceKeys(live)
+    assert(keySet(idx) == refK, "a racing heal lost folded content")
+    assert(shingleSet(idx) == refS)
+  }
+
+  test("byte-budgeted consolidation: over the budget the fold writes multiple files, rows exact") {
+    val src = freshPath(); val idx = freshPath()
+    DocStore.insertMany(((0 until 4).map(v => doc(0, v)) ++
+      (0 until 4).map(uniq)).toDF("doc_id", "text"), src)
+    sync(src, idx)
+    (0 until 2).foreach { i =>
+      DocStore.insertMany(Seq(doc(0, 4 + i)).toDF("doc_id", "text"), src)
+      sync(src, idx)
+    }
+    val (k0, s0, m0) = (keySet(idx), shingleSet(idx), matchSet(idx))
+    def parquetFiles(d: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(d))
+    }
+    // a 1 KB budget forces every fold over it to split its writers: the
+    // unpartitioned matches fold must NOT be a single coalesce(1) task,
+    // and a slot past the budget salts across multiple files
+    assert(Streams.compactNearDupIndex(spark, idx, maxFileBytes = 1024) > 0L)
+    for (p <- Seq("keys", "shingles", "matches"))
+      assert(batchDirs(s"$idx/$p").size == 1, batchDirs(s"$idx/$p").toString)
+    assert(parquetFiles(s"$idx/matches/batch_id=${batchDirs(s"$idx/matches").head}")
+      .size > 1, "matches fold still writes a single file over the byte budget")
+    assert(parquetFiles(s"$idx/shingles/batch_id=${batchDirs(s"$idx/shingles").head}")
+      .size > batchDirs(s"$idx/shingles").size,
+      "partitioned fold did not split past the budget")
+    // row-identical content and probes after the multi-file fold
+    assert((keySet(idx), shingleSet(idx), matchSet(idx)) == ((k0, s0, m0)))
+    val probes = Seq((9200L, (0 until 12).map(i => s"w0_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = probeSet(idx, probes)
+    assert(got.nonEmpty && got.forall(_._1 == 9200L))
+  }
+
+  test("tombstones fold on their own trigger even when batch dirs are under the threshold") {
+    val idx = freshPath(); val src = freshPath()
+    DocStore.insertMany(corpusDf(0L until 24L), src)
+    DocStore.compact(spark, src, targetFiles = 1, format = Some("parquet"))
+    val model = Ann.fitIvf(DocStore.find(spark, src), nCells = 3, lloydIters = 2)
+    Streams.ivfBatch(corpusDf(0L until 16L), 1L, idx, model, "vec_id", "embedding")
+    Streams.ivfBatch(corpusDf(16L until 24L), 2L, idx, model, "vec_id", "embedding")
+    // takedown-heavy, ingest-light: five takedowns, batch dirs stay at 2
+    (0 until 5).foreach { i =>
+      Streams.removeFromIvfIndex(spark, idx, Seq(20L + i).toDF("vec_id"), "vec_id")
+    }
+    def tombFiles(): Seq[String] = {
+      val d = new java.io.File(s"$idx/_tombstones")
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    }
+    assert(tombFiles().size == 5)
+    // batch dirs (2) are under maxBatchDirs=4 -> zero dirs folded, but
+    // the sidecar STILL folds because its file count exceeds the bound
+    assert(Streams.compactIvfIndex(spark, idx, maxBatchDirs = 4) == 0L)
+    assert(batchDirs(idx) == Seq(1L, 2L))
+    assert(tombFiles().size == 1, tombFiles().toString)
+    // all five cutoffs survive (nothing was consolidated under them) and
+    // a replay of batch 2 still honors them
+    val tombs = spark.read.parquet(s"$idx/_tombstones")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tombs == (0 until 5).map(i => (20L + i, 2L)).toSet, tombs.toString)
+    Streams.ivfBatch(corpusDf(16L until 24L), 2L, idx, model, "vec_id", "embedding")
+    val present = indexContent(idx).map(_._1)
+    assert((20L until 25L).forall(!present.contains(_)))
+  }
+
   test("compact_neardup_index / compact_ivf_index TVFs (SQL maintenance surface)") {
     val src = freshPath(); val idx = freshPath()
     DocStore.insertMany(((0 until 2).map(v => doc(0, v)) ++

@@ -1699,6 +1699,18 @@ object DocStore {
     */
   def renameColumn(spark: SparkSession, path: String, from: String,
                    to: String, retain: Int = 2, retries: Int = 3): Boolean =
+    renameColumnSeamed(spark, path, from, to, retain, retries, () => ())
+
+  /** [[renameColumn]] with a test seam right after the commit — the point
+    * a crash would have hit the r12 flow's follow-up stats/schema
+    * restoration. Production behavior (no-op seam) IS [[renameColumn]];
+    * the seam pins that the committed generation is ALREADY fully
+    * consistent (renamed schema + re-keyed stats inside the same commit).
+    */
+  private[sources] def renameColumnSeamed(spark: SparkSession, path: String,
+                                          from: String, to: String,
+                                          retain: Int, retries: Int,
+                                          afterCommit: () => Unit): Boolean =
     withMutationRetry(retries) { () =>
       val fs = fileSystem(spark, path)
       val (live, fmt, names) = pinLive(spark, fs, path)
@@ -1718,33 +1730,29 @@ object DocStore {
             s"next to '$from' — renaming onto it would drop a live column")
         case (Some(f), None) =>
           val (statted, bloomed, bits) = statsConfig(spark, fs, live)
+          def ren(c: String): String = if (c == f.name) to else c
           val docs = readPinned(spark, fs, live, fmt, names)
             .withColumnRenamed(f.name, to)
+          // the renamed STORED schema and the re-statted geometry (same
+          // columns, stats key following the rename) land in the STAGED
+          // generation, so they commit atomically with the data: a crash
+          // can no longer leave the renamed store stats-less (or a json
+          // store schema-less — which would erase metadata-only added
+          // columns, since the JSON writer leaves no physical trace of
+          // all-null fields, and brick every later DDL verb), and a
+          // concurrent mutation can no longer receive this rename's
+          // schema in the wrong generation
+          val renamed = org.apache.spark.sql.types.StructType(
+            stored.map(x => if (x.name == f.name) x.copy(name = to) else x))
           commitRewrite(fs, spark, docs, path, retain, format = fmt,
-            sourceNames = names, pinnedLive = live)
-          // the full rewrite dropped the stats sidecar; restore it with
-          // the SAME geometry under the new name so skipping and
-          // metadata-exact counts survive the rename
-          def ren(c: String): String = if (c == f.name) to else c
-          if (statted.nonEmpty || bloomed.nonEmpty)
-            collectStats(spark, path, statted.map(ren), bloomed.map(ren),
-              if (bits > 0) bits else 1 << 16)
-          else if (fmt != "parquet") {
-            // a JSON store with no stats geometry: commitRewrite's
-            // schema persistence is parquet-only and the stats pass
-            // above didn't run, so the renamed STORED schema must be
-            // written here — this verb REQUIRED a stored schema at
-            // entry, and dropping it would erase any metadata-only
-            // added column (the JSON writer leaves no physical trace of
-            // all-null fields) and brick every later DDL verb
-            val renamed = org.apache.spark.sql.types.StructType(
-              stored.map(x => if (x.name == f.name) x.copy(name = to) else x))
-            val liveNow = liveDir(fs, spark, path)
-            val statsDir = new Path(liveNow, StatsDir)
-            fs.mkdirs(statsDir)
-            val out = fs.create(new Path(statsDir, "_schema.json"), true)
-            try out.write(renamed.json.getBytes(UTF_8)) finally out.close()
-          }
+            sourceNames = names, pinnedLive = live,
+            stagedSchema = Some(renamed),
+            stagedStats =
+              if (statted.nonEmpty || bloomed.nonEmpty)
+                Some((statted.map(ren), bloomed.map(ren),
+                  if (bits > 0) bits else 1 << 16))
+              else None)
+          afterCommit()
           true
       }
     }
@@ -1919,7 +1927,8 @@ object DocStore {
                                         filter: Column, set: Map[String, Column],
                                         retain: Int, afterPin: () => Unit,
                                         token: Option[String] = None,
-                                        afterStage: () => Unit = () => ()): Long = {
+                                        afterStage: () => Unit = () => (),
+                                        afterPublish: () => Unit = () => ()): Long = {
     val fs = fileSystem(spark, path)
     // IDEMPOTENCE TOKEN: a retained generation already committed under
     // this token means this call is an at-least-once replay (an
@@ -1946,7 +1955,7 @@ object DocStore {
       commitRewrite(fs, spark, updated, path, retain, format = fmt,
         sourceNames = names, pinnedLive = live,
         lateSidecars = late(obs.get("matched").asInstanceOf[Long]),
-        afterStage = afterStage)
+        afterStage = afterStage, afterPublish = afterPublish)
       obs.get("matched").asInstanceOf[Long]
     }
     val cow = cowCandidates(spark, fs, live, fmt, names, filter,
@@ -1968,7 +1977,8 @@ object DocStore {
             .emptyRDD[org.apache.spark.sql.Row], schema),
           path, retain, format = fmt, sourceNames = names,
           pinnedLive = live, carried = carried, carriedSchema = Some(schema),
-          lateSidecars = late(0L), dataless = true, afterStage = afterStage)
+          lateSidecars = late(0L), dataless = true, afterStage = afterStage,
+          afterPublish = afterPublish)
         0L
       case Some((cand, carried, schema)) =>
         val docs = readFiles(spark, fmt, Some(schema),
@@ -2010,7 +2020,7 @@ object DocStore {
             sourceNames = names, pinnedLive = live, carried = carried,
             carriedSchema = Some(served),
             lateSidecars = late(obs.get("matched").asInstanceOf[Long]),
-            afterStage = afterStage)
+            afterStage = afterStage, afterPublish = afterPublish)
           obs.get("matched").asInstanceOf[Long]
         } else fullRewrite()
       case None => fullRewrite()
@@ -2235,7 +2245,18 @@ object DocStore {
     * format.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
-              retain: Int = 2, format: Option[String] = None): Long = {
+              retain: Int = 2, format: Option[String] = None): Long =
+    compactSeamed(spark, path, targetFiles, retain, format, () => ())
+
+  /** [[compact]] with a test seam right after the commit — pins that the
+    * compacted generation already carries its stats and stored schema
+    * (no crash window between the commit and a follow-up re-stat).
+    * Production behavior (no-op seam) IS [[compact]].
+    */
+  private[sources] def compactSeamed(spark: SparkSession, path: String,
+                                     targetFiles: Int, retain: Int,
+                                     format: Option[String],
+                                     afterCommit: () => Unit): Long = {
     require(format.forall(Seq("json", "parquet").contains),
       s"format must be json or parquet, got $format")
     val fs = fileSystem(spark, path)
@@ -2247,12 +2268,28 @@ object DocStore {
     val (statted, bloomed, bits) = statsConfig(spark, fs, live)
     val docs = readPinned(spark, fs, live, fmt, names)
     val obs = Observation()
+    val fmtOut = format.getOrElse(fmt)
+    // stats (and, for json, the stored schema the old follow-up
+    // collectStats used to restore) land in the STAGED generation — one
+    // atomic commit instead of commit-then-restat, closing the crash
+    // window that left a compacted store stats-less until the next
+    // maintain tick. Statting in-staging also keeps the read schema
+    // (not a post-write re-inference) as the persisted one, so a json
+    // store's metadata-only columns now SURVIVE compaction instead of
+    // being silently dropped by inference over files that carry no
+    // trace of an all-null field.
     commitRewrite(fs, spark,
       docs.observe(obs, count(lit(1)).as("n")).coalesce(targetFiles), path, retain,
-      format = format.getOrElse(fmt), sourceNames = names, pinnedLive = live)
-    if (statted.nonEmpty || bloomed.nonEmpty)
-      collectStats(spark, path, statted, bloomed,
-        if (bits > 0) bits else 1 << 16)
+      format = fmtOut, sourceNames = names, pinnedLive = live,
+      stagedSchema =
+        if (fmtOut != "parquet" && (statted.nonEmpty || bloomed.nonEmpty))
+          Some(docs.schema)
+        else None,
+      stagedStats =
+        if (statted.nonEmpty || bloomed.nonEmpty)
+          Some((statted, bloomed, if (bits > 0) bits else 1 << 16))
+        else None)
+    afterCommit()
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -3141,7 +3178,8 @@ object DocStore {
     * the dominant fixed cost of a steady-state mutation/poll at local
     * scale.
     */
-  private val StatsLocalMaxBytes = 64L << 20
+  private def StatsLocalMaxBytes: Long =
+    java.lang.Long.getLong("graft.docstore.statsLocalMaxBytes", 64L << 20)
 
   /** The stats dir's raw JSON lines, driver-side — None when the dir has
     * no visible part files (nothing to read) or the sidecar exceeds the
@@ -3254,11 +3292,23 @@ object DocStore {
     */
   private def appendStats(spark: SparkSession, fs: FileSystem, live: String,
                           fmt: String, files: Seq[String]): Unit = {
-    val statsPath = new Path(live, StatsDir)
     // reuse the original pass's column set and Bloom geometry so probe
     // positions keep matching the stored words
     val (cols, bloomCols, bloomBits) = statsConfig(spark, fs, live)
     if (cols.isEmpty && bloomCols.isEmpty) return
+    appendStatsWith(spark, fs, live, fmt, files, cols, bloomCols, bloomBits)
+  }
+
+  /** [[appendStats]] with the geometry EXPLICIT instead of read from the
+    * destination's existing rows — the staged-generation case
+    * ([[commitRewrite]]'s `stagedStats`), where the stats dir starts
+    * empty and the geometry comes from the snapshot being rewritten.
+    */
+  private def appendStatsWith(spark: SparkSession, fs: FileSystem, live: String,
+                              fmt: String, files: Seq[String],
+                              cols: Seq[String], bloomCols: Seq[String],
+                              bloomBits: Int): Unit = {
+    val statsPath = new Path(live, StatsDir)
     val docs0 = readFiles(spark, fmt, None, files)
     val present = cols.filter(docs0.columns.contains)
     val bloomPresent = bloomCols.filter(docs0.columns.contains)
@@ -3910,20 +3960,31 @@ object DocStore {
   /** Stats-sidecar leg of the disjoint re-commit ([[commitRewrite]]'s
     * merge path): the staged generation's rows currently cover this
     * mutation's fresh files plus EVERYTHING it carried from the pinned
-    * snapshot — but the merge re-points the names the winner consumed at
-    * the winner's fresh files instead. Drop the rows for `wCandBases`
-    * (their files are no longer part of the generation — fsck would flag
-    * them as stale) and import the winner's rows for its fresh physical
-    * files (else pruning/countFast scan them and fsck flags them
-    * unstatted). Driver-side, line-level, byte-verbatim — the
-    * commitRewrite carry discipline. None = not safely doable locally
-    * (a sidecar over the size gate or unreadable) — the caller then falls
-    * back to the loud serialize-and-retry path; Some(()) = done (also
-    * when neither side has stats rows at all).
+    * snapshot — but the merge re-points the names the winner chain
+    * consumed at the chain's fresh files instead. Drop the rows for
+    * `wCandBases` (their files are no longer part of the generation —
+    * fsck would flag them as stale) and import the winner's rows for
+    * `importBases` — its own fresh physical files plus (multi-hop) the
+    * intermediate winners' fresh files it carries, whose rows the carry
+    * discipline moved into its sidecar (else pruning/countFast scan them
+    * and fsck flags them unstatted). Line-level and byte-verbatim either way — the
+    * commitRewrite carry discipline: driver-side under the
+    * [[StatsLocalMaxBytes]] gate (zero Spark jobs, the steady-state
+    * case), and as a DISTRIBUTED text filter/union above it — a 100 TB
+    * store's per-file sidecar is hundreds of MB to GB, which is exactly
+    * the deployment whose lost races the merge exists to absorb; the r12
+    * flow bailed those to a full-body retry, repaying the whole rewrite
+    * per race. None = not safely doable (an unreadable sidecar, or a
+    * winner whose fresh files carry no rows — importing nothing would
+    * leave the merged generation under-covered while claiming full
+    * stats) — the caller then falls back to the loud serialize-and-retry
+    * path; Some(()) = done (also when neither side has stats rows at
+    * all).
     */
-  private def mergeCarriedStats(fs: FileSystem, next: String, wDir: String,
+  private def mergeCarriedStats(spark: SparkSession, fs: FileSystem,
+                                next: String, wDir: String,
                                 wCandBases: Set[String],
-                                wPhysical: Set[String]): Option[Unit] = {
+                                importBases: Set[String]): Option[Unit] = {
     val nextStats = new Path(next, StatsDir)
     val wStats = new Path(wDir, StatsDir)
     def fileOf(ln: String): Option[String] =
@@ -3935,31 +3996,76 @@ object DocStore {
     val nextHas = statsPartFiles(fs, nextStats).nonEmpty
     val wHas = statsPartFiles(fs, wStats).nonEmpty
     if (!nextHas && !wHas) return Some(()) // stats-less store: nothing to move
-    val nextLines =
-      if (!nextHas) Nil
-      else statsLinesLocal(fs, nextStats).getOrElse(return None)
-    val wLines =
-      if (!wHas) {
-        // the winner has fresh files but no rows for them: importing
-        // nothing would leave the merged generation under-covered while
-        // claiming full stats — bail to the loud path instead
-        if (wPhysical.nonEmpty) return None else Nil
-      }
-      else statsLinesLocal(fs, wStats).getOrElse(return None)
-    val kept = nextLines.filterNot(ln => fileOf(ln).exists(wCandBases.contains))
-    val imported = wLines.filter(ln => fileOf(ln).exists(wPhysical.contains))
-    if (wPhysical.nonEmpty &&
-        imported.flatMap(fileOf).toSet != wPhysical) return None // under-covered
-    statsPartFiles(fs, nextStats).foreach(st => fs.delete(st.getPath, false))
-    val all = kept ++ imported
-    if (all.nonEmpty) {
-      fs.mkdirs(nextStats)
-      val dst = new Path(nextStats, s"append-${java.util.UUID.randomUUID()}-0.json")
-      val out = fs.create(dst, true)
-      try out.write((all.mkString("\n") + "\n").getBytes(UTF_8))
-      finally out.close()
+    // the winner has fresh files but no rows for them: bail loudly
+    if (!wHas && importBases.nonEmpty) return None
+    val localNext =
+      if (!nextHas) Some(Seq.empty[String]) else statsLinesLocal(fs, nextStats)
+    val localW =
+      if (!wHas) Some(Seq.empty[String]) else statsLinesLocal(fs, wStats)
+    (localNext, localW) match {
+      case (Some(nextLines), Some(wLines)) =>
+        // driver-side carry (under the size gate): zero Spark jobs
+        val kept = nextLines.filterNot(ln => fileOf(ln).exists(wCandBases.contains))
+        val imported = wLines.filter(ln => fileOf(ln).exists(importBases.contains))
+        if (importBases.nonEmpty &&
+            imported.flatMap(fileOf).toSet != importBases) return None // under-covered
+        statsPartFiles(fs, nextStats).foreach(st => fs.delete(st.getPath, false))
+        val all = kept ++ imported
+        if (all.nonEmpty) {
+          fs.mkdirs(nextStats)
+          val dst = new Path(nextStats, s"append-${java.util.UUID.randomUUID()}-0.json")
+          val out = fs.create(dst, true)
+          try out.write((all.mkString("\n") + "\n").getBytes(UTF_8))
+          finally out.close()
+        }
+        Some(())
+      case _ =>
+        // DISTRIBUTED carry (over the gate — six-figure file counts):
+        // the same two line-level filters as a Spark text read, keeping
+        // every kept/imported line byte-verbatim. `get_json_object`
+        // yields null for an unparseable line or a missing field, and a
+        // null never equals a join key — so rows without a usable `file`
+        // carry through exactly like the driver path's fileOf == None.
+        import org.apache.spark.sql.functions.{broadcast, col, get_json_object}
+        import spark.implicits._
+        def textOf(p: Path, has: Boolean): DataFrame =
+          if (has) spark.read.text(p.toString)
+          else Seq.empty[String].toDF("value")
+        val fileCol = get_json_object(col("value"), "$.file")
+        val kept = textOf(nextStats, nextHas)
+          .join(broadcast(wCandBases.toSeq.toDF("__wc")),
+            fileCol === col("__wc"), "left_anti")
+        val imported = textOf(wStats, wHas)
+          .join(broadcast(importBases.toSeq.toDF("__wp")),
+            fileCol === col("__wp"), "left_semi")
+        if (importBases.nonEmpty) {
+          // the semi-join guarantees imported ⊆ importBases, so a distinct
+          // count equal to |importBases| IS set equality (the under-covered
+          // bail of the driver path)
+          val covered = imported.select(fileCol.as("f")).distinct().count()
+          if (covered != importBases.size.toLong) return None
+        }
+        // stage inside the (still-private) generation, then swap the
+        // sidecar — a crash anywhere drops the whole staging dir with the
+        // rest of the uncommitted generation
+        val stage = new Path(next, s"_stats-merge-${java.util.UUID.randomUUID()}")
+        try {
+          kept.select("value").union(imported.select("value"))
+            .write.mode(SaveMode.Overwrite).text(stage.toString)
+          statsPartFiles(fs, nextStats).foreach(st => fs.delete(st.getPath, false))
+          fs.mkdirs(nextStats)
+          fs.listStatus(stage).iterator.filter { st =>
+            val nm = st.getPath.getName
+            st.isFile && !nm.startsWith("_") && !nm.startsWith(".") && st.getLen > 0
+          }.zipWithIndex.foreach { case (st, i) =>
+            val dst = new Path(nextStats, s"append-${java.util.UUID.randomUUID()}-$i.json")
+            if (!fs.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"docstore: cannot publish merged stats ${st.getPath} -> $dst")
+          }
+        } finally fs.delete(stage, true)
+        Some(())
     }
-    Some(())
   }
 
   /** Pin the live generation for a rewrite: heal pending salvages first
@@ -4010,7 +4116,10 @@ object DocStore {
                             carriedSchema: Option[org.apache.spark.sql.types.StructType] = None,
                             lateSidecars: Map[String, () => Array[Byte]] = Map.empty,
                             dataless: Boolean = false,
-                            afterStage: () => Unit = () => ()): Unit = {
+                            stagedSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                            stagedStats: Option[(Seq[String], Seq[String], Int)] = None,
+                            afterStage: () => Unit = () => (),
+                            afterPublish: () => Unit = () => ()): Unit = {
     require(retain >= 2, s"retain must keep the live + previous generation, got $retain")
     // LOUD lost-update detection ([[ConcurrentMutationException]]): checked
     // before the rewrite job and again right before the swing (the rewrite
@@ -4028,41 +4137,62 @@ object DocStore {
     }
     // FILE-LEVEL CONFLICT DETECTION (the Delta/Iceberg commit-time
     // re-validation shape): when the manifest moved under this mutation,
-    // the race is only a REAL conflict if the winner touched files this
-    // rewrite read. If the winner (a) committed exactly one generation on
-    // top of the SAME pinned snapshot, (b) left the stored schema and
-    // format unchanged, and (c) its rewritten/deleted file set is
-    // DISJOINT from this mutation's candidate set — then the already-
-    // built rewrite can re-commit against the fresh manifest: the new
-    // generation keeps this mutation's fresh files, LINKS the winner's
-    // fresh files, and carries the files neither touched. Observation
-    // counts stay exact (the winner provably never modified a candidate
-    // row), CDC stays exact (P -> W is the winner's diff, W -> merged is
-    // this mutation's), and the loser never re-runs its rewrite job —
-    // at 100 TB, disjoint concurrent mutations stop paying a full
-    // rewrite per lost race. Anything outside (a)-(c) keeps today's
-    // loud serialize-and-retry.
+    // the race is only a REAL conflict if a winner touched files this
+    // rewrite read. If every generation between the pinned snapshot and
+    // the current winner (a) is a single-generation mutation commit whose
+    // pin matches its predecessor's full served set (no interleaved
+    // append), (b) left the stored schema and format unchanged, and
+    // (c) rewrote/deleted a file set DISJOINT from this mutation's
+    // candidate set — then the already-built rewrite can re-commit
+    // against the fresh manifest: the new generation keeps this
+    // mutation's fresh files, LINKS every file the winner chain serves
+    // that this mutation didn't rewrite, and carries the files nobody
+    // touched. Observation counts stay exact (no winner ever modified a
+    // candidate row), CDC stays exact (P -> W* is the winners' diffs,
+    // W_n -> merged is this mutation's), and the loser never re-runs its
+    // rewrite job — at 100 TB, disjoint concurrent mutations stop paying
+    // a full rewrite per lost race. The walk is MULTI-HOP: a loser whose
+    // winner is itself a merged commit still converges, so N disjoint
+    // writers finish with one rewrite job each. Anything outside (a)-(c)
+    // keeps today's loud serialize-and-retry.
     def disjointWinner(): Option[String] = {
       val wGen = readManifest(fs, path).getOrElse(return None)
       val pinnedGen = new Path(pinnedLive).getName
       if (!wGen.matches("gen-\\d{6}") || !pinnedGen.matches("gen-\\d{6}"))
         return None // flat-layout migration races never merge
-      val wDir = s"$path/$wGen"
-      val (wFrom, wPinned) = readSourceRecord(fs, wDir).getOrElse(return None)
-      // exactly one hop, from the very snapshot this mutation pinned (an
-      // interleaved append would make the two pins differ — bail)
-      if (wFrom != pinnedGen || wPinned != sourceNames) return None
-      // same served schema and format: a DDL / re-typing winner touches
-      // every read, so nothing is disjoint from it
+      // same served schema and format across every hop: a DDL /
+      // re-typing winner touches every read, so nothing is disjoint
       val pS = storedSchema(fs, new Path(pinnedLive, StatsDir))
-      if (pS.isEmpty || pS != storedSchema(fs, new Path(wDir, StatsDir)))
-        return None
-      if (genFormat(fs, wDir) != format) return None
-      val wCandBases = sourceNames.map(baseName) --
-        readLinks(fs, wDir).map(baseName)
+      if (pS.isEmpty) return None
       val myCandBases = (sourceNames -- carried.toSet).map(baseName)
-      if ((wCandBases & myCandBases).nonEmpty) return None
-      Some(wGen)
+      var cur = wGen
+      var hops = 0
+      while (cur != pinnedGen) {
+        hops += 1
+        // a chain deeper than any plausible concurrent-writer count means
+        // something else is going on (runaway, cycle) — go loud instead
+        if (hops > 8 || !cur.matches("gen-\\d{6}")) return None
+        val dir = s"$path/$cur"
+        val (from, pinned) = readSourceRecord(fs, dir).getOrElse(return None)
+        if (pS != storedSchema(fs, new Path(dir, StatsDir))) return None
+        if (genFormat(fs, dir) != format) return None
+        val candBases = pinned.map(baseName) -- readLinks(fs, dir).map(baseName)
+        if ((candBases & myCandBases).nonEmpty) return None
+        // the hop's pin must equal its predecessor's served set: for the
+        // hop off the shared snapshot that is THIS mutation's pin-time
+        // listing (an append between the two pins makes them differ);
+        // for deeper hops the predecessor's current listing — commit-time
+        // salvage has already moved any interleaved append out of a
+        // superseded generation, so a residual mismatch is a file this
+        // walk cannot attribute, and the merge bails
+        val prevSet =
+          if (from == pinnedGen) sourceNames
+          else if (from.matches("gen-\\d{6}")) logicalNames(fs, s"$path/$from")
+          else return None
+        if (pinned != prevSet) return None
+        cur = from
+      }
+      if (hops == 0) None else Some(wGen)
     }
     val previousAtStart: Option[String] =
       try validatedPrevious()
@@ -4200,6 +4330,30 @@ object DocStore {
       if (fresh.nonEmpty)
         appendStats(spark, fs, next, format, fresh.map(n => s"$next/$n"))
     }
+    // ATOMIC sidecar restoration for FULL rewrites (renameColumn, compact):
+    // the caller's stored schema and stats geometry land INSIDE the staged
+    // generation, so they commit (or vanish) with the data in one manifest
+    // swing. The predecessor flow restored them as a SECOND mutation after
+    // the commit — a crash between the two left the store stats-less (and
+    // a json store schema-less, erasing metadata-only columns and bricking
+    // later DDL), and under a concurrent mutation the follow-up could land
+    // its schema in a DIFFERENT generation than the one just committed.
+    stagedSchema.foreach { s =>
+      val stats = new Path(next, StatsDir)
+      fs.mkdirs(stats)
+      val out = fs.create(new Path(stats, "_schema.json"), true)
+      try out.write(s.json.getBytes(UTF_8)) finally out.close()
+    }
+    stagedStats.foreach { case (cols, bloomCols, bloomBits) =>
+      require(carried.isEmpty,
+        "docstore: stagedStats is for full rewrites only — a COW commit's " +
+          "fresh files are statted by the carry discipline above")
+      val fresh = dataFileNames(fs, next).toSeq.sorted
+        .filter(n => fs.getFileStatus(new Path(next, n)).getLen > 0)
+      if (fresh.nonEmpty && (cols.nonEmpty || bloomCols.nonEmpty))
+        appendStatsWith(spark, fs, next, format, fresh.map(n => s"$next/$n"),
+          cols, bloomCols, bloomBits)
+    }
     // caller-supplied metadata sidecars land in the staged generation
     // BEFORE the manifest swing, so they commit (or vanish) atomically
     // with the data — [[syncAggregate]]'s exactly-once cursor rides this.
@@ -4231,15 +4385,29 @@ object DocStore {
       val merged: Option[(String, Set[String])] = disjointWinner().flatMap { wGen =>
         val wDir = s"$path/$wGen"
         val wLinks = readLinks(fs, wDir)
-        val wCandBases = sourceNames.map(baseName) -- wLinks.map(baseName)
+        // original-snapshot bases the winner CHAIN consumed (rewrote or
+        // deleted): pinned files that no longer appear among the final
+        // winner's links. Fresh part names embed job UUIDs, so they never
+        // collide with a pinned base.
+        val origBases = sourceNames.map(baseName)
+        val wCandBases = origBases -- wLinks.map(baseName)
         val wPhysical = dataFileNames(fs, wDir).toSeq.sorted
-        mergeCarriedStats(fs, next, wDir, wCandBases, wPhysical.toSet).map { _ =>
+        // files the chain CREATED and still serves: the final winner's own
+        // physical files plus its links to intermediate winners' fresh
+        // files (multi-hop — a one-hop winner's links are all originals,
+        // making this exactly the old pairwise set)
+        val chainFresh = wLinks.filterNot(en => origBases.contains(baseName(en)))
+        val importBases = wPhysical.toSet ++ chainFresh.map(baseName)
+        mergeCarriedStats(spark, fs, next, wDir, wCandBases, importBases).map { _ =>
           val pinnedGen = new Path(pinnedLive).getName
           val myEntries = carried.map(n =>
             if (n.contains("/")) n else s"$pinnedGen/$n")
+          // my carried originals the chain didn't consume, the final
+          // winner's fresh files, and the chain's carried fresh files
+          // (disjoint from myEntries — their bases are never originals)
           val mergedLinks =
             myEntries.filterNot(en => wCandBases.contains(baseName(en))) ++
-              wPhysical.map(n => s"$wGen/$n")
+              wPhysical.map(n => s"$wGen/$n") ++ chainFresh
           if (mergedLinks.nonEmpty) writeLinks(fs, next, mergedLinks)
           else fs.delete(new Path(next, LinksFile), false)
           // the W-snapshot this merged commit consumed, from the SAME
@@ -4268,6 +4436,24 @@ object DocStore {
     // sits above the winner's.
     next = publishStagedGeneration(fs, path, next, winnerFloor)
     writeSourceRecord(fs, next, previous.getOrElse(""), recordNames)
+    afterPublish()
+    // FINAL manifest re-validation, after publish and immediately before
+    // the swing: the validate-then-write window above publish is wide
+    // enough for a THIRD mutation to commit (the merge path makes
+    // concurrent mutations an expected mode, not an anomaly) — writing
+    // over it here would silently discard its generation, a lost update
+    // with no ConcurrentMutationException anywhere. The published dir was
+    // never referenced by any manifest, so deleting it and going loud
+    // (serialize-and-retry) loses nothing but this body's work.
+    val manifestNow = readManifest(fs, path)
+    if (manifestNow != previous) {
+      fs.delete(new Path(next), true)
+      throw new ConcurrentMutationException(
+        s"docstore: the live generation of $path moved again " +
+          s"($previous -> $manifestNow) after this mutation resolved its " +
+          "race — committing would silently discard the newer mutation. " +
+          "Re-run this mutation.")
+    }
     writeManifest(fs, path, new Path(next).getName)
     // salvage BEFORE pruning: files that landed in the superseded
     // generation after the source list was pinned are concurrent appends

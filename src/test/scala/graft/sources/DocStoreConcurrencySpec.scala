@@ -485,6 +485,118 @@ class DocStoreConcurrencySpec extends SparkTestBase {
     assert(findings.isEmpty, findings.collect().mkString("; "))
   }
 
+  test("disjoint merge over a sidecar ABOVE the local gate: distributed stats carry, no body re-run") {
+    val path = freshPath()
+    // a statted + bloomed store, so the sidecar has real geometry to move
+    DocStore.insertMany((0 until 400).map(i => (i.toLong, s"s$i"))
+      .toDF("id", "status"), path)
+    DocStore.compact(spark, path, targetFiles = 1, format = Some("parquet"))
+    DocStore.cluster(spark, path, col("id"), 4, Seq("id"),
+      bloomCols = Seq("id"), bloomBits = 1 << 12)
+    // force the 100 TB shape: every sidecar is "over" the local-planning
+    // gate, so the merge's stats carry MUST run as the distributed text
+    // filter/union — the r12 flow bailed this exact case to a loud retry,
+    // and the seamed call below has NO retry, so completing at all proves
+    // the body (and its rewrite job) ran exactly once
+    System.setProperty("graft.docstore.statsLocalMaxBytes", "1")
+    try {
+      val n = DocStore.updateManySeamed(spark, path, col("id") === 5L,
+        Map("status" -> lit("outer")), 2,
+        afterPin = () => {
+          assert(DocStore.updateMany(spark, path, col("id") === 305L,
+            Map("status" -> lit("inner"))) == 1L)
+          ()
+        })
+      assert(n == 1L)
+    } finally System.clearProperty("graft.docstore.statsLocalMaxBytes")
+    val got = rows(path)
+    assert(got.contains((5L, "outer")) && got.contains((305L, "inner")))
+    assert(got.size == 400)
+    // the merged generation's stats are COMPLETE and byte-faithful:
+    // metadata-exact counts, min/max pruning, and Bloom probes all intact
+    assert(DocStore.countFast(spark, path) == 400L)
+    val probe = DocStore.find(spark, path, Some(col("id") === 205L))
+    assert(probe.count() == 1 && probe.inputFiles.length == 1,
+      "pruning degraded after the distributed stats merge")
+    val findings = DocStore.fsck(spark, path)
+      .filter(col("severity") === "error")
+    assert(findings.isEmpty, findings.collect().mkString("; "))
+  }
+
+  test("THREE disjoint writers converge multi-hop: every body runs exactly once") {
+    val path = freshPath()
+    clustered(path)
+    val gen0 = DocStore.generations(spark, path).max
+    // inner commits first (one hop from the shared pin); mid merges over
+    // it pairwise; outer's winner is then ITSELF a merged commit — the
+    // r12 walk was one hop deep and bailed this shape to a loud retry.
+    // BOTH seamed calls here have NO retry, so completing at all proves
+    // every body (and its rewrite job) ran exactly once.
+    val n = DocStore.updateManySeamed(spark, path, col("id") === 5L,
+      Map("status" -> lit("outer")), 2,
+      afterPin = () => {
+        val m = DocStore.updateManySeamed(spark, path, col("id") === 205L,
+          Map("status" -> lit("mid")), 2,
+          afterPin = () => {
+            assert(DocStore.updateMany(spark, path, col("id") === 305L,
+              Map("status" -> lit("inner"))) == 1L)
+            ()
+          })
+        assert(m == 1L)
+        ()
+      })
+    assert(n == 1L)
+    // all THREE effects present — no writer's commit was lost
+    val got = rows(path)
+    assert(got.contains((5L, "outer")) && got.contains((205L, "mid")) &&
+      got.contains((305L, "inner")))
+    assert(got.size == 400)
+    // three real generations on top of the pin: inner, mid's merge,
+    // outer's multi-hop merge
+    assert(DocStore.generations(spark, path).max == gen0 + 3)
+    // metadata counts, pruning over the untouched file, and fsck all stay
+    // exact through the chain (stats moved correctly at every merge)
+    assert(DocStore.countFast(spark, path) == 400L)
+    val probe = DocStore.find(spark, path, Some(col("id") === 105L))
+    assert(probe.count() == 1 && probe.inputFiles.length == 1)
+    val findings = DocStore.fsck(spark, path)
+      .filter(col("severity") === "error")
+    assert(findings.isEmpty, findings.collect().mkString("; "))
+  }
+
+  test("a mutation landing AFTER publish but before the swing goes loud, not lost") {
+    val path = freshPath()
+    clustered(path)
+    // the narrowest TOCTOU window: this mutation has staged, resolved its
+    // (absent) race, and PUBLISHED its generation — a competitor then
+    // commits before the manifest swing. Writing the manifest anyway
+    // would silently discard the competitor; the final re-validation must
+    // abort this commit loudly instead (the seamed call has no retry).
+    intercept[DocStore.ConcurrentMutationException] {
+      DocStore.updateManySeamed(spark, path, col("id") === 5L,
+        Map("status" -> lit("outer")), 2,
+        afterPin = () => (),
+        afterPublish = () => {
+          assert(DocStore.updateMany(spark, path, col("id") === 305L,
+            Map("status" -> lit("inner"))) == 1L)
+          ()
+        })
+    }
+    // the competitor's effect survives; the aborted mutation's does not,
+    // and its published-but-never-referenced generation left no debris
+    val got = rows(path)
+    assert(got.contains((305L, "inner")) && got.contains((5L, "s5")))
+    assert(got.size == 400)
+    assert(DocStore.countFast(spark, path) == 400L)
+    val findings = DocStore.fsck(spark, path)
+      .filter(col("severity") === "error")
+    assert(findings.isEmpty, findings.collect().mkString("; "))
+    // and a plain retry of the aborted mutation now succeeds
+    assert(DocStore.updateMany(spark, path, col("id") === 5L,
+      Map("status" -> lit("outer"))) == 1L)
+    assert(rows(path).contains((5L, "outer")))
+  }
+
   test("merged commits keep idempotence tokens exactly-once") {
     val path = freshPath()
     clustered(path)

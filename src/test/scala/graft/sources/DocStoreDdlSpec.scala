@@ -289,6 +289,80 @@ class DocStoreDdlSpec extends SparkTestBase {
     assert(errs.isEmpty, errs.collect().mkString("; "))
   }
 
+  test("renameColumn commits schema + stats ATOMICALLY: a crash right after the commit leaves a fully consistent store") {
+    val path = freshPath()
+    seeded(path)
+    // crash at the exact point the old flow's follow-up stats/schema
+    // restoration would have run: the committed generation must ALREADY
+    // carry the renamed stored schema and the re-keyed stats rows —
+    // nothing after the manifest swing is load-bearing
+    intercept[RuntimeException] {
+      DocStore.renameColumnSeamed(spark, path, "id", "doc_id",
+        retain = 2, retries = 3,
+        () => throw new RuntimeException("crash after commit"))
+    }
+    val live = DocStore.find(spark, path)
+    assert(live.columns.toSet == Set("doc_id", "grp", "body"))
+    assert(live.count() == 400 && DocStore.countFast(spark, path) == 400L,
+      "metadata-exact count lost — stats did not commit with the rename")
+    val probe = DocStore.find(spark, path, Some(col("doc_id") === 5L))
+    assert(probe.count() == 1)
+    assert(probe.inputFiles.length < 4,
+      "pruning lost — stats rows were not inside the committed generation")
+    val errs = DocStore.fsck(spark, path).filter(col("severity") === "error")
+    assert(errs.isEmpty, errs.collect().mkString("; "))
+
+    // same pin for the json-store schema persistence: the metadata-only
+    // column must survive a rename whose follow-up never ran
+    val jp = freshPath()
+    DocStore.insertMany((0 until 50).map(i => (i.toLong, s"d$i"))
+      .toDF("id", "body"), jp)
+    DocStore.compact(spark, jp, targetFiles = 1) // stays json
+    DocStore.collectStats(spark, jp, Seq("id"))
+    assert(DocStore.addColumn(spark, jp, "flag", LongType))
+    intercept[RuntimeException] {
+      DocStore.renameColumnSeamed(spark, jp, "body", "text",
+        retain = 2, retries = 3,
+        () => throw new RuntimeException("crash after commit"))
+    }
+    val got = DocStore.find(spark, jp)
+    assert(got.columns.toSet == Set("id", "text", "flag"),
+      s"metadata-only column lost: ${got.columns.toSet}")
+    assert(DocStore.addColumn(spark, jp, "extra", StringType),
+      "later DDL bricked — the stored schema did not commit with the rename")
+  }
+
+  test("compact commits its re-stat atomically; metadata-only columns survive json compaction") {
+    val path = freshPath()
+    seeded(path) // parquet, clustered, statted on id
+    intercept[RuntimeException] {
+      DocStore.compactSeamed(spark, path, targetFiles = 2, retain = 2,
+        format = None, () => throw new RuntimeException("crash after commit"))
+    }
+    assert(DocStore.countFast(spark, path) == 400L,
+      "metadata-exact count lost — compact's stats did not ride its commit")
+    val probe = DocStore.find(spark, path, Some(col("id") === 5L))
+    assert(probe.count() == 1 && probe.inputFiles.length < 2,
+      "pruning lost after a crash-adjacent compact")
+    val errs = DocStore.fsck(spark, path).filter(col("severity") === "error")
+    assert(errs.isEmpty, errs.collect().mkString("; "))
+
+    // json store with stats + a metadata-only column: compaction now
+    // persists the READ schema instead of re-inferring over files that
+    // carry no trace of an all-null field — the column survives
+    val jp = freshPath()
+    DocStore.insertMany((0 until 50).map(i => (i.toLong, s"d$i"))
+      .toDF("id", "body"), jp)
+    DocStore.compact(spark, jp, targetFiles = 2) // stays json
+    DocStore.collectStats(spark, jp, Seq("id"))
+    assert(DocStore.addColumn(spark, jp, "flag", LongType))
+    DocStore.compact(spark, jp, targetFiles = 1)
+    val got = DocStore.find(spark, jp)
+    assert(got.columns.toSet == Set("id", "body", "flag"),
+      s"json compaction dropped the metadata-only column: ${got.columns.toSet}")
+    assert(got.filter(col("flag").isNotNull).isEmpty && got.count() == 50)
+  }
+
   test("docstore_rename_column TVF drives the same rewrite") {
     val path = freshPath()
     seeded(path, n = 60, files = 2)

@@ -421,6 +421,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.functions.lit(r.rehomed).as("rehomed")))
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("docstore_maintain_all"),
+      info("docstore_maintain_all",
+        "docstore_maintain_all(path[, keyCol[, maxDataFiles, " +
+          "maxBatchDirs]]) - the whole maintenance story as one call: " +
+          "the store triad (Streams.maintainAll -> DocStore.maintain), " +
+          "then every derived index the sync entry points registered " +
+          "against the store folds its batch dirs. Threshold-gated and " +
+          "idempotent: healthy = listings only. Returns (compacted, " +
+          "reclustered, rehomed, indexes, folded)."),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 4,
+          "docstore_maintain_all(path[, keyCol[, maxDataFiles, " +
+            "maxBatchDirs]]) takes 1 to 4 arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val r = graft.streaming.Streams.maintainAll(spark,
+          strArg(args.head, "path"),
+          keyCol = if (args.length > 1) Some(strArg(args(1), "keyCol")) else None,
+          maxDataFiles =
+            if (args.length > 2) intArg(args(2), "maxDataFiles") else 64,
+          maxBatchDirs =
+            if (args.length > 3) intArg(args(3), "maxBatchDirs") else 8)
+        org.apache.spark.sql.GraftShims.logicalPlan(
+          spark.range(1).select(
+            org.apache.spark.sql.functions.lit(r.store.compacted).as("compacted"),
+            org.apache.spark.sql.functions.lit(r.store.reclustered).as("reclustered"),
+            org.apache.spark.sql.functions.lit(r.store.rehomed).as("rehomed"),
+            org.apache.spark.sql.functions.lit(r.indexesFolded.size).as("indexes"),
+            org.apache.spark.sql.functions.lit(r.indexesFolded.values.sum).as("folded")))
+      }))
+
     // metadata-only DDL verbs: one rowless commit that carries every data
     // file by reference and changes only the stored schema — O(1) in data
     // bytes. All three are convergent-idempotent (re-applying is a no-op),

@@ -726,6 +726,7 @@ object Streams {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     healIndexCompaction(fs, indexPath) // a crashed compaction heals first
     requireIvfGeometry(fs, indexPath, model, "syncIvfIndex")
+    registerIndex(spark, srcPath, indexPath, "ivf") // maintainAll discovery
     // maxBatchDirs > 0: bound the batch-dir count as part of the poll
     // loop (see syncNearDupIndex) — fold committed dirs after the poll
     def maybeCompactIdx(): Unit =
@@ -1692,6 +1693,125 @@ object Streams {
     folded
   }
 
+  // ---- derived-index registry + one-call maintenance ----------------
+
+  private val IndexRegistryFile = "_INDEXES"
+
+  /** Indexes registered against the store at `storePath`, as (kind, path)
+    * pairs — kind is "neardup" or "ivf". Backed by a tab-separated
+    * sidecar at the store root (underscore-prefixed: invisible to data
+    * reads and to the store's own listings).
+    */
+  private[streaming] def registeredIndexes(spark: SparkSession,
+                                           storePath: String)
+      : Seq[(String, String)] = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(storePath, IndexRegistryFile)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.split("\n", -1).toSeq.map(_.trim).filter(_.nonEmpty).flatMap { ln =>
+        ln.split("\t", 2) match {
+          case Array(k, path) if path.nonEmpty => Some((k, path))
+          case _ => None // an unparseable line registers nothing
+        }
+      }
+    }
+  }
+
+  private def writeIndexRegistry(fs: org.apache.hadoop.fs.FileSystem,
+                                 storePath: String,
+                                 entries: Seq[(String, String)]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(storePath,
+      s"$IndexRegistryFile.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(entries.map { case (k, p) => s"$k\t$p" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(storePath, IndexRegistryFile)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"cannot write index registry $dst")
+  }
+
+  /** Record `indexPath` as a CDC-synced derived index of the store at
+    * `storePath` — idempotent (a present entry rewrites nothing), written
+    * tmp-then-rename so a torn write reads as the previous registry. The
+    * sync entry points self-register on every poll, so [[maintainAll]]
+    * discovers every live index with no operator-maintained list.
+    */
+  private def registerIndex(spark: SparkSession, storePath: String,
+                            indexPath: String, kind: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) return
+    val existing = registeredIndexes(spark, storePath)
+    if (!existing.contains((kind, indexPath)))
+      writeIndexRegistry(fs, storePath, existing :+ ((kind, indexPath)))
+  }
+
+  /** One [[maintainAll]] pass's outcome: the store triad's report plus
+    * the batch dirs folded per registered derived index.
+    */
+  final case class MaintainAllReport(
+      store: graft.sources.DocStore.MaintenanceReport,
+      indexesFolded: Map[String, Long])
+
+  /** The WHOLE maintenance story — store AND derived indexes — as ONE
+    * idempotent call: [[graft.sources.DocStore.maintain]]'s triad
+    * (tail-merge / recluster / vacuum), then every index registered
+    * against the store (see [[registerIndex]] — the sync entry points
+    * self-register) folds its batch dirs via [[compactNearDupIndex]] /
+    * [[compactIvfIndex]] under the same `maxBatchDirs` policy. Every leg
+    * is threshold-gated: a healthy store and healthy indexes cost
+    * metadata listings only and commit nothing, so the operator cron
+    * collapses to this one line (`docstore_maintain_all` on the SQL
+    * surface), run after every ingest window. Registry entries whose
+    * index dir no longer exists (operator deleted the index) are pruned
+    * from the registry rather than probed forever. Single-maintainer on
+    * the index legs — never run concurrently with a poll/ingest/takedown
+    * of the same index, the [[compactNearDupIndex]] contract.
+    */
+  def maintainAll(spark: SparkSession, path: String,
+                  keyCol: Option[String] = None,
+                  maxDataFiles: Int = 64,
+                  smallBytes: Long = 1L << 24,
+                  maxOverlapping: Int = 0,
+                  minLiveFraction: Double = 0.5,
+                  retain: Int = 2,
+                  maxFileBytes: Long = 1L << 28,
+                  maxBatchDirs: Int = 8): MaintainAllReport = {
+    val store = graft.sources.DocStore.maintain(spark, path, keyCol,
+      maxDataFiles, smallBytes, maxOverlapping, minLiveFraction, retain,
+      maxFileBytes)
+    val entries = registeredIndexes(spark, path)
+    val (live, dead) = entries.partition { case (_, idx) =>
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(idx))
+    }
+    if (dead.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      writeIndexRegistry(fs, path, live)
+    }
+    val folded = live.map {
+      case ("neardup", idx) =>
+        idx -> compactNearDupIndex(spark, idx, maxBatchDirs, maxFileBytes)
+      case ("ivf", idx) =>
+        idx -> compactIvfIndex(spark, idx, maxBatchDirs, maxFileBytes)
+      case (kind, idx) =>
+        // an unknown kind (registry written by a newer version) is left
+        // alone — folding with the wrong layout assumptions could corrupt
+        idx -> 0L
+    }.toMap
+    MaintainAllReport(store, folded)
+  }
+
   // ---- CDC-driven index maintenance ---------------------------------
 
   private val NearDupSyncFile = "_SYNC"
@@ -1775,6 +1895,7 @@ object Streams {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNearDupGeometry(fs, indexPath, k, bands, rowsPerBand,
       "syncNearDupIndex")
+    registerIndex(spark, srcPath, indexPath, "neardup") // maintainAll discovery
     // maxBatchDirs > 0 bounds the index's batch-dir count as part of the
     // poll loop itself (the operator wiring the verdict's maintenance
     // policy asks for): after the poll commits, fold dirs at/below the

@@ -512,6 +512,64 @@ class IndexCompactionSpec extends SparkTestBase {
     assert((20L until 25L).forall(!present.contains(_)))
   }
 
+  test("maintainAll: ONE call bounds store files and every registered index; TVF drives it") {
+    val src = freshPath(); val idx = freshPath(); val vIdx = freshPath()
+    def docs(ids: Seq[Int]) = ids.map { u =>
+      val (id, text) = uniq(u); (id, text, vec(id))
+    }.toDF("doc_id", "text", "embedding")
+    DocStore.insertMany(docs(0 until 8), src)
+    DocStore.compact(spark, src, targetFiles = 1, format = Some("parquet"))
+    val model = Ann.fitIvf(DocStore.find(spark, src)
+      .select(col("doc_id").as("vec_id"), col("embedding")),
+      nCells = 2, lloydIters = 2)
+    def pollIvf() = Streams.syncIvfIndex(spark, src, vIdx, model,
+      idCol = "doc_id", embCol = "embedding")
+    sync(src, idx) // self-registers kind=neardup against src
+    pollIvf()      // self-registers kind=ivf
+    // churn: every round appends (small files pile up on the store, batch
+    // dirs on BOTH indexes); maintainAll is the ONLY maintenance call —
+    // no per-index cron lines, no maxBatchDirs wired into the polls
+    (0 until 8).foreach { i =>
+      DocStore.insertMany(docs(Seq(100 + i)), src)
+      sync(src, idx)
+      pollIvf()
+      val r = Streams.maintainAll(spark, src,
+        maxDataFiles = 3, maxBatchDirs = 2)
+      assert(r.indexesFolded.keySet == Set(idx, vIdx),
+        s"registry surfaced ${r.indexesFolded.keySet}")
+      // bounded THROUGHOUT the churn, not just at the end: store files
+      // by the triad, index dirs by the registered folds
+      assert(DocStore.find(spark, src).inputFiles.length <= 3)
+      for (p <- Seq("keys", "shingles", "matches"))
+        assert(batchDirs(s"$idx/$p").size <= 3,
+          s"$p: ${batchDirs(s"$idx/$p")} not bounded")
+      assert(batchDirs(vIdx).size <= 3, batchDirs(vIdx).toString)
+    }
+    // nothing lost through 8 rounds of fold-while-following: near-dup
+    // content equals a fresh one-shot reference, IVF content equals the
+    // live corpus under the pinned model
+    val live = DocStore.find(spark, src).select("doc_id", "text")
+    val (refK, refS) = referenceKeys(live)
+    assert(keySet(idx) == refK && shingleSet(idx) == refS)
+    assert(spark.read.parquet(vIdx).select(col("doc_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      DocStore.find(spark, src)
+        .select(col("doc_id"), model.assign(col("embedding")).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // an index the operator deleted is pruned from the registry on the
+    // next pass instead of being probed forever
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(vIdx))
+    val r2 = Streams.maintainAll(spark, src, maxBatchDirs = 2)
+    assert(r2.indexesFolded.keySet == Set(idx))
+    assert(Streams.registeredIndexes(spark, src) == Seq(("neardup", idx)))
+    // the SQL surface drives the same call
+    val row = spark.sql(s"SELECT * FROM docstore_maintain_all('$src')")
+      .collect().head
+    assert(row.schema.fieldNames.toSeq ==
+      Seq("compacted", "reclustered", "rehomed", "indexes", "folded"))
+    assert(row.getAs[Int]("indexes") == 1)
+  }
+
   test("compact_neardup_index / compact_ivf_index TVFs (SQL maintenance surface)") {
     val src = freshPath(); val idx = freshPath()
     DocStore.insertMany(((0 until 2).map(v => doc(0, v)) ++

@@ -1938,6 +1938,71 @@ object Extras {
         |   AND NOT (c.vec_id BETWEEN 100 AND 119)
         |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
 
+    // ---- the ONE-CALL maintenance story, DuckDB-hash-pinned: a corpus
+    //      store churns (appends + a delete) while an IVF index FOLLOWS it
+    //      by CDC sync (which self-registers the index against the store),
+    //      then Streams.maintainAll — the single cron line — runs the
+    //      store triad AND folds the registered index's batch dirs. The
+    //      require()s pin that both legs actually tripped; the exhaustive
+    //      serve (nProbe = nCells, the d9c discipline) pins that the whole
+    //      maintenance pass changed NOTHING: top-k over the maintained
+    //      index == DuckDB brute-force cosine over the live corpus.
+    "d15_maintain_all" -> withOracle(
+      (s, d) => {
+        import graft.sources.DocStore
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+          .filter(col("vec_id") < 1000) // the lifecycle, not the volume
+        val base = TmpDirs.cleanupOnExit(java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-maintall-${Integer.toHexString(d.hashCode)}-p${ProcessHandle.current().pid()}").toString)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+        val src = s"$base/src"; val idx = s"$base/idx"
+        val model = graft.sim.Ann.cachedIvf(d,
+          Tables.embeddings(s, d), nCells = 16, lloydIters = 2)
+        def poll() = graft.streaming.Streams.syncIvfIndex(s, src, idx, model)
+        DocStore.insertMany(emb.filter(col("vec_id") % 4 =!= 1), src)
+        DocStore.compact(s, src, targetFiles = 1, format = Some("parquet"))
+        DocStore.cluster(s, src, col("vec_id"), targetFiles = 4,
+          statsCols = Seq("vec_id"))
+        poll() // seed: registers idx against src, snapshot as batch 1
+        // churn: two append polls pile batch dirs on the index and tail
+        // files on the store; a COW delete opens dead bytes
+        DocStore.insertMany(
+          emb.filter(col("vec_id") % 4 === 1 && col("vec_id") % 3 === 0), src)
+        poll()
+        DocStore.insertMany(
+          emb.filter(col("vec_id") % 4 === 1 && col("vec_id") % 3 =!= 0), src)
+        DocStore.deleteMany(s, src,
+          Some(col("vec_id").between(100L, 119L)), retain = 3)
+        poll()
+        val r = graft.streaming.Streams.maintainAll(s, src,
+          keyCol = Some("vec_id"), maxDataFiles = 4, maxBatchDirs = 1)
+        require(r.store.compacted || r.store.reclustered,
+          s"d15: the churn should have tripped the store triad ($r)")
+        require(r.indexesFolded.get(idx).exists(_ > 0),
+          s"d15: the churn should have tripped the registered fold ($r)")
+        graft.sim.Ann.ivfSearch(model, s.read.parquet(idx),
+            emb.filter(col("vec_id") < 10), k = 5, nProbe = 16)
+          .select(col("q_id"), col("rk"), col("vec_id"))
+          .orderBy("q_id", "rk")
+          .localCheckpoint(true)
+      },
+      """SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id
+        |FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY (list_sum(list_transform(range(1, 65),
+        |                       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))) DESC,
+        |           c.vec_id)
+        |           AS rk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |   AND c.vec_id < 1000 AND NOT (c.vec_id BETWEEN 100 AND 119)
+        |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
     // ---- st12's read-side twin: per-batch sketches STORED as a table
     //      (overwrite-by-batch = replay-idempotent), served by pure SQL
     //      merge+probe — build once, query many, restart-safe

@@ -1775,6 +1775,14 @@ object Streams {
     * from the registry rather than probed forever. Single-maintainer on
     * the index legs — never run concurrently with a poll/ingest/takedown
     * of the same index, the [[compactNearDupIndex]] contract.
+    *
+    * Registry entries are ABSOLUTE index paths: cloning a store directory
+    * copies its `_INDEXES` verbatim, so the clone's registry still names
+    * the original's indexes until a sync against the clone registers the
+    * clone's own. An operator cloning a store should clear `_INDEXES` in
+    * the copy — otherwise the clone's maintainAll folds the ORIGINAL's
+    * indexes (content-preserving, but a second maintainer the swap lock
+    * then has to arbitrate).
     */
   def maintainAll(spark: SparkSession, path: String,
                   keyCol: Option[String] = None,

@@ -4187,7 +4187,9 @@ object DocStore {
         // walk cannot attribute, and the merge bails
         val prevSet =
           if (from == pinnedGen) sourceNames
-          else if (from.matches("gen-\\d{6}")) logicalNames(fs, s"$path/$from")
+          else if (from.matches("gen-\\d{6}") &&
+                   fs.exists(new Path(s"$path/$from")))
+            logicalNames(fs, s"$path/$from") // a pruned hop bails via exists
           else return None
         if (pinned != prevSet) return None
         cur = from

@@ -1963,22 +1963,20 @@ object Extras {
         def poll() = graft.streaming.Streams.syncIvfIndex(s, src, idx, model)
         DocStore.insertMany(emb.filter(col("vec_id") % 4 =!= 1), src)
         DocStore.compact(s, src, targetFiles = 1, format = Some("parquet"))
-        DocStore.cluster(s, src, col("vec_id"), targetFiles = 4,
-          statsCols = Seq("vec_id"))
         poll() // seed: registers idx against src, snapshot as batch 1
-        // churn: two append polls pile batch dirs on the index and tail
-        // files on the store; a COW delete opens dead bytes
-        DocStore.insertMany(
-          emb.filter(col("vec_id") % 4 === 1 && col("vec_id") % 3 === 0), src)
-        poll()
-        DocStore.insertMany(
-          emb.filter(col("vec_id") % 4 === 1 && col("vec_id") % 3 =!= 0), src)
+        // ONE mixed churn window (the d9 shape): a delete rewrite plus an
+        // append tail — batch dirs pile on the index, small files on the
+        // store
         DocStore.deleteMany(s, src,
           Some(col("vec_id").between(100L, 119L)), retain = 3)
+        // the append excludes the just-deleted range — re-inserting it
+        // would resurrect ids the lifecycle (and the oracle) removed
+        DocStore.insertMany(emb.filter(col("vec_id") % 4 === 1 &&
+          !col("vec_id").between(100L, 119L)), src)
         poll()
         val r = graft.streaming.Streams.maintainAll(s, src,
-          keyCol = Some("vec_id"), maxDataFiles = 4, maxBatchDirs = 1)
-        require(r.store.compacted || r.store.reclustered,
+          maxDataFiles = 1, maxBatchDirs = 1)
+        require(r.store.compacted,
           s"d15: the churn should have tripped the store triad ($r)")
         require(r.indexesFolded.get(idx).exists(_ > 0),
           s"d15: the churn should have tripped the registered fold ($r)")

@@ -2277,13 +2277,18 @@ object DocStore {
     // (not a post-write re-inference) as the persisted one, so a json
     // store's metadata-only columns now SURVIVE compaction instead of
     // being silently dropped by inference over files that carry no
-    // trace of an all-null field.
+    // trace of an all-null field. The json schema carry is gated on the
+    // PINNED STORE having a stored schema — not on stats presence (an r13
+    // review catch: a stats-less json store whose schema came from a COW
+    // commit's carriedSchema would otherwise drop it, erasing
+    // metadata-only columns and bricking later DDL); a store with no
+    // stored schema at all stays inference-served, as before.
+    val hadSchema = storedSchema(fs, new Path(live, StatsDir)).nonEmpty
     commitRewrite(fs, spark,
       docs.observe(obs, count(lit(1)).as("n")).coalesce(targetFiles), path, retain,
       format = fmtOut, sourceNames = names, pinnedLive = live,
       stagedSchema =
-        if (fmtOut != "parquet" && (statted.nonEmpty || bloomed.nonEmpty))
-          Some(docs.schema)
+        if (fmtOut != "parquet" && hadSchema) Some(docs.schema)
         else None,
       stagedStats =
         if (statted.nonEmpty || bloomed.nonEmpty)
@@ -4035,9 +4040,15 @@ object DocStore {
         val kept = textOf(nextStats, nextHas)
           .join(broadcast(wCandBases.toSeq.toDF("__wc")),
             fileCol === col("__wc"), "left_anti")
+        // persisted: the coverage count below and the union write would
+        // otherwise each re-read the winner's sidecar — at the path's
+        // target scale (hundreds of MB to GB) that doubles the merge's
+        // I/O (an r13 review catch)
         val imported = textOf(wStats, wHas)
           .join(broadcast(importBases.toSeq.toDF("__wp")),
             fileCol === col("__wp"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         if (importBases.nonEmpty) {
           // the semi-join guarantees imported ⊆ importBases, so a distinct
           // count equal to |importBases| IS set equality (the under-covered
@@ -4065,6 +4076,7 @@ object DocStore {
           }
         } finally fs.delete(stage, true)
         Some(())
+        } finally imported.unpersist(false)
     }
   }
 
@@ -4447,6 +4459,13 @@ object DocStore {
     // with no ConcurrentMutationException anywhere. The published dir was
     // never referenced by any manifest, so deleting it and going loud
     // (serialize-and-retry) loses nothing but this body's work.
+    // HONEST LIMIT: this is still check-then-act — the filesystem offers
+    // no manifest CAS, so a racer landing between this read and the
+    // write below is still overwritten; the re-check NARROWS the window
+    // from rewrite-sized (or merge-validation-sized) to two metadata
+    // ops, it does not close it. True closure needs a lock service or a
+    // CAS-capable catalog, the same boundary every FS-backed table
+    // format (Delta on S3 pre-DynamoDB, Iceberg HadoopCatalog) documents.
     val manifestNow = readManifest(fs, path)
     if (manifestNow != previous) {
       fs.delete(new Path(next), true)
@@ -4511,7 +4530,10 @@ object DocStore {
       val root = new Path(path)
       if (fs.exists(root)) fs.listStatus(root).foreach { st =>
         val nm = st.getPath.getName
-        if (st.isFile && nm != Manifest &&
+        // `_INDEXES` is the derived-index registry (streaming.Streams'
+        // maintainAll discovery sidecar) — store-level metadata that must
+        // survive the flat->generational migration, not flat-era debris
+        if (st.isFile && nm != Manifest && nm != "_INDEXES" &&
             (sourceNames.contains(nm) || nm.startsWith("_") || nm.startsWith(".")))
           fs.delete(st.getPath, false)
       }

@@ -1288,7 +1288,7 @@ object Streams {
 
   private def tryAcquireSwapLock(fs: org.apache.hadoop.fs.FileSystem,
                                  parent: String)
-      : Option[org.apache.hadoop.fs.Path] = {
+      : Option[(org.apache.hadoop.fs.Path, String)] = {
     val lock = new org.apache.hadoop.fs.Path(parent, CompactLockFile)
     if (fs.exists(lock)) {
       val age = System.currentTimeMillis() -
@@ -1302,9 +1302,38 @@ object Streams {
       if (!scala.util.Try(fs.rename(lock, aside)).getOrElse(false)) return None
       fs.delete(aside, false)
     }
-    if (scala.util.Try(fs.createNewFile(lock)).getOrElse(false)) Some(lock)
-    else None
+    // FENCED claim: the lock file CARRIES the owner's token (written to a
+    // claim file, renamed into place — rename refuses an existing target
+    // on HDFS-like filesystems, and the JVM monitor covers the local FS
+    // whose rename overwrites). The token is what lets the owner detect a
+    // TTL break mid-swap ([[holdsSwapLock]]) instead of blindly deleting
+    // dirs another actor now owns.
+    val token = java.util.UUID.randomUUID().toString
+    val claim = new org.apache.hadoop.fs.Path(parent,
+      s".$CompactLockFile-claim-$token")
+    val out = fs.create(claim, true)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(lock) || !scala.util.Try(fs.rename(claim, lock)).getOrElse(false)) {
+      fs.delete(claim, false)
+      None
+    } else Some((lock, token))
   }
+
+  /** Does `lock` still carry `token`? False after a TTL break stole
+    * ownership (or the lock vanished) — the holder must then ABORT its
+    * destructive work: the committed intent lets the new owner complete
+    * the swap with no loss.
+    */
+  private def holdsSwapLock(fs: org.apache.hadoop.fs.FileSystem,
+                            lock: org.apache.hadoop.fs.Path,
+                            token: String): Boolean =
+    scala.util.Try {
+      val in = fs.open(lock)
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt == token
+    }.getOrElse(false)
 
   /** Complete (or discard) a crashed consolidation under `parent`. With
     * an intent present: staging still there -> redo the delete+rename leg
@@ -1326,12 +1355,17 @@ object Streams {
     if (fs.exists(intent)) {
       val acquired = swapGuard(fs, parent).synchronized {
         tryAcquireSwapLock(fs, parent) match {
-          case Some(lock) =>
+          case Some((lock, token)) =>
             try {
               // re-check under the lock: the owner may have completed
               // the swap between our intent probe and the acquisition
-              if (fs.exists(intent)) completeSwap(fs, dir, intent)
-            } finally fs.delete(lock, false)
+              if (fs.exists(intent))
+                completeSwap(fs, dir, intent, swapFence(fs, lock, token))
+            } finally {
+              // only release a lock still carrying OUR token — after a
+              // TTL break this file is the new owner's claim
+              if (holdsSwapLock(fs, lock, token)) fs.delete(lock, false)
+            }
             true
           case None => false
         }
@@ -1375,19 +1409,31 @@ object Streams {
     }
   }
 
-  /** The intent-completion leg shared by the heal and (structurally) the
-    * compactor: delete every folded `batch_id=` dir at/below the intent's
-    * target, rename the staged union in, clear the intent. MUST be called
-    * with the swap lock held. Staging is re-verified immediately before
-    * the destructive loop, and a failed final rename with the target
-    * present and the staging gone is treated as an already-completed swap
-    * rather than an error (the ADVICE-prescribed tolerance — under the
-    * lock it should be unreachable, but an external actor's interference
-    * must degrade to idempotence, not loss).
+  /** The intent-completion leg shared by the heal AND the compactor (one
+    * copy of the destructive sequence — two byte-divergent copies were an
+    * r13 review catch): delete every folded `batch_id=` dir at/below the
+    * intent's target (ascending, so the target slot — the rename
+    * destination — goes LAST), rename the staged union in, clear the
+    * intent. MUST be called with the swap lock held; `fence` runs before
+    * EVERY destructive operation — the holder's ownership re-check +
+    * lock-mtime heartbeat, so a TTL break by another actor mid-sequence
+    * is detected at the next op instead of blindly deleting dirs the new
+    * owner just installed, and a LIVE holder's heartbeat keeps it from
+    * ever looking stale in the first place. A failed final rename with
+    * the target present and the staging gone is treated as an
+    * already-completed swap rather than an error (the ADVICE-prescribed
+    * tolerance — under the fence it should be unreachable, but external
+    * interference must degrade to idempotence, not loss).
+    * `expectStaging` = the compactor's last-line guard: it KNOWS it
+    * staged, so a vanished staging aborts loudly with every original
+    * batch dir intact (intent cleared first); a heal with no staging
+    * infers the rename already landed and just clears the intent.
     */
-  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
-                           dir: org.apache.hadoop.fs.Path,
-                           intent: org.apache.hadoop.fs.Path): Unit = {
+  private[streaming] def completeSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                      dir: org.apache.hadoop.fs.Path,
+                                      intent: org.apache.hadoop.fs.Path,
+                                      fence: () => Unit = () => (),
+                                      expectStaging: Boolean = false): Unit = {
     val in = fs.open(intent)
     val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
@@ -1396,19 +1442,43 @@ object Streams {
     val target = kv("target").toLong
     val staging = new org.apache.hadoop.fs.Path(dir, kv("staging"))
     if (fs.exists(staging)) {
-      fs.listStatus(dir).foreach { st =>
-        val nm = st.getPath.getName
-        if (st.isDirectory && nm.startsWith("batch_id=") &&
-            nm.stripPrefix("batch_id=").toLong <= target)
-          fs.delete(st.getPath, true)
-      }
+      val folded = fs.listStatus(dir).toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+          st.getPath.getName.stripPrefix("batch_id=").toLong <= target =>
+          (st.getPath.getName.stripPrefix("batch_id=").toLong, st.getPath)
+      }.sortBy(_._1)
+      folded.foreach { case (_, p) => fence(); fs.delete(p, true) }
+      fence()
       val dst = new org.apache.hadoop.fs.Path(dir, s"batch_id=$target")
       if (!fs.rename(staging, dst) &&
           !(fs.exists(dst) && !fs.exists(staging)))
         throw new java.io.IOException(
           s"index compaction: cannot recover $staging -> batch_id=$target")
+    } else if (expectStaging) {
+      fs.delete(intent, false)
+      throw new java.io.IOException(
+        s"index compaction: staged union $staging disappeared before the " +
+          "swap — aborting with all original batch dirs intact")
     }
     fs.delete(intent, false)
+  }
+
+  /** The holder-side fence for [[completeSwap]]: abort LOUDLY when the
+    * lock no longer carries this holder's token (a TTL break after a
+    * stall — the new owner completes the swap from the committed intent,
+    * so aborting loses nothing), and heartbeat the lock's mtime so a
+    * live holder never crosses the TTL between two metadata ops.
+    */
+  private[streaming] def swapFence(fs: org.apache.hadoop.fs.FileSystem,
+                                   lock: org.apache.hadoop.fs.Path,
+                                   token: String): () => Unit = () => {
+    if (!holdsSwapLock(fs, lock, token))
+      throw new java.io.IOException(
+        s"index compaction: lost swap-lock ownership at $lock mid-swap " +
+          "(TTL break after a stall) — aborting; the committed intent " +
+          "lets the new owner complete the swap with no loss")
+    scala.util.Try(fs.setTimes(lock, System.currentTimeMillis(), -1))
+    ()
   }
 
   /** Fold `parent`'s batch dirs with id <= `cutoff` into one consolidated
@@ -1507,7 +1577,7 @@ object Streams {
     // Acquired AFTER the staging write (the long part) so the lock's TTL
     // only has to cover metadata work.
     swapGuard(fs, parent).synchronized {
-    val lock = tryAcquireSwapLock(fs, parent).getOrElse {
+    val (lock, token) = tryAcquireSwapLock(fs, parent).getOrElse {
       fs.delete(staging, true)
       throw new java.io.IOException(
         s"index compaction: cannot take the swap lock on $parent — another " +
@@ -1528,26 +1598,17 @@ object Streams {
       fs.delete(intent, false)
       if (!fs.rename(tmp, intent))
         throw new java.io.IOException(s"index compaction: cannot commit $intent")
-      // LAST-LINE GUARD before the destructive leg: if the staging
-      // vanished (a mis-sequenced external cleanup), abort LOUDLY while
-      // every original batch dir is still intact, instead of deleting
-      // them and leaving an intent whose completion has nothing to rename
-      if (!fs.exists(staging)) {
-        fs.delete(intent, false)
-        throw new java.io.IOException(
-          s"index compaction: staged union $staging disappeared before the " +
-            "swap — aborting with all original batch dirs intact")
-      }
-      ids.foreach { n =>
-        fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$n"), true)
-      }
-      val dst = new org.apache.hadoop.fs.Path(dir, s"batch_id=$target")
-      if (!fs.rename(staging, dst) &&
-          !(fs.exists(dst) && !fs.exists(staging)))
-        throw new java.io.IOException(
-          s"index compaction: cannot swap $staging -> batch_id=$target")
-      fs.delete(intent, false)
-    } finally fs.delete(lock, false)
+      // the destructive leg IS the heal's completion leg — one shared
+      // sequence (staging guard, fenced ascending deletes, tolerant
+      // rename, intent clear); expectStaging aborts loudly with every
+      // original dir intact if the staging vanished underneath us
+      completeSwap(fs, dir, intent, swapFence(fs, lock, token),
+        expectStaging = true)
+    } finally {
+      // only release a lock still carrying OUR token — after a TTL
+      // break this file is the new owner's claim
+      if (holdsSwapLock(fs, lock, token)) fs.delete(lock, false)
+    }
     }
     ids.size.toLong - 1L
   }
@@ -1738,20 +1799,39 @@ object Streams {
       throw new java.io.IOException(s"cannot write index registry $dst")
   }
 
+  /** One JVM monitor per store path: registry updates are
+    * read-modify-write, and two concurrent registrations (first polls of
+    * two indexes of the same store — legal, the single-maintainer
+    * contract is per INDEX) would otherwise lose one entry or fail a
+    * poll on the rename (an r13 review catch). Cross-process racers can
+    * still interleave — the damage is bounded because EVERY poll
+    * re-registers, so a lost entry self-heals at its index's next poll.
+    */
+  private val registryGuards =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def registryGuard(fs: org.apache.hadoop.fs.FileSystem,
+                            storePath: String): Object =
+    registryGuards.computeIfAbsent(
+      fs.makeQualified(new org.apache.hadoop.fs.Path(storePath)).toString,
+      _ => new Object)
+
   /** Record `indexPath` as a CDC-synced derived index of the store at
     * `storePath` — idempotent (a present entry rewrites nothing), written
-    * tmp-then-rename so a torn write reads as the previous registry. The
-    * sync entry points self-register on every poll, so [[maintainAll]]
-    * discovers every live index with no operator-maintained list.
+    * tmp-then-rename so a torn write reads as the previous registry, and
+    * serialized in-process by [[registryGuard]]. The sync entry points
+    * self-register on every poll, so [[maintainAll]] discovers every live
+    * index with no operator-maintained list.
     */
   private def registerIndex(spark: SparkSession, storePath: String,
                             indexPath: String, kind: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) return
-    val existing = registeredIndexes(spark, storePath)
-    if (!existing.contains((kind, indexPath)))
-      writeIndexRegistry(fs, storePath, existing :+ ((kind, indexPath)))
+    registryGuard(fs, storePath).synchronized {
+      val existing = registeredIndexes(spark, storePath)
+      if (!existing.contains((kind, indexPath)))
+        writeIndexRegistry(fs, storePath, existing :+ ((kind, indexPath)))
+    }
   }
 
   /** One [[maintainAll]] pass's outcome: the store triad's report plus
@@ -1805,7 +1885,14 @@ object Streams {
     if (dead.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      writeIndexRegistry(fs, path, live)
+      // prune under the registry monitor, against a FRESH read — the
+      // stale `entries` list would clobber a registration a concurrent
+      // sync poll just added (self-healing, but no reason to rely on it)
+      registryGuard(fs, path).synchronized {
+        val deadSet = dead.toSet
+        writeIndexRegistry(fs, path,
+          registeredIndexes(spark, path).filterNot(deadSet.contains))
+      }
     }
     val folded = live.map {
       case ("neardup", idx) =>

@@ -363,6 +363,31 @@ class DocStoreDdlSpec extends SparkTestBase {
     assert(got.filter(col("flag").isNotNull).isEmpty && got.count() == 50)
   }
 
+  test("json compaction preserves a stored schema that exists WITHOUT stats rows") {
+    // the state an external writer (or an older engine version) leaves: a
+    // json store whose _STATS dir holds only the schema sidecar, no stats
+    // rows. The schema carry across compact() must key on the STORED
+    // SCHEMA's presence, not on stats geometry — gating on stats would
+    // drop the schema here and silently erase the metadata-only column.
+    val jp = freshPath()
+    DocStore.insertMany((0 until 30).map(i => (i.toLong, s"d$i"))
+      .toDF("id", "body"), jp)
+    DocStore.compact(spark, jp, targetFiles = 1) // generational, json
+    val statsDir = java.nio.file.Paths.get(jp, liveGen(jp), "_STATS")
+    java.nio.file.Files.createDirectories(statsDir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("body", StringType), StructField("flag", LongType)))
+    java.nio.file.Files.writeString(statsDir.resolve("_schema.json"), schema.json)
+    assert(DocStore.find(spark, jp).columns.toSet == Set("id", "body", "flag"))
+    DocStore.compact(spark, jp, targetFiles = 1)
+    val got = DocStore.find(spark, jp)
+    assert(got.columns.toSet == Set("id", "body", "flag"),
+      s"schema-only sidecar dropped by compaction: ${got.columns.toSet}")
+    assert(got.filter(col("flag").isNotNull).isEmpty && got.count() == 30)
+    // and DDL still works — the schema source of truth survived
+    assert(DocStore.addColumn(spark, jp, "extra", StringType))
+  }
+
   test("docstore_rename_column TVF drives the same rewrite") {
     val path = freshPath()
     seeded(path, n = 60, files = 2)

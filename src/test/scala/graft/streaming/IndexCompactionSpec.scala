@@ -445,6 +445,64 @@ class IndexCompactionSpec extends SparkTestBase {
     assert(shingleSet(idx) == refS)
   }
 
+  test("a fenced holder that loses the lock mid-swap aborts; the next heal completes with no loss") {
+    val src = freshPath(); val idx = freshPath()
+    DocStore.insertMany(((0 until 2).map(v => doc(0, v)) ++
+      (0 until 3).map(uniq)).toDF("doc_id", "text"), src)
+    sync(src, idx)
+    (0 until 2).foreach { i =>
+      DocStore.insertMany(Seq(uniq(90 + i)).toDF("doc_id", "text"), src)
+      sync(src, idx)
+    }
+    val keysDir = s"$idx/keys"
+    val ids = batchDirs(keysDir)
+    // plant a committed swap: staged union + intent, as if a compactor
+    // reached its destructive leg
+    spark.read.parquet(keysDir)
+      .filter(col("batch_id").isin(ids: _*)).drop("batch_id")
+      .repartition(col("slot"))
+      .write.partitionBy("slot").parquet(s"$keysDir/.compact-sim")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(keysDir, "_COMPACT"),
+      s"target=${ids.max}\nstaging=.compact-sim\n")
+    // holder A owns the lock (token-bearing); a TTL breaker steals it
+    // between A's deletes. A's fence must detect the theft at the next
+    // operation and ABORT instead of deleting the dir the thief installs.
+    val lockPath = java.nio.file.Paths.get(keysDir, "_COMPACT.lock")
+    java.nio.file.Files.writeString(lockPath, "token-A")
+    val fs = new org.apache.hadoop.fs.Path(keysDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(keysDir)
+    val intent = new org.apache.hadoop.fs.Path(dir, "_COMPACT")
+    val lock = new org.apache.hadoop.fs.Path(dir.toString, "_COMPACT.lock")
+    val inner = Streams.swapFence(fs, lock, "token-A")
+    var calls = 0
+    val thieving: () => Unit = () => {
+      if (calls == 1) // after A's FIRST delete: the theft window
+        java.nio.file.Files.writeString(lockPath, "token-B")
+      calls += 1
+      inner()
+    }
+    val e = intercept[java.io.IOException] {
+      Streams.completeSwap(fs, dir, intent, thieving, expectStaging = true)
+    }
+    assert(e.getMessage.contains("lost swap-lock ownership"), e.getMessage)
+    // A aborted mid-sequence: the intent is STILL COMMITTED and the
+    // staged union intact, so the thief (or any later heal) completes the
+    // swap — nothing was lost even though A had already deleted a dir
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(keysDir, "_COMPACT")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(keysDir, ".compact-sim")))
+    java.nio.file.Files.delete(lockPath) // the thief's claim, released
+    DocStore.insertMany(Seq(uniq(95)).toDF("doc_id", "text"), src)
+    sync(src, idx) // entry heal completes the crashed swap
+    val live = DocStore.find(spark, src).select("doc_id", "text")
+    val (refK, refS) = referenceKeys(live)
+    assert(keySet(idx) == refK, "fenced abort + heal lost folded content")
+    assert(shingleSet(idx) == refS)
+  }
+
   test("byte-budgeted consolidation: over the budget the fold writes multiple files, rows exact") {
     val src = freshPath(); val idx = freshPath()
     DocStore.insertMany(((0 until 4).map(v => doc(0, v)) ++

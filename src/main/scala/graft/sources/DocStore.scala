@@ -4307,15 +4307,30 @@ object DocStore {
             finally out.close()
           }
         case None =>
-          try readStatsJson(spark, fs, srcStats).foreach { stats0 =>
-            val rows = stats0
-              .filter(col("file").isin(carriedBases.toSeq: _*))
+          // DISTRIBUTED carry (over the local-planning gate — the 100 TB
+          // sidecar shape): the same byte-verbatim text discipline the
+          // disjoint merge uses — a line-level left_semi against the
+          // carried bases via `get_json_object` (a null file key never
+          // equals a join key, exactly lineCarries' drop behavior), with
+          // MULTI-FILE output. The former shape re-parsed and
+          // re-serialized every row through spark.read.json (schema
+          // inference over the whole sidecar, number/field-order drift)
+          // and folded the write into coalesce(1) — one task carrying a
+          // GB-scale sidecar.
+          if (statsPartFiles(fs, srcStats).nonEmpty) {
+            import org.apache.spark.sql.functions.{broadcast, get_json_object}
+            import spark.implicits._
+            val fileCol = get_json_object(col("value"), "$.file")
+            val rows = spark.read.text(srcStats.toString)
+              .join(broadcast(carriedBases.toSeq.toDF("__cb")),
+                fileCol === col("__cb"), "left_semi")
             val stage = new Path(next, s"_stats-stage-${java.util.UUID.randomUUID()}")
             try {
-              rows.coalesce(1).write.mode(SaveMode.Overwrite).json(stage.toString)
+              rows.select("value").write.mode(SaveMode.Overwrite).text(stage.toString)
               fs.listStatus(stage).iterator.filter { st =>
                 val nm = st.getPath.getName
-                st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+                st.isFile && !nm.startsWith("_") && !nm.startsWith(".") &&
+                  st.getLen > 0
               }.zipWithIndex.foreach { case (st, i) =>
                 val dst = new Path(stats, s"append-${java.util.UUID.randomUUID()}-$i.json")
                 // throw like appendStats does: a silently-failed rename would
@@ -4326,16 +4341,11 @@ object DocStore {
                     s"docstore: cannot publish carried stats ${st.getPath} -> $dst")
               }
             } finally fs.delete(stage, true)
-          } catch { case e: org.apache.spark.sql.AnalysisException =>
-            // a generation with no readable stats sidecar (schema-only dir,
-            // pre-stats store) legitimately has nothing to carry — but make
-            // the degradation observable instead of silent: carried files
-            // will be re-scanned by pruning/countFast until a collectStats
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"docstore: could not carry stats rows from $pinnedLive into " +
-                s"$next (${e.getMessage}); carried files are unstatted until " +
-                "the next collectStats — skipping and countFast scan them")
           }
+          // a dir with no visible part files (schema-only sidecar,
+          // pre-stats store) legitimately has nothing to carry: carried
+          // files stay covered by whatever covered them before — nothing
+          // to degrade
       }
       // stat the freshly rewritten files with the carried geometry (same
       // machinery an append uses) so the WHOLE generation stays covered

@@ -1256,6 +1256,15 @@ object Streams {
   private def healWaitMs: Long =
     java.lang.Long.getLong("graft.index.healWaitMs", 10L * 1000)
 
+  /** Size-tier ratio for [[consolidateBatchDirs]]: a dir whose bytes
+    * exceed this factor times the total of all smaller eligible dirs is
+    * left in place rather than rewritten into every fold. 4 bounds each
+    * byte's lifetime rewrites to ~log_4(index bytes / delta bytes)
+    * while keeping the dir count within maxBatchDirs + O(log) tiers.
+    */
+  private def TierFactor: Long =
+    java.lang.Long.getLong("graft.index.tierFactor", 4L)
+
   /** Take exclusive ownership of `parent`'s compaction swap, or None when
     * a live owner holds it. Exclusivity rides two ATOMIC primitives: the
     * lock itself is claimed with create-exclusive (`createNewFile` — only
@@ -1441,10 +1450,18 @@ object Streams {
       .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
     val target = kv("target").toLong
     val staging = new org.apache.hadoop.fs.Path(dir, kv("staging"))
+    // the intent's explicit fold set (tiered folds leave LARGER dirs in
+    // place, possibly with ids below the target); an intent without one
+    // (pre-tiering format) folds everything at/below the target
+    val foldSet: Option[Set[Long]] = kv.get("ids")
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSet)
     if (fs.exists(staging)) {
       val folded = fs.listStatus(dir).toSeq.collect {
         case st if st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
-          st.getPath.getName.stripPrefix("batch_id=").toLong <= target =>
+          foldSet.fold(
+            st.getPath.getName.stripPrefix("batch_id=").toLong <= target)(
+            _.contains(st.getPath.getName.stripPrefix("batch_id=").toLong)) =>
           (st.getPath.getName.stripPrefix("batch_id=").toLong, st.getPath)
       }.sortBy(_._1)
       folded.foreach { case (_, p) => fence(); fs.delete(p, true) }
@@ -1517,10 +1534,34 @@ object Streams {
         } else fs.delete(st.getPath, true)
       }
     }
-    val ids = fs.listStatus(dir).toSeq.collect {
+    val eligible = fs.listStatus(dir).toSeq.collect {
       case st if st.isDirectory && st.getPath.getName.startsWith("batch_id=") =>
         st.getPath.getName.stripPrefix("batch_id=").toLong
     }.filter(_ <= cutoff).sorted
+    if (eligible.size <= 1) return 0L
+    // SIZE-TIERED fold (the LSM merge invariant): a dir already so large
+    // that every smaller eligible dir together is under a quarter of it
+    // is KEPT IN PLACE — rewriting it per fold would make compaction
+    // O(index) instead of O(accumulated small dirs), i.e. a 100 TB
+    // consolidated dir re-written every maxBatchDirs polls. Walking the
+    // sizes descending and keeping each dir whose bytes exceed
+    // TierFactor x the total below it bounds every byte's lifetime
+    // rewrites to O(log_TierFactor(index/delta)). Correctness is
+    // untouched: probes union ALL batch dirs regardless of grouping,
+    // takedowns rewrite per-dir, and a folded id is at/below the cutoff,
+    // which the monotonic-bid contract already promises is never
+    // redelivered — so old content living in a higher-id consolidated
+    // dir can never be clobbered by a replay.
+    val sized = eligible.map { n =>
+      n -> fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(dir, s"batch_id=$n")).getLength
+    }
+    val bySizeDesc = sized.sortBy { case (n, b) => (-b, n) }
+    val suffix = bySizeDesc.map(_._2).scanRight(0L)(_ + _).tail
+    val foldStart = bySizeDesc.indices
+      .find(k => bySizeDesc(k)._2 <= TierFactor * suffix(k))
+      .getOrElse(bySizeDesc.size)
+    val ids = bySizeDesc.drop(foldStart).map(_._1).sorted
     if (ids.size <= 1) return 0L
     val target = ids.max
     // read EXACTLY the pinned ids (partition pruning on batch_id), union
@@ -1532,10 +1573,7 @@ object Streams {
     // and a hot slot/cell past maxFileBytes splits across a salt so no
     // single file (or write task) grows with corpus size. Sizing comes
     // from the folded dirs' ON-DISK bytes (same compression in = out).
-    val foldedBytes = ids.iterator.map { n =>
-      fs.getContentSummary(
-        new org.apache.hadoop.fs.Path(dir, s"batch_id=$n")).getLength
-    }.sum
+    val foldedBytes = sized.collect { case (n, b) if ids.contains(n) => b }.sum
     val nFiles = math.max(1L, (foldedBytes + maxFileBytes - 1) / maxFileBytes).toInt
     val all = spark.read.parquet(parent)
       .filter(col("batch_id").isin(ids: _*))
@@ -1591,8 +1629,12 @@ object Streams {
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s"$CompactIntentFile.tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
-      try out.write(s"target=$target\nstaging=${staging.getName}\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // `ids` pins the EXPLICIT fold set: a tiered fold keeps larger
+      // dirs (possibly with ids below the target) in place, so the
+      // swap's delete leg must never infer "everything at/below target"
+      try out.write(
+        s"target=$target\nstaging=${staging.getName}\nids=${ids.mkString(",")}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val intent = new org.apache.hadoop.fs.Path(dir, CompactIntentFile)
       fs.delete(intent, false)

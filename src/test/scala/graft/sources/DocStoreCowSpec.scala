@@ -93,6 +93,27 @@ class DocStoreCowSpec extends SparkTestBase {
     assert(bad.isEmpty, bad.collect().mkString("; "))
   }
 
+  test("COW stats carry over the local gate runs distributed, byte-faithful, multi-file capable") {
+    val path = freshPath()
+    seeded(path, 1000, 10)
+    // force the 100 TB sidecar shape: every carry must take the
+    // distributed text path (line-level left_semi, multi-file output) —
+    // the former shape re-serialized rows through spark.read.json and
+    // folded a GB-scale carry into one coalesce(1) task
+    System.setProperty("graft.docstore.statsLocalMaxBytes", "1")
+    try {
+      assert(DocStore.updateMany(spark, path, col("id") === 5L,
+        Map("body" -> lit("EDITED"))) == 1L)
+    } finally System.clearProperty("graft.docstore.statsLocalMaxBytes")
+    // the carried rows landed and pruning/metadata-exact counts survive
+    val probe = DocStore.find(spark, path, Some(col("id") === 800L))
+    assert(probe.count() == 1 && probe.inputFiles.length == 1,
+      s"pruning degraded after the distributed carry: ${probe.inputFiles.toSeq}")
+    assert(DocStore.countFast(spark, path) == 1000L)
+    val bad = DocStore.fsck(spark, path).filter(col("severity") === "error")
+    assert(bad.isEmpty, bad.collect().mkString("; "))
+  }
+
   test("selective delete takes the COW path and preserves semantics") {
     val path = freshPath()
     seeded(path, 1000, 10)

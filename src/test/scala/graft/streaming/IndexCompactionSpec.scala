@@ -570,6 +570,44 @@ class IndexCompactionSpec extends SparkTestBase {
     assert((20L until 25L).forall(!present.contains(_)))
   }
 
+  test("size-tiered fold: a dominant dir is kept in place, small dirs fold around it, a peer triggers the full merge") {
+    val idx = freshPath()
+    val model = Ann.fitIvf(corpusDf(0L until 60L), nCells = 3, lloydIters = 2)
+    // a DOMINANT batch (the consolidated-index stand-in) plus three small
+    // deltas — the 100 TB steady state in miniature. Rewriting the big
+    // dir on every fold is exactly the O(index) write amplification the
+    // tier gate exists to prevent.
+    Streams.ivfBatch(corpusDf(0L until 20000L), 1L, idx, model, "vec_id", "embedding")
+    Streams.ivfBatch(corpusDf(20000L until 20050L), 2L, idx, model, "vec_id", "embedding")
+    Streams.ivfBatch(corpusDf(20050L until 20100L), 3L, idx, model, "vec_id", "embedding")
+    Streams.ivfBatch(corpusDf(20100L until 20150L), 4L, idx, model, "vec_id", "embedding")
+    val before = indexContent(idx)
+    def files(bid: Long): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$idx/batch_id=$bid"))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val bigBefore = files(1L)
+    // stream-built: cutoff = max - 1 -> eligible {1,2,3}; the tier gate
+    // keeps the dominant dir 1 and folds {2,3}
+    assert(Streams.compactIvfIndex(spark, idx) == 1L)
+    assert(batchDirs(idx) == Seq(1L, 3L, 4L), batchDirs(idx).toString)
+    assert(files(1L) == bigBefore, "the dominant dir was rewritten by a tiered fold")
+    assert(indexContent(idx) == before)
+    // a PEER-SIZED batch arrives: the tier invariant no longer shields
+    // dir 1 (it is at most TierFactor x the rest), so the next fold is
+    // the full merge — tiering defers O(index) rewrites, never forever
+    Streams.ivfBatch(corpusDf(30000L until 50000L), 5L, idx, model, "vec_id", "embedding")
+    Streams.ivfBatch(corpusDf(50000L until 50050L), 6L, idx, model, "vec_id", "embedding")
+    val before2 = indexContent(idx)
+    assert(Streams.compactIvfIndex(spark, idx) == 3L) // {1,3,4,5} -> 5
+    assert(batchDirs(idx) == Seq(5L, 6L), batchDirs(idx).toString)
+    assert(indexContent(idx) == before2)
+  }
+
   test("maintainAll: ONE call bounds store files and every registered index; TVF drives it") {
     val src = freshPath(); val idx = freshPath(); val vIdx = freshPath()
     def docs(ids: Seq[Int]) = ids.map { u =>

@@ -514,7 +514,7 @@ object Streams {
     * `batch_id=N/cell=M/` with static overwrite (replay-idempotent).
     * Shared by the stream sink and [[syncIvfIndex]].
     */
-  private[streaming] def ivfBatch(batch: DataFrame, bid: Long, indexPath: String,
+  private[graft] def ivfBatch(batch: DataFrame, bid: Long, indexPath: String,
                                   model: graft.sim.Ann.IvfModel,
                                   idCol: String, embCol: String): Unit = {
     val spark = batch.sparkSession

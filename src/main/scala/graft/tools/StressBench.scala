@@ -85,7 +85,8 @@ object StressBench {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(appName = "graft-stress")
     val which = if (args.isEmpty)
-                  Set("setsim", "minhash", "graph", "hotkey", "maintain")
+                  Set("setsim", "minhash", "graph", "hotkey", "maintain",
+                    "indexfold")
                 else args.toSet
     val ratios = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
@@ -285,6 +286,55 @@ object StressBench {
         "(compact growth / vacuum growth at 8x corpus)")
       println(f"[stress] separation recluster $sepRec%5.2fx " +
         "(cluster growth / recluster growth at 8x corpus)")
+    }
+
+    if (which("indexfold")) {
+      // r13 size-tiered fold asymptotics: a fold's cost must track the
+      // SMALL TIER's bytes, not the index's. Hold the delta set constant
+      // (three 100k-vector dirs + a 1k max dir the stream-built cutoff
+      // keeps) and grow the dominant consolidated dir 4x: the tiered
+      // fold must stay ~flat while a FORCED full fold (tier factor
+      // pushed to infinity) grows with the index. Each timing is
+      // min-of-2 on a freshly built index (the fold mutates it).
+      import graft.streaming.Streams
+      val tmpI = java.nio.file.Files.createTempDirectory("graft-stress-fold")
+        .toString
+      def vecs(n: Long, off: Long) = spark.range(n).select(
+        (col("id") + off).as("vec_id"),
+        transform(sequence(lit(1), lit(4)),
+          j => pmod(xxhash64(col("id") * 31 + j), lit(1000)).cast("double"))
+          .as("embedding"))
+      val model = graft.sim.Ann.fitIvf(vecs(2000, 0), nCells = 8, lloydIters = 2)
+      def timedFold(big: Long, tag: String, full: Boolean): Double =
+        (0 until 2).map { i =>
+          val idx = s"$tmpI/$tag-$i"
+          Streams.ivfBatch(vecs(big, 0), 1L, idx, model, "vec_id", "embedding")
+          (2 to 4).foreach(b => Streams.ivfBatch(
+            vecs(100000, 10000000L * b), b.toLong, idx, model, "vec_id", "embedding"))
+          Streams.ivfBatch(vecs(1000, 99000000L), 5L, idx, model, "vec_id", "embedding")
+          if (full) System.setProperty("graft.index.tierFactor", "1000000000")
+          try {
+            System.gc()
+            val t0 = System.nanoTime()
+            val folded = Streams.compactIvfIndex(spark, idx)
+            require(folded >= 2L, s"fold probe folded only $folded dirs")
+            (System.nanoTime() - t0) / 1e9
+          } finally {
+            System.clearProperty("graft.index.tierFactor")
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+          }
+        }.min
+      val tT1 = timedFold(2000000L, "t2M", full = false)
+      val tT2 = timedFold(8000000L, "t8M", full = false)
+      val tF1 = timedFold(2000000L, "f2M", full = true)
+      val tF2 = timedFold(8000000L, "f8M", full = true)
+      report("indexfold", "tier-2M", 2000000L, tT1)
+      report("indexfold", "tier-8M", 8000000L, tT2)
+      report("indexfold", "full-2M", 2000000L, tF1)
+      report("indexfold", "full-8M", 8000000L, tF2)
+      println(f"[stress] growth 4x dominant: tiered ${tT2 / tT1}%4.2fx  " +
+        f"full ${tF2 / tF1}%4.2fx  separation " +
+        f"${(tF2 / tF1) / (tT2 / tT1)}%4.2fx (full growth / tiered growth)")
     }
 
     println("[stress] ---- skew/uniform ratios (arg holds if ~<= 2x) ----")

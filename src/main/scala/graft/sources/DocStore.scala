@@ -234,33 +234,38 @@ object DocStore {
             readFiles(spark, fmt, None, staged.map(_.getPath.toString)).schema))
         else None
       afterCover()
-      val added = staged.map { st =>
-        val target = new Path(live, st.getPath.getName)
-        if (!fs.rename(st.getPath, target))
-          throw new java.io.IOException(
-            s"docstore: cannot publish appended file ${st.getPath} -> $target")
-        target.toString
+      // publish + visibility under the per-store guard: a same-process
+      // mutation commit's retention prune cannot delete the batch's files
+      // out of a superseded generation mid-walk ([[publishGuard]])
+      publishGuard(fs, path).synchronized {
+        val added = staged.map { st =>
+          val target = new Path(live, st.getPath.getName)
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"docstore: cannot publish appended file ${st.getPath} -> $target")
+          target.toString
+        }
+        if (fs.exists(statsPath) && added.nonEmpty)
+          appendStats(spark, fs, live, fmt, added)
+        // RE-COVER check: a concurrent [[collectStats]] rewrites the stats
+        // dir wholesale — deleting our sidecar — and its own read may have
+        // listed the generation before our renames, so its fresh base
+        // schema would not cover the published files. If a base exists now
+        // but our cover is gone (or was never written because no base
+        // existed then), cover the published bytes again; between this and
+        // collectStats' post-write reconciliation, every ordering leaves
+        // published files schema-covered. The common case (sidecar intact)
+        // costs one exists() call.
+        if (added.nonEmpty && fs.exists(new Path(statsPath, "_schema.json")) &&
+            sidecar.forall(p => !fs.exists(p)))
+          writeSchemaSidecar(fs, statsPath,
+            readFiles(spark, fmt, None, added).schema)
+        beforeVisibilityCheck()
+        // a mutation may have swung the manifest while this append was in
+        // flight; make the batch's visibility in the LIVE view determinate
+        // before returning (no-op when the generation is still live)
+        ensureVisible(spark, fs, path, live, added.map(p => new Path(p).getName))
       }
-      if (fs.exists(statsPath) && added.nonEmpty)
-        appendStats(spark, fs, live, fmt, added)
-      // RE-COVER check: a concurrent [[collectStats]] rewrites the stats
-      // dir wholesale — deleting our sidecar — and its own read may have
-      // listed the generation before our renames, so its fresh base
-      // schema would not cover the published files. If a base exists now
-      // but our cover is gone (or was never written because no base
-      // existed then), cover the published bytes again; between this and
-      // collectStats' post-write reconciliation, every ordering leaves
-      // published files schema-covered. The common case (sidecar intact)
-      // costs one exists() call.
-      if (added.nonEmpty && fs.exists(new Path(statsPath, "_schema.json")) &&
-          sidecar.forall(p => !fs.exists(p)))
-        writeSchemaSidecar(fs, statsPath,
-          readFiles(spark, fmt, None, added).schema)
-      beforeVisibilityCheck()
-      // a mutation may have swung the manifest while this append was in
-      // flight; make the batch's visibility in the LIVE view determinate
-      // before returning (no-op when the generation is still live)
-      ensureVisible(spark, fs, path, live, added.map(p => new Path(p).getName))
       n
     } finally fs.delete(staging, true)
   }
@@ -3739,6 +3744,25 @@ object DocStore {
     sidecar
   }
 
+  /** Per-store JVM monitor serializing an append's publish + visibility
+    * walk against a mutation commit's retention prune. Without it, a
+    * same-process append landing its files in a superseded generation
+    * between the prune's straggler heal and its directory delete loses
+    * those files before the appender's walk can move them forward — the
+    * walk then fails LOUDLY (rows are never silently lost), but the
+    * append was forfeited for no structural reason (observed as a rare
+    * loud failure in the threaded append-vs-mutation stress race).
+    * Cross-process appenders keep the documented loud-failure contract —
+    * no FS lock here, the same in-process-only boundary as the streaming
+    * registry guard. Bounded by the number of distinct store paths a
+    * driver touches.
+    */
+  private val publishGuards =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def publishGuard(fs: FileSystem, path: String): Object =
+    publishGuards.computeIfAbsent(
+      fs.makeQualified(new Path(path)).toString, _ => new Object)
+
   /** Idempotently publish straggler data files of `fromDir` (a superseded
     * generation) into `toDir` (its committed successor), converting when
     * the formats differ, with schema-sidecar and stats upkeep on the
@@ -3765,16 +3789,35 @@ object DocStore {
       if (srcFmt == dstFmt) {
         val target = new Path(toDir, name)
         if (fs.exists(src)) {
-          // rowless (0-byte) parts carry no rows and no inferable schema:
-          // rename them for listing fidelity but skip sidecar and stats
-          val hasRows = fs.getFileStatus(src).getLen > 0
-          // sidecar BEFORE publish, the insertMany cover-first discipline
-          if (hasBase && hasRows)
-            writeSchemaSidecar(fs, statsPath,
-              readFiles(spark, srcFmt, None, Seq(src.toString)).schema)
-          if (fs.rename(src, target) && hasRows)
+          val renamed =
+            try {
+              // rowless (0-byte) parts carry no rows and no inferable
+              // schema: rename them for listing fidelity but skip sidecar
+              // and stats
+              val hasRows = fs.getFileStatus(src).getLen > 0
+              // sidecar BEFORE publish, the insertMany cover-first
+              // discipline
+              if (hasBase && hasRows)
+                writeSchemaSidecar(fs, statsPath,
+                  readFiles(spark, srcFmt, None, Seq(src.toString)).schema)
+              // rename failure = the racing publisher won; done either way
+              fs.rename(src, target) && hasRows
+            } catch { case e: Exception =>
+              // the exists() above and the getFileStatus/sidecar reads
+              // here race other salvagers of the SAME file (the
+              // mutation-side salvage vs the appender's visibility walk):
+              // a competitor renaming src away between them surfaces as
+              // FileNotFoundException. Same source, same deterministic
+              // target — the racer's outcome IS ours, so a vanished
+              // source is "already published", not an error (the caller
+              // re-verifies the target and rescans the chain on a miss,
+              // staying loud if the file truly resolved nowhere). With
+              // src still present the failure is real: rethrow.
+              if (fs.exists(src)) throw e
+              false
+            }
+          if (renamed)
             appendStats(spark, fs, toDir, dstFmt, Seq(target.toString))
-          // rename failure = the racing publisher won; done either way
         }
         name
       } else {
@@ -4486,37 +4529,42 @@ object DocStore {
           "Re-run this mutation.")
     }
     writeManifest(fs, path, new Path(next).getName)
-    // salvage BEFORE pruning: files that landed in the superseded
-    // generation after the source list was pinned are concurrent appends
-    // this rewrite never read — move them into the committed generation
-    val fromDir = previous match {
-      case Some(g) if g.startsWith("gen-") => s"$path/$g"
-      case _ => path
+    // salvage BEFORE pruning — and heal the WHOLE retained chain under
+    // the per-store publish guard, not just the immediate predecessor:
+    // an append that landed its files in an OLDER superseded generation
+    // after this mutation's start-of-write heal would otherwise be
+    // deleted by the prune below before the appender's visibility walk
+    // could move them (a rare but observed loud append forfeiture in the
+    // threaded stress race). The chain heal subsumes the old single-hop
+    // salvageInto(previous, next) — the live generation's _SOURCE record
+    // is already written — and [[publishGuard]] makes the heal-listing ->
+    // delete window atomic against same-process append publishes.
+    publishGuard(fs, path).synchronized {
+      healStragglers(spark, fs, path)
+      // retention counts COMMITTED generations only: a crash-orphaned
+      // complete dir must not consume a retention slot (it would prune a
+      // committed generation one mutation early and break a CDC consumer
+      // inside its promised lag headroom). Orphans themselves are pruned
+      // immediately — they were never a served state.
+      val chain = committedGens(fs, path)
+      val window = chain.takeRight(retain).map(id => f"gen-$id%06d").toSet ++ previous
+      // DIRECT-HOME closure, single hop: the readable window's carried
+      // files live in older dirs — those homes must survive so every
+      // window generation resolves fully, and links never chain, so one
+      // hop IS full resolution. Homes-of-homes are deliberately NOT kept
+      // (a home outside the window is storage, not a promised snapshot;
+      // its own stale `_LINKS` may dangle once ITS homes age out —
+      // [[findAsOf]] detects that and fails loudly, and fsck reports it
+      // as `unreadable-generation`). A fixpoint here would chase stale
+      // sidecars of carried-forward files transitively and pin every
+      // ancestor home forever — the unbounded-garbage failure mode
+      // [[vacuum]] exists to prevent.
+      val keep = window ++ window.flatMap(g =>
+        readLinks(fs, s"$path/$g").map(_.takeWhile(_ != '/')))
+      completeGens(fs, path).map(id => genPath(path, id))
+        .filterNot(p => keep.contains(new Path(p).getName))
+        .foreach(p => fs.delete(new Path(p), true))
     }
-    if (fromDir != next) salvageInto(spark, fs, fromDir, next, recordNames)
-    // retention counts COMMITTED generations only: a crash-orphaned
-    // complete dir must not consume a retention slot (it would prune a
-    // committed generation one mutation early and break a CDC consumer
-    // inside its promised lag headroom). Orphans themselves are pruned
-    // immediately — they were never a served state.
-    val chain = committedGens(fs, path)
-    val window = chain.takeRight(retain).map(id => f"gen-$id%06d").toSet ++ previous
-    // DIRECT-HOME closure, single hop: the readable window's carried
-    // files live in older dirs — those homes must survive so every
-    // window generation resolves fully, and links never chain, so one
-    // hop IS full resolution. Homes-of-homes are deliberately NOT kept
-    // (a home outside the window is storage, not a promised snapshot;
-    // its own stale `_LINKS` may dangle once ITS homes age out —
-    // [[findAsOf]] detects that and fails loudly, and fsck reports it
-    // as `unreadable-generation`). A fixpoint here would chase stale
-    // sidecars of carried-forward files transitively and pin every
-    // ancestor home forever — the unbounded-garbage failure mode
-    // [[vacuum]] exists to prevent.
-    val keep = window ++ window.flatMap(g =>
-      readLinks(fs, s"$path/$g").map(_.takeWhile(_ != '/')))
-    completeGens(fs, path).map(id => genPath(path, id))
-      .filterNot(p => keep.contains(new Path(p).getName))
-      .foreach(p => fs.delete(new Path(p), true))
     // staging debris from crashed mutations (dot-prefixed, invisible to
     // every reader): reclaim by AGE. 7 days, asymmetrically: deleting a
     // LIVE staging aborts a rewrite after it paid its full cost (and at

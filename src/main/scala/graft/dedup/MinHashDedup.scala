@@ -77,14 +77,34 @@ object MinHashDedup {
     * upstream (e.g. exact-dedup empty documents first).
     */
   def candidatePairs(keys: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
-    val counts = keys.groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
-    val sized = BucketDrops.keepUnderCap(counts, "__n", maxBucket, "minhash")
-    val pruned = keys.join(sized.select("band", "band_hash"), Seq("band", "band_hash"))
-    val a = pruned.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
-    val b = pruned.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // ONE exchange of the key table: bucket members aggregate into a
+    // per-bucket list (partial-agg'd map-side), the cap filter runs on
+    // the list's size (same counted-drop semantics via [[BucketDrops]]),
+    // and pairs fan out in a projection over the capped list. The former
+    // shape paid THREE exchanges of the key table — the count groupBy,
+    // the keep-under-cap join back, and the a x b self-join — to reach
+    // the same pair set; the cap bounds the per-bucket pair expression
+    // exactly as it bounded the join fan-out. Sorting the deduped member
+    // list makes (xs(i), xs(j)) with i < j reproduce the id_a < id_b
+    // contract in the element type's own order; null ids pair nothing
+    // (the old join's null < id predicate dropped them the same way).
+    val buckets = keys.groupBy("band", "band_hash")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+    val under = BucketDrops.keepUnderCap(buckets, "__n", maxBucket, "minhash")
+    // stage the sorted member list in its OWN projection (the `shingles`
+    // lesson: a lambda body re-evaluates per element with no
+    // subexpression elimination — sorting inside the pair lambda would
+    // re-sort per member)
+    under
+      .select(array_sort(array_distinct(
+        filter(col("__ids"), x => x.isNotNull))).as("__m"))
+      .select(explode(flatten(transform(col("__m"), (x, i) =>
+        transform(slice(col("__m"), i + lit(2), size(col("__m"))),
+          y => array(x, y))))).as("__p"))
+      .select(element_at(col("__p"), 1).as("id_a"),
+        element_at(col("__p"), 2).as("id_b"))
+      .distinct()
   }
 
   /** Exact shingle-set Jaccard for candidate verification. */

@@ -207,12 +207,16 @@ object DocStore {
     val spark = df.sparkSession
     val fs = fileSystem(spark, path)
     healStragglers(spark, fs, path) // recover any crashed salvage first
-    val n = df.count()
     val live = liveDir(fs, spark, path, createIfMissing = true)
     val fmt = genFormat(fs, live)
     val staging = new Path(live, s"_append-${java.util.UUID.randomUUID()}")
     try {
-      writeData(df, fmt, staging.toString)
+      // the returned count rides the write job as an Observation — the
+      // former separate df.count() paid a second full pass over the
+      // input (at 100 TB: a second corpus scan per ingest batch)
+      val obs = Observation()
+      writeData(df.observe(obs, count(lit(1)).as("rows")), fmt, staging.toString)
+      val n = obs.get("rows").asInstanceOf[Long]
       afterStage()
       val staged = fs.listStatus(staging).toSeq.filter { st =>
         val nm = st.getPath.getName
@@ -882,8 +886,10 @@ object DocStore {
     * column is non-null correctly reports `updated`). Output:
     * (key, change, before, after) — before/after are full-row structs,
     * null on the absent side. Requires `keyCol` to be unique per
-    * generation (enforced with a one-pass count check — a duplicated key
-    * would silently fan out the join).
+    * generation — enforced in-plan (a per-key count carried through the
+    * diff aggregation raises on n > 1 when the diff is consumed), so the
+    * check costs zero extra passes and a duplicated key can never
+    * silently fan out the join.
     */
   def diffGenerations(spark: SparkSession, path: String, fromGen: Int,
                       toGen: Int, keyCol: String): DataFrame = {
@@ -919,17 +925,31 @@ object DocStore {
     }
     val av = conform(a)
     val bv = conform(b)
-    def keyed(df: DataFrame, side: String): DataFrame = {
-      val dup = df.groupBy(col(keyCol)).count().filter(col("count") > 1).limit(1)
-      require(dup.isEmpty,
-        s"docstore diff: $keyCol is not unique in generation ($side side)")
-      df.select(col(keyCol).as(s"__k_$side"), struct(allCols.map(col): _*).as(s"__$side"))
-    }
+    // uniqueness enforced INSIDE the diff pass, not as separate eager
+    // count jobs: each side aggregates per key (count + the row struct —
+    // `first` is exact because any n > 1 raises below before a row can
+    // leave the plan), the aggregate's hash partitioning feeds the join
+    // with no extra exchange, and the guard rides the `change` projection
+    // as a raise_error branch that the unchanged-filter must evaluate.
+    // The old shape ran a groupBy-count-limit ACTION per side per
+    // generation pair before the consumer's own job — a CDC poll across
+    // a rewrite boundary paid three snapshot-sized passes per pair where
+    // the join itself needs one.
+    def keyed(df: DataFrame, side: String): DataFrame =
+      df.groupBy(col(keyCol).as(s"__k_$side"))
+        .agg(count(lit(1)).as(s"__n_$side"),
+          first(struct(allCols.map(col): _*)).as(s"__$side"))
     keyed(av, "before").join(keyed(bv, "after"),
         col("__k_before") <=> col("__k_after"), "full_outer")
       .select(
         coalesce(col("__k_before"), col("__k_after")).as(keyCol),
-        when(col("__before").isNull, lit("inserted"))
+        when(coalesce(col("__n_before"), lit(1L)) > 1L ||
+             coalesce(col("__n_after"), lit(1L)) > 1L,
+            raise_error(concat(
+              lit(s"docstore diff: $keyCol is not unique in generation (key "),
+              coalesce(col("__k_before"), col("__k_after")).cast("string"),
+              lit(")"))).cast("string"))
+          .when(col("__before").isNull, lit("inserted"))
           .when(col("__after").isNull, lit("deleted"))
           .when(!(col("__before") <=> col("__after")), lit("updated"))
           .otherwise(lit("unchanged")).as("change"),

@@ -679,7 +679,10 @@ object Streams {
     val tainted = hit.select(col("batch_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     hit.unpersist()
-    for (b <- tainted) {
+    // per-batch rewrites target disjoint batch dirs — run them
+    // concurrently (the near-dup takedown / ingest-publish argument),
+    // sequentially under the SessionCatalog monitor (SQL TVF path)
+    def rewrite(b: Long): Unit = {
       val kept = spark.read.parquet(s"$indexPath/batch_id=$b")
         .join(idDf, Seq(idCol), "left_anti")
         .localCheckpoint() // materialize BEFORE replacing the source dir
@@ -693,6 +696,13 @@ object Streams {
       if (!fs.rename(tmp, target))
         throw new java.io.IOException(
           s"removeFromIvfIndex: cannot swap $tmp -> $target")
+    }
+    if (Thread.holdsLock(spark.sessionState.catalog)) tainted.foreach(rewrite)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      tainted.map(b => Future(rewrite(b)))
+        .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
     }
     idDf.unpersist()
     removed
@@ -1155,52 +1165,60 @@ object Streams {
     val docBatches = hit.select(col("batch_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     hit.unpersist()
-    for (b <- docBatches) {
+    // every affected (dir kind, batch) rewrite targets its OWN batch dir
+    // — keys vs shingles vs matches are separate trees, and batch dirs
+    // within one tree are disjoint — so the stage-then-swap rewrites run
+    // CONCURRENTLY (the ingest's three-way publish argument): per-rewrite
+    // cost at this granularity is committer and small-file fixed
+    // overhead, and overlapping them cuts the takedown wall to the
+    // slowest single rewrite. Same deadlock guard as the ingest: under
+    // the SessionCatalog monitor (the SQL TVF path) run sequentially.
+    def rewriteKeyed(parent: String, partCol: String, b: Long): Unit =
       // a crashed ingest's parallel writes can leave a batch with
       // shingles but no keys (or vice versa): purge whichever half
-      // exists instead of failing the takedown mid-loop on the missing
-      // one — the tombstone above already covers the batch's replay
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$keysDir/batch_id=$b"))) {
-        val kept = spark.read.parquet(s"$keysDir/batch_id=$b")
+      // exists instead of failing the takedown on the missing one —
+      // the tombstone above already covers the batch's replay
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$parent/batch_id=$b"))) {
+        val kept = spark.read.parquet(s"$parent/batch_id=$b")
           .join(idDf, Seq(idCol), "left_anti")
           .localCheckpoint() // materialize BEFORE replacing the source dir
-        swapIn(keysDir, b) { tmp =>
-          kept.repartition(col("slot"))
-            .write.mode(SaveMode.Overwrite).partitionBy("slot")
+        swapIn(parent, b) { tmp =>
+          kept.repartition(col(partCol))
+            .write.mode(SaveMode.Overwrite).partitionBy(partCol)
             .parquet(tmp)
         }
       }
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$shDir/batch_id=$b"))) {
-        val keptSh = spark.read.parquet(s"$shDir/batch_id=$b")
-          .join(idDf, Seq(idCol), "left_anti")
-          .localCheckpoint()
-        swapIn(shDir, b) { tmp =>
-          keptSh.repartition(col("id_slot"))
-            .write.mode(SaveMode.Overwrite).partitionBy("id_slot")
-            .parquet(tmp)
-        }
+    def rewriteMatches(b: Long): Unit = {
+      val kept = spark.read.parquet(s"$matchesDir/batch_id=$b")
+        .join(idDf.select(col(idCol).as("id_a")), Seq("id_a"), "left_anti")
+        .join(idDf.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
+        .localCheckpoint()
+      swapIn(matchesDir, b) { tmp =>
+        kept.write.mode(SaveMode.Overwrite).parquet(tmp)
       }
     }
     // matches carry removed ids on either side, in ANY batch (a later
     // batch's doc matching an earlier removed one); one scan of the
     // pair-sized table finds the dirs to rewrite
-    if (fs.exists(new org.apache.hadoop.fs.Path(matchesDir))) {
-      val m = spark.read.parquet(matchesDir)
-      val tainted = m
-        .join(idDf.select(col(idCol).as("id_a")), Seq("id_a"), "leftsemi")
-        .select(col("batch_id").cast("long"))
-        .union(m.join(idDf.select(col(idCol).as("id_b")), Seq("id_b"), "leftsemi")
-          .select(col("batch_id").cast("long")))
-        .distinct().collect().map(_.getLong(0)).toSeq.sorted
-      for (b <- tainted) {
-        val kept = spark.read.parquet(s"$matchesDir/batch_id=$b")
-          .join(idDf.select(col(idCol).as("id_a")), Seq("id_a"), "left_anti")
-          .join(idDf.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
-          .localCheckpoint()
-        swapIn(matchesDir, b) { tmp =>
-          kept.write.mode(SaveMode.Overwrite).parquet(tmp)
-        }
-      }
+    val taintedMatches: Seq[Long] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(matchesDir))) {
+        val m = spark.read.parquet(matchesDir)
+        m.join(idDf.select(col(idCol).as("id_a")), Seq("id_a"), "leftsemi")
+          .select(col("batch_id").cast("long"))
+          .union(m.join(idDf.select(col(idCol).as("id_b")), Seq("id_b"), "leftsemi")
+            .select(col("batch_id").cast("long")))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      } else Seq.empty
+    val rewrites: Seq[() => Unit] =
+      docBatches.flatMap(b => Seq(() => rewriteKeyed(keysDir, "slot", b),
+        () => rewriteKeyed(shDir, "id_slot", b))) ++
+        taintedMatches.map(b => () => rewriteMatches(b))
+    if (Thread.holdsLock(spark.sessionState.catalog)) rewrites.foreach(_())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      rewrites.map(f => Future(f()))
+        .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
     }
     idDf.unpersist()
     removedDocs

@@ -83,8 +83,16 @@ object SetSimJoin {
     * profiles and it is an exact n-gram-Jaccard join.
     */
   def selfJoinOnSets(sets: DataFrame, num: Int, den: Int): DataFrame = {
-    val pref = prefixes(sets, sets, num, den) // one subtree, both join sides
-    joinPrefixed(sets, pref, sets, pref, num, den, selfPairs = true)
+    // materialize the token sets and the prefix table ONCE: the join
+    // consumes each THREE times (prefix derivation + both verify legs /
+    // both candidate legs), and without a checkpoint every leg re-runs
+    // the tokenize + sort + dfreq-join + window pipeline from the scan —
+    // the executed plan showed the source subtree four times. Both
+    // frames are corpus-row-sized (one row per set / prefix token), the
+    // same bound the join's own shuffles already carry.
+    val s = sets.localCheckpoint(true)
+    val pref = prefixes(s, s, num, den).localCheckpoint(true)
+    joinPrefixed(s, pref, s, pref, num, den, selfPairs = true)
   }
 
   /** Exact Jaccard A-vs-B join (the incremental-ingest shape: B = the
@@ -95,11 +103,15 @@ object SetSimJoin {
     */
   def joinBetween(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
                   num: Int, den: Int): DataFrame = {
-    val setsA = tokenSets(a, idCol, textCol)
-    val setsB = tokenSets(b, idCol, textCol)
+    // same materialization discipline as [[selfJoinOnSets]]: each side's
+    // sets feed its prefix derivation AND a verify leg, and the COMBINED
+    // document frequencies would otherwise be recomputed inside BOTH
+    // sides' prefix subtrees (two full passes over the union)
+    val setsA = tokenSets(a, idCol, textCol).localCheckpoint(true)
+    val setsB = tokenSets(b, idCol, textCol).localCheckpoint(true)
     val universe = setsA.unionByName(setsB)
-    joinPrefixed(setsA, prefixes(setsA, universe, num, den),
-                 setsB, prefixes(setsB, universe, num, den),
+    joinPrefixed(setsA, prefixes(setsA, universe, num, den).localCheckpoint(true),
+                 setsB, prefixes(setsB, universe, num, den).localCheckpoint(true),
                  num, den, selfPairs = false)
   }
 

@@ -238,7 +238,10 @@ object Multimodal {
   def synthesizeMjpegVariants(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    // spreadForCpu: see synthesizeFromDocuments — JPEG encode + MP4 mux
+    // per row must not run on row-group-count threads
+    graft.core.Tables.spreadForCpu(docs.select(col("doc_id").cast("long")))
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         val p = (id % 7).toInt
         val w = 8 * ((id % 4) + 1).toInt
@@ -266,7 +269,9 @@ object Multimodal {
   def synthesizeImageVariants(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    // spreadForCpu: see synthesizeFromDocuments
+    graft.core.Tables.spreadForCpu(docs.select(col("doc_id").cast("long")))
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         val p = (id % 14).toInt
         val frac = (p % 7) + 1
@@ -298,7 +303,13 @@ object Multimodal {
   def synthesizeFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    // spread the CPU-heavy codec work before entering mapPartitions: a
+    // small documents scan has one partition per parquet row group (five
+    // at sf0.1), which pins all the JDK encode/decode work to that many
+    // threads no matter how many cores exist; at real scale the scan has
+    // thousands of splits and the spread is a no-op (Tables.spreadForCpu)
+    graft.core.Tables.spreadForCpu(
+        docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>

@@ -43,9 +43,13 @@ object Learn {
           (3, "the"), (3, "data"), (4, "query"), (4, "spark"), (4, "hash"))
           .toDF("query_id", "term")
         val t = split(lower(trim(col("text"))), "\\s+")
+        // materialized once: BOTH retrieval channels consume the token
+        // table (BM25 postings + the Jaccard channel's distinct), and
+        // without it each channel re-tokenizes the corpus from the scan
         val tok = docs
           .select(col("doc_id"), size(t).as("dl"), explode(t).as("token"))
           .filter(col("token") =!= "")
+          .localCheckpoint(true)
 
         // channel 1: BM25 (identical scorer to t16, top-20)
         val post = tok

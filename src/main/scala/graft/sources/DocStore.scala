@@ -250,7 +250,7 @@ object DocStore {
           target.toString
         }
         if (fs.exists(statsPath) && added.nonEmpty)
-          appendStats(spark, fs, live, fmt, added)
+          appendStats(spark, fs, live, fmt, added, Some(df.schema))
         // RE-COVER check: a concurrent [[collectStats]] rewrites the stats
         // dir wholesale — deleting our sidecar — and its own read may have
         // listed the generation before our renames, so its fresh base
@@ -837,6 +837,20 @@ object DocStore {
   def findAsOf(spark: SparkSession, path: String, generation: Int,
                filter: Option[Column] = None): DataFrame = {
     val fs = fileSystem(spark, path)
+    requireReadableGeneration(spark, fs, path, generation)
+    try {
+      val docs = readGen(spark, fs, genPath(path, generation))
+      filter.fold(docs)(docs.filter)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
+    }
+  }
+
+  /** [[findAsOf]]'s retention + link-resolvability gate, factored out so
+    * the pruned diff can run the same checks without the full read.
+    */
+  private def requireReadableGeneration(spark: SparkSession, fs: FileSystem,
+                                        path: String, generation: Int): Unit = {
     if (!committedGens(fs, path).contains(generation))
       throw new IllegalArgumentException(
         s"docstore: generation $generation of $path is not retained " +
@@ -863,12 +877,6 @@ object DocStore {
           s"readable — carried files ${missing.mkString(", ")} were " +
           "reclaimed by retention/vacuum; raise `retain` on mutations to " +
           "keep older snapshots resolvable")
-    try {
-      val docs = readGen(spark, fs, gdir)
-      filter.fold(docs)(docs.filter)
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
-    }
   }
 
   /** Change-data-capture between two retained generations: one row per
@@ -893,8 +901,60 @@ object DocStore {
     */
   def diffGenerations(spark: SparkSession, path: String, fromGen: Int,
                       toGen: Int, keyCol: String): DataFrame = {
-    val a = findAsOf(spark, path, fromGen)
-    val b = findAsOf(spark, path, toGen)
+    // SHARED-FILE PRUNING: a COW rewrite carries most files by REFERENCE
+    // (`_LINKS`), so both snapshots serve the same physical bytes for
+    // those files — every row in a shared file compares null-safe-equal
+    // to itself and can only ever fold to "unchanged". Under the diff's
+    // unique-key contract each key lives in exactly one file per side,
+    // and a key residing in a shared file on either side resides in the
+    // SAME shared file on both (its one copy travels with the file), so
+    // reading only the files the sides do NOT share produces the
+    // identical change set while the join's inputs shrink from snapshot-
+    // sized to O(files the rewrite touched) — the property that makes a
+    // CDC poll across a COW mutation delta-sized at 100 TB instead of
+    // corpus-sized. Applied ONLY when both generations carry the SAME
+    // stored schema: identical bytes serve identical rows only under an
+    // identical read schema — a metadata-only DDL (dropColumn carries
+    // every file while narrowing the served schema, widenColumn re-types
+    // it) changes every VISIBLE row with zero byte changes, and the full
+    // diff must report exactly that (DocStoreDdlSpec pins it). Otherwise
+    // full snapshots, the historical shape. HONEST
+    // LIMIT: on a store violating the unique-key contract, a duplicate
+    // whose copies hide in shared files is invisible to the pruned reads
+    // — the in-plan uniqueness guard sees only what is read (same class
+    // of writer-discipline assumption Delta/Iceberg CDF make; a dup
+    // touching any differing file still raises).
+    val fs = fileSystem(spark, path)
+    def side(gen: Int, shared: Set[String],
+             schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val dir = genPath(path, gen)
+      val diffFiles = logicalNames(fs, dir).toSeq.sorted
+        .map(n => resolvePath(dir, n)).filterNot(shared)
+      if (diffFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readFiles(spark, genFormat(fs, dir), Some(schema), diffFiles)
+    }
+    val (a, b) = {
+      def resolved(gen: Int): Set[String] = {
+        val dir = genPath(path, gen)
+        if (committedGens(fs, path).contains(gen))
+          logicalNames(fs, dir).map(n => resolvePath(dir, n))
+        else Set.empty
+      }
+      val shared = resolved(fromGen) intersect resolved(toGen)
+      val sA = storedSchema(fs, new Path(genPath(path, fromGen), StatsDir))
+      val sB = storedSchema(fs, new Path(genPath(path, toGen), StatsDir))
+      if (shared.nonEmpty && sA.isDefined && sA == sB) {
+        // retention + link-resolvability checks still run (findAsOf's
+        // contract) — against the SHARED files too, since the pruned
+        // diff's correctness leans on their presence on both sides
+        requireReadableGeneration(spark, fs, path, fromGen)
+        requireReadableGeneration(spark, fs, path, toGen)
+        (side(fromGen, shared, sA.get), side(toGen, shared, sB.get))
+      } else
+        (findAsOf(spark, path, fromGen), findAsOf(spark, path, toGen))
+    }
     // align on a WIDENED union schema (names AND types) so the struct
     // compare is column-by-column even across schema evolution —
     // including numeric type drift (JSON infers long in one generation,
@@ -3079,51 +3139,39 @@ object DocStore {
       .filter(n => fs.getFileStatus(new Path(live, n)).getLen > 0) // rowless: no schema
     if (extras.nonEmpty) {
       val paths = extras.map(n => s"$live/$n")
-      writeSchemaSidecar(fs, statsPath, readFiles(spark, fmt, None, paths).schema)
-      appendStats(spark, fs, live, fmt, paths)
+      val extrasSchema = readFiles(spark, fmt, None, paths).schema
+      writeSchemaSidecar(fs, statsPath, extrasSchema)
+      appendStats(spark, fs, live, fmt, paths, Some(extrasSchema))
     }
   }
 
   /** One row per `__f`: min/max for `present`, Bloom word lists for
     * `bloomPresent` (`bw_<col>` = sorted array of {i, w} non-zero 64-bit
-    * words), plus the filter geometry (`bloom_bits`). At most TWO scans
-    * of the data regardless of column counts: one aggregate pass for all
-    * min/max columns, one tagged-explode pass for ALL Bloom columns
-    * (positions carry their column name and pivot back to `bw_<col>`
-    * fields) — not a pass per Bloom column.
+    * words), plus the filter geometry (`bloom_bits`). ONE aggregate pass
+    * — one exchange — for everything: counts, min/max, and the Bloom
+    * words via [[graft.functions.BloomWordsAgg]] (the per-row bit
+    * POSITIONS stay ordinary Catalyst expressions, so null handling and
+    * string casts are bit-identical to the historical
+    * explode -> bit_or -> collect_list -> pivot -> join shape this
+    * replaces, which cost three grouping exchanges plus a join per
+    * stats pass).
     */
   private def statsFrame(docs: DataFrame, present: Seq[String],
                          bloomPresent: Seq[String], bloomBits: Int): DataFrame = {
     // per-file row counts ride every stats pass: they make count(*) a
     // metadata read ([[countFast]]) and cost nothing extra in the same
     // aggregate
-    val base =
-      if (present.nonEmpty) {
-        val aggs = count(lit(1)).as("rows") +: present.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        docs.groupBy("__f").agg(aggs.head, aggs.tail: _*)
-      } else docs.groupBy("__f").agg(count(lit(1)).as("rows"))
-    val withBlooms =
-      if (bloomPresent.isEmpty) base
-      else {
-        val tagged = docs.select(col("__f"), explode(array(
-            bloomPresent.flatMap(c => (0 until BloomK).map(s =>
-              struct(lit(c).as("c"),
-                bloomPosCol(col(c), s, bloomBits).as("pos")))): _*)).as("e"))
-          .selectExpr("__f", "e.c AS c", "CAST(e.pos / 64 AS INT) AS i",
-            "shiftleft(CAST(1 AS BIGINT), e.pos % 64) AS b")
-        val words = tagged
-          .groupBy("__f", "c", "i").agg(expr("bit_or(b)").as("w"))
-          .groupBy("__f", "c")
-          .agg(sort_array(collect_list(struct(col("i"), col("w")))).as("bw"))
-          .groupBy("__f").pivot("c", bloomPresent).agg(first("bw"))
-        val renamed = bloomPresent.foldLeft(words)(
-          (acc, c) => acc.withColumnRenamed(c, s"bw_$c"))
-        base.join(renamed, Seq("__f"))
-      }
-    if (bloomPresent.nonEmpty)
-      withBlooms.withColumn("bloom_bits", lit(bloomBits.toLong))
-    else withBlooms
+    val aggs: Seq[Column] =
+      (count(lit(1)).as("rows") +:
+        present.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
+      bloomPresent.map(c =>
+        graft.functions.BloomWordsAgg.bloom_words(
+          array((0 until BloomK).map(s => bloomPosCol(col(c), s, bloomBits)): _*),
+          bloomBits).as(s"bw_$c"))
+    val out = docs.groupBy("__f").agg(aggs.head, aggs.tail: _*)
+    if (bloomPresent.nonEmpty) out.withColumn("bloom_bits", lit(bloomBits.toLong))
+    else out
   }
 
   private val BloomK = 4
@@ -3321,12 +3369,13 @@ object DocStore {
     * them, which is always sound.
     */
   private def appendStats(spark: SparkSession, fs: FileSystem, live: String,
-                          fmt: String, files: Seq[String]): Unit = {
+                          fmt: String, files: Seq[String],
+                          schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     // reuse the original pass's column set and Bloom geometry so probe
     // positions keep matching the stored words
     val (cols, bloomCols, bloomBits) = statsConfig(spark, fs, live)
     if (cols.isEmpty && bloomCols.isEmpty) return
-    appendStatsWith(spark, fs, live, fmt, files, cols, bloomCols, bloomBits)
+    appendStatsWith(spark, fs, live, fmt, files, cols, bloomCols, bloomBits, schema)
   }
 
   /** [[appendStats]] with the geometry EXPLICIT instead of read from the
@@ -3337,9 +3386,18 @@ object DocStore {
   private def appendStatsWith(spark: SparkSession, fs: FileSystem, live: String,
                               fmt: String, files: Seq[String],
                               cols: Seq[String], bloomCols: Seq[String],
-                              bloomBits: Int): Unit = {
+                              bloomBits: Int,
+                              schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val statsPath = new Path(live, StatsDir)
-    val docs0 = readFiles(spark, fmt, None, files)
+    // a caller that JUST WROTE the files can hand over their schema —
+    // parquet round-trips types exactly, so the stats read then skips the
+    // footer-merge pass (one fewer job per commit). json keeps the
+    // inference read: its writer/reader conventions (int -> long,
+    // timestamp -> string) make the writer frame's schema the wrong
+    // description of what a later inference-based read would serve, and
+    // stats must describe the served values.
+    val docs0 = readFiles(spark, fmt,
+      if (fmt == "parquet") schema else None, files)
     val present = cols.filter(docs0.columns.contains)
     val bloomPresent = bloomCols.filter(docs0.columns.contains)
     if (present.nonEmpty || bloomPresent.nonEmpty) {
@@ -4415,7 +4473,8 @@ object DocStore {
       val fresh = dataFileNames(fs, next).toSeq.sorted
         .filter(n => fs.getFileStatus(new Path(next, n)).getLen > 0)
       if (fresh.nonEmpty)
-        appendStats(spark, fs, next, format, fresh.map(n => s"$next/$n"))
+        appendStats(spark, fs, next, format, fresh.map(n => s"$next/$n"),
+          Some(df.schema))
     }
     // ATOMIC sidecar restoration for FULL rewrites (renameColumn, compact):
     // the caller's stored schema and stats geometry land INSIDE the staged
@@ -4439,7 +4498,7 @@ object DocStore {
         .filter(n => fs.getFileStatus(new Path(next, n)).getLen > 0)
       if (fresh.nonEmpty && (cols.nonEmpty || bloomCols.nonEmpty))
         appendStatsWith(spark, fs, next, format, fresh.map(n => s"$next/$n"),
-          cols, bloomCols, bloomBits)
+          cols, bloomCols, bloomBits, Some(df.schema))
     }
     // caller-supplied metadata sidecars land in the staged generation
     // BEFORE the manifest swing, so they commit (or vanish) atomically

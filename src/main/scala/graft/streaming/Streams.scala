@@ -672,20 +672,28 @@ object Streams {
     // is unhinted either way — it anti-joins the whole dir it rewrites.
     val all0 = spark.read.parquet(indexPath)
     val all = cellHints.fold(all0)(cs => all0.filter(col("cell").isin(cs: _*)))
-    val hit = all.select(col(idCol), col("batch_id"))
-      .join(idDf, Seq(idCol), "leftsemi").cache()
-    val removed = hit.select(idCol).distinct().count()
-    if (removed == 0L) { hit.unpersist(); idDf.unpersist(); return 0L }
-    val tainted = hit.select(col("batch_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    hit.unpersist()
+    // ONE discovery pass: removed-id count and affected batch set come
+    // from a single aggregate collect (bounded: one long + one batch-id
+    // set) — the former cache + count + collect shape paid two jobs and
+    // a cache build over the same scan
+    val disc = all.select(col(idCol), col("batch_id"))
+      .join(idDf, Seq(idCol), "leftsemi")
+      .agg(countDistinct(col(idCol)).as("__n"),
+        collect_set(col("batch_id").cast("long")).as("__bs"))
+      .head()
+    val removed = disc.getLong(0)
+    if (removed == 0L) { idDf.unpersist(); return 0L }
+    val tainted = disc.getSeq[Long](1).sorted
     // per-batch rewrites target disjoint batch dirs — run them
     // concurrently (the near-dup takedown / ingest-publish argument),
     // sequentially under the SessionCatalog monitor (SQL TVF path)
     def rewrite(b: Long): Unit = {
+      // no pre-write materialization needed: the rewrite writes into a
+      // PRIVATE tmp dir while the source batch dir stays intact — the
+      // destructive delete happens only after the write completed, so
+      // the write job itself is the materialization
       val kept = spark.read.parquet(s"$indexPath/batch_id=$b")
         .join(idDf, Seq(idCol), "left_anti")
-        .localCheckpoint() // materialize BEFORE replacing the source dir
       val tmp = new org.apache.hadoop.fs.Path(indexPath,
         s".takedown-b$b-${java.util.UUID.randomUUID()}")
       kept.repartition(col("cell"))
@@ -1155,16 +1163,19 @@ object Streams {
         idDf.withColumn("cutoff_bid", lit(maxBid))
           .write.mode(SaveMode.Append).parquet(s"$indexPath/tombstones")
     }
-    val hit = spark.read.parquet(shDir)
+    // ONE discovery pass (the removeFromIvfIndex shape): removed-doc
+    // count and affected batch set in a single bounded aggregate collect
+    // — replaces the cache + count + collect pair over the same scan.
+    // batch_id cast first: partition-dir values infer as int.
+    val disc = spark.read.parquet(shDir)
       .filter(col("id_slot").isin(idSlots: _*))
       .join(idDf, Seq(idCol), "leftsemi")
-      .select(col(idCol), col("batch_id")).cache()
-    val removedDocs = hit.select(idCol).distinct().count()
-    if (removedDocs == 0L) { hit.unpersist(); idDf.unpersist(); return 0L }
-    // partition-dir values infer as int: cast before the typed collect
-    val docBatches = hit.select(col("batch_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    hit.unpersist()
+      .agg(countDistinct(col(idCol)).as("__n"),
+        collect_set(col("batch_id").cast("long")).as("__bs"))
+      .head()
+    val removedDocs = disc.getLong(0)
+    if (removedDocs == 0L) { idDf.unpersist(); return 0L }
+    val docBatches = disc.getSeq[Long](1).sorted
     // every affected (dir kind, batch) rewrite targets its OWN batch dir
     // — keys vs shingles vs matches are separate trees, and batch dirs
     // within one tree are disjoint — so the stage-then-swap rewrites run
@@ -1179,9 +1190,10 @@ object Streams {
       // exists instead of failing the takedown on the missing one —
       // the tombstone above already covers the batch's replay
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$parent/batch_id=$b"))) {
+        // writes land in swapIn's private staging while the source dir
+        // stays intact until after the write — no pre-materialization
         val kept = spark.read.parquet(s"$parent/batch_id=$b")
           .join(idDf, Seq(idCol), "left_anti")
-          .localCheckpoint() // materialize BEFORE replacing the source dir
         swapIn(parent, b) { tmp =>
           kept.repartition(col(partCol))
             .write.mode(SaveMode.Overwrite).partitionBy(partCol)
@@ -1192,7 +1204,6 @@ object Streams {
       val kept = spark.read.parquet(s"$matchesDir/batch_id=$b")
         .join(idDf.select(col(idCol).as("id_a")), Seq("id_a"), "left_anti")
         .join(idDf.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
-        .localCheckpoint()
       swapIn(matchesDir, b) { tmp =>
         kept.write.mode(SaveMode.Overwrite).parquet(tmp)
       }

@@ -8,7 +8,21 @@ object ProfIvf {
     val spark = graft.core.Sessions.local("32", "profivf")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import graft.sources.DocStore
+    @volatile var phase = "setup"
+    if (sys.env.contains("GRAFT_PROFIVF_QUERIES"))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit = {
+          val head = qe.analyzed.toString.linesIterator.take(1).mkString
+          println(f"[q] ${durationNs / 1e9}%6.3f s  $phase | $funcName | ${head.take(100)}")
+        }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
     def time[T](label: String)(f: => T): T = {
+      phase = label
       val t0 = System.nanoTime(); val r = f
       println(f"[profivf] $label%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
     }

@@ -641,4 +641,28 @@ class DocStoreCowSpec extends SparkTestBase {
       java.nio.file.Paths.get(path, lg, "_LINKS")),
       "case-variant key fell off the COW path")
   }
+
+  test("CDC diff across a COW mutation reads only the touched files and stays exact") {
+    val path = freshPath()
+    seeded(path, 400, 4)
+    val from = DocStore.generations(spark, path).last
+    // touches one clustered file; the other three carry by reference
+    assert(DocStore.updateMany(spark, path, col("id").between(10L, 29L),
+      Map("grp" -> lit(99))) == 20L)
+    val to = DocStore.generations(spark, path).last
+    val diff = DocStore.diffGenerations(spark, path, from, to, "id")
+    // the diff's scan covers ONLY the non-shared files (one per side
+    // here), never the carried majority — the shared-file pruning shape
+    val scanned = diff.inputFiles.toSeq
+    assert(scanned.nonEmpty && scanned.size <= 2, scanned.mkString(", "))
+    // and the change set is exactly the touched keys, nothing from the
+    // carried files
+    val rows = diff.select("id", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == (10L to 29L).map(i => (i, "updated")).toSet)
+    // content: before/after images carry the mutation
+    val one = diff.filter(col("id") === 11L)
+      .select(col("before.grp").cast("long"), col("after.grp").cast("long")).head()
+    assert(one.getLong(0) == (11 % 7).toLong && one.getLong(1) == 99L)
+  }
 }

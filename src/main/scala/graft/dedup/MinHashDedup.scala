@@ -27,23 +27,20 @@ import graft.functions.functions.minhash_sig
   */
 object MinHashDedup {
 
-  /** Word-level k-shingles over an already-materialized token array.
-    * The lambda body reads the array per element (`slice(toks, i+1, k)`),
-    * and higher-order functions evaluate interpreted with no subexpression
-    * elimination — so the tokenizer MUST be staged in its own projection
-    * first or it re-runs per shingle (O(n^2) in document length). Use
-    * `shingleSets` for the staged two-projection form.
+  /** Word-level k-shingles over a token array: SORTED, duplicate-free
+    * (one codegen'd kernel, [[graft.functions.Shingles]] — the composed
+    * higher-order form evaluated interpreted, re-slicing the token array
+    * per shingle). Sorted output is the verify stage's contract: exact
+    * Jaccard runs as a merge walk ([[graft.functions.TextImpls.sortedIntersectCount]])
+    * instead of array_intersect/array_union's per-pair hash-set builds.
+    * MinHash signatures are order-independent, so banding is unaffected.
     */
   def shingles(toks: Column, k: Int): Column =
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
-        s => s =!= ""))
+    graft.functions.functions.shingles_sorted(toks, k)
 
   /** (id, shingle-set) projection — tokenize in one projection, shingle in
-    * the next (see `shingles`), compute once, cache, feed both the
-    * signature and the verify stages.
+    * the next, compute once, cache, feed both the signature and the
+    * verify stages. `sh` is sorted and duplicate-free (see `shingles`).
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
@@ -112,13 +109,23 @@ object MinHashDedup {
                     k: Int = 3, threshold: Double = 0.7): DataFrame =
     verifiedPairsFromShingles(shingleSets(docs, idCol, textCol, k), pairs, idCol, threshold)
 
+  /** `sh` arrays must be SORTED and duplicate-free (the [[shingleSets]]
+    * contract): the exact Jaccard is one merge walk per pair —
+    * |A∩B| = sorted_intersect_count, |A∪B| = |A| + |B| - |A∩B| — the
+    * identical integers array_intersect/array_union produced, without
+    * their per-pair UTF8String hash-set allocation (the SetSimJoin
+    * verify-kernel measurement). Persisted-index callers own the legacy
+    * defensive sort (see the `shingles_sorted` `_META` flag in Streams).
+    */
   def verifiedPairsFromShingles(sh: DataFrame, pairs: DataFrame, idCol: String,
                                 threshold: Double): DataFrame = {
     val withA = pairs.join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
     val withB = withA.join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val inter = graft.functions.functions
+      .sorted_intersect_count(col("sh_a"), col("sh_b"))
     withB.withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+        inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -63,6 +63,57 @@ object TextImpls {
     }
   }
 
+  /** SORTED distinct word k-shingles of a token array — the near-dup
+    * path's shingle kernel ([[graft.functions.Shingles]]). Semantics match
+    * the composed-HOF shape it replaced
+    * (`array_distinct(filter(transform(sequence(0, greatest(size-k, 0)),
+    * i -> concat_ws(" ", slice(toks, i+1, k))), s -> s != ""))`):
+    * a document SHORTER than k tokens yields its whole text as ONE
+    * shingle (not zero — `ngrams` semantics differ there), null tokens
+    * are skipped inside a shingle (concat_ws), and empty shingles are
+    * dropped. Output order is ascending byte-wise (UTF8String.compareTo)
+    * instead of first-occurrence — MinHash signatures are
+    * order-independent (min over element hashes) and Jaccard is a set
+    * measure, and sorted output feeds [[sortedIntersectCount]] directly,
+    * replacing array_intersect/array_union's per-pair hash-set builds in
+    * the verify stage.
+    */
+  def shinglesSorted(toks: ArrayData, k: Int): ArrayData = {
+    val cnt = toks.numElements()
+    val words = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      words(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    val nOut = math.max(cnt - k, 0) + 1
+    val out = new Array[UTF8String](nOut)
+    val gram = new Array[UTF8String](k)
+    var m = 0
+    var s = 0
+    while (s < nOut) {
+      val w = math.min(k, cnt - s) // short doc: one window of all tokens
+      var j = 0
+      while (j < w) { gram(j) = words(s + j); j += 1 }
+      while (j < k) { gram(j) = null; j += 1 } // concatWs skips nulls
+      val g = UTF8String.concatWs(Space, gram: _*)
+      if (g.numBytes() > 0) { out(m) = g; m += 1 }
+      s += 1
+    }
+    java.util.Arrays.sort(out.asInstanceOf[Array[Object]], 0, m)
+    // dedupe adjacent equals in place (sorted => distinct == unique-adjacent)
+    var u = 0
+    var r = 0
+    while (r < m) {
+      if (u == 0 || !out(r).equals(out(u - 1))) { out(u) = out(r); u += 1 }
+      r += 1
+    }
+    val res = new Array[Any](u)
+    var q = 0
+    while (q < u) { res(q) = out(q); q += 1 }
+    new GenericArrayData(res)
+  }
+
   /** Intersection size of two SORTED, duplicate-free string arrays as one
     * merge walk — zero allocation, byte-wise UTF8String compares only.
     * `array_intersect` builds a per-row hash set of UTF8Strings; at

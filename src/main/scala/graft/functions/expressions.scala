@@ -325,6 +325,27 @@ case class Ngrams(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** SORTED distinct word k-shingles as one codegen'd kernel (see
+  * [[TextImpls.shinglesSorted]]) — replaces the interpreted
+  * transform/slice/concat_ws/filter/array_distinct chain of the near-dup
+  * shingling path, and its sorted output feeds [[SortedIntersectCount]]
+  * in the verify stage without a per-pair sort. Short-document semantics
+  * (whole text as one shingle when tokens < k) deliberately match the
+  * composed shape, NOT [[Ngrams]] (which yields none).
+  */
+case class Shingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles_sorted"
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpls.shinglesSorted(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextImpls.shinglesSorted($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Merge-walk intersection count of two sorted duplicate-free string
   * arrays (see [[TextImpls.sortedIntersectCount]]) — the exact-verify
   * kernel of the set-similarity join, replacing array_intersect's per-row
@@ -401,6 +422,10 @@ object functions {
   /** Space-joined word n-grams of a token array, codegen'd. */
   def ngrams(tokens: Column, n: Int, distinct: Boolean = false): Column =
     toCol(Ngrams(expr(tokens), n, distinct))
+
+  /** Sorted distinct word k-shingles (codegen'd; see [[Shingles]]). */
+  def shingles_sorted(tokens: Column, k: Int): Column =
+    toCol(Shingles(expr(tokens), k))
 
   /** PQ codes (one byte per subspace) for an embedding, codegen'd.
     * `normalize = false` is the residual-PQ path: the input is already a

@@ -917,26 +917,56 @@ object Streams {
                                rowsPerBand: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(indexPath, "_META")
     if (!fs.exists(p)) {
+      // shingles_sorted=1: this index's shingles sidecar holds SORTED
+      // duplicate-free arrays (the shingleSets kernel), so verify stages
+      // may run the merge-walk intersect directly; readers of an index
+      // WITHOUT the flag must defensively array_sort the stored side.
+      // Claimed ONLY when no shingles dir predates this _META — a
+      // pre-_META legacy index holds first-occurrence-ordered arrays,
+      // and stamping the flag over those would silently undercount
+      // every verify against its old batches.
+      val sortedLine =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/shingles")))
+          "" else "shingles_sorted=1\n"
       val tmp = new org.apache.hadoop.fs.Path(indexPath,
         s"_META.tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
-      try out.write(s"k=$k\nbands=$bands\nrowsPerBand=$rowsPerBand\n"
+      try out.write(
+        s"k=$k\nbands=$bands\nrowsPerBand=$rowsPerBand\n$sortedLine"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (!fs.rename(tmp, p)) fs.delete(tmp, false) // a racer wrote it first
     }
   }
 
-  private def requireNearDupGeometry(fs: org.apache.hadoop.fs.FileSystem,
-                                     indexPath: String, k: Int, bands: Int,
-                                     rowsPerBand: Int, what: String): Unit = {
+  private def readNearDupMeta(fs: org.apache.hadoop.fs.FileSystem,
+                              indexPath: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(indexPath, "_META")
-    if (fs.exists(p)) {
+    if (!fs.exists(p)) Map.empty
+    else {
       val in = fs.open(p)
       val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      val stored = txt.split("\n").iterator.map(_.trim).filter(_.contains("="))
+      txt.split("\n").iterator.map(_.trim).filter(_.contains("="))
         .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
+    }
+  }
+
+  /** True when the index's persisted shingle arrays are sorted (the
+    * `shingles_sorted=1` `_META` flag). A legacy index (no flag, or no
+    * `_META` at all) may hold first-occurrence-ordered arrays — its
+    * stored side must be `array_sort`ed before the merge-walk verify,
+    * which silently undercounts on unsorted input.
+    */
+  private def nearDupShinglesSorted(fs: org.apache.hadoop.fs.FileSystem,
+                                    indexPath: String): Boolean =
+    readNearDupMeta(fs, indexPath).get("shingles_sorted").exists(_.trim == "1")
+
+  private def requireNearDupGeometry(fs: org.apache.hadoop.fs.FileSystem,
+                                     indexPath: String, k: Int, bands: Int,
+                                     rowsPerBand: Int, what: String): Unit = {
+    val stored = readNearDupMeta(fs, indexPath)
+    if (stored.nonEmpty) {
       def chk(nm: String, v: Int): Unit = stored.get(nm).foreach(s =>
         require(s.trim.toInt == v,
           s"$what: $nm=$v does not match the geometry this index was built " +
@@ -1021,19 +1051,27 @@ object Streams {
       .select(pmod(xxhash64(col("id_b")), lit(Slots)).as("s"))
       .distinct().collect().map(_.getLong(0)).toSeq
     if (candSlots.isEmpty) { sh.unpersist(); keys.unpersist(); return emptyResult }
+    // legacy index (no shingles_sorted flag): stored arrays may be
+    // first-occurrence-ordered — sort them or the merge-walk undercounts
+    val shSorted = nearDupShinglesSorted(fs, indexPath)
     val storedSh = spark.read.parquet(shDir)
       .filter(col("id_slot").isin(candSlots: _*))
-      .select(col(idCol), col("sh"))
+      .select(col(idCol),
+        (if (shSorted) col("sh") else array_sort(col("sh"))).as("sh"))
     // SIDE-CORRECT verify: id_a resolves from the PROBE shingles, id_b
     // from the (slot-pruned) STORED shingles — a probe doc reusing an
     // indexed id with different text must be compared against the
-    // INDEXED text on the b side, not its own
+    // INDEXED text on the b side, not its own. Both sides sorted and
+    // duplicate-free => exact Jaccard as one merge walk per pair
+    // (|A∪B| = |A|+|B|-|A∩B|), the verifiedPairsFromShingles kernel.
+    val inter = graft.functions.functions
+      .sorted_intersect_count(col("sh_a"), col("sh_b"))
     val out = cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(storedSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     // materialize BEFORE releasing the probe-side caches: the lazy frame
@@ -2313,7 +2351,11 @@ object Streams {
         if (existing(shDir) && candSlots.nonEmpty)
           spark.read.parquet(shDir)
             .filter(col("batch_id") < bid && col("id_slot").isin(candSlots: _*))
-            .select(col(idCol), col("sh"))
+            // legacy index (no shingles_sorted _META flag): stored arrays
+            // may be unsorted — the merge-walk verify needs sorted input
+            .select(col(idCol),
+              (if (nearDupShinglesSorted(fs, indexPath)) col("sh")
+               else array_sort(col("sh"))).as("sh"))
         else sh.select(col(idCol), col("sh")).limit(0)
       val shAll = storedSh.unionByName(sh.select(col(idCol), col("sh")))
       val verified = graft.dedup.MinHashDedup

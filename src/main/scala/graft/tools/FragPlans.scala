@@ -30,6 +30,12 @@ object FragPlans {
       .bandKeysFromShingles(sh, "doc_id", 16, 4)
     dump("frag_candidate_pairs",
       graft.dedup.MinHashDedup.candidatePairs(keys, "doc_id"))
+    // exact-Jaccard verify stage (m1/d4/d7/d7b/st14/st15's verify): the
+    // shingle kernel + the merge-walk intersect both live in this plan
+    dump("frag_verify_pairs",
+      graft.dedup.MinHashDedup.verifiedPairsFromShingles(sh,
+        graft.dedup.MinHashDedup.candidatePairs(keys, "doc_id"),
+        "doc_id", 0.7))
     // exact set-similarity self-join (j14, pre-checkpoint)
     dump("frag_setsim_selfjoin",
       graft.dedup.SetSimJoin.selfJoin(docs, "doc_id", "text", num = 9, den = 10))

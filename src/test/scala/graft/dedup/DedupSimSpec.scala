@@ -139,6 +139,62 @@ class MinHashDedupSpec extends SparkTestBase {
     assert(sh.contains("the quick brown") && sh.distinct.size == sh.size)
   }
 
+  test("shingles kernel == composed HOF shape (sorted), incl. short/empty/repetitive docs") {
+    // the codegen'd kernel replaced this exact composed form; its contract
+    // is the same shingle SET in sorted order — pinned element-for-element,
+    // with the short-doc edge (tokens < k => whole text as ONE shingle,
+    // never zero) and the empty-text edge (zero shingles)
+    def composed(toks: org.apache.spark.sql.Column, k: Int) =
+      array_sort(array_distinct(
+        filter(
+          transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
+          s => s =!= "")))
+    val docs = Seq(
+      1L -> base,
+      2L -> "one two",                    // shorter than k: one whole-text shingle
+      3L -> "solo",                       // single token
+      4L -> "",                           // empty text: zero shingles
+      5L -> "a a a a a",                  // degenerate repetition: one distinct shingle
+      6L -> "b a b a b a c",              // dup shingles at different offsets
+      7L -> (1 to 40).map(i => s"t${i % 7}").mkString(" ")
+    ).toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val both = docs
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+        .select(col("doc_id"),
+          MinHashDedup.shingles(col("t"), k).as("kernel"),
+          composed(col("t"), k).as("ref"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"k=$k doc=${r.getLong(0)}: kernel=${r.getSeq[String](1)} ref=${r.getSeq[String](2)}")
+      }
+    }
+  }
+
+  test("merge-walk jaccard == array_intersect/array_union jaccard on every corpus pair") {
+    // verifiedPairsFromShingles swapped the hash-set intersect/union for
+    // sorted_intersect_count with |A∪B| = |A|+|B|-|A∩B|; pin the doubles
+    // bit-identical over all pairs (threshold 0 => nothing filtered)
+    val sh = MinHashDedup.shingleSets(corpus, "doc_id", "text", 3)
+    val allPairs = corpus.select(col("doc_id").as("id_a"))
+      .crossJoin(corpus.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val kernel = MinHashDedup
+      .verifiedPairsFromShingles(sh, allPairs, "doc_id", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ref = allPairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(kernel.keySet == ref.keySet)
+    kernel.foreach { case (k, v) => assert(v == ref(k), s"pair $k: $v != ${ref(k)}") }
+  }
+
   test("nearDupGroups clusters exact+near dups, isolates distinct docs") {
     val g = MinHashDedup.nearDupGroups(corpus, "doc_id", "text",
         bands = 16, rowsPerBand = 4, threshold = 0.5)

@@ -708,6 +708,89 @@ class StreamsSpec extends SparkTestBase {
     assert(empty.isEmpty && empty.columns.toSeq == Seq("id_a", "id_b", "jaccard"))
   }
 
+  test("legacy index without shingles_sorted flag: probe and ingest defensively sort stored arrays") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.MinHashDedup
+    def doc(c: Int, variant: Int): (Long, String) = {
+      val toks = (0 until 12).map(i =>
+        if (i == variant) s"x${c}_$variant" else s"w${c}_$i")
+      (c * 10L + variant, toks.mkString(" "))
+    }
+    val corpus = for (c <- 0 until 4; v <- 0 until 2) yield doc(c, v)
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-legacy").toString
+    // ONE stream throughout: batch ids must stay monotonic over the
+    // index's lifetime (a fresh checkpoint would restart at 0 and
+    // overwrite batch dirs); the doctoring below runs against the
+    // DRAINED stream between triggers, which the ingest contract allows
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestToNearDupIndex(
+      mem.toDF().toDF("doc_id", "text"), dir,
+      idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5).start()
+    mem.addData(corpus: _*); q.processAllAvailable()
+    // replace a token that is no other token's prefix (w0_1 would also
+    // hit w0_10/w0_11 and push the pair under the threshold)
+    val probeDf = Seq((5000L, doc(0, 0)._2.replace("w0_5", "p"))).toDF("doc_id", "text")
+    val freshProbe = Streams.probeNearDupIndex(probeDf, dir,
+        idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(freshProbe.nonEmpty)
+
+    // Doctor the index into the LEGACY shape the flag protects against:
+    // strip shingles_sorted from _META and store the arrays REVERSED
+    // (descending = maximally unsorted for the merge walk, which silently
+    // undercounts on unsorted input). Every reader must array_sort first.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaP = new org.apache.hadoop.fs.Path(dir, "_META")
+    val metaTxt = {
+      val in = fs.open(metaP)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    }
+    assert(metaTxt.contains("shingles_sorted=1"), "new index must claim the flag")
+    val out = fs.create(metaP, true)
+    try out.write(metaTxt.linesIterator.filterNot(_.startsWith("shingles_sorted"))
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val shRoot = new org.apache.hadoop.fs.Path(s"$dir/shingles")
+    fs.listStatus(shRoot).filter(_.getPath.getName.startsWith("batch_id=")).foreach { st =>
+      val batchDir = st.getPath.toString
+      val doctored = spark.read.parquet(batchDir)
+        .select(col("doc_id"), reverse(col("sh")).as("sh"), col("id_slot"))
+        .localCheckpoint(true)
+      doctored.write.mode("overwrite").partitionBy("id_slot")
+        .parquet(s"$batchDir.tmp")
+      fs.delete(st.getPath, true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$batchDir.tmp"), st.getPath)
+    }
+
+    // probe the doctored index: identical pairs AND identical jaccards
+    val legacyProbe = Streams.probeNearDupIndex(probeDf, dir,
+        idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(legacyProbe == freshProbe, s"legacy=$legacyProbe fresh=$freshProbe")
+
+    // ingest a new near-dup batch (same stream, next batch id) into the
+    // doctored index: cross-batch verify against the legacy-ordered
+    // stored arrays must equal the direct computation over the texts
+    val newDoc = (9000L, doc(1, 0)._2.replace("w1_2", "pp"))
+    mem.addData(newDoc); q.processAllAvailable(); q.stop()
+    val gotNew = spark.read.parquet(s"$dir/matches")
+      .filter(col("id_a") === 9000L || col("id_b") === 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val shRef = MinHashDedup.shingleSets(
+      (corpus :+ newDoc).toDF("doc_id", "text"), "doc_id", "text", 3)
+    val refNew = MinHashDedup.verifiedPairsFromShingles(shRef,
+        MinHashDedup.candidatePairs(
+          MinHashDedup.bandKeysFromShingles(shRef, "doc_id", 16, 4), "doc_id"),
+        "doc_id", 0.5)
+      .filter(col("id_a") === 9000L || col("id_b") === 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotNew == refNew, s"got=$gotNew ref=$refNew")
+    assert(gotNew.nonEmpty)
+  }
+
   test("removeFromNearDupIndex: takedown purges ids from keys/shingles/matches, future-proof") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -516,7 +516,7 @@ object Streams {
     */
   private[graft] def ivfBatch(batch: DataFrame, bid: Long, indexPath: String,
                                   model: graft.sim.Ann.IvfModel,
-                                  idCol: String, embCol: String): Unit = {
+                                  idCol: String, embCol: String): Long = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -524,18 +524,27 @@ object Streams {
     requireIvfGeometry(fs, indexPath, model, "ingestToIvfIndex")
     writeIvfMeta(fs, indexPath, model)
     val tombDir = s"$indexPath/$IvfTombstones"
+    // the returned count rides the write job as an Observation (the
+    // DocStore.insertMany pattern) — syncIvfIndex's seed formerly paid a
+    // SECOND full snapshot pass just to count what it was about to
+    // write. Attached BELOW the tombstone anti-join so the count keeps
+    // the exact semantics the callers' former .count() had (input rows,
+    // pre-tombstone).
+    val obs = org.apache.spark.sql.Observation()
+    val counted = batch.observe(obs, count(lit(1)).as("rows"))
     val live =
       if (fs.exists(new org.apache.hadoop.fs.Path(tombDir)))
-        batch.join(
+        counted.join(
           broadcast(spark.read.parquet(tombDir)
             .filter(col("cutoff_bid") >= bid).select(col(idCol)).distinct()),
           Seq(idCol), "left_anti")
-      else batch
+      else counted
     live.withColumn("cell", model.assign(col(embCol)))
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .option("partitionOverwriteMode", "static")
       .parquet(s"$indexPath/batch_id=$bid")
+    obs.get("rows").asInstanceOf[Long]
   }
 
   // underscore-prefixed so `spark.read.parquet(indexPath)` partition
@@ -760,8 +769,11 @@ object Streams {
       val snap = graft.sources.DocStore.snapshotAt(spark, srcPath, c)
         .select(col(idCol), col(embCol))
         .filter(col(embCol).isNotNull)
-      val n = snap.count()
-      if (n > 0) ivfBatch(snap, 1L, indexPath, model, idCol, embCol)
+      // ONE full snapshot pass: isEmpty is a limit-1 probe and the count
+      // rides the ivfBatch write's own job (the former snap.count()
+      // paid a second corpus-sized scan at seed time)
+      val n = if (snap.isEmpty) 0L
+        else ivfBatch(snap, 1L, indexPath, model, idCol, embCol)
       writeNearDupSync(fs, indexPath, c, if (hasBatches) 1L else 0L)
       n
     }
@@ -843,9 +855,11 @@ object Streams {
           removeFromIvfIndex(spark, indexPath, toRemove.select(col(idCol)),
             idCol, tombstone = false, cellHints = Some(hintCells))
         }
-        val n = toIngest.count()
         val bid = lastBid + 1
-        if (n > 0) ivfBatch(toIngest, bid, indexPath, model, idCol, embCol)
+        // count rides the write (perId is checkpointed, so isEmpty is a
+        // local probe and nothing upstream recomputes)
+        val n = if (toIngest.isEmpty) 0L
+          else ivfBatch(toIngest, bid, indexPath, model, idCol, embCol)
         writeNearDupSync(fs, indexPath, next, if (n > 0) bid else lastBid)
         maybeCompactIdx()
         n

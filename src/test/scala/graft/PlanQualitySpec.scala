@@ -55,6 +55,33 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
+  test("near-dup verify plans the codegen kernels, never the interpreted HOF chain") {
+    // the r13-opt shingle/verify unification: shingling is ONE codegen'd
+    // expression (shingles_sorted) and exact Jaccard is the merge-walk
+    // sorted_intersect_count — a regression to the composed
+    // transform/slice/concat_ws chain or to array_intersect/array_union's
+    // per-pair hash-set builds silently multiplies the near-dup family's
+    // cost (measured 1.6-5.8x across m1/d4/d7/d7b/st14/st15)
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sf001).select("doc_id", "text")
+    val sh = graft.dedup.MinHashDedup.shingleSets(docs, "doc_id", "text", 3)
+    val keys = graft.dedup.MinHashDedup.bandKeysFromShingles(sh, "doc_id", 16, 4)
+    val verify = graft.dedup.MinHashDedup.verifiedPairsFromShingles(sh,
+      graft.dedup.MinHashDedup.candidatePairs(keys, "doc_id"), "doc_id", 0.7)
+    val p = verify.queryExecution.executedPlan.toString
+    assert(p.contains("shingles_sorted"), p)
+    assert(p.contains("sorted_intersect_count"), p)
+    assert(!p.contains("array_intersect") && !p.contains("array_union"), p)
+    // the interpreted shingle shape would show transform(sequence(...))
+    assert(!p.contains("transform(sequence"), p)
+    // and the verify output is unchanged by construction: spot-pin one
+    // self-pair jaccard through the kernel path
+    val self = graft.dedup.MinHashDedup.verifiedPairsFromShingles(sh,
+      docs.limit(1).select(col("doc_id").as("id_a"), col("doc_id").as("id_b")),
+      "doc_id", 0.99)
+    assert(self.collect().forall(_.getDouble(2) == 1.0))
+  }
+
   test("semi/anti joins plan as joins, not IN-subquery re-scans") {
     assert(plan("j7_semi").contains("LeftSemi"), plan("j7_semi"))
     assert(plan("j6_anti").contains("LeftAnti"), plan("j6_anti"))
